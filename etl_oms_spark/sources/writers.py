@@ -1,0 +1,151 @@
+"""Sinks: CSV / JSON / parquet writers, JDBC staging + upsert.
+
+SURVEY §2.1 rows S6-S10. Two regimes:
+
+- **parity mode** (``single_file=True``): one CSV/JSON file matching the
+  reference's pandas outputs (``to_csv(index=False)``, ``to_json(
+  orient="records")``). Uses ``coalesce(1)`` — fine for dim-sized outputs,
+  documented as NOT the scale path.
+- **scale mode** (default): partitioned parquet/CSV/JSON-lines part-files,
+  writer parallelism = partition count.
+
+The JDBC upsert replays the reference's own trick (staging table + one
+``INSERT ... ON CONFLICT DO UPDATE`` statement —
+ETL_OMS_FINAL_Upgraded.py:100-137) but per-partition-batched and driven
+from Spark. psycopg2 is optional (import-gated); the JDBC-batch path works
+with any driver jar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
+    """S6 CSV sink (``to_csv(index=False)`` — ETL_OMS.py:94)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, single_file: bool = False, mode: str = "overwrite") -> None:
+    """S7 JSON sink.
+
+    Spark emits JSON-lines (splittable — the scalable layout); pandas emits
+    one array. Value-level parity holds; byte-level parity would need a
+    driver-side shim, intentionally not provided on the distributed path.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink — the engine's native interchange format.
+
+    ``partition_by`` (e.g. date) enables partition pruning for downstream
+    range predicates (P7) at any scale.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_jdbc_staging(
+    df: DataFrame,
+    url: str,
+    staging_table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """S8 bulk load into a staging table (COPY-equivalent).
+
+    JDBC batched inserts from every partition in parallel — the distributed
+    analogue of the reference's single-connection ``COPY``
+    (ETL_OMS_OPERATIONNEL.py:193-200).
+    """
+    (
+        df.write.mode("append")
+        .option("batchsize", str(batchsize))
+        .jdbc(url, staging_table, properties=properties or {})
+    )
+
+
+def upsert_sql(
+    target_table: str,
+    staging_table: str,
+    key_cols: list[str],
+    update_cols: list[str],
+) -> str:
+    """S9: the merge statement executed after staging.
+
+    Generates the same ``INSERT ... SELECT ... ON CONFLICT (keys) DO UPDATE``
+    shape as ETL_OMS_OPERATIONNEL.py:202-211, parameterized. Execute it over
+    any DB-API/JDBC connection supplied by the caller.
+    """
+    cols = key_cols + update_cols
+    col_list = ", ".join(cols)
+    conflict = ", ".join(key_cols)
+    updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+    return (
+        f"INSERT INTO {target_table} ({col_list}) "
+        f"SELECT {col_list} FROM {staging_table} "
+        f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+    )
+
+
+def upsert_via_copy(
+    df: DataFrame,
+    dsn: str,
+    target_table: str,
+    key_cols: list[str],
+    update_cols: list[str],
+) -> None:
+    """S8+S9 Postgres-parity path: per-partition COPY into a temp table, then
+    one ``ON CONFLICT`` merge. Requires psycopg2 (import-gated; absent in
+    this container → NotImplementedError, the JDBC path above is the
+    portable default).
+    """
+    try:
+        import psycopg2  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - psycopg2 not shipped here
+        raise NotImplementedError(
+            "psycopg2 not available; use write_jdbc_staging + upsert_sql"
+        ) from exc
+
+    cols = key_cols + update_cols
+
+    def load_partition(rows) -> None:  # pragma: no cover - needs a live DB
+        import io
+
+        import psycopg2
+
+        buf = io.StringIO()
+        n = 0
+        for row in rows:
+            buf.write("\t".join("\\N" if row[c] is None else str(row[c]) for c in cols))
+            buf.write("\n")
+            n += 1
+        if n == 0:
+            return
+        buf.seek(0)
+        conn = psycopg2.connect(dsn)
+        try:
+            with conn.cursor() as cur:
+                cur.execute(
+                    f"CREATE TEMP TABLE tmp_upsert (LIKE {target_table} INCLUDING DEFAULTS)"
+                )
+                cur.copy_expert(
+                    f"COPY tmp_upsert ({', '.join(cols)}) FROM STDIN WITH (FORMAT text)",
+                    buf,
+                )
+                cur.execute(upsert_sql(target_table, "tmp_upsert", key_cols, update_cols))
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.select(*cols).foreachPartition(load_partition)

@@ -1,0 +1,99 @@
+"""End-to-end pipelines (EP1/EP2/EP3 equivalents) + I/O roundtrips."""
+
+from __future__ import annotations
+
+import os
+
+from etl_oms_spark.plans.pipelines import (
+    long_format_pipeline,
+    pivot_report,
+    star_schema_pipeline,
+    warehouse_pipeline,
+)
+from etl_oms_spark.sources.readers import read_csv, read_json, scan_dataset_directory
+from etl_oms_spark.sources.writers import upsert_sql, write_csv, write_json
+
+
+def _wide_csv(tmp_path) -> str:
+    p = tmp_path / "covid_test.csv"
+    p.write_text(
+        "Country/Region,Date,TotalCases,TotalDeaths\n"
+        "France,2020-03-01,100,5\n"
+        "France,2020-03-02,150,7\n"
+        "France,bad-date,160,8\n"
+        "Germany,2020-03-01,80,2\n"
+    )
+    return str(p)
+
+
+def test_long_format_pipeline(spark, tmp_path):
+    df = read_csv(spark, _wide_csv(tmp_path))
+    out = long_format_pipeline(df, "COVID-19")
+    rows = out.collect()
+    assert set(out.columns) == {"country", "date", "pandemic", "indicator", "value", "unit"}
+    # bad-date row dropped; derived new_cases present (confirmed all non-null,
+    # new_cases absent → completed as NULL → derived)
+    fr = {
+        (r["indicator"], r["date"].day): r["value"]
+        for r in rows
+        if r["country"] == "France"
+    }
+    assert fr[("confirmed", 1)] == 100.0
+    assert fr[("new_cases", 2)] == 50.0  # lag diff
+    assert fr[("new_cases", 1)] == 0.0  # first row → 0
+    assert all(r["pandemic"] == "COVID-19" for r in rows)
+
+
+def test_pivot_report_roundtrip(spark, tmp_path):
+    df = read_csv(spark, _wide_csv(tmp_path))
+    long = long_format_pipeline(df, "COVID-19")
+    wide = pivot_report(long)
+    fr = {r["date"].day: r for r in wide.collect() if r["country"] == "France"}
+    assert fr[2]["confirmed"] == 150.0
+    assert fr[2]["recovered"] == 0.0  # fillna(0) parity (ETL_OMS_V2.py:36)
+
+
+def test_star_schema_pipeline(spark, tmp_path):
+    df = read_csv(spark, _wide_csv(tmp_path))
+    tables = star_schema_pipeline(df, "COVID-19")
+    pays = {r["country"]: r["id_pays"] for r in tables["Pays"].collect()}
+    assert pays == {"France": 1, "Germany": 2}
+    fact = tables["Statistique"].collect()
+    assert len(fact) == 3
+    assert tables["Maladie"].first()["nom_maladie"] == "COVID-19"
+
+
+def test_warehouse_pipeline_merge(spark, tmp_path):
+    df = read_csv(spark, _wide_csv(tmp_path))
+    first = warehouse_pipeline(df, "COVID-19")
+    assert first.count() == 3
+    # re-run with existing fact → idempotent upsert, same rowcount
+    again = warehouse_pipeline(df, "COVID-19", existing_fact=first)
+    assert again.count() == 3
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = read_csv(spark, _wide_csv(tmp_path))
+    cpath, jpath = str(tmp_path / "out_csv"), str(tmp_path / "out_json")
+    write_csv(df, cpath, single_file=True)
+    write_json(df, jpath, single_file=True)
+    assert read_csv(spark, cpath).count() == 4
+    assert spark.read.json(jpath).count() == 4
+
+
+def test_scan_dataset_directory(spark, tmp_path):
+    _wide_csv(tmp_path)
+    (tmp_path / "notes.txt").write_text("ignored")
+    (tmp_path / "mp.json").write_text('[{"location": "France", "date": "2020-01-01"}]')
+    frames = scan_dataset_directory(spark, str(tmp_path))
+    assert len(frames) == 2  # txt filtered out (case-insensitive ext filter)
+    names = {os.path.basename(p) for p in frames}
+    assert names == {"covid_test.csv", "mp.json"}
+    json_df = frames[str(tmp_path / "mp.json")]
+    assert json_df.first()["_source_file"] == "mp.json"
+
+
+def test_upsert_sql_shape():
+    sql = upsert_sql("statistique", "tmp_stat", ["id_region", "date"], ["total_mort"])
+    assert "ON CONFLICT (id_region, date) DO UPDATE" in sql
+    assert "total_mort = EXCLUDED.total_mort" in sql
