@@ -629,6 +629,240 @@ GROUP BY l_orderkey, l_linenumber
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline operators: dedup / text analysis / similarity search
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on canonical text (hash-groupBy, min-id representative)."""
+    from etl_oms_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+D1_SQL = f"""
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY {_NORM_SQL}
+"""
+
+
+def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard similar pairs ≥ 0.9 (inverted-index join).
+
+    The small-scale oracle twin of the MinHash-LSH path (d3); at 100 TB the
+    inverted-index join is used only with max_df capping.
+    """
+    from etl_oms_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9, k=1)
+
+
+D2_SQL = f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM documents
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+FROM common
+JOIN cnt x ON id_a = x.doc_id
+JOIN cnt y ON id_b = y.doc_id
+WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.9
+"""
+
+
+def d3_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with signature-estimated Jaccard —
+    the scale path (no oracle: xxhash64 seeds are engine-specific)."""
+    from etl_oms_spark.operators.dedup import (
+        estimate_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    return estimate_jaccard(sigs, pairs).filter(F.col("est_jaccard") >= 0.5)
+
+
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (no oracle: engine-specific
+    token hashes)."""
+    from etl_oms_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (pure codegen)."""
+    from etl_oms_spark.operators.text import bpe_token_count, whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+T1_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+            ELSE len(string_split({_NORM_SQL}, ' ')) END AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length/stopword/punctuation signals)."""
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+_WS = (
+    f"CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+    f"ELSE len(string_split({_NORM_SQL}, ' ')) END"
+)
+T2_SQL = f"""
+SELECT doc_id,
+       least(CAST({_WS} AS DOUBLE) / 100.0, 1.0) * 0.4
+       + least(CAST(len(regexp_extract_all(lower(text),
+             '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
+           / greatest({_WS}, 1) * 5.0, 1.0) * 0.4
+       + (1.0 - least(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+           / greatest(length(text), 1) * 10.0, 1.0)) * 0.2
+       AS quality
+FROM documents
+"""
+
+
+def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic argmax)."""
+    from etl_oms_spark.operators.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", language_id("text").alias("lang_pred"))
+
+
+def _lang_hits_sql(words: list[str]) -> str:
+    return (
+        "len(regexp_extract_all(lower(text), '\\b("
+        + "|".join(words)
+        + ")\\b'))"
+    )
+
+
+T3_SQL = None  # filled in below from LANG_MARKERS to stay in lockstep
+
+
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form md5 document fingerprint."""
+    from etl_oms_spark.operators.text import fingerprint_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+T4_SQL = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fingerprint
+FROM documents
+"""
+
+
+def e1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for two query vectors.
+
+    Integer-quantized dot products → bit-identical scores across engines.
+    """
+    from etl_oms_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, query, k=5)
+
+
+_QE = "CAST(round(CAST({v}[t.i] AS DOUBLE) * 1000000) AS BIGINT)"
+E1_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1)
+), pairs AS (
+    SELECT q.query_id, e.vec_id,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='q.qe')}) AS dot,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='e.embedding')}) AS na,
+           SUM({_QE.format(v='q.qe')} * {_QE.format(v='q.qe')}) AS nb
+    FROM embeddings e, q, range(1, 65) t(i)
+    GROUP BY 1, 2
+), scored AS (
+    SELECT query_id, vec_id,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+    FROM pairs
+)
+SELECT query_id, vec_id, cosine
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
+
+
+def e2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (no oracle: approximate by design;
+    the driver records a rows-only check, recall is asserted in tests)."""
+    from etl_oms_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(emb, query, k=5, num_planes=4)
+
+
+def e3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket self-join (no oracle:
+    bucket boundaries are hash-derived)."""
+    from etl_oms_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # testdata embeddings are isotropic noise (cos ~ N(0, 1/8)) — 0.35 sits
+    # in the upper tail so the query returns a non-degenerate pair set
+    return embedding_near_dup_pairs(emb, threshold=0.35, num_planes=4)
+
+
+# keep the SQL marker lists in lockstep with LANG_MARKERS
+def _build_t3_sql() -> str:
+    from etl_oms_spark.operators.text import LANG_MARKERS
+
+    codes = sorted(LANG_MARKERS)
+    hits = {c: _lang_hits_sql(LANG_MARKERS[c]) for c in codes}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = " ".join(
+        f"WHEN {hits[c]} = {best} THEN '{c}'" for c in codes
+    )
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {best} = 0 THEN 'und' ELSE (CASE {case} END) END AS lang_pred
+FROM documents
+"""
+
+
+T3_SQL = _build_t3_sql()
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -662,6 +896,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
         "ev_window_agg": ev_window_agg,
+        "d1_exact_dedup": d1_exact_dedup,
+        "d2_ngram_jaccard": d2_ngram_jaccard,
+        "d3_minhash_candidates": d3_minhash_candidates,
+        "d4_simhash": d4_simhash,
+        "t1_token_stats": t1_token_stats,
+        "t2_quality_score": t2_quality_score,
+        "t3_language_id": t3_language_id,
+        "t4_fingerprint": t4_fingerprint,
+        "e1_cosine_topk": e1_cosine_topk,
+        "e2_ann_lsh": e2_ann_lsh,
+        "e3_embedding_neardup": e3_embedding_neardup,
     }
 
 
@@ -690,4 +935,13 @@ def oracle_sql() -> dict[str, str]:
         "star_fact_rollup": STAR_SQL,
         "j5_upsert_merge": J5_SQL,
         "ev_window_agg": EV_WINDOW_SQL,
+        "d1_exact_dedup": D1_SQL,
+        "d2_ngram_jaccard": D2_SQL,
+        # d3/d4/e2/e3: engine-specific hashes / approximate by design →
+        # rows-only checks; exact twins are d2 (Jaccard) and e1 (cosine).
+        "t1_token_stats": T1_SQL,
+        "t2_quality_score": T2_SQL,
+        "t3_language_id": T3_SQL,
+        "t4_fingerprint": T4_SQL,
+        "e1_cosine_topk": E1_SQL,
     }

@@ -25,6 +25,17 @@ HEADLINE = [
     "w1_lag_diff",
     "j5_upsert_merge",
     "ev_window_agg",
+    # LLM-pipeline operators (scale paths only — d2's exact inverted-index
+    # join is the sf0.01 oracle twin, not a 100 TB path)
+    "d1_exact_dedup",
+    "d3_minhash_candidates",
+    "d4_simhash",
+    "t1_token_stats",
+    "t2_quality_score",
+    "t3_language_id",
+    "t4_fingerprint",
+    "e1_cosine_topk",
+    "e2_ann_lsh",
 ]
 
 
@@ -38,9 +49,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry_mod.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n.startswith(("d", "t", "e")) and n in getattr(entry_mod, "BENCH_EXTRA", [])
-    ]
+    names = [n for n in HEADLINE if n in qs]
 
     # warm the JVM/session once so q1 doesn't pay session startup
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()

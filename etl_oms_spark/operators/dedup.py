@@ -1,0 +1,269 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All implemented as native DataFrame algebra (explode / groupBy / self-join /
+window) — no MLlib vector overhead, no Python UDFs — so every stage is a
+plain shuffle-bounded Spark job that scales horizontally:
+
+- exact:    one hash-groupBy on the canonical fingerprint. One shuffle.
+- minhash:  shingle → 64 seeded min-hashes → banded LSH buckets →
+            candidate pairs → signature-estimated Jaccard. The 100 TB path:
+            cost is O(total shingles) + one shuffle per stage; no O(n²).
+- simhash:  per-token hashes → 64 weighted bit sums → fingerprint;
+            near-dups = pairs at small Hamming distance within LSH bands.
+- n-gram Jaccard: exact token/shingle-set join — quadratic in docs *sharing
+  a shingle*; the small-scale oracle twin of the minhash path. Frequent-
+  shingle capping (`max_df`) keeps the blowup bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint_md5, normalize_text, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on canonical text: keep the min-id representative per
+    fingerprint group (hash-groupBy — one shuffle, map-side partial agg)."""
+    return (
+        df.withColumn("__fp", fingerprint_md5(text_col))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text (array<string>).
+
+    Built with sequence/transform/slice — array expressions, no explode yet,
+    no UDF. Documents shorter than k words yield their whole text as the
+    single shingle.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signatures: explode distinct shingles, take the min of
+    ``num_hashes`` seeded xxhash64 values per doc.
+
+    One explode + one groupBy: cost O(total shingles × num_hashes) hash
+    evaluations, all JVM-side. Returns (id, h0..h{n-1}).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("__shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("__shingle"))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band-hash become a candidate pair.
+
+    rows-per-band r = num_hashes/bands tunes the sensitivity curve
+    (threshold ≈ (1/b)^(1/r)). Pairs are deduped by (a < b); the self-join
+    happens only within buckets, so cost is Σ bucket² not n².
+    """
+    r = num_hashes // bands
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col(f"h{b * r + i}") for i in range(r)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "__band", "__bucket"
+        ),
+    )
+    left = stacked.alias("a")
+    right = stacked.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def estimate_jaccard(
+    signatures: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Signature-estimated Jaccard: fraction of agreeing minhash components."""
+    sig_a = signatures.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)],
+    )
+    sig_b = signatures.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", (agree / F.lit(float(num_hashes))).alias("est_jaccard"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dedup: drop any doc that is ≥threshold-similar to a lower-id doc.
+
+    Greedy single-pass victim selection (standard at-scale practice — full
+    transitive closure would need iterative connected components; the
+    min-id-survives rule is deterministic and one extra shuffle).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sims = estimate_jaccard(sigs, pairs, id_col, num_hashes)
+    victims = (
+        sims.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(victims, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprints.
+
+    explode tokens → xxhash64 per token → per-bit ±1 sums (one groupBy with
+    ``bits`` conditional-sum aggregates, map-side combined) → assemble the
+    fingerprint as a signed long (bit 63 included → may be negative; it's an
+    opaque fingerprint). Near-dup = small Hamming distance; pair generation
+    should go through LSH bands over fingerprint chunks, not all-pairs.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).select(F.col(id_col), F.xxhash64(F.col("__tok")).alias("__h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over word k-shingle sets.
+
+    Token-inverted-index self-join: distinct (doc, shingle) → join on
+    shingle → common counts → |A∪B| = |A|+|B|-common. Quadratic in docs
+    sharing a shingle — ``max_df`` drops shingles present in more than
+    max_df docs (stopword-shingle capping), the standard bound at scale;
+    the true scale path is `minhash_dedup`.
+    """
+    sh = shingles(text_col, k) if k > 1 else F.array_distinct(tokens(text_col))
+    toks = df.select(F.col(id_col), F.explode(sh).alias("tok"))
+    if max_df is not None:
+        rare = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("tok")
+        )
+        toks = toks.join(rare, "tok")
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col(id_col).alias("id_a"), "tok")
+    b = toks.select(F.col(id_col).alias("id_b"), "tok")
+    common = (
+        a.join(b, ["tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

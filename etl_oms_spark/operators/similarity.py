@@ -1,0 +1,179 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Embeddings are ``array<float>`` columns. Two paths:
+
+- `cosine_topk` — exact brute force: one scan, per-row array fold
+  (``zip_with`` + ``aggregate``, JVM-side), TakeOrdered top-k. The baseline
+  and the correctness oracle. O(n·d) per query.
+- `ann_lsh_topk` — random-hyperplane LSH: deterministic pseudo-hyperplanes
+  derived from xxhash64 (no RNG state to ship), sign-bit bucket key, search
+  only the query's bucket (+ optional multi-probe), exact re-rank inside.
+  The 100 TB path: bucket the corpus ONCE (write bucketed/partitioned by
+  ``bucket``), then each query touches 1/2^bits of the data.
+
+Integer-quantized arithmetic (`QUANT`-scaled round → long) makes dot
+products exact and therefore bit-identical across engines/partitionings —
+the same determinism policy as the aggregate queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: quantization scale: float32 embeddings in [-1, 1] keep ~6 significant
+#: digits; products stay far inside long range (64 dims × (2e6)² ≈ 2.6e14).
+QUANT = 1_000_000.0
+
+
+def _quant(x: Column) -> Column:
+    return F.round(x.cast("double") * F.lit(QUANT)).cast("long")
+
+
+def dot_quantized(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _quant(x) * _quant(y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2_quantized(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: _quant(x) * _quant(x)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_quantized(a: Column, b: Column) -> Column:
+    """Deterministic cosine: exact integer dot / sqrt(exact norms)."""
+    return dot_quantized(a, b).cast("double") / (
+        F.sqrt(norm2_quantized(a).cast("double")) * F.sqrt(norm2_quantized(b).cast("double"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k per query vector.
+
+    ``query`` is a (query_id, embedding) DataFrame — broadcast, so the big
+    side streams once with no shuffle; TakeOrdered handles the top-k without
+    a global sort. Ties break on id for determinism.
+    """
+    q = query.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = df.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_quantized(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN
+
+
+def _hyperplane_component(plane: int, dim_index: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    derived from xxhash64(plane, dim) — reproducible on any cluster with no
+    RNG state or broadcast weights."""
+    h = F.xxhash64(F.lit(plane), dim_index)
+    return (F.pmod(h, F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0)) - F.lit(0.5)
+
+
+def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
+    """Sign-bit bucket key: bit p = sign of <vec, hyperplane_p>."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(vec, lambda _x, i: _hyperplane_component(p, i)),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank inside the query's LSH bucket.
+
+    Recall/cost knob = ``num_planes`` (2^p buckets). At scale: persist
+    ``df.withColumn("bucket", lsh_bucket(...))`` partitioned by bucket, and
+    the per-query scan prunes to one partition.
+    """
+    corpus = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), num_planes))
+    q = query.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket(F.col(vec_col), num_planes).alias("__bucket"),
+    )
+    candidates = corpus.join(F.broadcast(q), "__bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_quantized(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        candidates.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs: LSH bucket self-join +
+    exact cosine filter. The vector-space sibling of minhash_dedup."""
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), num_planes).alias("__bucket")
+    )
+    a = bucketed.select(
+        F.col("__bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = bucketed.select(
+        F.col("__bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_quantized(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

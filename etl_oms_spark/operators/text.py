@@ -1,0 +1,146 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no Python UDFs:
+language-ID (marker-word heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), document fingerprinting (md5 canonical +
+Karp-Rabin rolling hash). These extend the reference's north-star text seam
+(`llm_client.py:6-41` is its only text hook) with distributed-scale
+primitives; each scales linearly with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: marker words per language for the n-gram/stopword language heuristic.
+#: Deliberately small + high-frequency; ties broken alphabetically by code.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "en": ["the", "and", "of", "to", "is", "you"],
+    "es": ["el", "la", "los", "las", "que", "es"],
+    "fr": ["le", "la", "les", "des", "est", "que"],
+}
+
+#: BPE-ish tokenization: word pieces OR single non-space symbols — the same
+#: class split GPT-style tokenizers apply before merges.
+BPE_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + trim + collapse whitespace — the canonical form every text
+    operator keys on (dedup, fingerprint, shingles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    c = normalize_text(col)
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, " "))
+    )
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_REGEX))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text, as array<string>."""
+    return F.split(normalize_text(col), " ")
+
+
+def marker_hits(col: Column | str, words: list[str]) -> Column:
+    """Occurrences of any marker word (word-boundary regex count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pattern))
+
+
+def language_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language-ID: argmax of marker-word hit counts.
+
+    Deterministic: ties resolve to the alphabetically-first language code;
+    zero hits everywhere → 'und' (undetermined). Pure expressions — one
+    regexp_count per language, no shuffle, no UDF.
+    """
+    markers = markers or LANG_MARKERS
+    codes = sorted(markers)
+    hits = {code: marker_hits(col, markers[code]) for code in codes}
+    best = F.greatest(*hits.values()) if len(codes) > 1 else hits[codes[0]]
+    expr: Column | None = None
+    for code in codes:  # alphabetical → first max wins
+        cond = hits[code] == best
+        expr = F.when(cond, F.lit(code)) if expr is None else expr.when(cond, F.lit(code))
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Quality-signal features: length, token count, mean token length,
+    punctuation ratio, stopword ratio. All exact integer counts divided at
+    the end → deterministic doubles."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tokens = whitespace_token_count(c)
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    n_stop = marker_hits(c, STOPWORDS_EN)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": n_chars.cast("double") / safe_tokens,
+        "punct_ratio": n_punct.cast("double") / safe_chars,
+        "stopword_ratio": n_stop.cast("double") / safe_tokens,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Scalar quality score in [0,1]-ish: rewards mid-length docs with
+    natural stopword density, penalizes punctuation soup. The exact weights
+    are heuristic; determinism (same doc → same score on any engine) is the
+    contract."""
+    f = quality_features(col)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.least(f["punct_ratio"] * F.lit(10.0), F.lit(1.0))
+    return length_term * F.lit(0.4) + stop_term * F.lit(0.4) + (F.lit(1.0) - punct_pen) * F.lit(0.2)
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Canonical-form md5 fingerprint — the exact-dedup key."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+    """Karp-Rabin polynomial rolling hash over whitespace tokens.
+
+    Left-fold ``h = (h*base + xxhash64(token)) mod m`` via ``F.aggregate`` —
+    order-sensitive by construction (that's the point of a rolling hash),
+    deterministic, no UDF. Token hashes are xxhash64 → engine-specific;
+    use `fingerprint_md5` when cross-engine comparability matters.
+    """
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(base) + F.xxhash64(x)) % F.lit(mod),
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column set in one projection."""
+    feats = quality_features(text_col)
+    return df.withColumns(
+        {
+            "ws_tokens": whitespace_token_count(text_col),
+            "bpe_tokens": bpe_token_count(text_col),
+            "lang_pred": language_id(text_col),
+            "quality": quality_score(text_col),
+            "fingerprint": fingerprint_md5(text_col),
+            **{k: v for k, v in feats.items() if k not in ("n_tokens",)},
+        }
+    )

@@ -1,0 +1,118 @@
+"""Structured Streaming over the events model.
+
+The reference has no streaming (SURVEY §2.9); its idempotent re-run upsert
+(``ON CONFLICT DO UPDATE``) is the seam. Here that becomes:
+
+- `windowed_event_counts` — ONE transformation used by both batch and
+  streaming (same Catalyst plan; streaming adds a watermark so state for
+  closed windows is dropped — bounded memory at any scale).
+- `stream_events` / `run_stream_to_memory` — file-source readStream
+  wiring with schema + maxFilesPerTrigger (backpressure knob).
+- `foreach_batch_upsert` — the streaming version of the warehouse load:
+  per micro-batch MERGE into the target via merge_dataframes + parquet
+  rewrite (or JDBC staging+ON CONFLICT via sources.writers against a DB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation — identical plan for batch
+    and streaming; pass ``watermark`` in streaming so late data beyond the
+    bound is dropped and window state is evicted."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 10,
+    fmt: str = "json",
+) -> DataFrame:
+    """File-source stream of events (JSON-lines or parquet directory).
+
+    ``maxFilesPerTrigger`` bounds micro-batch size (backpressure); schema is
+    explicit — streaming sources must never infer.
+    """
+    reader = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    return reader.format(fmt).load(path)
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "update"
+):
+    """Run a streaming aggregation into the in-memory sink (tests/demos)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def foreach_batch_upsert(
+    target_path: str,
+    keys: list[str],
+    spark: SparkSession,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch MERGE: upsert each micro-batch into a parquet target.
+
+    Streaming twin of the reference's ON CONFLICT load
+    (ETL_OMS_OPERATIONNEL.py:202-211). Parquet full-rewrite merge is the
+    dependency-free fallback; on a lakehouse table this body becomes a
+    single ``MERGE INTO`` (Delta/Iceberg), and against Postgres it becomes
+    sources.writers.write_jdbc_staging + upsert_sql.
+    """
+    from ..merge import merge_dataframes
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:  # noqa: BLE001 - first batch, target absent
+            existing = None
+        if existing is not None:
+            merged = merge_dataframes(existing, batch_df, keys)
+        else:
+            merged = batch_df
+        merged.write.mode("overwrite").parquet(target_path + "_new")
+        # atomic-ish swap: write new, then overwrite target from new
+        spark.read.parquet(target_path + "_new").write.mode("overwrite").parquet(target_path)
+
+    return apply

@@ -1,0 +1,119 @@
+"""Similarity search + multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_oms_spark.operators.multimodal import (
+    decode_media_metadata,
+    extract_features,
+    frame_sample_plan,
+    make_fake_payload,
+    with_media_column,
+)
+from etl_oms_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_quantized,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),    # 45 degrees
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_quantized_exact(spark):
+    df = _vectors(spark)
+    out = df.select(
+        cosine_quantized(F.col("embedding"), F.array([F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)])).alias("c"),
+        "vec_id",
+    ).collect()
+    cos = {r["vec_id"]: r["c"] for r in out}
+    assert cos[0] == 1.0
+    assert math.isclose(cos[4], math.cos(math.pi / 4), rel_tol=1e-6)
+    assert cos[3] == -1.0
+
+
+def test_cosine_topk_order_and_k(spark):
+    df = _vectors(spark)
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(df, q, k=3).orderBy(F.col("cosine").desc()).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 4]
+
+
+def test_ann_lsh_recall_on_testdata(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {r["vec_id"] for r in ann_lsh_topk(emb, q, k=5, num_planes=2).collect()}
+    # 2 planes → 4 buckets; the query's own vector is always recalled and
+    # overlap with exact top-5 should be nonzero on 500 vectors
+    assert 0 in approx
+    assert len(exact & approx) >= 1
+
+
+def test_embedding_near_dup_detects_duplicate(spark):
+    df = _vectors(spark)
+    dup = spark.createDataFrame([(10, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(df.union(dup), threshold=0.999, num_planes=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 10) in pairs
+
+
+def test_decode_media_metadata(spark):
+    payloads = [(1, make_fake_payload(640, 480, 3)), (2, b"not-a-media")]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["meta"] for r in decode_media_metadata(df).collect()}
+    assert out[1]["width"] == 640 and out[1]["height"] == 480 and out[1]["channels"] == 3
+    assert out[1]["media_type"] == "image"
+    assert out[2]["media_type"] == "unknown" and out[2]["width"] is None
+
+
+def test_decode_real_codec_is_stubbed(spark):
+    df = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+    try:
+        decode_media_metadata(df, decoder="pil")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+
+
+def test_extract_features_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, make_fake_payload(10, 10)), (2, make_fake_payload(10, 10))],
+        "doc_id long, payload binary",
+    )
+    out = extract_features(df, dim=8).collect()
+    feats = {r["doc_id"]: r["features"] for r in out}
+    assert len(feats[1]) == 8
+    assert feats[1] == feats[2]  # deterministic
+    assert abs(sum(feats[1]) - 1.0) < 1e-6  # normalized histogram
+
+
+def test_frame_sample_fanout(spark):
+    # 64-byte body → 4 fake frames; every_n=2 → frames 0 and 2
+    payload = b"FAKE" + (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + bytes([3]) + bytes(64)
+    df = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    out = frame_sample_plan(df, every_n=2).collect()
+    assert [(r["doc_id"], r["frame_index"]) for r in out] == [(7, 0), (7, 2)]
+
+
+def test_with_media_column_roundtrip(spark):
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = decode_media_metadata(with_media_column(df)).first()
+    assert out["meta"]["media_type"] == "image"
+    assert out["meta"]["width"] == 11  # n_chars

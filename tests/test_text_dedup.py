@@ -1,0 +1,124 @@
+"""Text analysis + dedup operator semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_oms_spark.operators.dedup import (
+    exact_dedup,
+    hamming_distance,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from etl_oms_spark.operators.text import (
+    bpe_token_count,
+    fingerprint_md5,
+    language_id,
+    quality_score,
+    rolling_hash,
+    whitespace_token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The  quick brown fox jumps over the lazy dog"),  # whitespace/case dup of 1
+    (3, "the quick brown fox jumps over the lazy cat today"),  # near-dup of 1
+    (4, "completely different content about spark engines and shuffles"),
+    (5, "der hund und die katze sind nicht das problem"),  # German
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! a b"), (2, ""), (3, "   ")], ["i", "text"])
+    out = {r["i"]: (r["ws"], r["bpe"]) for r in df.select(
+        "i",
+        whitespace_token_count("text").alias("ws"),
+        bpe_token_count("text").alias("bpe"),
+    ).collect()}
+    assert out[1] == (4, 6)  # ws: [hello, world!, a, b]; bpe: hello , world ! a b
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+
+
+def test_language_id(spark):
+    out = {r["doc_id"]: r["l"] for r in _docs(spark).select(
+        "doc_id", language_id("text").alias("l")).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+    assert out[4] == "en"  # 'and' hits
+
+
+def test_quality_score_bounds(spark):
+    rows = _docs(spark).select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_fingerprint_normalizes(spark):
+    rows = _docs(spark).select("doc_id", fingerprint_md5("text").alias("fp")).collect()
+    fp = {r["doc_id"]: r["fp"] for r in rows}
+    assert fp[1] == fp[2]  # case/whitespace-insensitive
+    assert fp[1] != fp[3]
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "c b a")], ["i", "text"])
+    out = {r["i"]: r["h"] for r in df.select("i", rolling_hash("text").alias("h")).collect()}
+    assert out[1] != out[2]
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    ids = {r["doc_id"]: r["dup_count"] for r in out}
+    assert len(out) == 4  # docs 1+2 collapse
+    assert ids[1] == 2  # min-id representative with count
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], ["i", "text"])
+    out = {r["i"]: sorted(r["s"]) for r in df.select("i", shingles("text", 3).alias("s")).collect()}
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == ["a b"]  # shorter than k → whole text
+
+
+def test_minhash_dedup_drops_near_dup(spark):
+    # lots of shared 3-shingles between 1/2/3; 4/5 unique
+    out = minhash_dedup(_docs(spark), threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in kept and 4 in kept and 5 in kept
+    assert 2 not in kept  # exact dup (jaccard 1.0) always dropped
+    assert len(kept) <= 4
+
+
+def test_minhash_signature_shape(spark):
+    sig = minhash_signatures(_docs(spark), num_hashes=16)
+    assert len(sig.columns) == 17
+    assert sig.count() == 5
+
+
+def test_simhash_near_dups_close(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()}
+    df = _docs(spark).sparkSession.createDataFrame(
+        [(out[1], out[2]), (out[1], out[4])], "a long, b long"
+    )
+    d = df.select(hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()
+    assert d[0]["d"] == 0  # identical canonical text → identical simhash
+    assert d[1]["d"] > 10  # unrelated text → far fingerprint
+
+
+def test_ngram_jaccard_exact(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.99, k=1)
+    out = [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()]
+    assert out == [(1, 2, 1.0)]  # only the exact dup at ~1.0
+
+
+def test_ngram_jaccard_max_df_caps_blowup(spark):
+    # with max_df=1 every shared token is dropped → no pairs at all
+    pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.1, k=1, max_df=1)
+    assert pairs.count() == 0
