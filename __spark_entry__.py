@@ -689,7 +689,9 @@ def d3_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # signatures are tiny but lineage-heavy → cache across the self-join
+    # and both similarity-join sides (see operators.dedup.minhash_dedup)
+    sigs = minhash_signatures(docs).cache()
     pairs = lsh_candidate_pairs(sigs)
     return estimate_jaccard(sigs, pairs).filter(F.col("est_jaccard") >= 0.5)
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import ensure_parallelism
 from .text import fingerprint_md5, normalize_text, tokens
 
 
@@ -43,6 +44,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ---------------------------------------------------------------------------
 # shingles + minhash
+
+def _minhash_params(j: int) -> tuple[int, int]:
+    """Deterministic (a, b) for derived hash j: 31-bit odd multiplier and
+    31-bit offset, so ``a * h32 + b < 2^63`` — no long overflow, ANSI-safe."""
+    a = ((j * 0x9E3779B9 + 0x7F4A7C15) & 0x7FFFFFFF) | 1
+    b = (j * 0x85EBCA6B + 0xC2B2AE35) & 0x7FFFFFFF
+    return a, b
 
 
 def shingles(col: Column | str, k: int = 3) -> Column:
@@ -68,19 +76,32 @@ def minhash_signatures(
     k: int = 3,
 ) -> DataFrame:
     """MinHash signatures: explode distinct shingles, take the min of
-    ``num_hashes`` seeded xxhash64 values per doc.
+    ``num_hashes`` derived hash values per doc.
 
-    One explode + one groupBy: cost O(total shingles × num_hashes) hash
-    evaluations, all JVM-side. Returns (id, h0..h{n-1}).
+    Universal-hashing trick: ONE xxhash64 string hash per shingle (masked
+    to 32 bits), then ``h_j = a_j * h32 + b_j`` with 31-bit constants — 64
+    multiply-adds instead of 64 string hashes per shingle, ~10× cheaper on
+    long documents, and products stay below 2^63 so the arithmetic is safe
+    under ANSI mode. One explode + one groupBy (map-side partial min), all
+    JVM-side. Returns (id, minhash array<long>) — the signature is ONE
+    array column, giving narrow shuffles and cheap array compares
+    downstream instead of 64 separate columns.
     """
-    exploded = df.select(
+    base = ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("__shingle")
+    ).select(
+        F.col(id_col),
+        F.xxhash64(F.col("__shingle")).bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h32"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("__shingle"))).alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    aggs = []
+    for j in range(num_hashes):
+        a, b = _minhash_params(j)
+        aggs.append(F.min(F.col("__h32") * F.lit(a) + F.lit(b)).alias(f"h{j}"))
+    agg = base.groupBy(id_col).agg(*aggs)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("minhash"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -97,9 +118,7 @@ def lsh_candidate_pairs(
     """
     r = num_hashes // bands
     band_cols = [
-        F.xxhash64(F.lit(b), *[F.col(f"h{b * r + i}") for i in range(r)]).alias(
-            f"band{b}"
-        )
+        F.xxhash64(F.lit(b), F.slice(F.col("minhash"), b * r + 1, r)).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = signatures.select(F.col(id_col), *band_cols)
@@ -129,17 +148,15 @@ def estimate_jaccard(
     id_col: str = "doc_id",
     num_hashes: int = 64,
 ) -> DataFrame:
-    """Signature-estimated Jaccard: fraction of agreeing minhash components."""
-    sig_a = signatures.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"h{j}").alias(f"a{j}") for j in range(num_hashes)],
-    )
-    sig_b = signatures.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"h{j}").alias(f"b{j}") for j in range(num_hashes)],
-    )
-    agree = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(num_hashes)
+    """Signature-estimated Jaccard: fraction of agreeing minhash components
+    (``zip_with`` element compare over the two signature arrays)."""
+    sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("__sa"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("__sb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda m: m,
+        )
     )
     return (
         pairs.join(sig_a, "id_a")
@@ -163,7 +180,10 @@ def minhash_dedup(
     transitive closure would need iterative connected components; the
     min-id-survives rule is deterministic and one extra shuffle).
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # cache: the signature table is tiny (num_hashes longs per doc) but its
+    # lineage re-scans the corpus; it feeds the bucket self-join (twice) and
+    # both sides of the similarity join — 4 recomputes without the cache.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).cache()
     pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sims = estimate_jaccard(sigs, pairs, id_col, num_hashes)
     victims = (
@@ -189,7 +209,7 @@ def simhash(
     opaque fingerprint). Near-dup = small Hamming distance; pair generation
     should go through LSH bands over fingerprint chunks, not all-pairs.
     """
-    exploded = df.select(
+    exploded = ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
     ).select(F.col(id_col), F.xxhash64(F.col("__tok")).alias("__h"))
     bit_sums = [
@@ -234,7 +254,7 @@ def ngram_jaccard_pairs(
     the true scale path is `minhash_dedup`.
     """
     sh = shingles(text_col, k) if k > 1 else F.array_distinct(tokens(text_col))
-    toks = df.select(F.col(id_col), F.explode(sh).alias("tok"))
+    toks = ensure_parallelism(df, id_col).select(F.col(id_col), F.explode(sh).alias("tok"))
     if max_df is not None:
         rare = (
             toks.groupBy("tok")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..util import ensure_parallelism
+
 #: quantization scale: float32 embeddings in [-1, 1] keep ~6 significant
 #: digits; products stay far inside long range (64 dims × (2e6)² ≈ 2.6e14).
 QUANT = 1_000_000.0
@@ -71,7 +73,7 @@ def cosine_topk(
     q = query.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
-    scored = df.crossJoin(F.broadcast(q)).select(
+    scored = ensure_parallelism(df, id_col).crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
         cosine_quantized(F.col(vec_col), F.col("__qvec")).alias("cosine"),
@@ -132,7 +134,9 @@ def ann_lsh_topk(
     ``df.withColumn("bucket", lsh_bucket(...))`` partitioned by bucket, and
     the per-query scan prunes to one partition.
     """
-    corpus = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), num_planes))
+    corpus = ensure_parallelism(df, id_col).withColumn(
+        "__bucket", lsh_bucket(F.col(vec_col), num_planes)
+    )
     q = query.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -162,7 +166,7 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs: LSH bucket self-join +
     exact cosine filter. The vector-space sibling of minhash_dedup."""
-    bucketed = df.select(
+    bucketed = ensure_parallelism(df, id_col).select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), num_planes).alias("__bucket")
     )
     a = bucketed.select(

@@ -115,19 +115,23 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 61) - 1) -> Column:
+def rolling_hash(col: Column | str, base: int = 31, mod: int = (1 << 31) - 1) -> Column:
     """Karp-Rabin polynomial rolling hash over whitespace tokens.
 
-    Left-fold ``h = (h*base + xxhash64(token)) mod m`` via ``F.aggregate`` —
-    order-sensitive by construction (that's the point of a rolling hash),
-    deterministic, no UDF. Token hashes are xxhash64 → engine-specific;
-    use `fingerprint_md5` when cross-engine comparability matters.
+    Left-fold ``h = (h*base + (xxhash64(token) & 0xFFFFFFFF)) mod m`` via
+    ``F.aggregate`` — order-sensitive by construction (that's the point of
+    a rolling hash), deterministic, no UDF. Intermediate values stay below
+    2^37 (mod 2^31, 32-bit token hashes), so the arithmetic never
+    overflows a long even under ANSI mode. Token hashes are xxhash64 →
+    engine-specific; use `fingerprint_md5` for cross-engine comparability.
     """
     toks = tokens(col)
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, x: (acc * F.lit(base) + F.xxhash64(x)) % F.lit(mod),
+        lambda acc, x: (
+            acc * F.lit(base) + F.xxhash64(x).bitwiseAND(F.lit(0xFFFFFFFF))
+        ) % F.lit(mod),
     )
 
 

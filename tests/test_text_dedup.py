@@ -98,8 +98,10 @@ def test_minhash_dedup_drops_near_dup(spark):
 
 def test_minhash_signature_shape(spark):
     sig = minhash_signatures(_docs(spark), num_hashes=16)
-    assert len(sig.columns) == 17
-    assert sig.count() == 5
+    assert sig.columns == ["doc_id", "minhash"]
+    rows = sig.collect()
+    assert len(rows) == 5
+    assert all(len(r["minhash"]) == 16 for r in rows)
 
 
 def test_simhash_near_dups_close(spark):

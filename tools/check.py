@@ -78,9 +78,17 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
-    from etl_oms_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("check", master="local[8]", shuffle_partitions=8)
+    # PLAIN session on purpose — mirrors the driver's environment (incl.
+    # Spark 4's ANSI-on default) rather than our tuned get_spark()
+    spark = (
+        SparkSession.builder.appName("check")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    print("ansi =", spark.conf.get("spark.sql.ansi.enabled"))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
