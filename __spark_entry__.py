@@ -629,6 +629,236 @@ GROUP BY l_orderkey, l_linenumber
 
 
 # ---------------------------------------------------------------------------
+# analytical shapes beyond the reference surface (engine completeness)
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-k.
+    Catalyst pushes both filters into the scans; the customer side is
+    broadcast; top-k is TakeOrdered (no global sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(_cents(revenue, 10_000)) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       {_sum_sql('l_extendedprice * (1.0 - l_discount)', 10000)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a local-supplier constraint
+    (c_nationkey = s_nationkey), grouped revenue per nation."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(c["c_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg((F.sum(_cents(revenue, 10_000)) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {_sum_sql('l_extendedprice * (1.0 - l_discount)', 10000)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+def q17_avg_quantity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-group scalar aggregate joined back as a filter
+    threshold (the decorrelated form of a correlated subquery)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        # avg over integer-valued quantities: exact sum → deterministic
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(per_part, li["l_partkey"] == per_part["__pk"])
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice"))) / F.lit(100.0)).alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = f"""
+SELECT {_sum_sql('l_extendedprice')} AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN (
+    SELECT l_partkey, SUM(l_quantity) / COUNT(*) AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+) p ON l.l_partkey = p.l_partkey
+WHERE l.l_quantity < 0.5 * p.avg_qty
+"""
+
+
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation (beyond the reference: SURVEY notes
+    it has no grouping sets — engine capability)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))) / F.lit(100.0)).alias("total_price"),
+        )
+    )
+
+
+A8_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def w2_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: running sum + 4-row moving average per user over
+    event time (exact integer-cents arithmetic inside the frame)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    move = w.rowsBetween(-3, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(_cents(F.col("value"))).over(run) / F.lit(100.0)).alias("running_value"),
+        (
+            F.sum(_cents(F.col("value"))).over(move)
+            / F.lit(100.0)
+            / F.count(F.lit(1)).over(move)
+        ).alias("moving_avg"),
+        F.rank().over(w).alias("event_rank"),
+    )
+
+
+W2_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+           AS running_value,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+           / COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           AS moving_avg,
+       CAST(RANK() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+           AS event_rank
+FROM events
+"""
+
+
+def s_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: (urgent-order customers) INTERSECT (high-value
+    customers) then EXCEPT (F-status customers)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    f_status = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return urgent.intersect(high).exceptAll(f_status.distinct())
+
+
+SETOPS_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def f9_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions: case, substring, concat, length, predicate."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_type").contains("BRASS").cast("int").alias("is_brass"),
+    )
+
+
+F9_SQL = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substring(p_name, 1, 10) AS name_prefix,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS INT) AS name_len,
+       CAST(contains(p_type, 'BRASS') AS INT) AS is_brass
+FROM part
+"""
+
+
+def a9_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter + conditional (CASE) aggregates."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            (F.sum(_cents(F.col("o_totalprice"))) / F.lit(100.0)).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+A9_SQL = f"""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+       {_sum_sql('o_totalprice')} AS total_spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+"""
+
+
+# ---------------------------------------------------------------------------
 # LLM-pipeline operators: dedup / text analysis / similarity search
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -898,6 +1128,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
         "ev_window_agg": ev_window_agg,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_supplier_volume": q5_supplier_volume,
+        "q17_avg_quantity_filter": q17_avg_quantity_filter,
+        "a8_rollup": a8_rollup,
+        "w2_window_frames": w2_window_frames,
+        "s_set_ops": s_set_ops,
+        "f9_string_funcs": f9_string_funcs,
+        "a9_having_filter": a9_having_filter,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_candidates": d3_minhash_candidates,
@@ -937,6 +1175,14 @@ def oracle_sql() -> dict[str, str]:
         "star_fact_rollup": STAR_SQL,
         "j5_upsert_merge": J5_SQL,
         "ev_window_agg": EV_WINDOW_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_supplier_volume": Q5_SQL,
+        "q17_avg_quantity_filter": Q17_SQL,
+        "a8_rollup": A8_SQL,
+        "w2_window_frames": W2_SQL,
+        "s_set_ops": SETOPS_SQL,
+        "f9_string_funcs": F9_SQL,
+        "a9_having_filter": A9_SQL,
         "d1_exact_dedup": D1_SQL,
         "d2_ngram_jaccard": D2_SQL,
         # d3/d4/e2/e3: engine-specific hashes / approximate by design →

@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q17_avg_quantity_filter",
     "star_fact_rollup",
     "j2_multikey_join",
     "r1_unpivot",

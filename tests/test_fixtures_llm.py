@@ -1,0 +1,120 @@
+"""FIXTURES.md input-schema parity: every reference input shape reconciles
+correctly; plus the LLM seam plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_oms_spark.operators.llm import EchoLLMClient, ask_column, get_llm_client
+from etl_oms_spark.reconcile import build_rename_map, reconcile
+
+# FIXTURES.md §input fixtures: (name, source columns, expected canonical hits)
+FIXTURE_SCHEMAS = {
+    # F-in-1 country_wise_latest: no date column
+    "country_wise_latest": (
+        ["Country/Region", "Confirmed", "Deaths", "Recovered", "Active",
+         "New cases", "New deaths", "New recovered", "Deaths / 100 Cases",
+         "WHO Region"],
+        {"Country/Region": "country", "Confirmed": "confirmed", "Deaths": "deaths",
+         "Recovered": "recovered", "Active": "active", "New cases": "new_cases",
+         "New deaths": "new_deaths"},
+    ),
+    # F-in-2 day_wise: no country column
+    "day_wise": (
+        ["Date", "Confirmed", "Deaths", "New cases", "No. of countries"],
+        {"Date": "date", "Confirmed": "confirmed", "Deaths": "deaths",
+         "New cases": "new_cases"},
+    ),
+    # F-in-3 covid_global: nonstandard names pass through unmatched
+    "covid_global": (
+        ["country", "continent", "total_confirmed", "total_deaths",
+         "active_cases", "total_cases_per_1m_population", "population"],
+        {"country": "country", "total_deaths": "deaths",
+         "active_cases": "active"},
+    ),
+    # F-in-4 covid_global_3: geo + province ambiguity
+    "covid_global_3": (
+        ["Province/State", "Country/Region", "Lat", "Long", "Date",
+         "Confirmed", "Deaths", "Recovered", "Active", "WHO Region"],
+        {"Country/Region": "country", "Lat": "latitude", "Long": "longitude",
+         "Date": "date", "Confirmed": "confirmed"},
+    ),
+    # F-in-5 monkeypox OWID-style
+    "monkeypox_report": (
+        ["location", "iso_code", "date", "total_cases", "total_deaths",
+         "new_cases", "new_deaths", "new_cases_smoothed",
+         "new_deaths_per_million"],
+        {"location": "country", "date": "date", "total_cases": "confirmed",
+         "total_deaths": "deaths", "new_cases": "new_cases",
+         "new_deaths": "new_deaths"},
+    ),
+    # F-in-6 monkeypox_2: Entity/Day/Daily cases
+    "monkeypox_report_2": (
+        ["Entity", "Day", "Daily cases"],
+        {"Entity": "country", "Day": "date", "Daily cases": "new_cases"},
+    ),
+    # F-in-7 worldometer: CamelCase
+    "worldometer": (
+        ["Country/Region", "Continent", "Population", "TotalCases", "NewCases",
+         "TotalDeaths", "NewDeaths", "TotalRecovered", "ActiveCases",
+         "Serious,Critical", "Tot Cases/1M pop", "WHO Region"],
+        {"Country/Region": "country", "TotalCases": "confirmed",
+         "NewCases": "new_cases", "TotalDeaths": "deaths",
+         "NewDeaths": "new_deaths", "TotalRecovered": "recovered",
+         "ActiveCases": "active"},
+    ),
+}
+
+
+def test_all_fixture_schemas_reconcile():
+    for name, (cols, expected) in FIXTURE_SCHEMAS.items():
+        rename, _unmatched = build_rename_map(cols)
+        for src, canonical in expected.items():
+            assert rename.get(src) == canonical, (
+                f"{name}: {src} -> {rename.get(src)} (wanted {canonical})"
+            )
+
+
+def test_fixture_f4_province_ambiguity():
+    # province_state is a country synonym ONLY when country_region is absent
+    rename, _ = build_rename_map(["Province/State", "Country/Region"])
+    assert rename == {"Country/Region": "country"}
+
+
+def test_fixture_roundtrip_with_completion(spark):
+    # F-in-6 end-to-end: fully-unmatched measures get completed as NULL
+    df = spark.createDataFrame(
+        [("France", "2022-06-01", 3.0)], ["Entity", "Day", "Daily cases"]
+    )
+    out = reconcile(df, pandemic="Monkeypox")
+    row = out.first()
+    assert row["country"] == "France"
+    assert row["new_cases"] == 3.0
+    assert row["confirmed"] is None  # completed
+    assert "pandemic" in out.columns
+
+
+def test_llm_client_factory():
+    c = get_llm_client("echo")
+    assert isinstance(c, EchoLLMClient)
+    assert c.ask("hello wide world of spark") == "echo(5): hello wide world"
+    try:
+        get_llm_client("local")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
+    try:
+        get_llm_client("nope")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_ask_column_batched(spark):
+    df = spark.createDataFrame(
+        [(1, "summarize this document"), (2, None)], ["id", "prompt"]
+    )
+    out = {r["id"]: r["a"] for r in df.select(
+        "id", ask_column("prompt").alias("a")).collect()}
+    assert out[1] == "echo(3): summarize this document"
+    assert out[2] == "echo(0): "  # null prompt → empty
