@@ -1,0 +1,68 @@
+"""Public scalar/column function API (the engine's `F`-style surface).
+
+One import point for every column-level function the engine provides,
+grouped by origin:
+
+- reference-parity scalar functions (SURVEY §2.8 F1-F9)
+- text analysis (token counts, language-ID, quality, fingerprints)
+- similarity (quantized cosine/dot, LSH buckets)
+- dedup building blocks (shingles, hamming distance)
+
+    from etl_oms_spark.functions import tolerant_timestamp, language_id
+"""
+
+from ..operators.dedup import hamming_distance, shingles
+from ..operators.llm import ask_column
+from ..operators.similarity import (
+    cosine_quantized,
+    dot_quantized,
+    lsh_bucket,
+    norm2_quantized,
+)
+from ..operators.text import (
+    bpe_token_count,
+    fingerprint_md5,
+    language_id,
+    marker_hits,
+    normalize_text,
+    quality_features,
+    quality_score,
+    rolling_hash,
+    tokens,
+    whitespace_token_count,
+)
+from ..reconcile import disease_from_name, normalize_column_name
+from ..transform import (
+    lag_diff,
+    map_lookup,
+    tolerant_double,
+    tolerant_long,
+    tolerant_timestamp,
+)
+
+__all__ = [
+    "ask_column",
+    "bpe_token_count",
+    "cosine_quantized",
+    "disease_from_name",
+    "dot_quantized",
+    "fingerprint_md5",
+    "hamming_distance",
+    "lag_diff",
+    "language_id",
+    "lsh_bucket",
+    "map_lookup",
+    "marker_hits",
+    "norm2_quantized",
+    "normalize_column_name",
+    "normalize_text",
+    "quality_features",
+    "quality_score",
+    "rolling_hash",
+    "shingles",
+    "tokens",
+    "tolerant_double",
+    "tolerant_long",
+    "tolerant_timestamp",
+    "whitespace_token_count",
+]

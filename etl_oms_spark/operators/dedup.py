@@ -94,9 +94,14 @@ def minhash_signatures(
         F.xxhash64(F.col("__shingle")).bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h32"),
     )
     aggs = []
+    prime = (1 << 31) - 1  # Mersenne prime: the mod makes each h_j a
+    # genuinely different permutation — without it a*h+b is monotone in h
+    # and every h_j would pick the same min-shingle (degenerate signature)
     for j in range(num_hashes):
         a, b = _minhash_params(j)
-        aggs.append(F.min(F.col("__h32") * F.lit(a) + F.lit(b)).alias(f"h{j}"))
+        aggs.append(
+            F.min((F.col("__h32") * F.lit(a) + F.lit(b)) % F.lit(prime)).alias(f"h{j}")
+        )
     agg = base.groupBy(id_col).agg(*aggs)
     return agg.select(
         F.col(id_col),

@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for driver-side pure logic, plus
+fixed-seed invariants for distributed operators."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_oms_spark.operators.dedup import _minhash_params
+from etl_oms_spark.reconcile import build_rename_map, normalize_column_name
+from etl_oms_spark.schema import SYNONYM_MAP
+from etl_oms_spark.sources.writers import upsert_sql
+
+col_names = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(col_names)
+@settings(max_examples=200)
+def test_normalize_idempotent(name):
+    once = normalize_column_name(name)
+    assert normalize_column_name(once) == once
+    assert once == once.lower()
+    assert "__" not in once
+    assert not once.startswith("_") and not once.endswith("_")
+
+
+@given(st.lists(col_names, min_size=0, max_size=12, unique=True))
+@settings(max_examples=100)
+def test_rename_map_invariants(cols):
+    rename, unmatched = build_rename_map(cols)
+    # partition: every source column is either renamed or unmatched
+    assert sorted(list(rename) + unmatched) == sorted(cols)
+    # injective: no two source columns claim the same canonical name
+    assert len(set(rename.values())) == len(rename)
+    # targets are always canonical
+    assert set(rename.values()) <= set(SYNONYM_MAP)
+
+
+@given(st.integers(min_value=0, max_value=1023))
+def test_minhash_params_ansi_safe(j):
+    a, b = _minhash_params(j)
+    assert a % 2 == 1  # odd multiplier
+    assert 0 < a < 2**31 and 0 <= b < 2**31
+    # worst-case product stays inside signed 64-bit
+    assert a * 0xFFFFFFFF + b < 2**63
+
+
+def test_minhash_params_distinct():
+    seen = {_minhash_params(j) for j in range(64)}
+    assert len(seen) == 64
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=20),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=20),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+)
+@settings(max_examples=50)
+def test_upsert_sql_well_formed(keys, updates):
+    updates = [u for u in updates if u not in keys]
+    if not updates:
+        return
+    sql = upsert_sql("t", "s", keys, updates)
+    assert sql.count("EXCLUDED.") == len(updates)
+    assert f"ON CONFLICT ({', '.join(keys)})" in sql
+
+
+# ---------------------------------------------------------------------------
+# fixed-seed distributed invariants
+
+
+def test_merge_idempotent(spark):
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 100)) for i in range(50)]
+    updates_rows = [(i, rng.randint(0, 100)) for i in range(25, 75)]
+    from etl_oms_spark.merge import merge_dataframes
+
+    e = spark.createDataFrame(rows, "k int, v int")
+    u = spark.createDataFrame(updates_rows, "k int, v int")
+    once = merge_dataframes(e, u, ["k"])
+    twice = merge_dataframes(once, u, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == 75  # 0..74
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """Estimated Jaccard from 64 minhashes should approximate true shingle
+    Jaccard within ~0.2 for controlled overlap levels."""
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.dedup import (
+        estimate_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    docs = [
+        (0, " ".join(base)),
+        (1, " ".join(base[:30] + [f"x{i}" for i in range(10)])),  # ~60% 3-shingle overlap
+        (2, " ".join(f"z{i}" for i in range(40))),  # disjoint
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sigs = minhash_signatures(df).cache()
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], ["id_a", "id_b"])
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in estimate_jaccard(sigs, pairs).collect()}
+
+    sets = {r["doc_id"]: set(r["s"]) for r in df.select(
+        "doc_id", shingles("text", 3).alias("s")).collect()}
+    true01 = len(sets[0] & sets[1]) / len(sets[0] | sets[1])
+    assert abs(est[(0, 1)] - true01) < 0.2
+    assert est[(0, 2)] < 0.15
+    # and LSH at 16 bands / r=4 must surface the similar pair
+    cands = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in cands
