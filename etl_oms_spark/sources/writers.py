@@ -149,3 +149,25 @@ def upsert_via_copy(
             conn.close()
 
     df.select(*cols).foreachPartition(load_partition)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled storage for co-located joins.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle (no Exchange in the plan) — pay the shuffle once at
+    write time, amortize it over every downstream join/aggregation on the
+    key. The 100 TB answer for repeated fact-to-fact joins; sort columns
+    additionally enable shuffle-free sort-merge.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

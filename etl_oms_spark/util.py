@@ -1,8 +1,10 @@
-"""Small planning utilities."""
+"""Planning utilities for scale: parallelism guards, skew-salted joins,
+plan introspection."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, *key_cols: str, target: int | None = None) -> DataFrame:
@@ -25,3 +27,42 @@ def ensure_parallelism(df: DataFrame, *key_cols: str, target: int | None = None)
     if key_cols:
         return df.repartition(target, *key_cols)
     return df.repartition(target)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi join: salt the skewed side, replicate the other.
+
+    A hot key (one value holding a large share of rows) turns a shuffle
+    join into a single straggler task. Salting splits each key into
+    ``salt_buckets`` sub-keys: the skewed side gets a random-ish
+    deterministic salt (hash of a unique-ish expression mod buckets), the
+    other side is replicated across all salt values via an exploded
+    sequence, and the join runs on (key, salt) — spreading the hot key
+    over ``salt_buckets`` tasks.
+
+    Prefer AQE's automatic skew-join splitting
+    (``spark.sql.adaptive.skewJoin.enabled``, on by default in
+    session.get_spark) when it fires; this explicit form is for joins AQE
+    can't split (e.g. under a window) or for deterministic pre-planning.
+    The replicated side grows ``salt_buckets``×, so keep it the smaller
+    input.
+    """
+    salt = (F.spark_partition_id() * F.lit(2654435761) + F.monotonically_increasing_id()) % salt_buckets
+    left = skewed.withColumn("__salt", salt.cast("int"))
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = left.join(right, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (for plan-shape assertions in tests)."""
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)

@@ -1,0 +1,73 @@
+"""Scale toolkit: plan-shape assertions for bucketing, pruning, salting.
+
+These tests assert on the PHYSICAL PLAN, not just results — the properties
+that decide whether a query survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_oms_spark.sources.writers import write_bucketed_table, write_parquet
+from etl_oms_spark.util import physical_plan, salted_join
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") >= "1997-01-01").select("l_orderkey", "l_quantity")
+    plan = physical_plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: scan reads only the 3 needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_shipdate" in plan
+
+
+def test_partition_pruning(spark, tmp_path):
+    df = spark.range(1000).withColumn("part", (F.col("id") % 10).cast("int"))
+    path = str(tmp_path / "parted")
+    write_parquet(df, path, partition_by=["part"])
+    q = spark.read.parquet(path).filter(F.col("part") == 3)
+    plan = physical_plan(q)
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert q.count() == 100
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    # tables land in the default spark-warehouse dir (gitignored)
+    big1 = spark.range(10_000).withColumn("v1", F.col("id") * 2)
+    big2 = spark.range(10_000).withColumn("v2", F.col("id") * 3)
+    write_bucketed_table(big1, "b1", ["id"], num_buckets=8, sort_cols=["id"])
+    write_bucketed_table(big2, "b2", ["id"], num_buckets=8, sort_cols=["id"])
+    t1, t2 = spark.table("b1"), spark.table("b2")
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = t1.join(t2, "id")
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, "bucketed join must be shuffle-free"
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b1")
+        spark.sql("DROP TABLE IF EXISTS b2")
+
+
+def test_salted_join_correctness(spark):
+    # hot key: 5000 of 5100 rows share key 1
+    skewed = spark.range(5000).select(F.lit(1).alias("k"), F.col("id").alias("v")).union(
+        spark.range(100).select((F.col("id") + 2).alias("k"), F.col("id").alias("v"))
+    )
+    dim = spark.createDataFrame([(k, f"name{k}") for k in range(1, 102)], "k long, name string")
+    out = salted_join(skewed, dim, "k", salt_buckets=8)
+    assert out.count() == 5100  # every row matched exactly once
+    assert out.filter(F.col("k") == 1).count() == 5000
+    plain = skewed.join(dim, "k")
+    assert out.count() == plain.count()
+
+
+def test_salted_join_left_semantics(spark):
+    skewed = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x")], "k long, name string")
+    out = salted_join(skewed, dim, "k", salt_buckets=4, how="left")
+    rows = {r["k"]: r["name"] for r in out.collect()}
+    assert rows == {1: "x", 2: None}
