@@ -858,6 +858,79 @@ HAVING COUNT(*) >= 15
 """
 
 
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (native session_window; streaming-ready).
+
+    Oracle: the classic gap-and-island SQL — new session when the gap from
+    the previous event exceeds 10 min, session id = running count of
+    session starts. session_window's end = last event + gap.
+    """
+    from etl_oms_spark.operators.stateful import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap="10 minutes")
+
+
+EV_SESSION_SQL = """
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 10 MINUTE OR
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def a10_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expand+two-phase aggregation in Spark."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+A10_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def a11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (no oracle: sketch algorithms
+    differ across engines; exact twin is a10_distinct_agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("median_price"),
+    )
+
+
+def u2_grouped_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average — recursive, hence the grouped-
+    map applyInPandas escape hatch (no oracle: not SQL-expressible without
+    recursive CTE gymnastics; semantics pinned by unit test)."""
+    from etl_oms_spark.operators.stateful import grouped_ema
+
+    return grouped_ema(_events(spark, sf_dir), alpha=0.3)
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators: dedup / text analysis / similarity search
 
@@ -1136,6 +1209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_set_ops": s_set_ops,
         "f9_string_funcs": f9_string_funcs,
         "a9_having_filter": a9_having_filter,
+        "ev_sessionize": ev_sessionize,
+        "a10_distinct_agg": a10_distinct_agg,
+        "a11_approx_distinct": a11_approx_distinct,
+        "u2_grouped_ema": u2_grouped_ema,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_candidates": d3_minhash_candidates,
@@ -1183,6 +1260,9 @@ def oracle_sql() -> dict[str, str]:
         "s_set_ops": SETOPS_SQL,
         "f9_string_funcs": F9_SQL,
         "a9_having_filter": A9_SQL,
+        "ev_sessionize": EV_SESSION_SQL,
+        "a10_distinct_agg": A10_SQL,
+        # a11 (HLL sketch) and u2 (recursive EMA): rows-only by design
         "d1_exact_dedup": D1_SQL,
         "d2_ngram_jaccard": D2_SQL,
         # d3/d4/e2/e3: engine-specific hashes / approximate by design →

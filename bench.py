@@ -39,6 +39,9 @@ HEADLINE = [
     "t4_fingerprint",
     "e1_cosine_topk",
     "e2_ann_lsh",
+    "ev_sessionize",
+    "a10_distinct_agg",
+    "u2_grouped_ema",
 ]
 
 

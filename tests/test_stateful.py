@@ -1,0 +1,65 @@
+"""Sessionization + grouped-map custom operators."""
+
+from __future__ import annotations
+
+import datetime
+
+from etl_oms_spark.operators.stateful import (
+    grouped_ema,
+    running_distinct_users,
+    sessionize,
+)
+
+
+def _events(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        # user 1: two sessions (gap > 10min between 3rd and 4th)
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + datetime.timedelta(minutes=5), 1, "click", 2.0, "{}"),
+        (3, t0 + datetime.timedelta(minutes=9), 1, "view", 3.0, "{}"),
+        (4, t0 + datetime.timedelta(minutes=40), 1, "click", 4.0, "{}"),
+        # user 2: one session
+        (5, t0, 2, "view", 5.0, "{}"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    out = sessionize(_events(spark), gap="10 minutes")
+    rows = sorted(
+        ((r["user_id"], r["n_events"], r["session_value"]) for r in out.collect())
+    )
+    assert rows == [(1, 1, 4.0), (1, 3, 6.0), (2, 1, 5.0)]
+    s1 = [r for r in out.collect() if r["user_id"] == 1 and r["n_events"] == 3][0]
+    # session end = last event + gap
+    assert s1["session_end"] - s1["session_start"] == datetime.timedelta(minutes=19)
+
+
+def test_grouped_ema_recursion(spark):
+    out = grouped_ema(_events(spark), alpha=0.5)
+    u1 = sorted(
+        ((r["ts"], r["ema"]) for r in out.collect() if r["user_id"] == 1)
+    )
+    emas = [e for _, e in u1]
+    # ema: 1.0, 0.5*2+0.5*1=1.5, 0.5*3+0.5*1.5=2.25, 0.5*4+0.5*2.25=3.125
+    assert emas == [1.0, 1.5, 2.25, 3.125]
+
+
+def test_running_distinct_users(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5), 1),
+        (2, dt.datetime(2024, 1, 1, 9), 2),
+        (3, dt.datetime(2024, 1, 2, 5), 1),  # returning user — not new
+        (4, dt.datetime(2024, 1, 2, 6), 3),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {r["day"].day: (r["new_users"], r["total_users"])
+           for r in running_distinct_users(ev).collect()}
+    assert out == {1: (2, 2), 2: (1, 3)}
