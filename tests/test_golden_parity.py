@@ -1,0 +1,69 @@
+"""Golden-output parity against the reference's committed run artifacts.
+
+The reference repo commits its EP2 star-schema outputs under
+``Résultat de l'ETL/Monkeypox/`` (SURVEY §5: de-facto golden outputs, 33,666
+fact rows from DATASETS/monkeypox_report.csv). This test runs OUR pipeline
+on THEIR input and requires value-identical dims and facts — the strongest
+behavioral-parity evidence available. Reference tree is read-only input.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+REF = "/root/reference"
+GOLDEN = os.path.join(REF, "Résultat de l'ETL", "Monkeypox")
+INPUT = os.path.join(REF, "DATASETS", "monkeypox_report.csv")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(GOLDEN) and os.path.exists(INPUT)),
+    reason="reference tree not available",
+)
+
+
+@pytest.fixture(scope="module")
+def star_tables(spark):
+    from etl_oms_spark.plans.pipelines import star_schema_pipeline
+    from etl_oms_spark.sources.readers import read_csv
+
+    return star_schema_pipeline(read_csv(spark, INPUT), "Monkeypox")
+
+
+def test_pays_dim_identical(star_tables):
+    golden = pd.read_csv(os.path.join(GOLDEN, "Pays.csv"))
+    ours = star_tables["Pays"].toPandas()
+    merged = golden.merge(ours, on="country", how="outer", suffixes=("_g", "_o"))
+    assert len(merged) == len(golden) == len(ours) == 118
+    assert (merged["id_pays_g"] == merged["id_pays_o"]).all()
+
+
+def test_region_dim_identical(star_tables):
+    golden = pd.read_csv(os.path.join(GOLDEN, "Region.csv"))
+    ours = star_tables["Region"].toPandas()
+    merged = golden.merge(ours, on="nom_region", how="outer", suffixes=("_g", "_o"))
+    assert len(merged) == len(golden)
+    assert (merged["id_region_g"] == merged["id_region_o"]).all()
+    assert (merged["id_pays_g"] == merged["id_pays_o"]).all()
+
+
+def test_maladie_dim(star_tables):
+    golden = pd.read_csv(os.path.join(GOLDEN, "Maladie.csv"))
+    ours = star_tables["Maladie"].toPandas()
+    assert ours["nom_maladie"].tolist() == golden["nom_maladie"].tolist()
+
+
+def test_statistique_fact_identical(star_tables):
+    golden = pd.read_csv(os.path.join(GOLDEN, "Statistique.csv"))
+    ours = star_tables["Statistique"].toPandas()
+    assert len(ours) == len(golden) == 33666
+    key = ["id_region", "date"]
+    g = golden.assign(date=golden["date"].astype(str)).sort_values(key + ["nouveau_cas"]).reset_index(drop=True)
+    o = ours.assign(date=ours["date"].astype(str)).sort_values(key + ["nouveau_cas"]).reset_index(drop=True)
+    for col in ["id_maladie", "id_region", "nouveau_mort", "nouveau_cas", "total_mort"]:
+        gv = pd.to_numeric(g[col], errors="coerce").fillna(-1)
+        ov = pd.to_numeric(o[col], errors="coerce").fillna(-1)
+        assert (gv == ov).all(), f"column {col} diverges from golden output"
+    assert (g["date"] == o["date"]).all()
