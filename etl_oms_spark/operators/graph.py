@@ -1,0 +1,105 @@
+"""Iterative graph algorithms: connected components for dedup closure.
+
+`minhash_dedup` uses greedy victim selection (drop the higher id of each
+similar pair) — correct for pairs but not transitive: a~b, b~c, a!~c keeps
+{a, c} even though all three are one duplicate cluster. Full clustering is
+connected components over the similarity graph; CC is inherently iterative,
+so this is the engine's representative iterative-algorithm pattern:
+
+- large-star/small-star style label propagation: every node repeatedly
+  adopts the min component id among itself and its neighbors, until a
+  fixed point. O(diameter) rounds; each round is one join + one aggregate.
+- `localCheckpoint` each round truncates the lineage — without it the plan
+  doubles every iteration and the driver OOMs on plan compilation long
+  before data is a problem (the classic iterative-Spark trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by min-label propagation.
+
+    ``edges`` is an undirected pair list; returns (id, component) with
+    component = the minimum node id in each component. Converges in
+    O(graph diameter) rounds; each round joins current labels across edges
+    and takes the min incoming label per node.
+    """
+    spark = edges.sparkSession
+    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    nodes = both.select(F.col("u").alias("id")).distinct()
+    labels = nodes.withColumn("component", F.col("id"))
+    both = both.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    similar_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Duplicate clusters from a similar-pair list: (doc id, canonical id)
+    where canonical = min doc id of the transitive cluster. Docs not in any
+    pair are absent (they are their own canonical)."""
+    return connected_components(similar_pairs, src, dst).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
+def transitive_minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full transitive near-dedup: minhash pairs → connected components →
+    keep each cluster's min-id representative. The exact-closure variant of
+    `dedup.minhash_dedup` (which is greedy/pairwise)."""
+    from .dedup import estimate_jaccard, lsh_candidate_pairs, minhash_signatures
+
+    sigs = minhash_signatures(df, text_col, id_col).cache()
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    sims = estimate_jaccard(sigs, pairs, id_col).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    clusters = dedup_clusters(sims)
+    victims = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(id_col)
+    return df.join(victims, id_col, "left_anti")

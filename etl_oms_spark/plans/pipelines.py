@@ -28,6 +28,7 @@ from ..star import (
     keep_last_dedup,
     rollup_statistique,
 )
+from ..schema import STANDARD_COLUMNS
 from ..transform import (
     derive_daily_columns,
     drop_null_dates,
@@ -96,3 +97,57 @@ def warehouse_pipeline(
     if existing_fact is None:
         return rolled
     return merge_mod.merge_dataframes(existing_fact, rolled, keys=["id_region", "date"])
+
+
+def run_directory_etl(
+    spark,
+    directory: str,
+    min_date: str = "2019-01-01",
+) -> tuple[DataFrame | None, dict[str, int]]:
+    """EP3-style directory run with the reference's bilan counters (A7,
+    ETL_OMS_OPERATIONNEL.py:220-221,252-255,368): scan the directory once,
+    reconcile each file, union the conformable ones, and report
+    processed/ignored counts. Files without a country column are ignored —
+    the v4 rule (ETL_OMS_OPERATIONNEL.py:250-256).
+
+    Returns (unioned canonical DataFrame or None, bilan). The counters are
+    driver-side schema decisions — no data is read to compute them, so the
+    bilan is free and the returned plan is still fully lazy.
+    """
+    from ..reconcile import apply_flexible_mapping, complete_missing_columns
+    from ..sources.readers import scan_dataset_directory
+
+    frames = scan_dataset_directory(spark, directory)
+    bilan = {"files_seen": len(frames), "processed": 0, "ignored": 0}
+    parts: list[DataFrame] = []
+    for path, df in frames.items():
+        renamed = apply_flexible_mapping(df)
+        if "country" not in renamed.columns:
+            bilan["ignored"] += 1
+            continue
+        disease = disease_from_name_str(path)
+        completed = complete_missing_columns(renamed).withColumn(
+            "pandemic", F.lit(disease)
+        )
+        parts.append(completed.select(*STANDARD_COLUMNS, "pandemic", "_source_file"))
+        bilan["processed"] += 1
+    if not parts:
+        return None, bilan
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    out = out.withColumn("date", tolerant_timestamp(F.col("date").cast("string")))
+    out = filter_min_date(drop_null_dates(out), min_date)
+    return out, bilan
+
+
+def disease_from_name_str(path: str) -> str:
+    """Driver-side filename→disease classification (S4 twin of the column
+    expression in reconcile.disease_from_name)."""
+    from ..schema import DISEASE_DEFAULT, DISEASE_KEYWORDS
+
+    low = path.lower()
+    for kw, disease in DISEASE_KEYWORDS.items():
+        if kw in low:
+            return disease
+    return DISEASE_DEFAULT

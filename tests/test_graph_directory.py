@@ -1,0 +1,59 @@
+"""Connected-components dedup closure + EP3 directory run with bilan."""
+
+from __future__ import annotations
+
+from etl_oms_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    transitive_minhash_dedup,
+)
+from etl_oms_spark.plans.pipelines import run_directory_etl
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3, pair 10-11, singleton edge 20-20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_dedup_clusters_transitive(spark):
+    # a~b, b~c but a!~c: transitive closure puts all three in one cluster
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["canonical_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_transitive_minhash_dedup(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = [
+        (1, base),
+        (2, base + " extra"),          # ~a
+        (3, base + " extra more"),     # ~b (and transitively ~a)
+        (4, " ".join(f"z{i}" for i in range(40))),  # unrelated
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in transitive_minhash_dedup(df, threshold=0.5).collect())
+    assert kept == [1, 4]  # whole 1-2-3 cluster collapses to min id
+
+
+def test_run_directory_etl_bilan(spark, tmp_path):
+    (tmp_path / "covid_a.csv").write_text(
+        "Country/Region,Date,TotalCases\nFrance,2020-01-05,10\n"
+    )
+    (tmp_path / "dates_only.csv").write_text("Date,Confirmed\n2020-01-01,5\n")  # no country → ignored
+    (tmp_path / "old_monkeypox.csv").write_text(
+        "Entity,Day,Daily cases\nSpain,2018-05-01,3\nSpain,2022-05-01,4\n"
+    )
+    (tmp_path / "readme.txt").write_text("not data")
+    df, bilan = run_directory_etl(spark, str(tmp_path))
+    assert bilan == {"files_seen": 3, "processed": 2, "ignored": 1}
+    rows = df.collect()
+    # pre-2019 Spain row filtered; France + 2022 Spain remain
+    assert {(r["country"], r["pandemic"]) for r in rows} == {
+        ("France", "COVID-19"),
+        ("Spain", "Monkeypox"),
+    }
+    assert all(r["_source_file"] for r in rows)
