@@ -1147,6 +1147,36 @@ def e3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.35, num_planes=4)
 
 
+def m1_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the contract: synthesize a binary media
+    column from documents, decode typed metadata via Arrow-batched
+    mapInPandas. The fake codec is deterministic (header-packed dims), so
+    the oracle can predict every field from the text itself."""
+    from etl_oms_spark.operators.multimodal import decode_media_metadata, with_media_column
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    decoded = decode_media_metadata(with_media_column(d))
+    return decoded.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+M1_SQL = """
+SELECT doc_id,
+       'image' AS media_type,
+       CAST(length(text) % 256 AS INT) AS width,
+       32 AS height,
+       3 AS channels,
+       CAST(13 + strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 # keep the SQL marker lists in lockstep with LANG_MARKERS
 def _build_t3_sql() -> str:
     from etl_oms_spark.operators.text import LANG_MARKERS
@@ -1224,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_cosine_topk": e1_cosine_topk,
         "e2_ann_lsh": e2_ann_lsh,
         "e3_embedding_neardup": e3_embedding_neardup,
+        "m1_media_metadata": m1_media_metadata,
     }
 
 
@@ -1272,4 +1303,5 @@ def oracle_sql() -> dict[str, str]:
         "t3_language_id": T3_SQL,
         "t4_fingerprint": T4_SQL,
         "e1_cosine_topk": E1_SQL,
+        "m1_media_metadata": M1_SQL,
     }

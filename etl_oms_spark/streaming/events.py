@@ -116,3 +116,29 @@ def foreach_batch_upsert(
         spark.read.parquet(target_path + "_new").write.mode("overwrite").parquet(target_path)
 
     return apply
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes — the streaming twin of A2 keep-last/keep-first dedup
+    with memory bounded by (keys arriving within one watermark window),
+    not by total stream history.
+    """
+    keys = keys or ["event_id"]
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream(stream_df: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static broadcast enrichment join: the streaming form of the
+    reference's dict-cached dim lookup (J3). The static side is re-read per
+    micro-batch (picks up dim updates); broadcast keeps it shuffle-free."""
+    from pyspark.sql import functions as F
+
+    return stream_df.join(F.broadcast(dim), on, "left")

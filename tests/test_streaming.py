@@ -93,3 +93,53 @@ def test_foreach_batch_upsert(spark, tmp_path):
         assert out.filter("event_id = 1").first()["value"] == 99.0
     finally:
         q.stop()
+
+
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    from etl_oms_spark.streaming.events import dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    _write_events_json(src / "b1.json", EVENTS)
+    # replay event_id 1 and 2 plus one new event in a second file
+    _write_events_json(src / "b2.json", EVENTS[:2] + [
+        {"event_id": 9, "ts": "2024-01-01T01:30:00Z", "user_id": 9,
+         "event_type": "click", "value": 1.0, "props": "{}"}])
+    stream = stream_events(spark, str(src), max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream, keys=["event_id"], watermark="6 hours")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+        ids = sorted(r["event_id"] for r in rows)
+        assert ids == [1, 2, 3, 9]  # replays dropped exactly once
+    finally:
+        q.stop()
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    from etl_oms_spark.streaming.events import enrich_stream
+
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    _write_events_json(src / "b1.json", EVENTS)
+    dim = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "user_id long, user_name string"
+    )
+    stream = stream_events(spark, str(src))
+    q = (
+        enrich_stream(stream, dim, "user_id")
+        .select("event_id", "user_name")
+        .writeStream.format("memory").queryName("enrich_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["event_id"]: r["user_name"]
+                for r in spark.sql("SELECT * FROM enrich_out").collect()}
+        assert rows == {1: "alice", 2: "alice", 3: "bob"}
+    finally:
+        q.stop()
