@@ -97,3 +97,22 @@ def test_upsert_sql_shape():
     sql = upsert_sql("statistique", "tmp_stat", ["id_region", "date"], ["total_mort"])
     assert "ON CONFLICT (id_region, date) DO UPDATE" in sql
     assert "total_mort = EXCLUDED.total_mort" in sql
+
+
+def test_catalog_sql_surface(spark, sf_dir):
+    from etl_oms_spark.catalog import register_dataset, sql
+
+    names = register_dataset(spark, sf_dir)
+    assert "lineitem" in names and "events" in names
+    out = sql(
+        spark,
+        """
+        SELECT l_returnflag, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    )
+    rows = out.collect()
+    assert [r["l_returnflag"] for r in rows] == ["A", "N", "R"]
+    # events view has a proper timestamp despite the nanos source
+    ts_type = sql(spark, "SELECT ts FROM events LIMIT 1").schema["ts"].dataType.simpleString()
+    assert ts_type == "timestamp"
