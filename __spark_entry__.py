@@ -858,6 +858,154 @@ HAVING COUNT(*) >= 15
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join feeding an aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > TIMESTAMP '1998-01-01'
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join → per-customer count → histogram
+    of counts (two-level aggregation, nulls → 0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across join inputs — tests
+    predicate normalization/pushdown through a join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 20))
+        | ((F.col("p_size") >= 40) & (F.col("l_quantity") < 5))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            (F.sum(_cents(revenue, 10_000)) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT {_sum_sql('l_extendedprice * (1.0 - l_discount)', 10000)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND l_quantity >= 20)
+   OR (p_size >= 40 AND l_quantity < 5)
+"""
+
+
+def q22_global_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average) as filter + anti
+    join, grouped output."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0.0)
+    # broadcast scalar: exact integer-cents average
+    avg_bal = pos.agg(
+        (F.sum(_cents(F.col("c_acctbal"))) / F.lit(100.0) / F.count(F.lit(1))).alias(
+            "__avg"
+        )
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = rich.join(
+        urgent.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        (F.sum(_cents(F.col("c_acctbal"))) / F.lit(100.0)).alias("totacctbal"),
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       {_sum_sql('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+        SELECT {_sum_sql('c_acctbal')} / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+def n1_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics: NULLIF-injected nulls through grouping (nulls form
+    one group) and null-safe equality (<=> / IS NOT DISTINCT FROM)."""
+    o = _t(spark, sf_dir, "orders")
+    withnull = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"),
+        F.col("o_totalprice"),
+        F.col("o_orderpriority"),
+    )
+    return withnull.groupBy("status_n").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("status_n")).alias("n_nonnull"),
+        F.count(
+            F.when(F.col("status_n").eqNullSafe(F.lit(None).cast("string")), 1)
+        ).alias("n_nullsafe_null"),
+    )
+
+
+N1_SQL = """
+SELECT nullif(o_orderstatus, 'P') AS status_n,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(nullif(o_orderstatus, 'P')) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(CASE WHEN nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL
+                       THEN 1 END) AS BIGINT) AS n_nullsafe_null
+FROM orders
+GROUP BY nullif(o_orderstatus, 'P')
+"""
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (native session_window; streaming-ready).
 
@@ -1239,6 +1387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_set_ops": s_set_ops,
         "f9_string_funcs": f9_string_funcs,
         "a9_having_filter": a9_having_filter,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q19_disjunctive": q19_disjunctive,
+        "q22_global_avg_filter": q22_global_avg_filter,
+        "n1_null_semantics": n1_null_semantics,
         "ev_sessionize": ev_sessionize,
         "a10_distinct_agg": a10_distinct_agg,
         "a11_approx_distinct": a11_approx_distinct,
@@ -1291,6 +1444,11 @@ def oracle_sql() -> dict[str, str]:
         "s_set_ops": SETOPS_SQL,
         "f9_string_funcs": F9_SQL,
         "a9_having_filter": A9_SQL,
+        "q4_order_priority": Q4_SQL,
+        "q13_customer_distribution": Q13_SQL,
+        "q19_disjunctive": Q19_SQL,
+        "q22_global_avg_filter": Q22_SQL,
+        "n1_null_semantics": N1_SQL,
         "ev_sessionize": EV_SESSION_SQL,
         "a10_distinct_agg": A10_SQL,
         # a11 (HLL sketch) and u2 (recursive EMA): rows-only by design
