@@ -103,3 +103,55 @@ def read_jdbc_dim(
     deliberately not reproduced).
     """
     return spark.read.jdbc(url, table, properties=properties or {})
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """S1 with explicit bad-row capture instead of silent failure.
+
+    The reference wraps its whole pipeline in a blanket try/except
+    (ETL_OMS.py:89-100) — one bad row kills the file. Spark's PERMISSIVE
+    mode keeps good rows and lands unparseable ones in ``corrupt_col`` so
+    the pipeline can count/quarantine them (A7 bilan) and continue. Pass an
+    explicit ``schema`` for the corrupt column to be populated (with
+    inferSchema the malformed row itself would distort inference).
+    """
+    opts = {
+        "header": "true",
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": corrupt_col,
+        **({} if schema else {"inferSchema": "true"}),
+        **options,
+    }
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        from pyspark.sql import types as T
+
+        if corrupt_col not in [f.name for f in schema.fields]:
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+            )
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows, quarantined_rows) — quarantine keeps the raw record for
+    reprocessing; clean side drops the bookkeeping column.
+
+    The parsed frame is cached first: Spark disallows queries that touch
+    only the internal corrupt-record column on a raw file scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the cache
+    also guarantees both sides see one consistent parse.
+    """
+    df = df.cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, bad

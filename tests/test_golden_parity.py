@@ -67,3 +67,20 @@ def test_statistique_fact_identical(star_tables):
         ov = pd.to_numeric(o[col], errors="coerce").fillna(-1)
         assert (gv == ov).all(), f"column {col} diverges from golden output"
     assert (g["date"] == o["date"]).all()
+
+
+def test_directory_etl_over_reference_datasets(spark):
+    """EP3-style single-pass run over the reference's full heterogeneous
+    DATASETS directory: 7 files, day_wise ignored (no country column),
+    snapshot files contribute no rows (no date column -> all dropped, the
+    v4 rule), the three dated panels survive with correct disease tags."""
+    from etl_oms_spark.plans.pipelines import run_directory_etl
+
+    df, bilan = run_directory_etl(spark, os.path.join(REF, "DATASETS"))
+    assert bilan == {"files_seen": 7, "processed": 6, "ignored": 1}
+    by_disease = {r["pandemic"]: r["count"] for r in df.groupBy("pandemic").count().collect()}
+    assert by_disease == {"COVID-19": 49068, "Monkeypox": 147448}
+    sources = {r["_source_file"] for r in df.select("_source_file").distinct().collect()}
+    assert sources == {
+        "covid_global_3.csv", "monkeypox_report.csv", "monkeypox_report_2.csv",
+    }

@@ -116,3 +116,28 @@ def test_catalog_sql_surface(spark, sf_dir):
     # events view has a proper timestamp despite the nanos source
     ts_type = sql(spark, "SELECT ts FROM events LIMIT 1").schema["ts"].dataType.simpleString()
     assert ts_type == "timestamp"
+
+
+def test_read_csv_robust_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl_oms_spark.sources.readers import read_csv_robust, split_corrupt
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "country,date,confirmed\n"
+        "France,2020-03-01,100\n"
+        'Germany,2020-03-02,"unclosed\n'  # malformed: unclosed quote
+        "Spain,2020-03-03,50\n"
+    )
+    schema = T.StructType([
+        T.StructField("country", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("confirmed", T.LongType()),
+    ])
+    df = read_csv_robust(spark, str(p), schema=schema)
+    clean, bad = split_corrupt(df)
+    assert clean.count() == 2
+    assert {r["country"] for r in clean.collect()} == {"France", "Spain"}
+    assert bad.count() == 1  # quarantined, raw text preserved
+    assert "unclosed" in bad.first()["_corrupt_record"]
