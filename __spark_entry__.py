@@ -16,7 +16,14 @@ engines evaluate the same IEEE expression on the same input bits.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make the contract loadable by
+# file path from any cwd (the driver may not run from the repo root)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
