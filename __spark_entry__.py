@@ -1013,6 +1013,93 @@ GROUP BY nullif(o_orderstatus, 'P')
 """
 
 
+def ar1_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column: size / element access /
+    slice / sort — quantized to exact integers so array value-hashes match
+    across engines (float32 list repr differs otherwise)."""
+    e = _t(spark, sf_dir, "embeddings")
+    quant = lambda c: F.round(c.cast("double") * F.lit(1000000.0)).cast("long")  # noqa: E731
+    qarr = F.transform(F.col("embedding"), quant)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        quant(F.element_at("embedding", 1)).alias("first_q"),
+        # string-join, not a raw array column: list cells break row-sort
+        # hashing on the compare side
+        F.concat_ws(",", F.transform(F.slice(qarr, 1, 4), lambda x: x.cast("string"))).alias(
+            "head4_q"
+        ),
+        F.sort_array(qarr, asc=False).getItem(0).alias("max_q"),
+        F.aggregate(qarr, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
+    )
+
+
+AR1_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS first_q,
+       array_to_string(list_transform(embedding[1:4],
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS head4_q,
+       list_max(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS max_q,
+       list_sum(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS sum_q
+FROM embeddings
+"""
+
+
+def t5_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar functions: extract / replace / split-count."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).alias("novowel_len"),
+        F.regexp_count("text", F.lit(r"\bthe\b")).alias("n_the"),
+    )
+
+
+T5_SQL = r"""
+SELECT doc_id,
+       regexp_extract(text, '^(\w+)', 1) AS first_word,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS novowel_len,
+       CAST(len(regexp_extract_all(text, '\bthe\b')) AS INT) AS n_the
+FROM documents
+"""
+
+
+def f10_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions (cross-engine-stable subset; dayofweek is
+    normalized to 0=Sunday — Spark is 1-based, DuckDB 0-based)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        (F.dayofweek(d) - F.lit(1)).alias("dow"),
+        F.last_day(d).cast("date").alias("month_end"),
+        F.date_add(d.cast("date"), 30).alias("plus30"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("to_y2k"),
+    )
+
+
+F10_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) + 30 AS plus30,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS to_y2k
+FROM orders
+"""
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (native session_window; streaming-ready).
 
@@ -1399,6 +1486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q19_disjunctive,
         "q22_global_avg_filter": q22_global_avg_filter,
         "n1_null_semantics": n1_null_semantics,
+        "ar1_array_funcs": ar1_array_funcs,
+        "t5_regex_extract": t5_regex_extract,
+        "f10_date_funcs": f10_date_funcs,
         "ev_sessionize": ev_sessionize,
         "a10_distinct_agg": a10_distinct_agg,
         "a11_approx_distinct": a11_approx_distinct,
@@ -1456,6 +1546,9 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive": Q19_SQL,
         "q22_global_avg_filter": Q22_SQL,
         "n1_null_semantics": N1_SQL,
+        "ar1_array_funcs": AR1_SQL,
+        "t5_regex_extract": T5_SQL,
+        "f10_date_funcs": F10_SQL,
         "ev_sessionize": EV_SESSION_SQL,
         "a10_distinct_agg": A10_SQL,
         # a11 (HLL sketch) and u2 (recursive EMA): rows-only by design
