@@ -1,0 +1,96 @@
+"""Partition-pruned parquet upsert: MERGE semantics without a lakehouse.
+
+The reference upserts into Postgres (`ON CONFLICT DO UPDATE`); at 100 TB
+the analogous lake-side operation must NOT rewrite the whole table per
+batch. This module implements the classic partition-swap merge:
+
+1. the target is parquet partitioned by a coarse column (e.g. a date);
+2. an incoming batch touches only a few partition values — read ONLY those
+   partitions (partition pruning), merge in memory of the cluster;
+3. write back with **dynamic partition overwrite**, which atomically-ish
+   replaces just the touched partitions and leaves the rest of the table
+   untouched on disk.
+
+Cost per batch: O(touched partitions), not O(table). On Delta/Iceberg the
+same call becomes a single ``MERGE INTO``; this is the dependency-free
+form with identical semantics for partition-aligned keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..merge import merge_dataframes
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """Upsert ``updates`` into the parquet table at ``target_path``.
+
+    ``partition_col`` must be one of the table's partition columns and
+    present in ``updates``. Keys should include the partition column (or
+    at least never move a row across partitions — standard constraint for
+    partition-swap merges).
+    """
+    try:
+        existing = spark.read.parquet(target_path)
+        first_write = False
+    except Exception:  # noqa: BLE001 - target does not exist yet
+        existing = None
+        first_write = True
+
+    if first_write:
+        updates.write.partitionBy(partition_col).mode("overwrite").parquet(target_path)
+        return
+
+    # distinct partition values in the batch — tiny driver-side list; the
+    # IN-filter below partition-prunes the target scan to just those dirs
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    affected = existing.filter(F.col(partition_col).isin(touched))
+    # materialize before overwriting: the merged plan reads from the same
+    # path it is about to replace (read-overwrite hazard). localCheckpoint
+    # holds only the touched partitions — bounded by batch size, not table.
+    merged = merge_dataframes(affected, updates, keys).localCheckpoint(eager=True)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.partitionBy(partition_col)
+            .mode("overwrite")  # dynamic: replaces ONLY the touched partitions
+            .parquet(target_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+) -> None:
+    """Small-file compaction: rewrite each partition value into one file
+    (hash-repartition on the partition column → one task per value).
+    Streaming/micro-batch upserts accrete small files; periodic compaction
+    keeps scan task counts sane. The frame is materialized
+    (localCheckpoint) before the in-place overwrite — read-overwrite
+    hazard, same as the merge path."""
+    df = (
+        spark.read.parquet(path)
+        .repartition(F.col(partition_col))
+        .localCheckpoint(eager=True)
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

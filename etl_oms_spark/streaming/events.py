@@ -91,18 +91,26 @@ def foreach_batch_upsert(
     target_path: str,
     keys: list[str],
     spark: SparkSession,
+    partition_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch MERGE: upsert each micro-batch into a parquet target.
 
     Streaming twin of the reference's ON CONFLICT load
-    (ETL_OMS_OPERATIONNEL.py:202-211). Parquet full-rewrite merge is the
-    dependency-free fallback; on a lakehouse table this body becomes a
-    single ``MERGE INTO`` (Delta/Iceberg), and against Postgres it becomes
-    sources.writers.write_jdbc_staging + upsert_sql.
+    (ETL_OMS_OPERATIONNEL.py:202-211). With ``partition_col`` the merge is
+    partition-pruned (sources.merge_table.merge_into_parquet): each batch
+    rewrites only the partitions it touches — O(batch), not O(table), the
+    form that survives at 100 TB. Without it, full-rewrite fallback (small
+    targets only). On a lakehouse table this body becomes a single
+    ``MERGE INTO``; against Postgres it becomes write_jdbc_staging +
+    upsert_sql.
     """
     from ..merge import merge_dataframes
+    from ..sources.merge_table import merge_into_parquet
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if partition_col is not None:
+            merge_into_parquet(spark, target_path, batch_df, keys, partition_col)
+            return
         try:
             existing = spark.read.parquet(target_path)
         except Exception:  # noqa: BLE001 - first batch, target absent

@@ -1,0 +1,72 @@
+"""Partition-pruned parquet merge: upsert cost O(touched partitions)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_oms_spark.sources.merge_table import compact_partitions, merge_into_parquet
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id long, day string, v long")
+
+
+def test_merge_into_parquet_upserts_only_touched(spark, tmp_path):
+    target = str(tmp_path / "warehouse")
+    merge_into_parquet(
+        spark, target,
+        _batch(spark, [(1, "d1", 10), (2, "d1", 20), (3, "d2", 30)]),
+        keys=["id", "day"], partition_col="day",
+    )
+    # snapshot the untouched partition's files to prove it isn't rewritten
+    d2_dir = os.path.join(target, "day=d2")
+    d2_before = sorted(os.listdir(d2_dir))
+
+    merge_into_parquet(
+        spark, target,
+        _batch(spark, [(2, "d1", 99), (4, "d1", 40)]),  # update + insert, d1 only
+        keys=["id", "day"], partition_col="day",
+    )
+    out = {(r["id"]): (r["day"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert out == {1: ("d1", 10), 2: ("d1", 99), 3: ("d2", 30), 4: ("d1", 40)}
+    assert sorted(os.listdir(d2_dir)) == d2_before  # d2 untouched on disk
+
+
+def test_merge_into_parquet_idempotent(spark, tmp_path):
+    target = str(tmp_path / "idem")
+    batch = _batch(spark, [(1, "d1", 1), (2, "d2", 2)])
+    merge_into_parquet(spark, target, batch, keys=["id", "day"], partition_col="day")
+    merge_into_parquet(spark, target, batch, keys=["id", "day"], partition_col="day")
+    df = spark.read.parquet(target)
+    assert df.count() == 2
+
+
+def test_compact_partitions(spark, tmp_path):
+    target = str(tmp_path / "compact")
+    # accrete several small files per partition
+    for i in range(4):
+        _batch(spark, [(i * 10 + 1, "d1", i), (i * 10 + 2, "d2", i)]).repartition(3) \
+            .write.partitionBy("day").mode("append").parquet(target)
+    d1_dir = os.path.join(target, "day=d1")
+    n_before = len([f for f in os.listdir(d1_dir) if f.endswith(".parquet")])
+    assert n_before >= 4
+    before = spark.read.parquet(target).count()
+    compact_partitions(spark, target, "day")
+    n_after = len([f for f in os.listdir(d1_dir) if f.endswith(".parquet")])
+    assert n_after == 1
+    assert spark.read.parquet(target).count() == before
+
+
+def test_merge_partition_pruning_plan(spark, tmp_path):
+    """The merge's target-side scan must partition-prune to touched values."""
+    from etl_oms_spark.util import physical_plan
+
+    target = str(tmp_path / "pruned")
+    _batch(spark, [(1, "d1", 1), (2, "d2", 2), (3, "d3", 3)]).write \
+        .partitionBy("day").mode("overwrite").parquet(target)
+    existing = spark.read.parquet(target)
+    pruned = existing.filter(F.col("day").isin(["d1"]))
+    plan = physical_plan(pruned)
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
