@@ -151,3 +151,26 @@ def disease_from_name_str(path: str) -> str:
         if kw in low:
             return disease
     return DISEASE_DEFAULT
+
+
+def warehouse_to_parquet(
+    df: DataFrame,
+    pandemic: str,
+    target_path: str,
+    min_date: str = "2019-01-01",
+) -> None:
+    """EP3 end-to-end with the scalable lake sink: clean → star fact →
+    keep-last dedup → rollup → partition-pruned parquet upsert keyed on
+    ``(id_region, date)`` and partitioned by date. Re-running the same
+    batch is idempotent (the ON CONFLICT property); each batch rewrites
+    only the date partitions it touches."""
+    from ..sources.merge_table import merge_into_parquet
+
+    rolled = warehouse_pipeline(df, pandemic, existing_fact=None, min_date=min_date)
+    merge_into_parquet(
+        df.sparkSession,
+        target_path,
+        rolled,
+        keys=["id_region", "date"],
+        partition_col="date",
+    )

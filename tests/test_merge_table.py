@@ -70,3 +70,26 @@ def test_merge_partition_pruning_plan(spark, tmp_path):
     pruned = existing.filter(F.col("day").isin(["d1"]))
     plan = physical_plan(pruned)
     assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_warehouse_to_parquet_end_to_end(spark, tmp_path):
+    from etl_oms_spark.plans.pipelines import warehouse_to_parquet
+    from etl_oms_spark.sources.readers import read_csv
+
+    p = tmp_path / "mp.csv"
+    p.write_text(
+        "location,date,total_cases,total_deaths,new_cases,new_deaths\n"
+        "France,2022-05-01,10,1,10,1\n"
+        "France,2022-05-02,15,2,5,1\n"
+        "Spain,2022-05-01,7,0,7,0\n"
+    )
+    target = str(tmp_path / "statistique")
+    df = read_csv(spark, str(p))
+    warehouse_to_parquet(df, "Monkeypox", target)
+    out = spark.read.parquet(target)
+    assert out.count() == 3
+    # idempotent re-run: same rows, values stable
+    warehouse_to_parquet(df, "Monkeypox", target)
+    out2 = {(r["id_region"], str(r["date"])): r["nouveau_cas"]
+            for r in spark.read.parquet(target).collect()}
+    assert len(out2) == 3 and out2[(1, "2022-05-02")] == 5
