@@ -1100,6 +1100,65 @@ FROM orders
 """
 
 
+def tj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no primitive): for each
+    purchase event, the user's most recent click at or before it. One
+    shuffle via the union + last-non-null-window composition; oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from etl_oms_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"], value_cols=["click_value"])
+    return out.select("event_id", "user_id", "value", "click_value")
+
+
+TJ1_SQL = """
+SELECT p.event_id, p.user_id, p.value, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def tj2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (custom operator): lineitems shipped within 7 days of an
+    urgent order's date — interval bucketing turns the naive cross-join+
+    filter into an equi join on buckets + exact BETWEEN filter."""
+    from etl_oms_spark.operators.temporal import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("__end"),
+        )
+    )
+    joined = range_join(li, o, "l_shipdate", "o_orderdate", "__end", bucket_width=7 * 86400)
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(_cents(F.col("l_quantity"))) / F.lit(100.0)).alias("total_qty"),
+    )
+
+
+TJ2_SQL = f"""
+SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {_sum_sql('l_quantity')} AS total_qty
+FROM orders JOIN lineitem
+  ON l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 7 DAY
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderkey
+"""
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (native session_window; streaming-ready).
 
@@ -1489,6 +1548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar1_array_funcs": ar1_array_funcs,
         "t5_regex_extract": t5_regex_extract,
         "f10_date_funcs": f10_date_funcs,
+        "tj1_asof_join": tj1_asof_join,
+        "tj2_range_join": tj2_range_join,
         "ev_sessionize": ev_sessionize,
         "a10_distinct_agg": a10_distinct_agg,
         "a11_approx_distinct": a11_approx_distinct,
@@ -1549,6 +1610,8 @@ def oracle_sql() -> dict[str, str]:
         "ar1_array_funcs": AR1_SQL,
         "t5_regex_extract": T5_SQL,
         "f10_date_funcs": F10_SQL,
+        "tj1_asof_join": TJ1_SQL,
+        "tj2_range_join": TJ2_SQL,
         "ev_sessionize": EV_SESSION_SQL,
         "a10_distinct_agg": A10_SQL,
         # a11 (HLL sketch) and u2 (recursive EMA): rows-only by design

@@ -1,0 +1,145 @@
+"""Temporal joins Spark lacks as primitives: as-of join and range join.
+
+Both are compositions of existing DataFrame operators (SURVEY §7 custom-op
+policy: composition first, Arrow second, never driver loops):
+
+- `asof_join` — for each left row, the most recent right row at or before
+  its timestamp (trades/quotes, sensor alignment, SCD lookups). Implemented
+  with the union + last-non-null-window trick: ONE shuffle on (by, ts) and
+  a per-partition sort — no point-in-interval explosion, no broadcast
+  requirement, no O(n·m). Equivalent to DuckDB/kdb ASOF JOIN semantics.
+- `range_join` — point-in-interval equi-ish join via interval bucketing:
+  intervals are exploded into fixed-width buckets, points join on their
+  bucket, then the exact BETWEEN predicate filters. Turns a cross-join
+  +filter (what Catalyst would do naively) into an equi join whose cost is
+  O(points + intervals × avg_span/bucket_width).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of (backward) join: latest ``right`` row with ``right.on <=
+    left.on`` per ``by`` group.
+
+    Mechanics: tag both sides, union on (by, on), compute
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding window
+    ordered by (on, side) — right rows sort before left rows at equal
+    timestamps so exact-tie matches are included. Left rows then carry the
+    most recent right values. ``tolerance`` (e.g. ``"3600"`` seconds or an
+    INTERVAL string like ``"1 hour"``) nulls matches older than the bound.
+    """
+    by = by or []
+    value_cols = value_cols or [
+        c for c in right.columns if c != on and c not in by
+    ]
+    out_names = {c: f"{c}{suffix}" if c in left.columns else c for c in value_cols}
+
+    l_tag = left.withColumn("__side", F.lit(1))
+    r_tag = right.select(
+        *by, on, *value_cols
+    ).withColumn("__side", F.lit(0))
+
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in value_cols:
+        if c not in l_tag.columns:
+            l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+
+    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+        F.last(F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True)
+        .over(w)
+        .alias("__asof_ts"),
+    )
+    result = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        try:
+            bound = float(tolerance)
+            in_tol = (
+                F.col(on).cast("double") - F.col("__asof_ts").cast("double")
+            ) <= bound
+        except ValueError:
+            in_tol = F.col(on) <= F.col("__asof_ts") + F.expr(f"INTERVAL {tolerance}")
+        keep = in_tol
+        result = result.select(
+            *left.columns,
+            *[
+                F.when(keep, F.col(f"__asof_{c}")).alias(out_names[c])
+                for c in value_cols
+            ],
+        )
+    else:
+        result = result.select(
+            *left.columns,
+            *[F.col(f"__asof_{c}").alias(out_names[c]) for c in value_cols],
+        )
+    return result
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join via bucketing.
+
+    ``bucket_width`` is in the column's native numeric unit (cast to long
+    internally; for timestamps pass seconds and the columns are converted
+    via epoch). Each interval emits one row per bucket it spans; points
+    join on their single bucket; the exact predicate filters false
+    positives. Choose bucket_width ≈ median interval length: too small
+    explodes intervals, too large inflates the filter stage.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    def as_long(df: DataFrame, c: str):
+        # timestamps (tz'd or NTZ) → epoch seconds; numerics → long. Any
+        # consistent monotonic mapping works: buckets only need to align
+        # between the two sides, the exact BETWEEN uses original values.
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            return col.cast("timestamp").cast("long")
+        return col.cast("long")
+
+    p_bucket = (as_long(points, point_col) / bucket_width).cast("long")
+    i_start = (as_long(intervals, start_col) / bucket_width).cast("long")
+    i_end = (as_long(intervals, end_col) / bucket_width).cast("long")
+
+    exploded = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(i_start, i_end))
+    )
+    bucketed_points = points.withColumn("__bucket", p_bucket)
+    joined = bucketed_points.join(exploded, "__bucket", how).filter(
+        F.col(point_col).between(F.col(start_col), F.col(end_col))
+    )
+    return joined.drop("__bucket")

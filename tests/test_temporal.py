@@ -1,0 +1,70 @@
+"""As-of join and range join semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+from etl_oms_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(30), 200.0), (2, _ts(5), 50.0)],
+        "sym int, ts timestamp, trade_px double",
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts(9), 99.0), (1, _ts(10), 101.0), (1, _ts(20), 150.0), (2, _ts(6), 51.0)],
+        "sym int, ts timestamp, quote_px double",
+    )
+    out = asof_join(trades, quotes, on="ts", by=["sym"], value_cols=["quote_px"])
+    got = {(r["sym"], r["ts"].minute): r["quote_px"] for r in out.collect()}
+    # exact tie at :10 matches; :30 picks latest (:20); sym 2 has no quote <= :5
+    assert got == {(1, 10): 101.0, (1, 30): 150.0, (2, 5): None}
+    assert out.count() == trades.count()  # left-join cardinality
+
+
+def test_asof_join_tolerance(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts(30), 1.0)], "sym int, ts timestamp, v double"
+    )
+    quotes = spark.createDataFrame(
+        [(1, _ts(10), 9.0)], "sym int, ts timestamp, quote_px double"
+    )
+    loose = asof_join(trades, quotes, "ts", ["sym"], ["quote_px"])
+    tight = asof_join(trades, quotes, "ts", ["sym"], ["quote_px"], tolerance="600")
+    assert loose.first()["quote_px"] == 9.0
+    assert tight.first()["quote_px"] is None  # 20 min > 600 s tolerance
+
+
+def test_asof_join_name_collision_suffix(spark):
+    left = spark.createDataFrame([(1, _ts(10), 5.0)], "k int, ts timestamp, v double")
+    right = spark.createDataFrame([(1, _ts(9), 7.0)], "k int, ts timestamp, v double")
+    out = asof_join(left, right, "ts", ["k"], ["v"])
+    row = out.first()
+    assert row["v"] == 5.0 and row["v_right"] == 7.0
+
+
+def test_range_join_point_in_interval(spark):
+    points = spark.createDataFrame(
+        [(1, 15), (2, 25), (3, 105), (4, 300)], "pid int, x long"
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0, 30), (11, 100, 110), (12, 20, 27)], "iid int, lo long, hi long"
+    )
+    out = range_join(points, intervals, "x", "lo", "hi", bucket_width=16)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 10), (2, 10), (2, 12), (3, 11)]
+
+
+def test_range_join_timestamps(spark):
+    points = spark.createDataFrame([(1, _ts(15))], "pid int, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(7, _ts(10), _ts(20)), (8, _ts(30), _ts(40))],
+        "iid int, lo timestamp, hi timestamp",
+    )
+    out = range_join(points, intervals, "ts", "lo", "hi", bucket_width=300)
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 7)]
