@@ -1159,6 +1159,37 @@ GROUP BY o_orderkey
 """
 
 
+def rl1_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the DAILY tier is computed by
+    re-aggregating the HOURLY tier (24x fewer input rows than raw) — the
+    oracle aggregates raw events directly, proving the re-aggregation is
+    lossless for count/sum/min/max."""
+    from etl_oms_spark.operators.rollup import time_rollup
+
+    ev = _events(spark, sf_dir)
+    tiers = time_rollup(ev, ["1 hour", "1 day"], keys=["event_type"])
+    day = tiers["1 day"]
+    return day.select(
+        F.col("bucket").alias("day_start"),
+        "event_type",
+        "n_events",
+        (F.col("value_cents") / F.lit(100.0)).alias("total_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+RL1_SQL = f"""
+SELECT date_trunc('day', ts) AS day_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_sum_sql('value')} AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (native session_window; streaming-ready).
 
@@ -1550,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_date_funcs": f10_date_funcs,
         "tj1_asof_join": tj1_asof_join,
         "tj2_range_join": tj2_range_join,
+        "rl1_time_rollup": rl1_time_rollup,
         "ev_sessionize": ev_sessionize,
         "a10_distinct_agg": a10_distinct_agg,
         "a11_approx_distinct": a11_approx_distinct,
@@ -1612,6 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         "f10_date_funcs": F10_SQL,
         "tj1_asof_join": TJ1_SQL,
         "tj2_range_join": TJ2_SQL,
+        "rl1_time_rollup": RL1_SQL,
         "ev_sessionize": EV_SESSION_SQL,
         "a10_distinct_agg": A10_SQL,
         # a11 (HLL sketch) and u2 (recursive EMA): rows-only by design

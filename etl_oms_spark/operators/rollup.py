@@ -1,0 +1,118 @@
+"""Hypertable-style continuous time rollups.
+
+Multi-granularity time-series aggregates maintained hierarchically:
+minute/hour rollups aggregate the raw stream ONCE; each coarser tier
+re-aggregates the tier below (day reads 24 hourly rows per key instead of
+re-scanning raw events — the property that makes continuous aggregates
+affordable at 100 TB). Measures are restricted to re-aggregable functions
+(count/sum/min/max; avg is derived as sum/count at read time — never
+stored, since avg does not re-aggregate).
+
+`refresh_rollup` maintains a materialized tier incrementally: only the
+time buckets present in the new batch are recomputed and merged via the
+partition-pruned parquet upsert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: measure name -> (base aggregation over raw rows, re-aggregation over
+#: the tier below). Exact integer arithmetic for the value sum.
+def _base_measures(value_col: str) -> dict[str, tuple]:
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return {
+        "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+        "value_cents": (F.sum(cents), F.sum("value_cents")),
+        "min_value": (F.min(value_col), F.min("min_value")),
+        "max_value": (F.max(value_col), F.max("max_value")),
+    }
+
+
+def rollup_tier(
+    df: DataFrame,
+    granularity: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    from_tier: DataFrame | None = None,
+) -> DataFrame:
+    """One rollup tier: from raw rows (``from_tier=None``) or re-aggregated
+    from a finer tier (pass that tier's DataFrame; its ``bucket`` column is
+    re-bucketed to this granularity)."""
+    measures = _base_measures(value_col)
+    if from_tier is None:
+        bucketed = df.withColumn(
+            "bucket", F.window(F.col(ts_col), granularity)["start"]
+        )
+        aggs = [base.alias(name) for name, (base, _re) in measures.items()]
+    else:
+        bucketed = from_tier.withColumn(
+            "bucket", F.window(F.col("bucket"), granularity)["start"]
+        )
+        aggs = [re.alias(name) for name, (_base, re) in measures.items()]
+    return bucketed.groupBy("bucket", *keys).agg(*aggs)
+
+
+def time_rollup(
+    df: DataFrame,
+    granularities: list[str] | None = None,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> dict[str, DataFrame]:
+    """Hierarchical multi-granularity rollup.
+
+    ``granularities`` must be ordered fine→coarse and nest evenly (e.g.
+    ["1 hour", "1 day"]); tier N+1 aggregates tier N. Returns
+    {granularity: DataFrame(bucket, *keys, n_events, value_cents,
+    min_value, max_value)}.
+    """
+    granularities = granularities or ["1 hour", "1 day"]
+    keys = keys or ["event_type"]
+    out: dict[str, DataFrame] = {}
+    prev: DataFrame | None = None
+    for g in granularities:
+        tier = rollup_tier(df, g, keys, ts_col, value_col, from_tier=prev)
+        out[g] = tier
+        prev = tier
+    return out
+
+
+def with_avg(tier: DataFrame) -> DataFrame:
+    """Derived average at read time (sum/count — exact operands)."""
+    return tier.withColumn(
+        "avg_value",
+        F.col("value_cents") / F.lit(100.0) / F.col("n_events"),
+    )
+
+
+def refresh_rollup(
+    target_path: str,
+    new_events: DataFrame,
+    granularity: str = "1 hour",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> None:
+    """Incrementally maintain a materialized rollup tier.
+
+    CONSTRAINT: a refresh batch must contain ALL raw events for every
+    bucket it touches (e.g. ingest partitions aligned to the bucket width,
+    or re-read the touched buckets from the raw table) — partial buckets
+    would overwrite complete ones. Under that contract each refresh
+    recomputes only the touched buckets and partition-prunes the merge.
+    """
+    from ..sources.merge_table import merge_into_parquet
+
+    keys = keys or ["event_type"]
+    batch = rollup_tier(new_events, granularity, keys, ts_col, value_col)
+    batch = batch.withColumn("bucket_date", F.to_date("bucket"))
+    merge_into_parquet(
+        new_events.sparkSession,
+        target_path,
+        batch,
+        keys=["bucket", *keys],
+        partition_col="bucket_date",
+    )
