@@ -1456,6 +1456,21 @@ FROM (
 """
 
 
+def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, full probe: probing every inverted list degenerates to
+    exact brute force, so the IVF assign/probe/re-rank machinery is
+    oracle-checked against the exact cosine SQL (same oracle family as
+    e1); partial-probe recall is covered by tests."""
+    from etl_oms_spark.operators.similarity import ivf_centroids_sample, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids_sample(emb, k=8)
+    query = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, query, cents, k=5, n_probe=8)
+
+
 def e2_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (no oracle: approximate by design;
     the driver records a rows-only check, recall is asserted in tests)."""
@@ -1596,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_fingerprint": t4_fingerprint,
         "e1_cosine_topk": e1_cosine_topk,
         "e2_ann_lsh": e2_ann_lsh,
+        "e4_ivf_topk": e4_ivf_topk,
         "e3_embedding_neardup": e3_embedding_neardup,
         "m1_media_metadata": m1_media_metadata,
     }
@@ -1657,5 +1673,6 @@ def oracle_sql() -> dict[str, str]:
         "t3_language_id": T3_SQL,
         "t4_fingerprint": T4_SQL,
         "e1_cosine_topk": E1_SQL,
+        "e4_ivf_topk": E1_SQL,  # full probe == exact brute force
         "m1_media_metadata": M1_SQL,
     }

@@ -117,3 +117,30 @@ def test_with_media_column_roundtrip(spark):
     out = decode_media_metadata(with_media_column(df)).first()
     assert out["meta"]["media_type"] == "image"
     assert out["meta"]["width"] == 11  # n_chars
+
+
+def test_ivf_assign_and_topk(spark, sf_dir):
+    from etl_oms_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids_sample,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_sample(emb, k=8)
+    assert cents.count() == 8
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()  # every vector lands in one list
+    assert assigned.select("centroid_id").distinct().count() <= 8
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_topk(emb, q, cents, k=5, n_probe=3)
+    ids = {r["vec_id"] for r in approx.collect()}
+    assert 0 in ids  # query's own vector always recalled (it is in a probed list)
+    # full-probe IVF degenerates to exact brute force
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()}
+    full = {r["vec_id"] for r in ivf_topk(emb, q, cents, k=5, n_probe=8).collect()}
+    assert full == exact
