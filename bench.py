@@ -42,6 +42,11 @@ HEADLINE = [
     "ev_sessionize",
     "a10_distinct_agg",
     "u2_grouped_ema",
+    "q13_customer_distribution",
+    "tj1_asof_join",
+    "tj2_range_join",
+    "rl1_time_rollup",
+    "e4_ivf_topk",
 ]
 
 

@@ -56,6 +56,48 @@ def cosine_quantized(a: Column, b: Column) -> Column:
     )
 
 
+def _cosine_scored(
+    corpus: DataFrame,
+    q: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    join_on: list[str] | None = None,
+) -> DataFrame:
+    """(query_id, id, cosine) with norms precomputed PER VECTOR, not per
+    pair — higher-order array folds run interpreted (outside codegen), so
+    computing each side's norm once instead of per pair cuts the fold work
+    3×. The cosine value is bit-identical: same exact-integer operands,
+    same ``dot / (sqrt(na) * sqrt(nb))`` shape as the oracle SQL."""
+    left = corpus.withColumn("__na", norm2_quantized(F.col(vec_col)))
+    right = F.broadcast(
+        q.withColumn("__nb", norm2_quantized(F.col("__qvec")))
+    )
+    joined = left.join(right, join_on) if join_on else left.crossJoin(right)
+    return joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            dot_quantized(F.col(vec_col), F.col("__qvec")).cast("double")
+            / (
+                F.sqrt(F.col("__na").cast("double"))
+                * F.sqrt(F.col("__nb").cast("double"))
+            )
+        ).alias("cosine"),
+    )
+
+
+def _topk(scored: DataFrame, k: int, id_col: str, query_id_col: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
 def cosine_topk(
     df: DataFrame,
     query: DataFrame,
@@ -70,24 +112,11 @@ def cosine_topk(
     side streams once with no shuffle; TakeOrdered handles the top-k without
     a global sort. Ties break on id for determinism.
     """
-    q = query.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    q = query.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = _cosine_scored(
+        ensure_parallelism(df, id_col), q, id_col, vec_col, query_id_col
     )
-    scored = ensure_parallelism(df, id_col).crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine_quantized(F.col(vec_col), F.col("__qvec")).alias("cosine"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
-    return (
-        scored.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
-        .drop("__rank")
-    )
+    return _topk(scored, k, id_col, query_id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -142,19 +171,10 @@ def ann_lsh_topk(
         F.col(vec_col).alias("__qvec"),
         lsh_bucket(F.col(vec_col), num_planes).alias("__bucket"),
     )
-    candidates = corpus.join(F.broadcast(q), "__bucket").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine_quantized(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    scored = _cosine_scored(
+        corpus, q, id_col, vec_col, query_id_col, join_on=["__bucket"]
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        candidates.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
-        .drop("__rank")
-    )
+    return _topk(scored, k, id_col, query_id_col)
 
 
 def embedding_near_dup_pairs(
@@ -202,14 +222,23 @@ def ivf_assign(
     """
     from pyspark.sql import Window
 
-    c = centroids.select(
-        F.col("centroid_id"), F.col(vec_col).alias("__cvec")
+    c = F.broadcast(
+        centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec"))
+        .withColumn("__ncb", norm2_quantized(F.col("__cvec")))
     )
-    scored = df.crossJoin(F.broadcast(c)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col("centroid_id"),
-        cosine_quantized(F.col(vec_col), F.col("__cvec")).alias("__sim"),
+    scored = (
+        ensure_parallelism(df, id_col)
+        .withColumn("__nv", norm2_quantized(F.col(vec_col)))
+        .crossJoin(c)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id"),
+            (
+                dot_quantized(F.col(vec_col), F.col("__cvec")).cast("double")
+                / (F.sqrt(F.col("__nv").cast("double")) * F.sqrt(F.col("__ncb").cast("double")))
+            ).alias("__sim"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("centroid_id"))
     return (
@@ -269,16 +298,9 @@ def ivf_topk(
     probes = (
         q_scored.withColumn("__rk", F.row_number().over(wq))
         .filter(F.col("__rk") <= n_probe)
-        .select(query_id_col, "__qvec", "centroid_id")
+        .select(query_id_col, F.col("__qvec"), "centroid_id")
     )
-    candidates = assigned.join(F.broadcast(probes), "centroid_id").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine_quantized(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    scored = _cosine_scored(
+        assigned, probes, id_col, vec_col, query_id_col, join_on=["centroid_id"]
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        candidates.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
-        .drop("__rank")
-    )
+    return _topk(scored, k, id_col, query_id_col)
