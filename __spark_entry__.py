@@ -1193,6 +1193,126 @@ GROUP BY 1, 2
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation trade volume grouped by year — joins with
+    a symmetric nation-pair predicate + date-part extraction."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(_cents(volume, 10_000)) / F.lit(10000.0)).alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_sum_sql('volume', 10000)} AS revenue
+FROM (
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           l_extendedprice * (1.0 - l_discount) AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-share aggregation — ratio of a CASE'd
+    sum to the total sum per year (exact-integer sums → deterministic
+    double ratio)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    vol_cents = _cents(volume, 10_000)
+    target = F.when(F.col("n_name") == "NATION_0", vol_cents).otherwise(F.lit(0))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(target).cast("double") / F.sum(vol_cents)).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n_name = 'NATION_0'
+                     THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY year(o_orderdate)
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: selective fact filter -> join dims -> top-20
+    revenue-losing customers."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(_cents(revenue, 10_000)) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {_sum_sql('l_extendedprice * (1.0 - l_discount)', 10000)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (native session_window; streaming-ready).
 
@@ -1594,6 +1714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q19_disjunctive,
         "q22_global_avg_filter": q22_global_avg_filter,
         "n1_null_semantics": n1_null_semantics,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
         "ar1_array_funcs": ar1_array_funcs,
         "t5_regex_extract": t5_regex_extract,
         "f10_date_funcs": f10_date_funcs,
@@ -1658,6 +1781,9 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive": Q19_SQL,
         "q22_global_avg_filter": Q22_SQL,
         "n1_null_semantics": N1_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q8_market_share": Q8_SQL,
+        "q10_returned_items": Q10_SQL,
         "ar1_array_funcs": AR1_SQL,
         "t5_regex_extract": T5_SQL,
         "f10_date_funcs": F10_SQL,
