@@ -22,11 +22,47 @@ def ensure_parallelism(df: DataFrame, *key_cols: str, target: int | None = None)
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _estimated_partitions(df) >= target:
         return df
     if key_cols:
         return df.repartition(target, *key_cols)
     return df.repartition(target)
+
+
+def _estimated_partitions(df: DataFrame) -> int:
+    """Scan-partition estimate WITHOUT ``df.rdd`` — converting to an RDD
+    compiles the physical plan and costs ~0.8s per fresh DataFrame, which
+    dominated the very operators this guard protects. For file sources:
+    Σ ceil(file_size / maxPartitionBytes) (how Spark actually splits
+    parquet). Unsizable paths (object stores) or non-file frames fall back
+    to the accurate-but-slow RDD probe.
+    """
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        paths = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        paths = []
+    if paths:
+        max_bytes = int(
+            str(
+                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            ).rstrip("b")
+        )
+        total = 0
+        for p in paths:
+            parsed = urlparse(p)
+            if parsed.scheme not in ("file", ""):
+                break  # remote path — can't size cheaply
+            try:
+                total += math.ceil(os.path.getsize(parsed.path) / max_bytes)
+            except OSError:
+                break
+        else:
+            return max(1, total)
+    return df.rdd.getNumPartitions()
 
 
 def salted_join(
