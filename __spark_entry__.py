@@ -1647,6 +1647,73 @@ FROM documents
 """
 
 
+def d5_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B|/|A| ≥ 0.9): catches near-subset
+    documents that symmetric Jaccard under-scores."""
+    from etl_oms_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.9, k=1)
+
+
+D5_SQL = f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM documents
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS id_contained, b.doc_id AS id_container, COUNT(*) AS c
+    FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_contained, id_container, CAST(c AS DOUBLE) / x.n AS containment
+FROM common JOIN cnt x ON id_contained = x.doc_id
+WHERE CAST(c AS DOUBLE) / x.n >= 0.9
+"""
+
+
+def t6_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate as a pure predicate (kept docs only)."""
+    from etl_oms_spark.operators.text import quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_filter(
+        d, min_tokens=30, max_tokens=120, max_punct_ratio=0.05,
+        min_stopword_ratio=0.02,
+    ).select("doc_id", "n_chars")
+
+
+T6_SQL = f"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE {_WS} BETWEEN 30 AND 120
+  AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+      / greatest(length(text), 1) <= 0.05
+  AND CAST(len(regexp_extract_all(lower(text),
+        '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
+      / greatest({_WS}, 1) >= 0.02
+"""
+
+
+def sp1_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stable train/test split sizes per language (no oracle:
+    xxhash64 buckets are engine-specific; disjointness/stability pinned by
+    tests)."""
+    from etl_oms_spark.operators.sampling import train_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    train, test = train_test_split(d, test_rate=0.2, key_col="doc_id")
+    return (
+        train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_train"))
+        .join(
+            test.groupBy("lang").agg(F.count(F.lit(1)).alias("n_test")),
+            "lang",
+            "full_outer",
+        )
+        .na.fill(0)
+    )
+
+
 # keep the SQL marker lists in lockstep with LANG_MARKERS
 def _build_t3_sql() -> str:
     from etl_oms_spark.operators.text import LANG_MARKERS
@@ -1731,6 +1798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_ngram_jaccard": d2_ngram_jaccard,
         "d3_minhash_candidates": d3_minhash_candidates,
         "d4_simhash": d4_simhash,
+        "d5_containment": d5_containment,
+        "t6_quality_filter": t6_quality_filter,
+        "sp1_deterministic_split": sp1_deterministic_split,
         "t1_token_stats": t1_token_stats,
         "t2_quality_score": t2_quality_score,
         "t3_language_id": t3_language_id,
@@ -1797,6 +1867,8 @@ def oracle_sql() -> dict[str, str]:
         "d2_ngram_jaccard": D2_SQL,
         # d3/d4/e2/e3: engine-specific hashes / approximate by design →
         # rows-only checks; exact twins are d2 (Jaccard) and e1 (cosine).
+        "d5_containment": D5_SQL,
+        "t6_quality_filter": T6_SQL,
         "t1_token_stats": T1_SQL,
         "t2_quality_score": T2_SQL,
         "t3_language_id": T3_SQL,

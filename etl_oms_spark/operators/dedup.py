@@ -298,3 +298,45 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    k: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment: |A∩B| / |A| — detects documents that are
+    near-subsets of another (boilerplate wrapping, quote-inclusion), which
+    symmetric Jaccard under-scores when sizes differ. Same inverted-index
+    machinery as `ngram_jaccard_pairs`; emits directed pairs
+    (id_contained, id_container, containment)."""
+    sh = shingles(text_col, k) if k > 1 else F.array_distinct(tokens(text_col))
+    toks = ensure_parallelism(df, id_col).select(F.col(id_col), F.explode(sh).alias("tok"))
+    if max_df is not None:
+        rare = (
+            toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df).select("tok")
+        )
+        toks = toks.join(rare, "tok")
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col(id_col).alias("id_contained"), "tok")
+    b = toks.select(F.col(id_col).alias("id_container"), "tok")
+    common = (
+        a.join(b, ["tok"])
+        .filter(F.col("id_contained") != F.col("id_container"))
+        .groupBy("id_contained", "id_container")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_contained"), F.col("n").alias("n_a"))
+    return (
+        common.join(na, "id_contained")
+        .select(
+            "id_contained",
+            "id_container",
+            (F.col("common").cast("double") / F.col("n_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

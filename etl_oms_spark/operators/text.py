@@ -148,3 +148,25 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             **{k: v for k, v in feats.items() if k not in ("n_tokens",)},
         }
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.3,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """Gopher-style heuristic quality gate: keep documents inside token-
+    count bounds with natural punctuation and stopword density. Pure
+    predicate pushdown-friendly column expressions — composes with any
+    upstream scan."""
+    f = quality_features(text_col)
+    keep = (
+        (f["n_tokens"] >= min_tokens)
+        & (f["n_tokens"] <= max_tokens)
+        & (f["punct_ratio"] <= max_punct_ratio)
+        & (f["stopword_ratio"] >= min_stopword_ratio)
+    )
+    return df.filter(keep)

@@ -1,0 +1,55 @@
+"""Deterministic sampling / splitting invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_oms_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    train_test_split,
+)
+
+
+def _docs(spark):
+    return spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+
+
+def test_split_disjoint_exhaustive_stable(spark):
+    df = _docs(spark)
+    train, test = train_test_split(df, test_rate=0.2, key_col="doc_id")
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 2000
+    assert 300 < n_test < 500  # ~20% with hash noise
+    assert train.join(test, "doc_id").count() == 0  # disjoint
+    # stability: same membership after repartitioning
+    train2, _ = train_test_split(df.repartition(13), test_rate=0.2, key_col="doc_id")
+    assert train2.exceptAll(train).count() == 0
+    # different salt → different split
+    train3, _ = train_test_split(df, test_rate=0.2, key_col="doc_id", salt="other")
+    assert train3.exceptAll(train).count() > 0
+
+
+def test_deterministic_sample_rate_and_key_consistency(spark):
+    df = _docs(spark).withColumn("row", F.monotonically_increasing_id())
+    # key-level sampling: duplicate each doc_id; both copies must co-move
+    both = df.union(df)
+    sampled = deterministic_sample(both, 0.3, key_col="doc_id")
+    n = sampled.count()
+    assert 0.2 * 4000 < n < 0.4 * 4000
+    per_key = sampled.groupBy("doc_id").count()
+    assert per_key.filter(F.col("count") != 2).count() == 0  # all-or-nothing per key
+
+
+def test_stratified_sample(spark):
+    df = _docs(spark)
+    out = stratified_sample(
+        df, strata_col="lang", rates={"0": 1.0, "1": 0.1}, key_col="doc_id"
+    )
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts["0"] == 667  # rate 1.0 keeps everything
+    assert 30 < counts.get("1", 0) < 130  # ~10%
+    assert "2" not in counts  # default rate 0 drops the stratum
