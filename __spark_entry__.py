@@ -1714,6 +1714,26 @@ def sp1_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tp1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation composition: quality gate → exact
+    dedup → MinHash near-dedup → annotation → hash-stable split, reported
+    as per-(split, predicted-language) counts (rows-only: membership
+    depends on engine-side xxhash; determinism pinned by tests)."""
+    from etl_oms_spark.plans.training_pipeline import curate_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    train, test = curate_documents(docs, min_tokens=20, near_dup_threshold=0.7)
+    return (
+        train.withColumn("split", F.lit("train"))
+        .unionByName(test.withColumn("split", F.lit("test")))
+        .groupBy("split", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+        )
+    )
+
+
 # keep the SQL marker lists in lockstep with LANG_MARKERS
 def _build_t3_sql() -> str:
     from etl_oms_spark.operators.text import LANG_MARKERS
@@ -1801,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_containment": d5_containment,
         "t6_quality_filter": t6_quality_filter,
         "sp1_deterministic_split": sp1_deterministic_split,
+        "tp1_curation_pipeline": tp1_curation_pipeline,
         "t1_token_stats": t1_token_stats,
         "t2_quality_score": t2_quality_score,
         "t3_language_id": t3_language_id,

@@ -23,12 +23,26 @@ Module map
 - merge          upsert/merge semantics (keep-last dedup, full-outer merge)
 - sources.readers   CSV/JSON/parquet/directory scans, JDBC dim reads
 - sources.writers   CSV/JSON/parquet sinks, JDBC staging+upsert sink
-- operators.dedup        exact / minhash-LSH / simhash / n-gram-jaccard dedup
-- operators.similarity   cosine top-k, LSH-bucketed ANN
-- operators.text         language-ID, quality score, token count, fingerprints
+- operators.dedup        exact / minhash-LSH / simhash / n-gram-jaccard /
+                         containment dedup
+- operators.similarity   cosine top-k, LSH ANN, IVF ANN, embedding near-dup
+- operators.text         language-ID, quality score/filter, token counts,
+                         fingerprints
 - operators.multimodal   binary media columns: schema + mapInPandas plumbing
-- streaming.events       event-time windowed aggregation, foreachBatch merge
-- plans.pipelines        end-to-end pipelines mirroring the reference entry points
+- operators.llm          LLMClient seam, Arrow-batched inference column
+- operators.stateful     sessionization, grouped-map EMA
+- operators.temporal     as-of join, range join
+- operators.rollup       hierarchical continuous time rollups
+- operators.graph        connected components, transitive dedup closure
+- operators.sampling     hash-stable sampling / train-test splits
+- sources.merge_table    partition-pruned parquet MERGE + compaction
+- streaming.events       windows/watermarks, dedup-within-watermark,
+                         stream-static enrichment, foreachBatch merge,
+                         applyInPandasWithState profiles
+- catalog                temp-view registration + SQL surface
+- util                   parallelism guard, salted join, plan introspection
+- plans.pipelines        EP1/EP2/EP3-equivalent reference pipelines
+- plans.training_pipeline  end-to-end training-data curation
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,78 @@
+"""End-to-end training-data curation pipeline.
+
+The composition the LLM-pipeline operators exist for, in the canonical
+order (cheap filters first so expensive stages see less data):
+
+    raw documents
+      → quality gate           (pure predicates, pushdown-friendly)
+      → exact dedup            (fingerprint groupBy)
+      → near dedup             (MinHash-LSH, greedy or transitive)
+      → annotate               (language, token counts, quality score)
+      → optional per-language stratified sampling
+      → hash-stable train/test split
+      → partitioned parquet    (split/lang layout → downstream pruning)
+
+Every stage is lazy DataFrame algebra; the whole pipeline is a handful of
+shuffles (dedup groupBys/joins) over one scan of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup, minhash_dedup
+from ..operators.sampling import stratified_sample, train_test_split
+from ..operators.text import quality_filter, with_text_stats
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    near_dup_threshold: float = 0.8,
+    transitive: bool = False,
+    lang_rates: dict[str, float] | None = None,
+    test_rate: float = 0.05,
+) -> tuple[DataFrame, DataFrame]:
+    """(train, test) curated corpora with annotation columns attached."""
+    gated = quality_filter(df, text_col, min_tokens=min_tokens)
+
+    survivors = exact_dedup(gated, text_col, id_col).select(id_col)
+    deduped = gated.join(survivors, id_col, "left_semi")
+
+    if transitive:
+        from ..operators.graph import transitive_minhash_dedup
+
+        deduped = transitive_minhash_dedup(
+            deduped, text_col, id_col, threshold=near_dup_threshold
+        )
+    else:
+        deduped = minhash_dedup(
+            deduped, text_col, id_col, threshold=near_dup_threshold
+        )
+
+    annotated = with_text_stats(deduped, text_col)
+
+    if lang_rates:
+        annotated = stratified_sample(
+            annotated, "lang_pred", lang_rates, key_col=id_col, default_rate=1.0
+        )
+
+    return train_test_split(annotated, test_rate=test_rate, key_col=id_col)
+
+
+def write_curated(
+    train: DataFrame,
+    test: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Materialize with a split/lang partition layout so downstream readers
+    prune to one split (and optionally one language) per job."""
+    partition_cols = partition_cols or ["split", "lang_pred"]
+    out = train.withColumn("split", F.lit("train")).unionByName(
+        test.withColumn("split", F.lit("test"))
+    )
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -53,3 +53,32 @@ def test_stratified_sample(spark):
     assert counts["0"] == 667  # rate 1.0 keeps everything
     assert 30 < counts.get("1", 0) < 130  # ~10%
     assert "2" not in counts  # default rate 0 drops the stratum
+
+
+def test_curate_documents_end_to_end(spark, sf_dir):
+    import os
+
+    from etl_oms_spark.plans.training_pipeline import curate_documents, write_curated
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train, test = curate_documents(
+        docs, min_tokens=20, near_dup_threshold=0.7, test_rate=0.1
+    )
+    n_train, n_test = train.count(), test.count()
+    assert n_train > 0 and n_test > 0
+    assert n_train + n_test <= docs.count()  # filters + dedup only remove
+    # annotation columns present
+    for c in ("lang_pred", "quality", "ws_tokens", "fingerprint"):
+        assert c in train.columns
+    # deterministic: re-running yields identical membership
+    train2, _ = curate_documents(
+        docs, min_tokens=20, near_dup_threshold=0.7, test_rate=0.1
+    )
+    assert train2.select("doc_id").exceptAll(train.select("doc_id")).count() == 0
+
+    out = str(spark._sc._temp_dir) + "/curated"
+    write_curated(train, test, out)
+    layout = set(os.listdir(out))
+    assert any(d.startswith("split=") for d in layout)
+    back = spark.read.parquet(out)
+    assert back.count() == n_train + n_test
