@@ -20,10 +20,19 @@ import sys
 from collections.abc import Callable
 
 # the engine package lives next to this file; make the contract loadable by
-# file path from any cwd (the driver may not run from the repo root)
+# file path from any cwd (the driver may not run from the repo root), and
+# export PYTHONPATH so Python WORKERS spawned later can unpickle closures
+# that reference the package (worker processes don't see driver-side
+# sys.path mutations)
 _HERE = os.path.dirname(os.path.abspath(__file__))
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
+if _HERE not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _HERE + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _HERE
+    )
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

@@ -82,12 +82,25 @@ def decode_media_metadata(
         )
     out_schema = T.StructType(list(df.schema.fields) + [T.StructField("meta", MEDIA_META_SCHEMA)])
 
+    # nested copy of the header parser: the closure must be SELF-CONTAINED
+    # so cloudpickle ships it by value — a module-global reference would
+    # require this package to be importable on every Python worker, which
+    # fails when the contract is loaded by file path from a foreign cwd
+    def parse_fake(payload: bytes) -> tuple[int, int, int]:
+        if payload is None or len(payload) < 13 or payload[:4] != b"FAKE":
+            raise ValueError("not a FAKE payload")
+        return (
+            int.from_bytes(payload[4:8], "big"),
+            int.from_bytes(payload[8:12], "big"),
+            payload[12],
+        )
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = []
             for payload in pdf[payload_col]:
                 try:
-                    w, h, c = _parse_fake(bytes(payload))
+                    w, h, c = parse_fake(bytes(payload))
                     metas.append(
                         {
                             "media_type": "image",
