@@ -1322,6 +1322,75 @@ LIMIT 20
 """
 
 
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-revenue ratio over a join (LIKE-prefix
+    predicate inside the aggregate; exact-integer sums → deterministic
+    ratio)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    vol_cents = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000)
+    promo = F.when(F.col("p_type").startswith("PROMO"), vol_cents).otherwise(F.lit(0))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(vol_cents)).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+       AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING (orders whose
+    total quantity exceeds a threshold), joined back to customers, top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg((F.sum(_cents(F.col("l_quantity"))) / F.lit(100.0)).alias("total_qty"))
+        .filter(F.col("total_qty") > 150.0)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, t.total_qty
+FROM orders
+JOIN (
+    SELECT l_orderkey, {_sum_sql('l_quantity')} AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING {_sum_sql('l_quantity')} > 150.0
+) t ON o_orderkey = t.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 25
+"""
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (native session_window; streaming-ready).
 
@@ -1813,6 +1882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q10_returned_items": q10_returned_items,
+        "q14_promo_ratio": q14_promo_ratio,
+        "q18_large_volume": q18_large_volume,
         "ar1_array_funcs": ar1_array_funcs,
         "t5_regex_extract": t5_regex_extract,
         "f10_date_funcs": f10_date_funcs,
@@ -1884,6 +1955,8 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": Q7_SQL,
         "q8_market_share": Q8_SQL,
         "q10_returned_items": Q10_SQL,
+        "q14_promo_ratio": Q14_SQL,
+        "q18_large_volume": Q18_SQL,
         "ar1_array_funcs": AR1_SQL,
         "t5_regex_extract": T5_SQL,
         "f10_date_funcs": F10_SQL,
