@@ -1391,6 +1391,417 @@ LIMIT 25
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery — for each small part, the
+    EUROPE supplier with the minimum account balance among those who have
+    supplied it.
+
+    The testdata has no partsupp table; the distinct (l_partkey, l_suppkey)
+    pairs from lineitem stand in for it, and s_acctbal stands in for
+    ps_supplycost. The correlated MIN becomes a partition-window min —
+    one shuffle on p_partkey instead of a second scan + rejoin.
+    """
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"]).join(
+        F.broadcast(supp), ps["ps_suppkey"] == supp["s_suppkey"]
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem),
+     supp AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM ps
+JOIN part ON ps_partkey = p_partkey
+JOIN supp ON ps_suppkey = s_suppkey
+WHERE p_size <= 15
+  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
+                   FROM ps ps2 JOIN supp s2 ON ps2.ps_suppkey = s2.s_suppkey
+                   WHERE ps2.ps_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table selective filter → scalar aggregate. The whole
+    predicate is pushed into the parquet scan (PushedFilters); at scale this
+    is a pure scan-rate benchmark with map-side partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"), 10_000))
+             / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT {_sum_sql('l_extendedprice * l_discount', 10000)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for one
+    product family. No partsupp/ps_supplycost in the testdata, so profit =
+    revenue (extendedprice × (1-discount)); the join/aggregation shape is
+    unchanged: selective part filter broadcast into the fact, two more
+    joins, group by (nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(_cents(amount, 10_000)) / F.lit(10000.0)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {_sum_sql('l_extendedprice * (1.0 - l_discount)', 10000)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped value per part HAVING value > fraction of
+    the global total (scalar subquery in HAVING). lineitem revenue stands in
+    for partsupp stock value. The threshold compare is done on exact integer
+    cents (value×1000 > total), so both engines make identical keep/drop
+    decisions — no float-epsilon flakiness at the cut line."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    grp = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])),
+                li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    total = grp.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        grp.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.lit(1000) > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("value_cents") / F.lit(100.0)).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH v AS (
+    SELECT l_partkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS part_value
+FROM v
+WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM v)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: joined CASE'd two-way counts. The testdata lacks
+    l_shipmode/l_commitdate/l_receiptdate, so "late" = shipped >30 days
+    after the order date within 1997, bucketed by l_linestatus, counting
+    critical (1-URGENT/2-HIGH) vs other order priorities."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view → supplier(s) matching the global MAX
+    (scalar subquery). Exact integer cents make the MAX comparison
+    deterministic across engines; ties all survive, as in the spec."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000)
+            ).alias("rev_cents")
+        )
+    )
+    mx = rev.agg(F.max("rev_cents").alias("max_cents"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cents") == F.col("max_cents"))
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS rev_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_cents AS DOUBLE) / 10000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE rev_cents = (SELECT MAX(rev_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute triple,
+    excluding a supplier denylist (NOT IN subquery → broadcast anti join).
+    Distinct lineitem (part, supplier) pairs stand in for partsupp;
+    negative account balance stands in for the complaints filter."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("ECONOMY"))
+        & F.col("p_size").isin(2, 5, 11, 14, 17, 21, 28, 37)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), ps["ps_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem) ps
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (2, 5, 11, 14, 17, 21, 28, 37)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join reduction — suppliers in one
+    nation who shipped >40 units of 'small…' parts during 1997. partsupp
+    availability becomes shipped-quantity per (part, supplier); the
+    double-nested IN subqueries become left-semi joins, keeping every stage
+    distributed and the part filter broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 40 * 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_4'
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 4000)
+ORDER BY s_name, s_suppkey
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated self-joins — the
+    only supplier that shipped late on a multi-supplier finished order.
+    Without l_commitdate/l_receiptdate, "late" = shipped >90 days after the
+    order date. EXISTS → left-semi self-join, NOT EXISTS → left-anti
+    self-join on (same order, different supplier)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    late = (
+        li.join(o_f, li["l_orderkey"] == o_f["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = (
+        late.join(F.broadcast(s), late["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    others = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            others,
+            (l1["l_orderkey"] == others["o2"]) & (l1["l_suppkey"] != others["s2"]),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (l1["l_orderkey"] == late_others["o3"])
+            & (l1["l_suppkey"] != late_others["s3"]),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2'
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (native session_window; streaming-ready).
 
@@ -1884,6 +2295,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q14_promo_ratio": q14_promo_ratio,
         "q18_large_volume": q18_large_volume,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_priority": q12_late_priority,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q20_potential_promotion": q20_potential_promotion,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "ar1_array_funcs": ar1_array_funcs,
         "t5_regex_extract": t5_regex_extract,
         "f10_date_funcs": f10_date_funcs,
@@ -1957,6 +2377,15 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": Q10_SQL,
         "q14_promo_ratio": Q14_SQL,
         "q18_large_volume": Q18_SQL,
+        "q2_min_cost_supplier": Q2_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "q9_product_type_profit": Q9_SQL,
+        "q11_important_parts": Q11_SQL,
+        "q12_late_priority": Q12_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q16_supplier_part_count": Q16_SQL,
+        "q20_potential_promotion": Q20_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
         "ar1_array_funcs": AR1_SQL,
         "t5_regex_extract": T5_SQL,
         "f10_date_funcs": F10_SQL,

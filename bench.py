@@ -20,6 +20,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_supplier_volume",
     "q17_avg_quantity_filter",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
     "star_fact_rollup",
     "j2_multikey_join",
     "r1_unpivot",
