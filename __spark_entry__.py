@@ -1802,6 +1802,62 @@ LIMIT 100
 """
 
 
+def ar2_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-view explode (UDTF shape): tokenize documents and count word
+    frequencies — the classic generator/flatten operator Spark expresses as
+    explode(split(...)). Stays entirely JVM-side (no Python UDF); the
+    generate + partial hash aggregate pipeline into one codegen stage, so at
+    100 TB this is scan-rate bound like any flatMap+combine."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 4)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(50)
+    )
+
+
+AR2_SQL = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+WHERE length(word) >= 4
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 50
+"""
+
+
+def w3_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window functions: ntile / percent_rank / cume_dist /
+    dense_rank over customers per market segment. The order key includes
+    c_custkey so ntile's row-order dependence is deterministic across
+    engines; percent_rank/cume_dist are tie-aware by definition."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+W3_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(dense_rank() OVER w AS INT) AS drank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (native session_window; streaming-ready).
 
@@ -2305,6 +2361,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "ar1_array_funcs": ar1_array_funcs,
+        "ar2_explode_wordcount": ar2_explode_wordcount,
+        "w3_rank_functions": w3_rank_functions,
         "t5_regex_extract": t5_regex_extract,
         "f10_date_funcs": f10_date_funcs,
         "tj1_asof_join": tj1_asof_join,
@@ -2387,6 +2445,8 @@ def oracle_sql() -> dict[str, str]:
         "q20_potential_promotion": Q20_SQL,
         "q21_waiting_suppliers": Q21_SQL,
         "ar1_array_funcs": AR1_SQL,
+        "ar2_explode_wordcount": AR2_SQL,
+        "w3_rank_functions": W3_SQL,
         "t5_regex_extract": T5_SQL,
         "f10_date_funcs": F10_SQL,
         "tj1_asof_join": TJ1_SQL,
