@@ -152,6 +152,39 @@ def enrich_stream(stream_df: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return stream_df.join(F.broadcast(dim), on, "left")
 
 
+def join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    watermark: str = "1 hour",
+    within: str = "15 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition.
+
+    Matches a right-stream event to a left-stream event of the same ``key``
+    when it arrives within ``[left.ts, left.ts + within]`` (e.g. view →
+    click attribution). Both sides carry a watermark and the join condition
+    bounds event-time distance, so Spark can evict join state once the
+    watermark passes — state is O(events within one watermark window), not
+    O(stream history), which is what makes this run indefinitely at scale.
+    """
+    l_side = left.withWatermark(ts_col, watermark).alias("l")
+    r_side = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l_side.join(r_side, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.event_id").alias("left_event_id"),
+        F.col(f"r.event_id").alias("right_event_id"),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
+    )
+
+
 def stateful_user_profiles(stream_df: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``.
 

@@ -145,6 +145,49 @@ def test_enrich_stream_static_join(spark, tmp_path):
         q.stop()
 
 
+def test_join_streams_interval_attribution(spark, tmp_path):
+    from etl_oms_spark.streaming.events import join_streams
+
+    views_src = tmp_path / "views_src"
+    clicks_src = tmp_path / "clicks_src"
+    views_src.mkdir()
+    clicks_src.mkdir()
+    _write_events_json(views_src / "b1.json", [
+        {"event_id": 10, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+         "event_type": "view", "value": 0.0, "props": "{}"},
+        {"event_id": 11, "ts": "2024-01-01T01:00:00Z", "user_id": 2,
+         "event_type": "view", "value": 0.0, "props": "{}"}])
+    _write_events_json(clicks_src / "b1.json", [
+        # within 15 min of view 10 → attributed
+        {"event_id": 20, "ts": "2024-01-01T00:10:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        # same user, 50 min after view 10 → outside the window
+        {"event_id": 21, "ts": "2024-01-01T00:50:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        # other user, within window of view 11
+        {"event_id": 22, "ts": "2024-01-01T01:05:00Z", "user_id": 2,
+         "event_type": "click", "value": 1.0, "props": "{}"}])
+    joined = join_streams(
+        stream_events(spark, str(views_src)),
+        stream_events(spark, str(clicks_src)),
+        watermark="2 hours",
+        within="15 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("attributed")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        pairs = sorted(
+            (r["left_event_id"], r["right_event_id"])
+            for r in spark.sql("SELECT * FROM attributed").collect()
+        )
+        assert pairs == [(10, 20), (11, 22)]
+    finally:
+        q.stop()
+
+
 def test_stateful_user_profiles(spark, tmp_path):
     from etl_oms_spark.streaming.events import stateful_user_profiles
 
