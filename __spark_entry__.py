@@ -1802,6 +1802,66 @@ LIMIT 100
 """
 
 
+def a12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets with GROUPING flags: all 4 rollup combinations of
+    (status, priority) in one pass — Spark expands the grouping sets before
+    the hash aggregate, so it's still a single shuffle. The grouping flags
+    distinguish subtotal NULLs from data NULLs."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.col("o_totalprice"))) / F.lit(100.0)).alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+    )
+
+
+A12_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_sum_sql('o_totalprice')} AS total,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def a13_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) per group via Spark's ``percentile``.
+
+    Computed on integer cents: linear interpolation between two exact
+    integers is bit-identical under both engines' formulas (a+(b-a)*f vs
+    (1-f)*a+f*b), so the oracle compare is exact. At 100 TB exact
+    percentiles need a full sort per group — a11_approx_distinct carries
+    the approx_percentile scale path; this is its exact twin."""
+    o = _t(spark, sf_dir, "orders")
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            (F.expr(f"percentile({cents}, 0.5)") / F.lit(100.0)).alias("median_price"),
+            (F.expr(f"percentile({cents}, 0.9)") / F.lit(100.0)).alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+A13_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) / 100.0 AS median_price,
+       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) / 100.0 AS p90_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def ar2_explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral-view explode (UDTF shape): tokenize documents and count word
     frequencies — the classic generator/flatten operator Spark expresses as
@@ -2371,6 +2431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": ev_sessionize,
         "a10_distinct_agg": a10_distinct_agg,
         "a11_approx_distinct": a11_approx_distinct,
+        "a12_cube": a12_cube,
+        "a13_exact_median": a13_exact_median,
         "u2_grouped_ema": u2_grouped_ema,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
@@ -2454,6 +2516,8 @@ def oracle_sql() -> dict[str, str]:
         "rl1_time_rollup": RL1_SQL,
         "ev_sessionize": EV_SESSION_SQL,
         "a10_distinct_agg": A10_SQL,
+        "a12_cube": A12_SQL,
+        "a13_exact_median": A13_SQL,
         # a11 (HLL sketch) and u2 (recursive EMA): rows-only by design
         "d1_exact_dedup": D1_SQL,
         "d2_ngram_jaccard": D2_SQL,
