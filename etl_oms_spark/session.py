@@ -35,6 +35,25 @@ _DEFAULTS = {
 }
 
 
+def _ensure_driver_memory() -> None:
+    """Size the local-mode driver heap before the JVM launches.
+
+    In ``local[*]`` the driver JVM *is* the executor; Spark's 1g default
+    heap GC-thrashes on multi-million-row shuffle/join state long before
+    the machine's memory is used. ``spark.driver.memory`` is only honored
+    at JVM launch, so it must travel via ``PYSPARK_SUBMIT_ARGS``. No-op
+    when a gateway already exists (too late) or the user set their own
+    submit args. Override with ``SPARK_GRAFT_DRIVER_MEM``. On a real
+    cluster this is irrelevant — executor memory comes from spark-submit.
+    """
+    from pyspark import SparkContext
+
+    if SparkContext._gateway is not None or "PYSPARK_SUBMIT_ARGS" in os.environ:
+        return
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+
+
 def get_spark(
     app_name: str = "etl-oms-spark",
     master: str | None = None,
@@ -48,6 +67,7 @@ def get_spark(
     session). ``shuffle_partitions`` defaults to the local core count for
     local mode; on a real cluster, pass ~2-3x total executor cores.
     """
+    _ensure_driver_memory()
     builder = SparkSession.builder.appName(app_name)
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None and cpus:
