@@ -492,6 +492,69 @@ FROM events
 """
 
 
+def f11_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured access (Spark 4): parse the JSON once
+    into the binary VARIANT encoding, then variant_get typed paths. At
+    scale this beats per-path get_json_object (f8), which re-parses the
+    string for every extraction; aggregating over the typed value stays in
+    codegen."""
+    ev = _events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select(
+            "event_type",
+            F.variant_get(v, "$.k", "long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+F11_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def u3_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) in a LATERAL join: data-dependent fan-out of
+    each document into overlapping token-window chunks with provenance —
+    the context-window-packing table function of a training pipeline.
+    Deterministic, so it gets an exact oracle (DuckDB list-slicing CTE)."""
+    from etl_oms_spark.operators.text import chunk_documents_udtf
+
+    spark.udtf.register("chunk_documents", chunk_documents_udtf())
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("u3_docs")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.start_tok, c.end_tok, c.chunk "
+        "FROM u3_docs, LATERAL chunk_documents(doc_id, text, 32, 8) c"
+    )
+
+
+U3_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+    WHERE length(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST(g // 24 AS INT) AS chunk_id,
+       CAST(g AS INT) AS start_tok,
+       CAST(least(g + 32, len(t)) AS INT) AS end_tok,
+       array_to_string(t[g + 1:least(g + 32, len(t))], ' ') AS chunk
+FROM toks, LATERAL unnest(range(0, len(t), 24)) AS r(g)
+WHERE g = 0 OR g - 24 + 32 < len(t)
+"""
+
+
 def s4_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filename/label keyword classification (S4 —
     ETL_OMS_FINAL_Upgraded.py:62-67) applied to documents.source."""
@@ -2405,6 +2468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_f6_rate_math": f5_f6_rate_math,
         "f7_unit_map": f7_unit_map,
         "f8_json_extract": f8_json_extract,
+        "f11_variant_json": f11_variant_json,
+        "u3_chunk_udtf": u3_chunk_udtf,
         "s4_source_classify": s4_source_classify,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -2491,6 +2556,8 @@ def oracle_sql() -> dict[str, str]:
         "f5_f6_rate_math": F5_F6_SQL,
         "f7_unit_map": F7_SQL,
         "f8_json_extract": F8_SQL,
+        "f11_variant_json": F11_SQL,
+        "u3_chunk_udtf": U3_SQL,
         "s4_source_classify": S4_SQL,
         "star_fact_rollup": STAR_SQL,
         "j5_upsert_merge": J5_SQL,

@@ -170,3 +170,38 @@ def quality_filter(
         & (f["stopword_ratio"] >= min_stopword_ratio)
     )
     return df.filter(keep)
+
+
+def chunk_documents_udtf():
+    """Python UDTF (Spark 4) that splits a document into overlapping
+    token-window chunks — the table-function shape for context-window
+    packing in training pipelines: one input row → N chunk rows with
+    provenance (doc_id, chunk_id, span).
+
+    A UDTF is the right surface when the fan-out arity is data-dependent
+    and each output row needs constructed metadata; for fixed-arity
+    splits prefer native explode (see ar2 in the contract), which stays
+    in codegen. Returns the decorated class; register with
+    ``spark.udtf.register("chunk_documents", chunk_documents_udtf())`` or
+    call directly in the DataFrame API.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_id int, start_tok int, end_tok int, chunk string")
+    class ChunkDocuments:
+        def eval(self, doc_id: int, text: str, window: int = 64, overlap: int = 16):
+            if text is None:
+                return
+            toks = text.split()
+            if not toks:
+                return
+            step = max(window - overlap, 1)
+            cid = 0
+            for start in range(0, len(toks), step):
+                end = min(start + window, len(toks))
+                yield doc_id, cid, start, end, " ".join(toks[start:end])
+                cid += 1
+                if end == len(toks):
+                    break
+
+    return ChunkDocuments

@@ -124,3 +124,27 @@ def test_ngram_jaccard_max_df_caps_blowup(spark):
     # with max_df=1 every shared token is dropped → no pairs at all
     pairs = ngram_jaccard_pairs(_docs(spark), threshold=0.1, k=1, max_df=1)
     assert pairs.count() == 0
+
+
+def test_chunk_documents_udtf(spark):
+    from etl_oms_spark.operators.text import chunk_documents_udtf
+
+    spark.udtf.register("chunk_documents_t", chunk_documents_udtf())
+    spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo"), (3, None)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("chunk_in")
+    rows = spark.sql(
+        "SELECT c.* FROM chunk_in, LATERAL chunk_documents_t(doc_id, text, 6, 2) c"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, window 6, step 4 -> chunks [0:6], [4:10]; the loop
+    # stops once a window reaches the end (no [8:10] tail chunk)
+    spans = [(r["start_tok"], r["end_tok"]) for r in sorted(by_doc[1], key=lambda r: r["chunk_id"])]
+    assert spans == [(0, 6), (4, 10)]
+    assert by_doc[1][0]["chunk"] == "w0 w1 w2 w3 w4 w5"
+    # single-token doc -> one chunk; null text -> no rows
+    assert [(r["start_tok"], r["end_tok"]) for r in by_doc[2]] == [(0, 1)]
+    assert 3 not in by_doc
