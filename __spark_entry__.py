@@ -530,9 +530,13 @@ def u3_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the context-window-packing table function of a training pipeline.
     Deterministic, so it gets an exact oracle (DuckDB list-slicing CTE)."""
     from etl_oms_spark.operators.text import chunk_documents_udtf
+    from etl_oms_spark.util import ensure_parallelism
 
     spark.udtf.register("chunk_documents", chunk_documents_udtf())
-    _t(spark, sf_dir, "documents").createOrReplaceTempView("u3_docs")
+    # per-row Python: parallelize the scan or one worker chunks everything
+    ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id").createOrReplaceTempView(
+        "u3_docs"
+    )
     return spark.sql(
         "SELECT c.doc_id, c.chunk_id, c.start_tok, c.end_tok, c.chunk "
         "FROM u3_docs, LATERAL chunk_documents(doc_id, text, 32, 8) c"
@@ -2193,10 +2197,16 @@ FROM documents
 
 
 def t3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic (deterministic argmax)."""
-    from etl_oms_spark.operators.text import language_id
+    """Marker-word language-ID heuristic (deterministic argmax).
 
-    d = _t(spark, sf_dir, "documents")
+    The marker regexes are compute-heavy per row, so the scan is guarded by
+    ensure_parallelism — a single-row-group parquet file would otherwise
+    serialize all matching onto one core (no-op on well-split sources;
+    measured 2× at sf0.1, SCALING.md)."""
+    from etl_oms_spark.operators.text import language_id
+    from etl_oms_spark.util import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", "lang", language_id("text").alias("lang_pred"))
 
 
