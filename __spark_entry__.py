@@ -559,6 +559,33 @@ WHERE g = 0 OR g - 24 + 32 < len(t)
 """
 
 
+def f12_decimal_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-typed exact aggregation — the warehouse-native form of the
+    exact-integer policy: cast to DECIMAL(18,2) once, sum exactly in
+    decimal (no float partial-aggregation drift), convert to double only at
+    the edge. avg is derived as exact-sum / count rather than engine-native
+    decimal avg, whose result scale/rounding differs between engines."""
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    total = F.sum(dec).cast("double")
+    n = F.count(F.lit(1))
+    return o.groupBy("o_orderstatus").agg(
+        total.alias("total_price"),
+        (total / n).alias("avg_price"),
+        n.alias("n"),
+    )
+
+
+F12_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def s4_source_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filename/label keyword classification (S4 —
     ETL_OMS_FINAL_Upgraded.py:62-67) applied to documents.source."""
@@ -2479,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_unit_map": f7_unit_map,
         "f8_json_extract": f8_json_extract,
         "f11_variant_json": f11_variant_json,
+        "f12_decimal_sums": f12_decimal_sums,
         "u3_chunk_udtf": u3_chunk_udtf,
         "s4_source_classify": s4_source_classify,
         "star_fact_rollup": star_fact_rollup,
@@ -2567,6 +2595,7 @@ def oracle_sql() -> dict[str, str]:
         "f7_unit_map": F7_SQL,
         "f8_json_extract": F8_SQL,
         "f11_variant_json": F11_SQL,
+        "f12_decimal_sums": F12_SQL,
         "u3_chunk_udtf": U3_SQL,
         "s4_source_classify": S4_SQL,
         "star_fact_rollup": STAR_SQL,
