@@ -1,0 +1,126 @@
+"""CLI mirroring the reference's four entry points, Spark-first.
+
+A user of the reference switches 1:1:
+
+- ``python ETL_OMS.py --file F --pandemic_name N``
+  → ``python -m etl_oms_spark long --file F --pandemic-name N --out DIR``
+- ``python ETL_OMS_V2.py`` (long → wide pivot for BI)
+  → ``python -m etl_oms_spark pivot --file LONG --out DIR``
+- ``python ETL_OMS_FINAL.py --file F --pandemic_name N`` (star schema)
+  → ``python -m etl_oms_spark star --file F --pandemic-name N --out DIR``
+- ``python ETL_OMS_OPERATIONNEL.py`` (directory → warehouse upsert)
+  → ``python -m etl_oms_spark warehouse --directory DATASETS --target WAREHOUSE``
+
+Outputs are written as CSV + JSON (like EP1/EP2; ``--single-file`` coalesces
+for small-output parity) or as a partition-pruned parquet merge table (EP3's
+scalable ON CONFLICT twin). Each subcommand builds ONE lazy plan and lets
+Catalyst optimize; sinks are the only actions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _read_input(spark, path: str):
+    from .sources.readers import read_csv, read_json
+
+    if path.lower().endswith(".json"):
+        return read_json(spark, path)
+    return read_csv(spark, path)
+
+
+def _write_both(df, out_dir: str, name: str, single_file: bool) -> None:
+    from .sources.writers import write_csv, write_json
+
+    write_csv(df, os.path.join(out_dir, f"{name}_csv"), single_file=single_file)
+    write_json(df, os.path.join(out_dir, f"{name}_json"), single_file=single_file)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="etl_oms_spark")
+    ap.add_argument("--master", default=None, help="Spark master (default: env/local)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_long = sub.add_parser("long", help="EP1: wide input -> tidy long format")
+    p_long.add_argument("--file", required=True)
+    p_long.add_argument("--pandemic-name", required=True)
+    p_long.add_argument("--out", required=True)
+    p_long.add_argument("--single-file", action="store_true")
+
+    p_pivot = sub.add_parser("pivot", help="V2: long CSV -> wide pivot")
+    p_pivot.add_argument("--file", required=True)
+    p_pivot.add_argument("--out", required=True)
+    p_pivot.add_argument("--single-file", action="store_true")
+
+    p_star = sub.add_parser("star", help="EP2: input -> star schema (4 tables)")
+    p_star.add_argument("--file", required=True)
+    p_star.add_argument("--pandemic-name", required=True)
+    p_star.add_argument("--out", required=True)
+    p_star.add_argument("--single-file", action="store_true")
+
+    p_wh = sub.add_parser(
+        "warehouse", help="EP3: directory scan -> idempotent warehouse merge"
+    )
+    p_wh.add_argument("--directory", required=True)
+    p_wh.add_argument("--target", required=True, help="parquet merge-table path")
+    p_wh.add_argument("--min-date", default="2019-01-01")
+
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark("etl-oms-cli", master=args.master)
+
+    if args.cmd == "long":
+        from .plans.pipelines import long_format_pipeline
+
+        df = _read_input(spark, args.file)
+        out = long_format_pipeline(df, args.pandemic_name).cache()
+        _write_both(out, args.out, "final", args.single_file)
+        out.show(5)
+    elif args.cmd == "pivot":
+        from .plans.pipelines import pivot_report
+        from .sources.writers import write_csv
+
+        long_df = _read_input(spark, args.file)
+        wide = pivot_report(long_df)
+        write_csv(wide, os.path.join(args.out, "visual_csv"), single_file=args.single_file)
+        wide.show(5)
+    elif args.cmd == "star":
+        from .plans.pipelines import star_schema_pipeline
+
+        df = _read_input(spark, args.file)
+        tables = star_schema_pipeline(df, args.pandemic_name)
+        for name, tdf in tables.items():
+            _write_both(tdf, os.path.join(args.out, args.pandemic_name), name, args.single_file)
+        print({k: "written" for k in tables})
+    elif args.cmd == "warehouse":
+        from .plans.pipelines import run_directory_etl, warehouse_pipeline
+        from .sources.merge_table import merge_into_parquet
+
+        import time
+
+        t0 = time.time()
+        unioned, bilan = run_directory_etl(spark, args.directory, min_date=args.min_date)
+        if unioned is None:
+            print(f"no conformable files in {args.directory}: {bilan}")
+            return 1
+        # per-disease facts share pays/region id spaces via the same
+        # single-pass pipeline; pandemic column already tagged per file
+        for pandemic in [r["pandemic"] for r in unioned.select("pandemic").distinct().collect()]:
+            part = unioned.filter(F.col("pandemic") == pandemic)
+            rolled = warehouse_pipeline(part, pandemic, min_date=args.min_date)
+            merge_into_parquet(
+                spark, args.target, rolled, keys=["id_region", "date"], partition_col="date"
+            )
+        print(f"bilan: {bilan} in {round(time.time() - t0, 2)}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""CLI entry points (python -m etl_oms_spark) — 1:1 with the reference's
+four scripts (EP1 long / V2 pivot / EP2 star / EP3 warehouse)."""
+
+from __future__ import annotations
+
+import glob
+
+from etl_oms_spark.__main__ import main
+
+CSV = """Country/Region,Date,Confirmed,Deaths,Recovered
+France,2021-01-01,100,5,20
+France,2021-01-02,150,8,30
+Germany,2021-01-01,80,2,10
+Germany,notadate,999,9,99
+"""
+
+
+def _write_input(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir(exist_ok=True)
+    (data / "covid_sample.csv").write_text(CSV)
+    return data
+
+
+def test_cli_long_and_pivot(spark, tmp_path):
+    data = _write_input(tmp_path)
+    assert main([
+        "long", "--file", str(data / "covid_sample.csv"),
+        "--pandemic-name", "COVID-19", "--out", str(tmp_path / "long"),
+        "--single-file",
+    ]) == 0
+    long_csv = glob.glob(str(tmp_path / "long" / "final_csv" / "*.csv"))
+    assert long_csv
+    lines = open(long_csv[0]).read().splitlines()
+    assert lines[0] == "country,date,pandemic,indicator,value,unit"
+    # 3 rows dropped the bad date; 3 countries-days x 5 non-null indicators
+    assert len(lines) - 1 == 15
+
+    assert main([
+        "pivot", "--file", str(tmp_path / "long" / "final_csv"),
+        "--out", str(tmp_path / "pivot"), "--single-file",
+    ]) == 0
+    wide = glob.glob(str(tmp_path / "pivot" / "visual_csv" / "*.csv"))
+    assert wide and "confirmed" in open(wide[0]).read().splitlines()[0]
+
+
+def test_cli_star_and_warehouse(spark, tmp_path):
+    data = _write_input(tmp_path)
+    assert main([
+        "star", "--file", str(data / "covid_sample.csv"),
+        "--pandemic-name", "COVID-19", "--out", str(tmp_path / "star"),
+        "--single-file",
+    ]) == 0
+    pays = glob.glob(str(tmp_path / "star" / "COVID-19" / "Pays_csv" / "*.csv"))
+    assert sorted(open(pays[0]).read().splitlines()[1:]) == ["France,1", "Germany,2"]
+
+    target = tmp_path / "wh"
+    assert main([
+        "warehouse", "--directory", str(data), "--target", str(target),
+        "--min-date", "2019-01-01",
+    ]) == 0
+    fact = spark.read.parquet(str(target))
+    assert fact.count() == 3  # 2 countries x 2 days minus the dropped bad date
+    # re-run is idempotent (the ON CONFLICT property of the merge table)
+    assert main([
+        "warehouse", "--directory", str(data), "--target", str(target),
+    ]) == 0
+    assert spark.read.parquet(str(target)).count() == 3
