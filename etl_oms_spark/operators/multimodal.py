@@ -201,6 +201,58 @@ def frame_sample_plan(
     return df.select(id_col, payload_col).mapInPandas(sample, schema=out_schema)
 
 
+def resize_media(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    payload_col: str = "payload",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize media payloads in place (same column name, new bytes),
+    Arrow-batched.
+
+    The fake path rewrites the FAKE header to the target dimensions and
+    nearest-neighbor-samples the body to ``min(target pixels, body len)``
+    bytes — deterministic, so tests can assert exact output. A real
+    implementation (PIL/libvips) swaps in behind the same signature; the
+    batch-size note in the module docstring matters most here, since input
+    AND output payloads coexist in one Arrow batch.
+    """
+    if decoder != "fake":
+        raise NotImplementedError("real codecs not available here")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                b = bytes(payload) if payload is not None else None
+                if b is None or len(b) < 13 or b[:4] != b"FAKE":
+                    out.append(b)  # pass through undecodable payloads
+                    continue
+                channels = b[12]
+                body = b[13:]
+                n_out = min(target_width * target_height, len(body))
+                if n_out and len(body):
+                    # nearest-neighbor index mapping, exact integer math
+                    sampled = bytes(
+                        body[(i * len(body)) // n_out] for i in range(n_out)
+                    )
+                else:
+                    sampled = b""
+                out.append(
+                    b"FAKE"
+                    + target_width.to_bytes(4, "big")
+                    + target_height.to_bytes(4, "big")
+                    + bytes([channels])
+                    + sampled
+                )
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            yield pdf
+
+    return df.mapInPandas(resize, schema=df.schema)
+
+
 def with_media_column(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Testdata helper: synthesize a binary media column from text so the
     multimodal plumbing can run against the documents table."""

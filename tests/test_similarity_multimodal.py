@@ -144,3 +144,24 @@ def test_ivf_assign_and_topk(spark, sf_dir):
     exact = {r["vec_id"] for r in cosine_topk(emb, q, k=5).collect()}
     full = {r["vec_id"] for r in ivf_topk(emb, q, cents, k=5, n_probe=8).collect()}
     assert full == exact
+
+
+def test_resize_media_rewrites_header_and_samples_body(spark):
+    from etl_oms_spark.operators.multimodal import resize_media
+
+    payloads = [(1, make_fake_payload(640, 480, 3)), (2, b"not-a-media"), (3, None)]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["payload"] for r in resize_media(df, 4, 4).collect()}
+    resized = bytes(out[1])
+    # header rewritten to target dims, channels preserved
+    assert resized[:4] == b"FAKE"
+    assert int.from_bytes(resized[4:8], "big") == 4
+    assert int.from_bytes(resized[8:12], "big") == 4
+    assert resized[12] == 3
+    assert len(resized) == 13 + 16  # 4x4 body
+    # deterministic nearest-neighbor: resizing twice gives identical bytes
+    again = {r["doc_id"]: r["payload"] for r in resize_media(df, 4, 4).collect()}
+    assert bytes(again[1]) == resized
+    # undecodable / null payloads pass through untouched
+    assert bytes(out[2]) == b"not-a-media"
+    assert out[3] is None
