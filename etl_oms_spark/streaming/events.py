@@ -159,8 +159,9 @@ def join_streams(
     watermark: str = "1 hour",
     within: str = "15 minutes",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time range condition.
+    """Stream-stream join with an event-time range condition.
 
     Matches a right-stream event to a left-stream event of the same ``key``
     when it arrives within ``[left.ts, left.ts + within]`` (e.g. view →
@@ -168,6 +169,11 @@ def join_streams(
     bounds event-time distance, so Spark can evict join state once the
     watermark passes — state is O(events within one watermark window), not
     O(stream history), which is what makes this run indefinitely at scale.
+
+    ``how="leftOuter"`` additionally emits unmatched left events with null
+    right columns — but only once the watermark moves past their join
+    window, since until then a match could still arrive; tests must advance
+    event time to see them.
     """
     l_side = left.withWatermark(ts_col, watermark).alias("l")
     r_side = right.withWatermark(ts_col, watermark).alias("r")
@@ -176,7 +182,7 @@ def join_streams(
         & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"))
         & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}"))
     )
-    return l_side.join(r_side, cond, "inner").select(
+    return l_side.join(r_side, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col(f"l.event_id").alias("left_event_id"),
         F.col(f"r.event_id").alias("right_event_id"),

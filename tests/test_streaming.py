@@ -188,6 +188,55 @@ def test_join_streams_interval_attribution(spark, tmp_path):
         q.stop()
 
 
+def test_join_streams_left_outer_emits_after_watermark(spark, tmp_path):
+    from etl_oms_spark.streaming.events import join_streams
+
+    views_src = tmp_path / "ov_src"
+    clicks_src = tmp_path / "oc_src"
+    views_src.mkdir()
+    clicks_src.mkdir()
+    _write_events_json(views_src / "b1.json", [
+        {"event_id": 10, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+         "event_type": "view", "value": 0.0, "props": "{}"},   # will match
+        {"event_id": 11, "ts": "2024-01-01T00:01:00Z", "user_id": 2,
+         "event_type": "view", "value": 0.0, "props": "{}"}])  # never matches
+    _write_events_json(clicks_src / "b1.json", [
+        {"event_id": 20, "ts": "2024-01-01T00:05:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"}])
+    joined = join_streams(
+        stream_events(spark, str(views_src)),
+        stream_events(spark, str(clicks_src)),
+        watermark="10 minutes",
+        within="15 minutes",
+        how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("outer_attr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "outer_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["left_event_id"]: r["right_event_id"]
+               for r in spark.sql("SELECT * FROM outer_attr").collect()}
+        assert got.get(10) == 20          # match emits immediately
+        assert 11 not in got              # unmatched: window still open
+        # advance event time far past view 11's window + watermark on BOTH
+        # streams (the watermark is the min across inputs)
+        for src in (views_src, clicks_src):
+            _write_events_json(src / "b2.json", [
+                {"event_id": 99, "ts": "2024-01-01T02:00:00Z", "user_id": 9,
+                 "event_type": "tick", "value": 0.0, "props": "{}"}])
+        q.processAllAvailable()
+        q.processAllAvailable()  # second cycle lets the state-eviction batch run
+        got = {r["left_event_id"]: r["right_event_id"]
+               for r in spark.sql("SELECT * FROM outer_attr").collect()}
+        assert got.get(11, "missing") is None  # emitted with null right side
+    finally:
+        q.stop()
+
+
 def test_stateful_user_profiles(spark, tmp_path):
     from etl_oms_spark.streaming.events import stateful_user_profiles
 
