@@ -70,6 +70,19 @@ def main(argv: list[str] | None = None) -> int:
     p_wh.add_argument("--target", required=True, help="parquet merge-table path")
     p_wh.add_argument("--min-date", default="2019-01-01")
 
+    p_cur = sub.add_parser(
+        "curate",
+        help="training-data curation: quality gate -> exact+minhash dedup -> "
+        "annotate -> deterministic train/test split -> partitioned parquet",
+    )
+    p_cur.add_argument("--documents", required=True, help="parquet path with doc_id+text")
+    p_cur.add_argument("--out", required=True)
+    p_cur.add_argument("--min-tokens", type=int, default=10)
+    p_cur.add_argument("--near-dup-threshold", type=float, default=0.8)
+    p_cur.add_argument("--test-rate", type=float, default=0.05)
+    p_cur.add_argument("--transitive", action="store_true",
+                       help="transitive closure over near-dup pairs (iterative)")
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -119,6 +132,22 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.target, rolled, keys=["id_region", "date"], partition_col="date"
             )
         print(f"bilan: {bilan} in {round(time.time() - t0, 2)}s")
+    elif args.cmd == "curate":
+        from .plans.training_pipeline import curate_documents, write_curated
+
+        docs = spark.read.parquet(args.documents)
+        train, test = curate_documents(
+            docs,
+            min_tokens=args.min_tokens,
+            near_dup_threshold=args.near_dup_threshold,
+            transitive=args.transitive,
+            test_rate=args.test_rate,
+        )
+        write_curated(train, test, args.out)
+        kept = spark.read.parquet(args.out)
+        counts = {r["split"]: r["n"] for r in
+                  kept.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(f"curated: {counts} (input {docs.count()})")
     return 0
 
 

@@ -66,3 +66,18 @@ def test_cli_star_and_warehouse(spark, tmp_path):
         "warehouse", "--directory", str(data), "--target", str(target),
     ]) == 0
     assert spark.read.parquet(str(target)).count() == 3
+
+
+def test_cli_curate(spark, tmp_path):
+    out = str(tmp_path / "curated")
+    assert main([
+        "curate", "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--test-rate", "0.1",
+    ]) == 0
+    curated = spark.read.parquet(out)
+    n_in = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert {r["split"] for r in curated.select("split").distinct().collect()} <= {"train", "test"}
+    assert 0 < curated.count() < n_in  # gate+dedup dropped some, kept most
+    # annotation columns materialized for downstream training jobs
+    for col in ("quality", "lang_pred", "fingerprint"):
+        assert col in curated.columns
