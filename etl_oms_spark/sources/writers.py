@@ -171,3 +171,23 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Format-dispatching writer (csv / json / parquet / orc). Columnar
+    formats take ``partition_by`` for pruned downstream scans; csv/json
+    ignore it only in the sense that the reference's flat-file outputs
+    never partitioned either — pass it and they partition too."""
+    if fmt == "csv":
+        options = {"header": True, **options}
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)

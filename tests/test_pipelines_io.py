@@ -141,3 +141,23 @@ def test_read_csv_robust_quarantine(spark, tmp_path):
     assert {r["country"] for r in clean.collect()} == {"France", "Spain"}
     assert bad.count() == 1  # quarantined, raw text preserved
     assert "unclosed" in bad.first()["_corrupt_record"]
+
+
+def test_read_write_any_roundtrip(spark, tmp_path):
+    from etl_oms_spark.sources.readers import read_any
+    from etl_oms_spark.sources.writers import write_any
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    for fmt in ("csv", "json", "parquet", "orc"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_any(df, path, fmt=fmt)
+        back = read_any(spark, path, fmt=fmt)
+        rows = sorted((r["id"], r["s"], r["v"]) for r in back.collect())
+        assert rows == [(1, "a", 1.5), (2, "b", 2.5)], fmt
+    # partitioned columnar layout prunes by partition column
+    ppath = str(tmp_path / "rt_part")
+    write_any(df, ppath, fmt="orc", partition_by=["s"])
+    pruned = read_any(spark, ppath, fmt="orc").filter("s = 'a'")
+    assert pruned.count() == 1
