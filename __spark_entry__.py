@@ -314,7 +314,7 @@ def a4_guard_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.col("value").alias("cumulative"),
-        F.lit(None).cast("double").alias("daily"),
+        F.lit(None).cast("long").alias("daily"),
     )
     out = derive_daily_columns(
         ev,
@@ -517,7 +517,7 @@ def f11_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 F11_SQL = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(props->>'k' AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type
@@ -1685,8 +1685,8 @@ def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -2485,57 +2485,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Order matters: the driver's CORRECTNESS check covers the FIRST 50
+    # entries. Round 1 verified 47/50 of the core-ETL block, so round 2
+    # front-loads (a) the 34 queries the driver has never checked — the
+    # whole LLM-data-pipeline suite plus q16/q20/q21, temporal joins,
+    # rollups and sketches — (b) the 3 type-parity fixes, and (c) a
+    # 13-query representative core-ETL regression set. The remaining 34
+    # all passed in CORRECTNESS_r01.json.
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "p2_p3_reconcile": p2_p3_reconcile,
-        "p6_p7_filters": p6_p7_filters,
-        "j1_dim_join": j1_dim_join,
-        "j2_multikey_join": j2_multikey_join,
-        "p9_semi_join": p9_semi_join,
-        "j4_anti_join": j4_anti_join,
-        "a1_a6_surrogate_dim": a1_a6_surrogate_dim,
-        "a2_keep_last": a2_keep_last,
-        "w1_lag_diff": w1_lag_diff,
-        "a4_guard_derive": a4_guard_derive,
-        "o1_topk": o1_topk,
-        "r1_unpivot": r1_unpivot,
-        "r2_pivot": r2_pivot,
-        "r2_pivot_roundtrip": r2_pivot_roundtrip,
-        "f1_tolerant_dates": f1_tolerant_dates,
-        "f5_f6_rate_math": f5_f6_rate_math,
-        "f7_unit_map": f7_unit_map,
-        "f8_json_extract": f8_json_extract,
-        "f11_variant_json": f11_variant_json,
-        "f12_decimal_sums": f12_decimal_sums,
-        "u3_chunk_udtf": u3_chunk_udtf,
-        "s4_source_classify": s4_source_classify,
-        "star_fact_rollup": star_fact_rollup,
-        "j5_upsert_merge": j5_upsert_merge,
-        "ev_window_agg": ev_window_agg,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_supplier_volume": q5_supplier_volume,
-        "q17_avg_quantity_filter": q17_avg_quantity_filter,
-        "a8_rollup": a8_rollup,
-        "w2_window_frames": w2_window_frames,
-        "s_set_ops": s_set_ops,
-        "f9_string_funcs": f9_string_funcs,
-        "a9_having_filter": a9_having_filter,
-        "q4_order_priority": q4_order_priority,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q19_disjunctive": q19_disjunctive,
-        "q22_global_avg_filter": q22_global_avg_filter,
-        "n1_null_semantics": n1_null_semantics,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_ratio": q14_promo_ratio,
-        "q18_large_volume": q18_large_volume,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q9_product_type_profit": q9_product_type_profit,
-        "q11_important_parts": q11_important_parts,
-        "q12_late_priority": q12_late_priority,
-        "q15_top_supplier": q15_top_supplier,
+        # -- never driver-checked in round 1 (positions 51-84 back then) --
         "q16_supplier_part_count": q16_supplier_part_count,
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -2570,6 +2528,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e4_ivf_topk": e4_ivf_topk,
         "e3_embedding_neardup": e3_embedding_neardup,
         "m1_media_metadata": m1_media_metadata,
+        # -- round-1 hash fails, fixed this round (type parity) --
+        "a4_guard_derive": a4_guard_derive,
+        "q12_late_priority": q12_late_priority,
+        "f11_variant_json": f11_variant_json,
+        # -- representative core-ETL regression set (green in round 1) --
+        "q1_pricing_summary": q1_pricing_summary,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q13_customer_distribution": q13_customer_distribution,
+        "j2_multikey_join": j2_multikey_join,
+        "a2_keep_last": a2_keep_last,
+        "w1_lag_diff": w1_lag_diff,
+        "w2_window_frames": w2_window_frames,
+        "r1_unpivot": r1_unpivot,
+        "r2_pivot_roundtrip": r2_pivot_roundtrip,
+        "star_fact_rollup": star_fact_rollup,
+        "j5_upsert_merge": j5_upsert_merge,
+        "ev_window_agg": ev_window_agg,
+        # ---- position 51+: all green in CORRECTNESS_r01.json ----
+        "p2_p3_reconcile": p2_p3_reconcile,
+        "p6_p7_filters": p6_p7_filters,
+        "j1_dim_join": j1_dim_join,
+        "p9_semi_join": p9_semi_join,
+        "j4_anti_join": j4_anti_join,
+        "a1_a6_surrogate_dim": a1_a6_surrogate_dim,
+        "o1_topk": o1_topk,
+        "r2_pivot": r2_pivot,
+        "f1_tolerant_dates": f1_tolerant_dates,
+        "f5_f6_rate_math": f5_f6_rate_math,
+        "f7_unit_map": f7_unit_map,
+        "f8_json_extract": f8_json_extract,
+        "f12_decimal_sums": f12_decimal_sums,
+        "u3_chunk_udtf": u3_chunk_udtf,
+        "s4_source_classify": s4_source_classify,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_supplier_volume": q5_supplier_volume,
+        "q17_avg_quantity_filter": q17_avg_quantity_filter,
+        "a8_rollup": a8_rollup,
+        "s_set_ops": s_set_ops,
+        "f9_string_funcs": f9_string_funcs,
+        "a9_having_filter": a9_having_filter,
+        "q4_order_priority": q4_order_priority,
+        "q19_disjunctive": q19_disjunctive,
+        "q22_global_avg_filter": q22_global_avg_filter,
+        "n1_null_semantics": n1_null_semantics,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_ratio": q14_promo_ratio,
+        "q18_large_volume": q18_large_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q11_important_parts": q11_important_parts,
+        "q15_top_supplier": q15_top_supplier,
     }
 
 

@@ -165,15 +165,21 @@ def derive_daily_columns(
         return df
 
     flags = df.agg(*aggs)
+    dtypes = dict(df.dtypes)
     out = df.crossJoin(F.broadcast(flags))
     for cum, daily in cumulative_to_daily.items():
         flag = f"__nz_{daily}"
         if flag not in out.columns:
             continue
         derived = lag_diff(cum, partition_by, order_by).cast("long")
+        # keep the original column's dtype: without the outer cast the
+        # when(long)/otherwise(<orig>) expression silently widens to the
+        # common type (e.g. bigint daily -> double output)
         out = out.withColumn(
             daily,
-            F.when(F.col(flag) == 0, derived).otherwise(F.col(daily)),
+            F.when(F.col(flag) == 0, derived)
+            .otherwise(F.col(daily))
+            .cast(dtypes[daily]),
         )
     return out.drop(*[f"__nz_{d}" for d in cumulative_to_daily.values() if f"__nz_{d}" in out.columns])
 
