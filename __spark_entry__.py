@@ -673,8 +673,8 @@ WITH e AS (
     FROM orders WHERE o_orderkey % 2 = 0
 )
 SELECT COALESCE(u.o_orderkey, e.o_orderkey) AS o_orderkey,
-       COALESCE(u.totalprice, e.totalprice) AS totalprice,
-       COALESCE(u.status, e.status) AS status
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.totalprice ELSE e.totalprice END AS totalprice,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.status ELSE e.status END AS status
 FROM e FULL JOIN u ON e.o_orderkey = u.o_orderkey
 """
 

@@ -113,24 +113,19 @@ def main(argv: list[str] | None = None) -> int:
             _write_both(tdf, os.path.join(args.out, args.pandemic_name), name, args.single_file)
         print({k: "written" for k in tables})
     elif args.cmd == "warehouse":
-        from .plans.pipelines import run_directory_etl, warehouse_pipeline
-        from .sources.merge_table import merge_into_parquet
+        from .plans.pipelines import warehouse_directory_to_parquet
 
         import time
 
         t0 = time.time()
-        unioned, bilan = run_directory_etl(spark, args.directory, min_date=args.min_date)
-        if unioned is None:
+        # dims persist next to the fact target and grow anti-join style, so
+        # id_region / id_maladie are stable across pandemics and re-runs
+        updates, bilan = warehouse_directory_to_parquet(
+            spark, args.directory, args.target, min_date=args.min_date
+        )
+        if updates is None:
             print(f"no conformable files in {args.directory}: {bilan}")
             return 1
-        # per-disease facts share pays/region id spaces via the same
-        # single-pass pipeline; pandemic column already tagged per file
-        for pandemic in [r["pandemic"] for r in unioned.select("pandemic").distinct().collect()]:
-            part = unioned.filter(F.col("pandemic") == pandemic)
-            rolled = warehouse_pipeline(part, pandemic, min_date=args.min_date)
-            merge_into_parquet(
-                spark, args.target, rolled, keys=["id_region", "date"], partition_col="date"
-            )
         print(f"bilan: {bilan} in {round(time.time() - t0, 2)}s")
     elif args.cmd == "curate":
         from .plans.training_pipeline import curate_documents, write_curated

@@ -35,14 +35,20 @@ def merge_dataframes(
     """
     update_cols = update_cols or [c for c in existing.columns if c not in keys]
     e = existing.alias("e")
-    u = updates.alias("u")
+    # presence marker instead of per-column coalesce: Postgres DO UPDATE
+    # SET c = EXCLUDED.c overwrites with the update row's value even when
+    # that value is NULL — coalesce(u.c, e.c) would silently keep the old
+    # non-NULL value. The marker distinguishes "update row matched" from
+    # "update column is NULL".
+    u = updates.withColumn("__hit", F.lit(1)).alias("u")
     joined = e.join(u, keys, "full_outer")
+    hit = F.col("u.__hit").isNotNull()
     cols = [
         # key columns: coalesce across sides (full-outer may null one side)
         *[F.coalesce(F.col(f"u.{k}"), F.col(f"e.{k}")).alias(k) for k in keys],
         *[
-            F.coalesce(F.col(f"u.{c}"), F.col(f"e.{c}")).alias(c)
-            if c in updates.columns
+            F.when(hit, F.col(f"u.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
+            if c in updates.columns and c in update_cols
             else F.col(f"e.{c}").alias(c)
             for c in existing.columns
             if c not in keys

@@ -33,7 +33,8 @@ def connected_components(
     O(graph diameter) rounds; each round joins current labels across edges
     and takes the min incoming label per node.
     """
-    spark = edges.sparkSession
+    import warnings
+
     both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
@@ -41,6 +42,7 @@ def connected_components(
     labels = nodes.withColumn("component", F.col("id"))
     both = both.localCheckpoint(eager=True)
 
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             both.join(labels, both["v"] == labels["id"])
@@ -57,6 +59,24 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # pointer jumping: also adopt the label OF my current label
+        # (component ids are node ids, so self-join labels on component →
+        # id). Halves the remaining chain length each round — convergence
+        # in O(log diameter) rounds instead of O(diameter), so a duplicate
+        # chain longer than max_iterations hops cannot silently split.
+        jump = updated.select(
+            F.col("id").alias("__jid"), F.col("component").alias("__jcomp")
+        )
+        updated = (
+            updated.join(jump, updated["component"] == jump["__jid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__jcomp"), F.col("component")),
+                ).alias("component"),
+            )
+        )
         updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.alias("n")
@@ -68,6 +88,14 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"connected_components did not reach a fixed point in "
+            f"{max_iterations} iterations — component labels may be split; "
+            f"raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

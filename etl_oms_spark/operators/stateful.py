@@ -29,25 +29,33 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     watermark: str | None = None,
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Gap-based sessions per user: native ``session_window`` — sessions
     close after ``gap`` of inactivity. Streaming-ready: pass ``watermark``
-    and the same plan runs under readStream with bounded state."""
+    and the same plan runs under readStream with bounded state.
+
+    ``value_col`` names the column summed into ``session_value``; when the
+    frame has no such column (or ``value_col=None``) the aggregate is
+    skipped instead of failing to resolve."""
     src = events.withWatermark(ts_col, watermark) if watermark else events
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    has_value = value_col is not None and value_col in events.columns
+    if has_value:
+        aggs.append(
+            (F.sum(F.round(F.col(value_col) * 100).cast("long")) / F.lit(100.0)).alias(
+                "session_value"
+            )
+        )
     return (
         src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias(
-                "session_value"
-            ),
-        )
+        .agg(*aggs)
         .select(
             F.col(user_col),
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
-            "session_value",
+            *(["session_value"] if has_value else []),
         )
     )
 

@@ -153,6 +153,108 @@ def disease_from_name_str(path: str) -> str:
     return DISEASE_DEFAULT
 
 
+def load_or_init_dims(spark, dims_path: str) -> tuple[DataFrame, DataFrame]:
+    """Load the persisted Pays/Maladie dimensions, or start empty.
+
+    The warehouse's id spaces must be stable across pandemics and across
+    runs — the reference loads and grows a single shared pays/region id
+    space from the DB (ETL_OMS_OPERATIONNEL.py run_etl, :276-284). Here
+    the dims live as tiny parquet tables next to the fact target.
+    """
+
+    def _load(name: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.parquet(f"{dims_path}/{name}")
+        except Exception:  # noqa: BLE001 - first run, dim does not exist yet
+            return spark.createDataFrame([], schema)
+
+    pays = _load("pays", "country STRING, id_pays INT")
+    maladie = _load("maladie", "id_maladie INT, nom_maladie STRING")
+    return pays, maladie
+
+
+def warehouse_directory_to_parquet(
+    spark,
+    directory: str,
+    target_path: str,
+    min_date: str = "2019-01-01",
+    dims_path: str | None = None,
+) -> tuple[DataFrame | None, dict[str, int]]:
+    """EP3 directory run with STABLE shared dimensions (the reference's
+    run_etl loop, ETL_OMS_OPERATIONNEL.py:218-369).
+
+    1. scan + reconcile + union the directory (one pass, bilan counters);
+    2. load the persisted Pays/Maladie dims and grow them with the batch's
+       new countries/diseases (anti-join growth — ids never change once
+       assigned, so id_region means the same country in every pandemic and
+       every run);
+    3. build each pandemic's fact against the SHARED dims;
+    4. one merge into the parquet fact keyed ``(id_maladie, id_region,
+       date)`` — id_maladie in the key so two diseases reporting the same
+       region-day never overwrite each other.
+
+    Returns ``(unioned updates DataFrame or None, bilan)``.
+    """
+    from ..sources.merge_table import merge_into_parquet
+    from ..star import grow_dimension
+
+    dims_path = dims_path or target_path.rstrip("/") + "__dims"
+    unioned, bilan = run_directory_etl(spark, directory, min_date=min_date)
+    if unioned is None:
+        return None, bilan
+    unioned = unioned.cache()
+
+    diseases = sorted(
+        r["pandemic"] for r in unioned.select("pandemic").distinct().collect()
+    )
+    pays, maladie = load_or_init_dims(spark, dims_path)
+    # grow, then materialize: the grown dim is read from dims_path and is
+    # about to overwrite it (read-overwrite hazard); dims are tiny.
+    pays = grow_dimension(
+        pays, unioned.select("country"), "country", "id_pays"
+    ).localCheckpoint(eager=True)
+    maladie = grow_dimension(
+        maladie,
+        spark.createDataFrame([(d,) for d in diseases], "nom_maladie STRING"),
+        "nom_maladie",
+        "id_maladie",
+    ).localCheckpoint(eager=True)
+    region = build_region(pays)
+    # persist the grown dims BEFORE the fact merge so stored ids are always
+    # resolvable even if the fact write fails mid-run
+    pays.write.mode("overwrite").parquet(f"{dims_path}/pays")
+    maladie.write.mode("overwrite").parquet(f"{dims_path}/maladie")
+    region.write.mode("overwrite").parquet(f"{dims_path}/region")
+
+    disease_ids = {r["nom_maladie"]: r["id_maladie"] for r in maladie.collect()}
+    parts: list[DataFrame] = []
+    for pandemic in diseases:
+        part = unioned.filter(F.col("pandemic") == pandemic)
+        # the guard + lag-diff run per pandemic slice, matching the
+        # reference's per-file processing semantics
+        cleaned = round_geo(derive_daily_columns(part, guard="all_zero"))
+        fact = build_fact(cleaned, pays, region, id_maladie=disease_ids[pandemic])
+        fact = fact.withColumn("__arrival", F.monotonically_increasing_id())
+        fact = keep_last_dedup(
+            fact, ["id_maladie", "id_region", "date"], "__arrival"
+        ).drop("__arrival")
+        parts.append(
+            rollup_statistique(fact, keys=("id_maladie", "id_region", "date"))
+        )
+    updates = parts[0]
+    for p in parts[1:]:
+        updates = updates.unionByName(p)
+    merge_into_parquet(
+        spark,
+        target_path,
+        updates,
+        keys=["id_maladie", "id_region", "date"],
+        partition_col="date",
+    )
+    unioned.unpersist()
+    return updates, bilan
+
+
 def warehouse_to_parquet(
     df: DataFrame,
     pandemic: str,

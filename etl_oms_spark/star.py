@@ -115,19 +115,28 @@ def keep_last_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame
     )
 
 
-def rollup_statistique(df: DataFrame) -> DataFrame:
+def rollup_statistique(
+    df: DataFrame, keys: tuple[str, ...] = ("id_region", "date")
+) -> DataFrame:
     """Pre-load rollup (A3, ETL_OMS_OPERATIONNEL.py:160-166).
 
-    Per ``(id_region, date)``: first id_maladie, sum dailies, max totals.
-    Hash aggregate with automatic map-side partial aggregation.
+    Per ``keys``: sum dailies, max totals; id_maladie is carried as
+    ``first`` unless it is part of the grouping key (the multi-pandemic
+    warehouse groups on ``(id_maladie, id_region, date)`` so facts for
+    different diseases never collapse into one row). Hash aggregate with
+    automatic map-side partial aggregation.
     """
-    return df.groupBy("id_region", "date").agg(
-        F.first("id_maladie").alias("id_maladie"),
+    keys = list(keys)
+    aggs = []
+    if "id_maladie" not in keys:
+        aggs.append(F.first("id_maladie").alias("id_maladie"))
+    aggs += [
         F.sum("nouveau_mort").alias("nouveau_mort"),
         F.sum("nouveau_cas").alias("nouveau_cas"),
         F.max("total_mort").alias("total_mort"),
         F.max("total_cas").alias("total_cas"),
-    )
+    ]
+    return df.groupBy(*keys).agg(*aggs)
 
 
 def grow_dimension(

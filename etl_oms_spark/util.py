@@ -46,11 +46,11 @@ def _estimated_partitions(df: DataFrame) -> int:
     except Exception:  # noqa: BLE001
         paths = []
     if paths:
-        max_bytes = int(
-            str(
-                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            ).rstrip("b")
+        max_bytes = _parse_bytes_conf(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
+        if max_bytes is None:
+            return df.rdd.getNumPartitions()
         total = 0
         for p in paths:
             parsed = urlparse(p)
@@ -63,6 +63,25 @@ def _estimated_partitions(df: DataFrame) -> int:
         else:
             return max(1, total)
     return df.rdd.getNumPartitions()
+
+
+def _parse_bytes_conf(value: object) -> int | None:
+    """Parse a Spark byte-size conf in any accepted form: plain bytes
+    (``134217728``), with a ``b`` suffix, or human-readable (``128m``,
+    ``128MB``, ``1g`` — case-insensitive). Returns None when unparsable so
+    the caller can fall back to the RDD probe instead of crashing."""
+    s = str(value).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    multipliers = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    mult = 1
+    if s and s[-1] in multipliers:
+        mult = multipliers[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return None
 
 
 def salted_join(

@@ -68,6 +68,62 @@ def test_cli_star_and_warehouse(spark, tmp_path):
     assert spark.read.parquet(str(target)).count() == 3
 
 
+MPOX_CSV = """Country/Region,Date,Confirmed,Deaths
+Belgium,2021-01-01,10,1
+France,2021-01-01,20,2
+"""
+
+INCREMENTAL_CSV = """Country/Region,Date,Confirmed,Deaths
+Spain,2021-01-03,5,0
+France,2021-01-03,200,9
+"""
+
+
+def test_warehouse_shared_dims_stable(spark, tmp_path):
+    """id_region/id_maladie are stable across pandemics AND across runs:
+    dims persist next to the fact and grow anti-join style, so two
+    diseases reporting the same country-day never overwrite each other
+    and incremental batches never re-map existing ids."""
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "covid_sample.csv").write_text(CSV)
+    (data / "monkeypox_sample.csv").write_text(MPOX_CSV)
+    target = str(tmp_path / "wh")
+
+    assert main(["warehouse", "--directory", str(data), "--target", target]) == 0
+    pays = {r["country"]: r["id_pays"]
+            for r in spark.read.parquet(target + "__dims/pays").collect()}
+    assert len(pays) == 3 and len(set(pays.values())) == 3
+    maladie = {r["nom_maladie"]: r["id_maladie"]
+               for r in spark.read.parquet(target + "__dims/maladie").collect()}
+    assert set(maladie) == {"COVID-19", "Monkeypox"}
+
+    fact = spark.read.parquet(target)
+    # France/2021-01-01 appears for BOTH diseases under the SAME id_region
+    fr = fact.filter(fact.id_region == pays["France"])
+    assert fr.select("id_maladie").distinct().count() == 2
+    n_first = fact.count()
+
+    # re-run: idempotent fact, identical ids
+    assert main(["warehouse", "--directory", str(data), "--target", target]) == 0
+    pays2 = {r["country"]: r["id_pays"]
+             for r in spark.read.parquet(target + "__dims/pays").collect()}
+    assert pays2 == pays
+    assert spark.read.parquet(target).count() == n_first
+
+    # incremental batch with a new country: dim grows, old ids untouched
+    inc = tmp_path / "inc"
+    inc.mkdir()
+    (inc / "covid_more.csv").write_text(INCREMENTAL_CSV)
+    assert main(["warehouse", "--directory", str(inc), "--target", target]) == 0
+    pays3 = {r["country"]: r["id_pays"]
+             for r in spark.read.parquet(target + "__dims/pays").collect()}
+    assert {k: pays3[k] for k in pays} == pays
+    assert pays3["Spain"] == max(pays.values()) + 1
+    merged = spark.read.parquet(target)
+    assert merged.count() == n_first + 2  # France day-3 + Spain day-3
+
+
 def test_cli_curate(spark, tmp_path):
     out = str(tmp_path / "curated")
     assert main([

@@ -19,6 +19,30 @@ def test_connected_components_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    # a 60-hop chain converges well inside max_iterations=8: pointer
+    # jumping halves the remaining chain each round (O(log diameter)),
+    # where direct-neighbor propagation alone would need 60 rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    out = connected_components(edges, max_iterations=8)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+
+
+def test_connected_components_warns_on_non_convergence(spark):
+    import warnings
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(edges, max_iterations=1)
+    assert any("fixed point" in str(w.message) for w in caught)
+
+
 def test_dedup_clusters_transitive(spark):
     # a~b, b~c but a!~c: transitive closure puts all three in one cluster
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")

@@ -71,3 +71,28 @@ def test_salted_join_left_semantics(spark):
     out = salted_join(skewed, dim, "k", salt_buckets=4, how="left")
     rows = {r["k"]: r["name"] for r in out.collect()}
     assert rows == {1: "x", 2: None}
+
+
+def test_parse_bytes_conf_suffixes():
+    from etl_oms_spark.util import _parse_bytes_conf
+
+    assert _parse_bytes_conf("134217728") == 134217728
+    assert _parse_bytes_conf("134217728b") == 134217728
+    assert _parse_bytes_conf("128m") == 128 << 20
+    assert _parse_bytes_conf("128MB") == 128 << 20
+    assert _parse_bytes_conf("1g") == 1 << 30
+    assert _parse_bytes_conf("64k") == 64 << 10
+    assert _parse_bytes_conf("garbage") is None
+
+
+def test_ensure_parallelism_with_human_readable_conf(spark, sf_dir):
+    from etl_oms_spark.util import ensure_parallelism
+
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        # must not raise on the human-readable conf form
+        assert ensure_parallelism(df).count() == df.count()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

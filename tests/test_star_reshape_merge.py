@@ -129,6 +129,23 @@ def test_merge_upsert_semantics(spark):
     assert vals == {1: 10, 2: 25, 3: 30}  # keep, update, insert
 
 
+def test_merge_null_overwrites_like_postgres(spark):
+    """Postgres DO UPDATE SET c = EXCLUDED.c overwrites with NULL too —
+    an update row carrying an explicit NULL must clear the old value,
+    not be coalesced away."""
+    existing = spark.createDataFrame(
+        [(1, datetime.date(2020, 1, 1), 10), (2, datetime.date(2020, 1, 1), 20)],
+        "id_region int, date date, total_mort long",
+    )
+    updates = spark.createDataFrame(
+        [(2, datetime.date(2020, 1, 1), None)],
+        "id_region int, date date, total_mort long",
+    )
+    out = merge_dataframes(existing, updates, ["id_region", "date"])
+    vals = {r["id_region"]: r["total_mort"] for r in out.collect()}
+    assert vals == {1: 10, 2: None}  # matched row's NULL wins
+
+
 def test_upsert_coalesce_nulls(spark):
     existing = spark.createDataFrame(
         [(1, None, 9.0), (2, 5.0, None)], "id int, lat double, lon double"

@@ -40,6 +40,16 @@ def test_sessionize_gap_semantics(spark):
     assert s1["session_end"] - s1["session_start"] == datetime.timedelta(minutes=19)
 
 
+def test_sessionize_without_value_column(spark):
+    # frames without a 'value' column sessionize fine — the value aggregate
+    # is skipped instead of failing to resolve
+    ev = _events(spark).drop("value")
+    out = sessionize(ev, gap="10 minutes")
+    assert "session_value" not in out.columns
+    rows = sorted((r["user_id"], r["n_events"]) for r in out.collect())
+    assert rows == [(1, 1), (1, 3), (2, 1)]
+
+
 def test_grouped_ema_recursion(spark):
     out = grouped_ema(_events(spark), alpha=0.5)
     u1 = sorted(
