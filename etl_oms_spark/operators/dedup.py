@@ -17,6 +17,8 @@ plain shuffle-bounded Spark job that scales horizontally:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -254,7 +256,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     k: int = 1,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over word k-shingle sets.
 
@@ -263,7 +265,18 @@ def ngram_jaccard_pairs(
     sharing a shingle — ``max_df`` drops shingles present in more than
     max_df docs (stopword-shingle capping), the standard bound at scale;
     the true scale path is `minhash_dedup`.
+
+    ``max_df`` defaults to a FINITE 1000 so a naive call on a corpus with
+    a ubiquitous shingle cannot detonate into an all-pairs join (a single
+    stopword shared by n docs costs n² join rows). When the cap engages,
+    capped shingles simply don't count toward |A∩B| or the set sizes —
+    pass ``max_df=None`` explicitly for the uncapped exact oracle.
     """
+    if max_df is not None:
+        logging.getLogger(__name__).info(
+            "ngram_jaccard_pairs: shingles with document frequency > %d are "
+            "excluded from similarity (pass max_df=None for exact)", max_df
+        )
     sh = shingles(text_col, k) if k > 1 else F.array_distinct(tokens(text_col))
     toks = ensure_parallelism(df, id_col).select(F.col(id_col), F.explode(sh).alias("tok"))
     if max_df is not None:
@@ -306,13 +319,20 @@ def containment_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.9,
     k: int = 1,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Asymmetric containment: |A∩B| / |A| — detects documents that are
     near-subsets of another (boilerplate wrapping, quote-inclusion), which
     symmetric Jaccard under-scores when sizes differ. Same inverted-index
     machinery as `ngram_jaccard_pairs`; emits directed pairs
-    (id_contained, id_container, containment)."""
+    (id_contained, id_container, containment). ``max_df`` defaults finite
+    (see `ngram_jaccard_pairs`) so a ubiquitous shingle can't go quadratic;
+    pass ``max_df=None`` for the uncapped exact oracle."""
+    if max_df is not None:
+        logging.getLogger(__name__).info(
+            "containment_pairs: shingles with document frequency > %d are "
+            "excluded from similarity (pass max_df=None for exact)", max_df
+        )
     sh = shingles(text_col, k) if k > 1 else F.array_distinct(tokens(text_col))
     toks = ensure_parallelism(df, id_col).select(F.col(id_col), F.explode(sh).alias("tok"))
     if max_df is not None:

@@ -256,14 +256,19 @@ def ivf_centroids_sample(
     A real deployment would run k-means (or k-means||) here; the seed
     variant keeps the operator fully deterministic for oracles/tests while
     exercising the identical assign/probe machinery.
+
+    ``orderBy(id).limit(k)`` lowers to TakeOrdered — a per-partition top-k
+    then a k-row driver merge — NOT a single-partition global sort of every
+    vector; the row_number window that numbers the centroids runs over the
+    already-limited k rows only.
     """
     from pyspark.sql import Window
 
+    seeds = df.select(id_col, vec_col).orderBy(id_col).limit(k)
     w = Window.orderBy(id_col)
     return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select((F.col("__rk") - 1).alias("centroid_id"), F.col(vec_col))
+        seeds.withColumn("centroid_id", F.row_number().over(w) - 1)
+        .select("centroid_id", F.col(vec_col))
     )
 
 

@@ -165,3 +165,18 @@ def test_resize_media_rewrites_header_and_samples_body(spark):
     # undecodable / null payloads pass through untouched
     assert bytes(out[2]) == b"not-a-media"
     assert out[3] is None
+
+
+def test_ivf_centroid_seed_uses_takeordered(spark, sf_dir):
+    """The deterministic centroid seed must lower to TakeOrdered (per-
+    partition top-k + k-row merge), never a single-partition global sort
+    of the whole vector corpus."""
+    from etl_oms_spark.operators.similarity import ivf_centroids_sample
+    from etl_oms_spark.util import physical_plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_sample(emb, k=8)
+    plan = physical_plan(cents)
+    assert "TakeOrderedAndProject" in plan
+    rows = cents.collect()
+    assert sorted(r["centroid_id"] for r in rows) == list(range(8))

@@ -126,6 +126,26 @@ def test_ngram_jaccard_max_df_caps_blowup(spark):
     assert pairs.count() == 0
 
 
+def test_quadratic_twins_default_finite_max_df(spark):
+    """The exact-pair oracle twins default to a FINITE max_df so a naive
+    call on a stopword-heavy corpus can't go all-pairs quadratic."""
+    import inspect
+
+    from etl_oms_spark.operators.dedup import containment_pairs
+
+    assert inspect.signature(ngram_jaccard_pairs).parameters["max_df"].default == 1000
+    assert inspect.signature(containment_pairs).parameters["max_df"].default == 1000
+
+    # mechanism: 'the' appears in every doc, docs otherwise disjoint —
+    # capped (max_df=2) the stopword is excluded and no pair survives;
+    # uncapped every one of the C(6,2)=15 pairs joins through 'the'
+    docs = [(i, f"the unique{i} word{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    assert ngram_jaccard_pairs(df, threshold=0.01, k=1, max_df=2).count() == 0
+    assert ngram_jaccard_pairs(df, threshold=0.01, k=1, max_df=None).count() == 15
+    assert containment_pairs(df, threshold=0.01, k=1, max_df=2).count() == 0
+
+
 def test_chunk_documents_udtf(spark):
     from etl_oms_spark.operators.text import chunk_documents_udtf
 
