@@ -2094,11 +2094,33 @@ def a11_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def u2_grouped_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponential moving average — recursive, hence the grouped-
-    map applyInPandas escape hatch (no oracle: not SQL-expressible without
-    recursive CTE gymnastics; semantics pinned by unit test)."""
+    map mapInPandas escape hatch. Oracle: a DuckDB recursive CTE running
+    the IDENTICAL recurrence ema_t = (1-a)*ema_{t-1} + a*x_t in the same
+    order (pandas ewm(adjust=False) computes exactly this), so the doubles
+    match bit-for-bit."""
     from etl_oms_spark.operators.stateful import grouped_ema
 
     return grouped_ema(_events(spark, sf_dir), alpha=0.3)
+
+
+U2_SQL = """
+WITH RECURSIVE numbered AS (
+    SELECT user_id, ts, event_id, value,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS BIGINT) AS rn
+    FROM events
+), ema AS (
+    SELECT user_id, ts, event_id, rn, CAST(value AS DOUBLE) AS ema
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT n.user_id, n.ts, n.event_id, n.rn,
+           0.7 * e.ema + 0.3 * n.value
+    FROM numbered n
+    JOIN ema e ON n.user_id = e.user_id AND n.rn = e.rn + 1
+)
+SELECT user_id, ts, event_id, ema FROM ema
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2417,13 +2439,15 @@ WHERE {_WS} BETWEEN 30 AND 120
 
 
 def sp1_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-stable train/test split sizes per language (no oracle:
-    xxhash64 buckets are engine-specific; disjointness/stability pinned by
-    tests)."""
+    """Hash-stable train/test split sizes per language. Uses the portable
+    md5 bucket (operators/sampling._md5_bucket) so membership is
+    reproducible in ANY engine — the DuckDB oracle recomputes the exact
+    same buckets (xxhash64 remains the cheap default for in-Spark-only
+    splits)."""
     from etl_oms_spark.operators.sampling import train_test_split
 
     d = _t(spark, sf_dir, "documents")
-    train, test = train_test_split(d, test_rate=0.2, key_col="doc_id")
+    train, test = train_test_split(d, test_rate=0.2, key_col="doc_id", method="md5")
     return (
         train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_train"))
         .join(
@@ -2433,6 +2457,21 @@ def sp1_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .na.fill(0)
     )
+
+
+SP1_SQL = """
+WITH b AS (
+    SELECT lang,
+           CAST('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 1000000 AS bucket
+    FROM documents
+)
+SELECT lang,
+       CAST(COALESCE(SUM(CASE WHEN bucket >= 200000 THEN 1 END), 0) AS BIGINT) AS n_train,
+       CAST(COALESCE(SUM(CASE WHEN bucket < 200000 THEN 1 END), 0) AS BIGINT) AS n_test
+FROM b
+GROUP BY lang
+"""
 
 
 def tp1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2651,7 +2690,9 @@ def oracle_sql() -> dict[str, str]:
         "a10_distinct_agg": A10_SQL,
         "a12_cube": A12_SQL,
         "a13_exact_median": A13_SQL,
-        # a11 (HLL sketch) and u2 (recursive EMA): rows-only by design
+        "u2_grouped_ema": U2_SQL,
+        "sp1_deterministic_split": SP1_SQL,
+        # a11 (HLL sketch): rows-only by design
         "d1_exact_dedup": D1_SQL,
         "d2_ngram_jaccard": D2_SQL,
         # d3/d4/e2/e3: engine-specific hashes / approximate by design →

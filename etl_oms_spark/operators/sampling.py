@@ -21,14 +21,38 @@ def _hash_bucket(key: Column, salt: str) -> Column:
     return F.pmod(F.xxhash64(F.lit(salt), key), F.lit(_BUCKETS))
 
 
+def _md5_bucket(key: Column, salt: str) -> Column:
+    """Portable bucket in [0, 1e6): first 60 bits of md5('salt|key').
+
+    xxhash64 is Spark-specific; md5 is identical in every engine, so a
+    split keyed this way can be reproduced (and audited) in DuckDB,
+    Postgres, pandas, … — SQL twin:
+    ``CAST('0x' || substring(md5('salt|' || CAST(key AS VARCHAR)), 1, 15)
+    AS BIGINT) % 1000000``. 15 hex chars = 60 bits, ANSI-overflow-safe.
+    Costs a string md5 instead of a native hash — prefer ``xxhash64``
+    when cross-engine reproducibility isn't required.
+    """
+    hex60 = F.substring(F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 15)
+    return F.conv(hex60, 16, 10).cast("long") % _BUCKETS
+
+
+def _bucket(key: Column, salt: str, method: str) -> Column:
+    if method == "xxhash64":
+        return _hash_bucket(key, salt)
+    if method == "md5":
+        return _md5_bucket(key, salt)
+    raise ValueError(f"unknown hash method {method!r} (use 'xxhash64' or 'md5')")
+
+
 def deterministic_sample(
-    df: DataFrame, rate: float, key_col: str, salt: str = "sample"
+    df: DataFrame, rate: float, key_col: str, salt: str = "sample",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Keep ~``rate`` of rows, chosen by key hash — reproducible and
     consistent across keys: the same key is either always in or always out
     (useful for user-level sampling where all of a user's rows must move
     together — pass the user id as the key)."""
-    return df.filter(_hash_bucket(F.col(key_col), salt) < int(rate * _BUCKETS))
+    return df.filter(_bucket(F.col(key_col), salt, method) < int(rate * _BUCKETS))
 
 
 def train_test_split(
@@ -36,9 +60,13 @@ def train_test_split(
     test_rate: float = 0.1,
     key_col: str = "doc_id",
     salt: str = "split",
+    method: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
-    """(train, test) with disjoint, exhaustive, hash-stable membership."""
-    bucket = _hash_bucket(F.col(key_col), salt)
+    """(train, test) with disjoint, exhaustive, hash-stable membership.
+
+    ``method="md5"`` makes the membership reproducible outside Spark (see
+    `_md5_bucket`) at the cost of a string hash per row."""
+    bucket = _bucket(F.col(key_col), salt, method)
     cut = int(test_rate * _BUCKETS)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
 

@@ -151,6 +151,63 @@ def upsert_via_copy(
     df.select(*cols).foreachPartition(load_partition)
 
 
+def upsert_via_dbapi(
+    df: DataFrame,
+    connect,
+    target_table: str,
+    key_cols: list[str],
+    update_cols: list[str],
+    staging_table: str = "__spark_upsert_stage",
+    batch_size: int = 10_000,
+) -> int:
+    """S8+S9 over any DB-API connection: staging load + ON CONFLICT merge.
+
+    The single-connection twin of ``write_jdbc_staging`` + ``upsert_sql``
+    for embedded targets (DuckDB, SQLite) and for Postgres when only a
+    DB-API driver is present — the exact shape of the reference's staging
+    COPY + ``INSERT ... ON CONFLICT (id_region, date) DO UPDATE``
+    (ETL_OMS_FINAL_Upgraded.py:100-137, ETL_OMS_OPERATIONNEL.py:193-211).
+
+    Rows stream through the driver via ``toLocalIterator`` in
+    ``batch_size`` chunks — bounded memory, no ``collect()`` — but this IS
+    a driver-side funnel: at warehouse scale use the parallel JDBC staging
+    writer; this path is for embedded DBs, tests, and dim-sized loads.
+
+    ``connect`` is a zero-arg factory (connection closed on return) or an
+    open connection (left open). Returns the number of rows staged.
+    """
+    cols = key_cols + update_cols
+    placeholders = ", ".join(["?"] * len(cols))
+    owns_conn = callable(connect)
+    conn = connect() if owns_conn else connect
+    try:
+        cur = conn.cursor()
+        cur.execute(f"DROP TABLE IF EXISTS {staging_table}")
+        cur.execute(
+            f"CREATE TEMP TABLE {staging_table} AS "
+            f"SELECT {', '.join(cols)} FROM {target_table} LIMIT 0"
+        )
+        insert = f"INSERT INTO {staging_table} VALUES ({placeholders})"
+        staged = 0
+        batch: list[tuple] = []
+        for row in df.select(*cols).toLocalIterator():
+            batch.append(tuple(row))
+            if len(batch) >= batch_size:
+                cur.executemany(insert, batch)
+                staged += len(batch)
+                batch = []
+        if batch:
+            cur.executemany(insert, batch)
+            staged += len(batch)
+        cur.execute(upsert_sql(target_table, staging_table, key_cols, update_cols))
+        cur.execute(f"DROP TABLE IF EXISTS {staging_table}")
+        conn.commit()
+        return staged
+    finally:
+        if owns_conn:
+            conn.close()
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -82,3 +82,32 @@ def test_curate_documents_end_to_end(spark, sf_dir):
     assert any(d.startswith("split=") for d in layout)
     back = spark.read.parquet(out)
     assert back.count() == n_train + n_test
+
+
+def test_md5_split_portable_and_disjoint(spark):
+    """The md5 bucket method gives disjoint/exhaustive splits AND is
+    reproducible outside Spark: DuckDB recomputes identical membership."""
+    import duckdb
+    import pytest
+
+    from etl_oms_spark.operators.sampling import train_test_split
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    train, test = train_test_split(df, test_rate=0.3, key_col="doc_id", method="md5")
+    train_ids = {r["doc_id"] for r in train.collect()}
+    test_ids = {r["doc_id"] for r in test.collect()}
+    assert train_ids.isdisjoint(test_ids)
+    assert len(train_ids) + len(test_ids) == 500
+
+    con = duckdb.connect()
+    oracle_test = {
+        r[0] for r in con.execute("""
+            SELECT i FROM range(500) t(i)
+            WHERE CAST('0x' || substring(md5('split|' || CAST(i AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000000 < 300000
+        """).fetchall()
+    }
+    assert oracle_test == test_ids
+
+    with pytest.raises(ValueError):
+        train_test_split(df, method="nope")
