@@ -71,14 +71,23 @@ def decode_media_metadata(
 
     ``mapInPandas`` — Arrow batches of (id cols + payload) in, same rows +
     ``meta`` struct out; executors never ship bytes to the driver. The
-    ``fake`` decoder parses the FAKE header; real codecs plug in behind the
-    same signature.
+    ``fake`` decoder parses the FAKE header; ``decoder="pil"`` decodes
+    real image bytes via Pillow behind the SAME signature/schema (gated on
+    the import — environments without Pillow get NotImplementedError, and
+    the pil smoke test skips itself).
     """
-    if decoder != "fake":
+    if decoder == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "decoder 'pil' requires Pillow on driver and workers; "
+                "use decoder='fake' for codec-free plumbing tests"
+            ) from exc
+    elif decoder != "fake":
         raise NotImplementedError(
-            f"decoder {decoder!r}: real codecs (PIL/ffmpeg) are not available "
-            "in this environment; the 'fake' decoder exercises the full "
-            "Spark plumbing with an identical schema/batch shape"
+            f"decoder {decoder!r}: supported decoders are 'fake' (header "
+            "parse, codec-free) and 'pil' (real image decode, needs Pillow)"
         )
     out_schema = T.StructType(list(df.schema.fields) + [T.StructField("meta", MEDIA_META_SCHEMA)])
 
@@ -95,23 +104,41 @@ def decode_media_metadata(
             payload[12],
         )
 
+    def parse_pil(payload: bytes) -> dict:
+        import io
+
+        from PIL import Image  # worker-side import, gated at plan time
+
+        img = Image.open(io.BytesIO(payload))
+        return {
+            "media_type": "image",
+            "width": img.width,
+            "height": img.height,
+            "channels": len(img.getbands()),
+            "n_bytes": len(payload),
+            "format": (img.format or "unknown").lower(),
+        }
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             metas = []
             for payload in pdf[payload_col]:
                 try:
-                    w, h, c = parse_fake(bytes(payload))
-                    metas.append(
-                        {
-                            "media_type": "image",
-                            "width": w,
-                            "height": h,
-                            "channels": c,
-                            "n_bytes": len(payload),
-                            "format": "fake",
-                        }
-                    )
-                except (ValueError, TypeError):
+                    if decoder == "pil":
+                        metas.append(parse_pil(bytes(payload)))
+                    else:
+                        w, h, c = parse_fake(bytes(payload))
+                        metas.append(
+                            {
+                                "media_type": "image",
+                                "width": w,
+                                "height": h,
+                                "channels": c,
+                                "n_bytes": len(payload),
+                                "format": "fake",
+                            }
+                        )
+                except Exception:  # noqa: BLE001 - undecodable payload row
                     metas.append(
                         {
                             "media_type": "unknown",

@@ -101,13 +101,45 @@ def asof_join(
     return result
 
 
+def _col_as_long(df: DataFrame, c: str):
+    # timestamps (tz'd or NTZ) → epoch seconds; numerics → long. Any
+    # consistent monotonic mapping works: buckets only need to align
+    # between the two sides, the exact BETWEEN uses original values.
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    dt = df.schema[c].dataType
+    col = F.col(c)
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return col.cast("timestamp").cast("long")
+    return col.cast("long")
+
+
+def suggest_bucket_width(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> int:
+    """Bucket-width heuristic for `range_join`: the MEDIAN interval span.
+
+    Each interval explodes into ``ceil(span / width) + 1`` bucket rows, so
+    width ≈ median span bounds the fan-out at ~2 rows for half the
+    intervals while keeping point buckets selective. One approxQuantile
+    pass over the (small) intervals side — an eager action, so call it
+    once at plan time, not per batch.
+    """
+    spans = intervals.select(
+        (_col_as_long(intervals, end_col) - _col_as_long(intervals, start_col))
+        .alias("__span")
+    )
+    med = spans.approxQuantile("__span", [0.5], 0.01)[0]
+    return max(1, int(med or 1))
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
     point_col: str,
     start_col: str,
     end_col: str,
-    bucket_width: int,
+    bucket_width: int | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Point-in-interval join via bucketing.
@@ -118,22 +150,17 @@ def range_join(
     join on their single bucket; the exact predicate filters false
     positives. Choose bucket_width ≈ median interval length: too small
     explodes intervals, too large inflates the filter stage.
+
+    ``bucket_width=None`` computes that median via `suggest_bucket_width`
+    — one extra eager pass over the intervals side; pass an explicit
+    width in latency-sensitive or streaming plans.
     """
-    from pyspark.sql.types import TimestampNTZType, TimestampType
+    if bucket_width is None:
+        bucket_width = suggest_bucket_width(intervals, start_col, end_col)
 
-    def as_long(df: DataFrame, c: str):
-        # timestamps (tz'd or NTZ) → epoch seconds; numerics → long. Any
-        # consistent monotonic mapping works: buckets only need to align
-        # between the two sides, the exact BETWEEN uses original values.
-        dt = df.schema[c].dataType
-        col = F.col(c)
-        if isinstance(dt, (TimestampType, TimestampNTZType)):
-            return col.cast("timestamp").cast("long")
-        return col.cast("long")
-
-    p_bucket = (as_long(points, point_col) / bucket_width).cast("long")
-    i_start = (as_long(intervals, start_col) / bucket_width).cast("long")
-    i_end = (as_long(intervals, end_col) / bucket_width).cast("long")
+    p_bucket = (_col_as_long(points, point_col) / bucket_width).cast("long")
+    i_start = (_col_as_long(intervals, start_col) / bucket_width).cast("long")
+    i_end = (_col_as_long(intervals, end_col) / bucket_width).cast("long")
 
     exploded = intervals.withColumn(
         "__bucket", F.explode(F.sequence(i_start, i_end))

@@ -83,13 +83,45 @@ def test_decode_media_metadata(spark):
     assert out[2]["media_type"] == "unknown" and out[2]["width"] is None
 
 
-def test_decode_real_codec_is_stubbed(spark):
+def test_decode_real_codec_gated_on_import(spark):
     df = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
     try:
-        decode_media_metadata(df, decoder="pil")
+        import PIL  # noqa: F401
+    except ImportError:
+        # no Pillow here → the pil decoder must fail loudly at plan time
+        try:
+            decode_media_metadata(df, decoder="pil")
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError:
+            pass
+    # unknown decoders always fail loudly
+    try:
+        decode_media_metadata(df, decoder="ffmpeg")
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_decode_pil_smoke(spark):
+    """Runs only where Pillow exists (skipped in this container): a real
+    PNG decodes through the SAME mapInPandas plumbing as the fake path."""
+    import io
+
+    import pytest
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 3)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, b"junk")], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r["meta"] for r in
+           decode_media_metadata(df, decoder="pil").collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (4, 3, 3)
+    assert out[1]["format"] == "png"
+    assert out[2]["media_type"] == "unknown"
 
 
 def test_extract_features_shape_and_determinism(spark):

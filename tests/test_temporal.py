@@ -68,3 +68,32 @@ def test_range_join_timestamps(spark):
     )
     out = range_join(points, intervals, "ts", "lo", "hi", bucket_width=300)
     assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 7)]
+
+
+def test_range_join_auto_bucket_width(spark):
+    """bucket_width=None derives the median interval span and must produce
+    the same matches as an explicit width."""
+    import datetime
+
+    from etl_oms_spark.operators.temporal import range_join, suggest_bucket_width
+
+    base = datetime.datetime(2022, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + datetime.timedelta(minutes=7 * i)) for i in range(40)],
+        "point_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, base + datetime.timedelta(minutes=30 * j),
+             base + datetime.timedelta(minutes=30 * j + 20))
+            for j in range(8)
+        ],
+        "iv_id long, start timestamp, end timestamp",
+    )
+    width = suggest_bucket_width(ivs, "start", "end")
+    assert width == 20 * 60  # all spans are 20 minutes → median 1200s
+    auto = range_join(pts, ivs, "ts", "start", "end").collect()
+    explicit = range_join(pts, ivs, "ts", "start", "end", bucket_width=600).collect()
+    key = lambda r: (r["point_id"], r["iv_id"])  # noqa: E731
+    assert sorted(map(key, auto)) == sorted(map(key, explicit))
+    assert len(auto) > 0

@@ -168,3 +168,22 @@ def test_chunk_documents_udtf(spark):
     # single-token doc -> one chunk; null text -> no rows
     assert [(r["start_tok"], r["end_tok"]) for r in by_doc[2]] == [(0, 1)]
     assert 3 not in by_doc
+
+
+def test_jaccard_containment_k3_ansi_no_overflow(spark):
+    """Audit: multi-word shingles (k=3) under ANSI mode — string-concat
+    shingles and long counts have no overflow surface; results stay sane
+    on real testdata."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        jac = ngram_jaccard_pairs(docs, threshold=0.8, k=3)
+        rows = jac.collect()
+        assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+        from etl_oms_spark.operators.dedup import containment_pairs
+
+        cont = containment_pairs(docs, threshold=0.8, k=3).collect()
+        assert all(0.0 <= r["containment"] <= 1.0 for r in cont)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
