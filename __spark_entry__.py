@@ -2515,6 +2515,198 @@ T3_SQL = _build_t3_sql()
 
 
 # ---------------------------------------------------------------------------
+# training-data curation round 2: repetition stats, PII scrub, shard
+# shuffle, sequence packing, benchmark decontamination
+
+
+def t7_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-repetition quality signals per document: explode →
+    two map-side-combined hash aggregates, no UDF (operators/text.py:
+    repetition_stats)."""
+    from etl_oms_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+T7_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+), pw AS (
+    SELECT doc_id, tok, COUNT(*) AS n
+    FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS total_words,
+       CAST(COUNT(*) AS BIGINT) AS distinct_words,
+       CAST(MAX(n) AS BIGINT) AS top_word_count,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_word_fraction,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_word_fraction
+FROM pw
+GROUP BY doc_id
+"""
+
+
+def t8_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrub (emails / IPv4 / phone numbers): regexp_count +
+    chained regexp_replace, zero shuffle. The synthetic corpus carries no
+    PII, so the query plants a deterministic email+phone per doc first —
+    the oracle plants the identical strings and recomputes the identical
+    Java∩RE2 regexes (operators/text.py:redact_pii)."""
+    from etl_oms_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 867-530"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(d)
+    return out.select(
+        "doc_id", "n_redactions", F.length("text").alias("clean_len")
+    )
+
+
+T8_SQL = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1 (555) 867-530'
+                || CAST(doc_id % 10 AS VARCHAR) AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+          + len(regexp_extract_all(text, '\+[0-9][0-9() .-]{7,}[0-9]')) AS BIGINT) AS n_redactions,
+       CAST(length(
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<REDACTED>', 'g'),
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<REDACTED>', 'g'),
+               '\+[0-9][0-9() .-]{7,}[0-9]', '<REDACTED>', 'g')
+       ) AS INTEGER) AS clean_len
+FROM aug
+"""
+
+
+def sh1_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-data shuffle: portable md5 ordering into
+    shards + per-shard positions; windows partition BY SHARD, never a
+    global sort (operators/sampling.py:deterministic_shuffle)."""
+    from etl_oms_spark.operators.sampling import deterministic_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_shuffle(d, num_shards=8).select("doc_id", "shard", "pos")
+
+
+SH1_SQL = """
+WITH h AS (
+    SELECT doc_id, md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS hex
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CAST('0x' || substring(hex, 1, 15) AS BIGINT) % 8 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY CAST('0x' || substring(hex, 1, 15) AS BIGINT) % 8
+           ORDER BY hex, doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+def pk1_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing over the sharded shuffle order: running
+    token cumsum per shard → seq_id = floor(start_offset / budget). The
+    scale path: shard first, pack each shard independently
+    (operators/sampling.py:pack_sequences)."""
+    from etl_oms_spark.operators.sampling import (
+        deterministic_shuffle,
+        pack_sequences,
+    )
+    from etl_oms_spark.operators.text import whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count("text").alias("n_tokens")
+    )
+    sharded = deterministic_shuffle(d, num_shards=8)
+    packed = pack_sequences(
+        sharded, "n_tokens", budget=2048, order_col="pos", shard_col="shard"
+    )
+    return packed.select("doc_id", "shard", "seq_id")
+
+
+PK1_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN length(norm) = 0 THEN 0
+                ELSE len(regexp_split_to_array(norm, ' ')) END AS n_tokens
+    FROM (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+    )
+), s AS (
+    SELECT doc_id, n_tokens,
+           CAST(CAST('0x' || substring(hex, 1, 15) AS BIGINT) % 8 AS INTEGER) AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY CAST('0x' || substring(hex, 1, 15) AS BIGINT) % 8
+               ORDER BY hex, doc_id
+           ) - 1 AS pos
+    FROM (SELECT doc_id, n_tokens,
+                 md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS hex FROM t)
+)
+SELECT doc_id, shard,
+       CAST(FLOOR(
+           (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos) - n_tokens)
+           / 2048.0
+       ) AS BIGINT) AS seq_id
+FROM s
+"""
+
+
+def cx1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 5-shingle
+    with the (broadcast) eval slice — explode + left-semi join, one corpus
+    scan, no corpus shuffle (operators/dedup.py:contamination_ids). The
+    eval slice here is every 97th doc, standing in for a held-out
+    benchmark."""
+    from etl_oms_spark.operators.dedup import contamination_ids
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_ids(corpus, bench, k=5)
+
+
+CX1_SQL = r"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS arr
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(arr) - 4, 1) + 1),
+               i -> array_to_string(arr[i:i+4], ' ')))) AS sh
+    FROM norm
+)
+SELECT DISTINCT doc_id
+FROM sh
+WHERE doc_id % 97 <> 0
+  AND sh IN (SELECT sh FROM sh WHERE doc_id % 97 = 0)
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -2571,21 +2763,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_guard_derive": a4_guard_derive,
         "q12_late_priority": q12_late_priority,
         "f11_variant_json": f11_variant_json,
+        # -- new round-2 curation operators (first driver check) --
+        "t7_repetition_stats": t7_repetition_stats,
+        "t8_pii_redaction": t8_pii_redaction,
+        "sh1_deterministic_shuffle": sh1_deterministic_shuffle,
+        "pk1_token_packing": pk1_token_packing,
+        "cx1_contamination": cx1_contamination,
         # -- representative core-ETL regression set (green in round 1) --
         "q1_pricing_summary": q1_pricing_summary,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
         "q9_product_type_profit": q9_product_type_profit,
-        "q13_customer_distribution": q13_customer_distribution,
         "j2_multikey_join": j2_multikey_join,
-        "a2_keep_last": a2_keep_last,
         "w1_lag_diff": w1_lag_diff,
-        "w2_window_frames": w2_window_frames,
-        "r1_unpivot": r1_unpivot,
         "r2_pivot_roundtrip": r2_pivot_roundtrip,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
         "ev_window_agg": ev_window_agg,
         # ---- position 51+: all green in CORRECTNESS_r01.json ----
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q13_customer_distribution": q13_customer_distribution,
+        "a2_keep_last": a2_keep_last,
+        "w2_window_frames": w2_window_frames,
+        "r1_unpivot": r1_unpivot,
         "p2_p3_reconcile": p2_p3_reconcile,
         "p6_p7_filters": p6_p7_filters,
         "j1_dim_join": j1_dim_join,
@@ -2692,6 +2890,11 @@ def oracle_sql() -> dict[str, str]:
         "a13_exact_median": A13_SQL,
         "u2_grouped_ema": U2_SQL,
         "sp1_deterministic_split": SP1_SQL,
+        "t7_repetition_stats": T7_SQL,
+        "t8_pii_redaction": T8_SQL,
+        "sh1_deterministic_shuffle": SH1_SQL,
+        "pk1_token_packing": PK1_SQL,
+        "cx1_contamination": CX1_SQL,
         # a11 (HLL sketch): rows-only by design
         "d1_exact_dedup": D1_SQL,
         "d2_ngram_jaccard": D2_SQL,

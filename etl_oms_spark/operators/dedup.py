@@ -360,3 +360,31 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def contamination_ids(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: ids of corpus documents sharing any
+    word ``k``-shingle with a held-out benchmark/eval set — the standard
+    n-gram-overlap decontamination pass before training.
+
+    The benchmark side is small by construction (an eval set), so its
+    distinct shingles broadcast; the corpus side explodes shingles and
+    left-semi joins — one scan, no corpus shuffle, early-out per match.
+    """
+    doc_sh = ensure_parallelism(df, id_col).select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("sh")
+    )
+    bench_sh = benchmark.select(
+        F.explode(shingles(text_col, k)).alias("sh")
+    ).distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

@@ -93,3 +93,69 @@ def stratified_sample(
         else F.lit(int(default_rate * _BUCKETS))
     )
     return df.filter(_hash_bucket(F.col(key_col), salt) < rate_col)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    num_shards: int = 32,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Reproducible global shuffle for training-data ordering: every row
+    gets a ``shard`` and a ``pos`` within its shard, both pure functions
+    of the key — the same corpus shuffles identically on any cluster, any
+    partitioning, any day, and a training job reads shards independently.
+
+    The md5 hex prefix orders rows pseudo-randomly; the window partitions
+    BY SHARD (parallel, ~n/num_shards rows each) — never a global
+    single-partition sort. Portable: DuckDB/Postgres recompute identical
+    (shard, pos) from the same expression (see `_md5_bucket`).
+    """
+    from pyspark.sql import Window
+
+    hexkey = F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    out = df.withColumn("__hex", hexkey).withColumn(
+        "shard",
+        (F.conv(F.substring(F.col("__hex"), 1, 15), 16, 10).cast("long")
+         % num_shards).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__hex"), F.col(key_col))
+    return (
+        out.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__hex")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    budget: int,
+    order_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Streaming context-window packing: assign each document to a
+    training sequence so every sequence holds ~``budget`` tokens, in
+    deterministic ``order_col`` order. ``seq_id = floor(cumulative tokens
+    before this doc / budget)`` — the standard one-pass packing used for
+    LLM pre-training batches (documents may straddle two sequences; the
+    tokenizer-side splitter handles the cut).
+
+    One running-sum window, partitioned by ``shard_col`` when given (the
+    scale path: shuffle-shard first via `deterministic_shuffle`, then pack
+    each shard independently) — unsharded packing of a whole corpus would
+    be a single-partition window and is only for small inputs.
+    """
+    from pyspark.sql import Window
+
+    parts = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*parts).orderBy(order_col)
+        if parts
+        else Window.orderBy(order_col)
+    )
+    cum = F.sum(F.col(token_count_col)).over(w)
+    start_offset = cum - F.col(token_count_col)
+    return df.withColumn(
+        "seq_id",
+        F.floor(start_offset / F.lit(budget)).cast("long"),
+    )

@@ -205,3 +205,76 @@ def chunk_documents_udtf():
                     break
 
     return ChunkDocuments
+
+
+# ---------------------------------------------------------------------------
+# repetition / PII — Gopher-style quality signals and C4-style scrubbing
+
+#: cross-engine-safe PII patterns (valid in Java regex AND RE2/DuckDB):
+#: order matters — emails redact before the phone pattern can eat digits.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9() .-]{7,}[0-9]",
+}
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document word-repetition signals (Gopher-style quality rules):
+    total/distinct word counts, the most-frequent word's share, and the
+    duplicate-word fraction. High top_word_fraction or dup_word_fraction
+    flags boilerplate/spam for the curation gate.
+
+    explode → two hash aggregates with map-side partial combine — one
+    shuffle keyed (doc, word), one keyed (doc); linear at any corpus size.
+    Documents with zero words are absent from the output (no word rows).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    per_word = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum("n").alias("total_words"),
+            F.count(F.lit(1)).alias("distinct_words"),
+            F.max("n").alias("top_word_count"),
+        )
+        .withColumn(
+            "top_word_fraction",
+            F.col("top_word_count").cast("double") / F.col("total_words"),
+        )
+        .withColumn(
+            "dup_word_fraction",
+            F.lit(1.0) - F.col("distinct_words").cast("double") / F.col("total_words"),
+        )
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    marker: str = "<REDACTED>",
+) -> DataFrame:
+    """Scrub PII-shaped substrings (emails, IPs, phone numbers) and count
+    what was removed — the C4/RefinedWeb-style cleaning pass.
+
+    Pure column expressions: one ``regexp_count`` + ``regexp_replace``
+    chain per pattern, zero shuffle, whole-stage codegen. Adds
+    ``n_redactions`` (total matches) and rewrites ``text_col`` in place;
+    patterns must stay in the Java∩RE2 regex subset so the DuckDB oracle
+    can recompute them (see PII_PATTERNS).
+    """
+    patterns = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    n = F.lit(0)
+    for pat in patterns.values():
+        n = n + F.regexp_count(c, F.lit(pat))
+    cleaned = F.col(text_col)
+    for pat in patterns.values():
+        cleaned = F.regexp_replace(cleaned, pat, marker)
+    return df.withColumn("n_redactions", n.cast("long")).withColumn(text_col, cleaned)
