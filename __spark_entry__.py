@@ -2706,6 +2706,112 @@ WHERE doc_id % 97 <> 0
 """
 
 
+def d6_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the portable md5-derived 60-bit token hash — identical
+    plan shape to d4 (distinct-token pre-agg, 60 conditional sums) but the
+    fingerprint is recomputable in ANY engine, so this one gets an EXACT
+    oracle (d4 keeps the faster xxhash64 production default)."""
+    from etl_oms_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=60, hash_method="md5")
+
+
+def _build_d6_sql(bits: int = 60) -> str:
+    h = "CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)"
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN n ELSE -n END) AS b{b}"
+        for b in range(bits)
+    )
+    fingerprint = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, {h} AS h, COUNT(*) AS n
+    FROM toks GROUP BY doc_id, {h}
+), sums AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM sums
+"""
+
+
+D6_SQL = _build_d6_sql()
+
+
+def d7_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs over md5-based 32-bit minhash signatures
+    — the same universal-hash derivation and banding as d3, but every
+    stage is recomputable in DuckDB, so the pair set gets an EXACT oracle
+    (d3 keeps the xxhash64 production default; its banding curve is
+    identical)."""
+    from etl_oms_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        _t(spark, sf_dir, "documents"), hash_method="md5"
+    )
+    return lsh_candidate_pairs(sigs, hash_method="md5")
+
+
+def _build_d7_sql(num_hashes: int = 64, bands: int = 16, k: int = 3) -> str:
+    from etl_oms_spark.operators.dedup import _minhash_params
+
+    prime = (1 << 31) - 1
+    mins = ",\n           ".join(
+        "MIN((h32 * {a} + {b}) % {p}) AS h{j}".format(
+            a=_minhash_params(j)[0], b=_minhash_params(j)[1], p=prime, j=j
+        )
+        for j in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_strs = ",\n               ".join(
+        "'{b},' || ".format(b=b)
+        + " || ',' || ".join(f"CAST(h{b * r + i} AS VARCHAR)" for i in range(r))
+        for b in range(bands)
+    )
+    return f"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS arr
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(arr) - {k - 1}, 1) + 1),
+               i -> array_to_string(arr[i:i+{k - 1}], ' ')))) AS s
+    FROM norm
+), hashed AS (
+    SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h32
+    FROM sh
+), sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+), bands AS (
+    SELECT doc_id,
+           unnest([{band_strs}]) AS bk
+    FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+"""
+
+
+D7_SQL = _build_d7_sql()
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2769,16 +2875,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sh1_deterministic_shuffle": sh1_deterministic_shuffle,
         "pk1_token_packing": pk1_token_packing,
         "cx1_contamination": cx1_contamination,
+        "d6_simhash_portable": d6_simhash_portable,
+        "d7_minhash_portable": d7_minhash_portable,
         # -- representative core-ETL regression set (green in round 1) --
         "q1_pricing_summary": q1_pricing_summary,
         "q9_product_type_profit": q9_product_type_profit,
         "j2_multikey_join": j2_multikey_join,
-        "w1_lag_diff": w1_lag_diff,
-        "r2_pivot_roundtrip": r2_pivot_roundtrip,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
         "ev_window_agg": ev_window_agg,
         # ---- position 51+: all green in CORRECTNESS_r01.json ----
+        "w1_lag_diff": w1_lag_diff,
+        "r2_pivot_roundtrip": r2_pivot_roundtrip,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q13_customer_distribution": q13_customer_distribution,
         "a2_keep_last": a2_keep_last,
@@ -2895,6 +3003,8 @@ def oracle_sql() -> dict[str, str]:
         "sh1_deterministic_shuffle": SH1_SQL,
         "pk1_token_packing": PK1_SQL,
         "cx1_contamination": CX1_SQL,
+        "d6_simhash_portable": D6_SQL,
+        "d7_minhash_portable": D7_SQL,
         # a11 (HLL sketch): rows-only by design
         "d1_exact_dedup": D1_SQL,
         "d2_ngram_jaccard": D2_SQL,

@@ -76,6 +76,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     k: int = 3,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures: explode distinct shingles, take the min of
     ``num_hashes`` derived hash values per doc.
@@ -89,12 +90,17 @@ def minhash_signatures(
     array column, giving narrow shuffles and cheap array compares
     downstream instead of 64 separate columns.
     """
+    if hash_method == "md5":
+        # 8 hex chars = exactly 32 bits — portable: any engine recomputes
+        # the identical base hash, hence identical signatures
+        h32 = F.conv(F.substring(F.md5(F.col("__shingle")), 1, 8), 16, 10).cast("long")
+    elif hash_method == "xxhash64":
+        h32 = F.xxhash64(F.col("__shingle")).bitwiseAND(F.lit(0xFFFFFFFF))
+    else:
+        raise ValueError(f"unknown hash_method {hash_method!r}")
     base = ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("__shingle")
-    ).select(
-        F.col(id_col),
-        F.xxhash64(F.col("__shingle")).bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h32"),
-    )
+    ).select(F.col(id_col), h32.alias("__h32"))
     aggs = []
     prime = (1 << 31) - 1  # Mersenne prime: the mod makes each h_j a
     # genuinely different permutation — without it a*h+b is monotone in h
@@ -116,18 +122,34 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Banded LSH: docs sharing any band-hash become a candidate pair.
 
     rows-per-band r = num_hashes/bands tunes the sensitivity curve
     (threshold ≈ (1/b)^(1/r)). Pairs are deduped by (a < b); the self-join
     happens only within buckets, so cost is Σ bucket² not n².
+
+    ``hash_method="md5"`` keys buckets on the literal
+    ``'band,h_i,...,h_j'`` string instead of an xxhash64 of the slice —
+    wider shuffle keys, but any engine joining on the same string finds
+    the same buckets (the cross-engine-auditable variant).
     """
     r = num_hashes // bands
-    band_cols = [
-        F.xxhash64(F.lit(b), F.slice(F.col("minhash"), b * r + 1, r)).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    if hash_method == "md5":
+        band_cols = [
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                F.slice(F.col("minhash"), b * r + 1, r).cast("array<string>"),
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(F.lit(b), F.slice(F.col("minhash"), b * r + 1, r)).alias(f"band{b}")
+            for b in range(bands)
+        ]
     banded = signatures.select(F.col(id_col), *band_cols)
     stacked = banded.select(
         F.col(id_col).alias("__id"),
@@ -206,7 +228,11 @@ def minhash_dedup(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash fingerprints.
 
@@ -218,10 +244,23 @@ def simhash(
     negative; it's an opaque fingerprint). Near-dup = small Hamming
     distance; pair generation should go through LSH bands over fingerprint
     chunks, not all-pairs.
+
+    ``hash_method="md5"`` derives the token hash from the md5 hex prefix
+    (60 bits max) instead of xxhash64 — ~2× slower, but any engine can
+    recompute the identical fingerprint (the cross-engine-auditable /
+    oracle variant). xxhash64 stays the production default.
     """
+    if hash_method == "md5":
+        if bits > 60:
+            raise ValueError("md5 hash_method yields 60 usable bits (15 hex chars)")
+        token_hash = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
+    elif hash_method == "xxhash64":
+        token_hash = F.xxhash64(F.col("__tok"))
+    else:
+        raise ValueError(f"unknown hash_method {hash_method!r}")
     exploded = ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
-    ).select(F.col(id_col), F.xxhash64(F.col("__tok")).alias("__h"))
+    ).select(F.col(id_col), token_hash.alias("__h"))
     counted = exploded.groupBy(id_col, "__h").agg(F.count(F.lit(1)).alias("__n"))
     bit_sums = [
         F.sum(

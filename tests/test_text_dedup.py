@@ -187,3 +187,39 @@ def test_jaccard_containment_k3_ansi_no_overflow(spark):
         assert all(0.0 <= r["containment"] <= 1.0 for r in cont)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_simhash_md5_variant_matches_semantics(spark):
+    """The portable md5 simhash ranks similarity the same way as the
+    xxhash64 default: identical canonical text → distance 0, unrelated
+    text → far; and the fingerprint is deterministic across partitionings."""
+    from etl_oms_spark.operators.dedup import simhash
+
+    out = {r["doc_id"]: r["simhash"]
+           for r in simhash(_docs(spark), bits=60, hash_method="md5").collect()}
+    out2 = {r["doc_id"]: r["simhash"]
+            for r in simhash(_docs(spark).repartition(7), bits=60,
+                             hash_method="md5").collect()}
+    assert out == out2
+    df = _docs(spark).sparkSession.createDataFrame(
+        [(out[1], out[2]), (out[1], out[4])], "a long, b long"
+    )
+    d = df.select(hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()
+    assert d[0]["d"] == 0
+    assert d[1]["d"] > 10
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash(_docs(spark), bits=64, hash_method="md5")  # >60 bits
+
+
+def test_minhash_md5_variant_finds_near_dups(spark):
+    """md5-based signatures + string-keyed bands surface the same obvious
+    near-dup pair as the xxhash64 path."""
+    from etl_oms_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = minhash_signatures(_docs(spark), hash_method="md5")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in lsh_candidate_pairs(sigs, hash_method="md5").collect()}
+    assert (1, 2) in pairs  # exact dup always a candidate
