@@ -2812,8 +2812,110 @@ FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
 D7_SQL = _build_d7_sql()
 
 
-# ---------------------------------------------------------------------------
-# driver contract
+_COMP_SQL = (
+    "(CAST('0x' || substring(md5(CAST({p} AS VARCHAR) || '|' || "
+    "CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) - 500000"
+)
+
+
+def _bucket_cte_sql(num_planes: int = 4) -> str:
+    """Shared oracle CTE: portable LSH bucket per vector — md5-derived
+    integer hyperplanes (same derivation rule as
+    similarity.hyperplane_components), exact integer projection, sign-bit
+    bucket."""
+    comp = _COMP_SQL.format(p="p")
+    bits = " + ".join(
+        f"MAX(CASE WHEN p = {p} AND pr > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    quant = "CAST(round(CAST(e.embedding[c.i] AS DOUBLE) * 1000000) AS BIGINT)"
+    return f"""
+comp AS (
+    SELECT p, i, {comp} AS c
+    FROM range(0, {num_planes}) pl(p), range(1, 65) t(i)
+), proj AS (
+    SELECT e.vec_id, c.p, SUM({quant} * c.c) AS pr
+    FROM embeddings e, comp c
+    GROUP BY e.vec_id, c.p
+), bucket AS (
+    SELECT vec_id, CAST({bits} AS BIGINT) AS bk
+    FROM proj GROUP BY vec_id
+)"""
+
+
+def e5_ann_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with portable md5-derived integer hyperplanes — identical
+    bucket assignment in any engine, so the approximate result set itself
+    gets an EXACT oracle (e2 keeps the xxhash64 production default)."""
+    from etl_oms_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(
+        emb, query, k=5, num_planes=4, hash_method="md5", dim=64
+    )
+
+
+def e6_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs over portable LSH buckets + exact
+    quantized cosine — fully reproducible in DuckDB, hence an EXACT
+    oracle for the bucket self-join + threshold filter."""
+    from etl_oms_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.35, num_planes=4, hash_method="md5", dim=64
+    )
+
+
+E5_SQL = f"""
+WITH {_bucket_cte_sql(4)},
+q AS (
+    SELECT b.vec_id AS query_id, e.embedding AS qe, b.bk
+    FROM bucket b JOIN embeddings e ON b.vec_id = e.vec_id
+    WHERE b.vec_id IN (0, 1)
+), pairs AS (
+    SELECT q.query_id, e.vec_id,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='q.qe')}) AS dot,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='e.embedding')}) AS na,
+           SUM({_QE.format(v='q.qe')} * {_QE.format(v='q.qe')}) AS nb
+    FROM embeddings e
+    JOIN bucket be ON e.vec_id = be.vec_id
+    JOIN q ON be.bk = q.bk, range(1, 65) t(i)
+    GROUP BY 1, 2
+), scored AS (
+    SELECT query_id, vec_id,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+    FROM pairs
+)
+SELECT query_id, vec_id, cosine
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
+
+
+E6_SQL = f"""
+WITH {_bucket_cte_sql(4)},
+v AS (
+    SELECT b.vec_id, e.embedding, b.bk
+    FROM bucket b JOIN embeddings e ON b.vec_id = e.vec_id
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           SUM({_QE.format(v='a.embedding')} * {_QE.format(v='b.embedding')}) AS dot,
+           SUM({_QE.format(v='a.embedding')} * {_QE.format(v='a.embedding')}) AS na,
+           SUM({_QE.format(v='b.embedding')} * {_QE.format(v='b.embedding')}) AS nb
+    FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id < b.vec_id, range(1, 65) t(i)
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+FROM pairs
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2877,14 +2979,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cx1_contamination": cx1_contamination,
         "d6_simhash_portable": d6_simhash_portable,
         "d7_minhash_portable": d7_minhash_portable,
+        "e5_ann_portable": e5_ann_portable,
+        "e6_neardup_portable": e6_neardup_portable,
         # -- representative core-ETL regression set (green in round 1) --
         "q1_pricing_summary": q1_pricing_summary,
-        "q9_product_type_profit": q9_product_type_profit,
-        "j2_multikey_join": j2_multikey_join,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
         "ev_window_agg": ev_window_agg,
         # ---- position 51+: all green in CORRECTNESS_r01.json ----
+        "q9_product_type_profit": q9_product_type_profit,
+        "j2_multikey_join": j2_multikey_join,
         "w1_lag_diff": w1_lag_diff,
         "r2_pivot_roundtrip": r2_pivot_roundtrip,
         "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -3005,6 +3109,8 @@ def oracle_sql() -> dict[str, str]:
         "cx1_contamination": CX1_SQL,
         "d6_simhash_portable": D6_SQL,
         "d7_minhash_portable": D7_SQL,
+        "e5_ann_portable": E5_SQL,
+        "e6_neardup_portable": E6_SQL,
         # a11 (HLL sketch): rows-only by design
         "d1_exact_dedup": D1_SQL,
         "d2_ngram_jaccard": D2_SQL,

@@ -148,6 +148,45 @@ def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
     return bucket
 
 
+def hyperplane_components(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic integer hyperplane components in [-500000, 500000),
+    derived from ``md5(f"{plane}|{dim_index}")`` — the portable seed
+    policy: hashlib here, ``md5()`` in any SQL engine, same constants.
+    Integer components + quantized vectors make the projection an exact
+    integer sum (order-independent, bit-identical across engines)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:15], 16)
+            % 1_000_000
+            - 500_000
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket_portable(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Sign-bit bucket key from md5-derived INTEGER hyperplanes: proj_p =
+    Σ quant(vec_i)·comp(p,i) is an exact long sum, so the bucket is
+    reproducible in any engine (`hyperplane_components`). The plane
+    constants are inlined as array literals — zero per-row hashing, one
+    fold per plane."""
+    bucket = F.lit(0).cast("long")
+    for p, comps in enumerate(hyperplane_components(num_planes, dim)):
+        arr = F.array(*[F.lit(c).cast("long") for c in comps])
+        proj = F.aggregate(
+            F.zip_with(vec, arr, lambda x, h: _quant(x) * h),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(
+            proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(0)
+    return bucket
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query: DataFrame,
@@ -156,20 +195,31 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    hash_method: str = "xxhash64",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank inside the query's LSH bucket.
 
     Recall/cost knob = ``num_planes`` (2^p buckets). At scale: persist
     ``df.withColumn("bucket", lsh_bucket(...))`` partitioned by bucket, and
     the per-query scan prunes to one partition.
+
+    ``hash_method="md5"`` (requires ``dim``) uses the portable integer
+    hyperplanes — identical buckets in any engine (the oracle variant).
     """
+    if hash_method == "md5":
+        if dim is None:
+            raise ValueError("hash_method='md5' requires the embedding dim")
+        bucket_of = lambda c: lsh_bucket_portable(c, dim, num_planes)  # noqa: E731
+    else:
+        bucket_of = lambda c: lsh_bucket(c, num_planes)  # noqa: E731
     corpus = ensure_parallelism(df, id_col).withColumn(
-        "__bucket", lsh_bucket(F.col(vec_col), num_planes)
+        "__bucket", bucket_of(F.col(vec_col))
     )
     q = query.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        lsh_bucket(F.col(vec_col), num_planes).alias("__bucket"),
+        bucket_of(F.col(vec_col)).alias("__bucket"),
     )
     scored = _cosine_scored(
         corpus, q, id_col, vec_col, query_id_col, join_on=["__bucket"]
@@ -183,11 +233,21 @@ def embedding_near_dup_pairs(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_method: str = "xxhash64",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs: LSH bucket self-join +
-    exact cosine filter. The vector-space sibling of minhash_dedup."""
+    exact cosine filter. The vector-space sibling of minhash_dedup.
+    ``hash_method="md5"`` + ``dim`` → portable buckets (see
+    `lsh_bucket_portable`)."""
+    if hash_method == "md5":
+        if dim is None:
+            raise ValueError("hash_method='md5' requires the embedding dim")
+        bucket = lsh_bucket_portable(F.col(vec_col), dim, num_planes)
+    else:
+        bucket = lsh_bucket(F.col(vec_col), num_planes)
     bucketed = ensure_parallelism(df, id_col).select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), num_planes).alias("__bucket")
+        F.col(id_col), F.col(vec_col), bucket.alias("__bucket")
     )
     a = bucketed.select(
         F.col("__bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")

@@ -212,3 +212,43 @@ def test_ivf_centroid_seed_uses_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     rows = cents.collect()
     assert sorted(r["centroid_id"] for r in rows) == list(range(8))
+
+
+def test_portable_lsh_bucket_deterministic(spark, sf_dir):
+    """md5-derived integer hyperplanes: identical buckets on any
+    partitioning, and hashlib reproduces the same plane constants the
+    SQL oracle derives from md5()."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.similarity import (
+        hyperplane_components,
+        lsh_bucket_portable,
+    )
+
+    comps = hyperplane_components(2, 4)
+    for p in range(2):
+        for i in range(4):
+            expect = int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:15], 16) % 1_000_000 - 500_000
+            assert comps[p][i] == expect
+            assert -500_000 <= comps[p][i] < 500_000
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select("vec_id", lsh_bucket_portable(F.col("embedding"), 64, 4).alias("b"))
+    b = emb.repartition(7).select(
+        "vec_id", lsh_bucket_portable(F.col("embedding"), 64, 4).alias("b")
+    )
+    assert {(r["vec_id"], r["b"]) for r in a.collect()} == \
+           {(r["vec_id"], r["b"]) for r in b.collect()}
+
+
+def test_ann_md5_requires_dim(spark, sf_dir):
+    import pytest
+
+    from etl_oms_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(1).selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError):
+        ann_lsh_topk(emb, q, hash_method="md5")
