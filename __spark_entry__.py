@@ -2918,6 +2918,131 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))
 """
 
 
+def tp2_curation_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pipeline with portable hashes (md5 near-dedup
+    signatures + md5 split buckets): gate → exact dedup → MinHash-LSH
+    greedy near-dedup → annotate → split, reported per (split,
+    lang_pred). Every stage is recomputable in DuckDB, so the END-TO-END
+    pipeline membership gets an exact oracle — the strongest parity
+    statement the engine makes (tp1 keeps the faster xxhash64 defaults)."""
+    from etl_oms_spark.plans.training_pipeline import curate_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    train, test = curate_documents(
+        docs, min_tokens=20, near_dup_threshold=0.7, hash_method="md5"
+    )
+    return (
+        train.withColumn("split", F.lit("train"))
+        .unionByName(test.withColumn("split", F.lit("test")))
+        .groupBy("split", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def _build_tp2_sql(
+    min_tokens: int = 20,
+    threshold: float = 0.7,
+    test_rate: float = 0.05,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> str:
+    """DuckDB twin of the entire portable curation pipeline. Stages mirror
+    plans/training_pipeline.curate_documents 1:1; hash derivations mirror
+    operators/dedup (md5 variant) and operators/sampling._md5_bucket."""
+    from etl_oms_spark.operators.dedup import _minhash_params
+    from etl_oms_spark.operators.text import LANG_MARKERS
+
+    prime = (1 << 31) - 1
+    mins = ",\n           ".join(
+        f"MIN((h32 * {_minhash_params(j)[0]} + {_minhash_params(j)[1]}) "
+        f"% {prime}) AS h{j}"
+        for j in range(num_hashes)
+    )
+    r = num_hashes // bands
+    band_strs = ",\n               ".join(
+        "'{b},' || ".format(b=b)
+        + " || ',' || ".join(f"CAST(h{b * r + i} AS VARCHAR)" for i in range(r))
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    codes = sorted(LANG_MARKERS)
+    hits = {c: _lang_hits_sql(LANG_MARKERS[c]) for c in codes}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    lang_case = (
+        f"CASE WHEN {best} = 0 THEN 'und' ELSE (CASE "
+        + " ".join(f"WHEN {hits[c]} = {best} THEN '{c}'" for c in codes)
+        + " END) END"
+    )
+    cut = int(test_rate * 1_000_000)
+    return f"""
+WITH gated AS (
+    SELECT doc_id, text FROM documents
+    WHERE {_WS} BETWEEN {min_tokens} AND 100000
+      AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+          / greatest(length(text), 1) <= 0.3
+      AND CAST(len(regexp_extract_all(lower(text),
+            '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
+          / greatest({_WS}, 1) >= 0.01
+), exact_keep AS (
+    SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5({_NORM_SQL})
+), corpus AS (
+    SELECT g.doc_id, g.text FROM gated g JOIN exact_keep e ON g.doc_id = e.doc_id
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(regexp_split_to_array({_NORM_SQL}, ' ')) - {k - 1}, 1) + 1),
+               i -> array_to_string(regexp_split_to_array({_NORM_SQL}, ' ')[i:i+{k - 1}], ' ')))) AS s
+    FROM corpus
+), hashed AS (
+    SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS h32
+    FROM sh
+), sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+), bands AS (
+    SELECT doc_id,
+           unnest([{band_strs}]) AS bk
+    FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+), victims AS (
+    SELECT DISTINCT c.id_b
+    FROM cand c
+    JOIN sig sa ON c.id_a = sa.doc_id
+    JOIN sig sb ON c.id_b = sb.doc_id
+    WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+), kept AS (
+    SELECT doc_id, text FROM corpus
+    WHERE doc_id NOT IN (SELECT id_b FROM victims)
+), annotated AS (
+    SELECT doc_id,
+           {lang_case} AS lang_pred,
+           {_WS} AS ws_tokens,
+           CASE WHEN CAST('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 1000000 < {cut}
+                THEN 'test' ELSE 'train' END AS split
+    FROM kept
+)
+SELECT split, lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens
+FROM annotated
+GROUP BY split, lang_pred
+"""
+
+
+TP2_SQL = _build_tp2_sql()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2981,12 +3106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_minhash_portable": d7_minhash_portable,
         "e5_ann_portable": e5_ann_portable,
         "e6_neardup_portable": e6_neardup_portable,
+        "tp2_curation_portable": tp2_curation_portable,
         # -- representative core-ETL regression set (green in round 1) --
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
-        "ev_window_agg": ev_window_agg,
         # ---- position 51+: all green in CORRECTNESS_r01.json ----
+        "ev_window_agg": ev_window_agg,
         "q9_product_type_profit": q9_product_type_profit,
         "j2_multikey_join": j2_multikey_join,
         "w1_lag_diff": w1_lag_diff,
@@ -3111,6 +3237,7 @@ def oracle_sql() -> dict[str, str]:
         "d7_minhash_portable": D7_SQL,
         "e5_ann_portable": E5_SQL,
         "e6_neardup_portable": E6_SQL,
+        "tp2_curation_portable": TP2_SQL,
         # a11 (HLL sketch): rows-only by design
         "d1_exact_dedup": D1_SQL,
         "d2_ngram_jaccard": D2_SQL,

@@ -202,6 +202,7 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Near-dedup: drop any doc that is ≥threshold-similar to a lower-id doc.
 
@@ -212,8 +213,8 @@ def minhash_dedup(
     # cache: the signature table is tiny (num_hashes longs per doc) but its
     # lineage re-scans the corpus; it feeds the bucket self-join (twice) and
     # both sides of the similarity join — 4 recomputes without the cache.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).cache()
-    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_method).cache()
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, hash_method)
     sims = estimate_jaccard(sigs, pairs, id_col, num_hashes)
     victims = (
         sims.filter(F.col("est_jaccard") >= threshold)

@@ -35,8 +35,15 @@ def curate_documents(
     transitive: bool = False,
     lang_rates: dict[str, float] | None = None,
     test_rate: float = 0.05,
+    hash_method: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
-    """(train, test) curated corpora with annotation columns attached."""
+    """(train, test) curated corpora with annotation columns attached.
+
+    ``hash_method="md5"`` routes the near-dedup signatures/banding AND the
+    split buckets through the portable md5 derivations, making the entire
+    pipeline's membership reproducible outside Spark (the exact-oracle
+    twin); xxhash64 stays the cheaper production default.
+    """
     gated = quality_filter(df, text_col, min_tokens=min_tokens)
 
     survivors = exact_dedup(gated, text_col, id_col).select(id_col)
@@ -50,7 +57,8 @@ def curate_documents(
         )
     else:
         deduped = minhash_dedup(
-            deduped, text_col, id_col, threshold=near_dup_threshold
+            deduped, text_col, id_col, threshold=near_dup_threshold,
+            hash_method=hash_method,
         )
 
     annotated = with_text_stats(deduped, text_col)
@@ -60,7 +68,9 @@ def curate_documents(
             annotated, "lang_pred", lang_rates, key_col=id_col, default_rate=1.0
         )
 
-    return train_test_split(annotated, test_rate=test_rate, key_col=id_col)
+    return train_test_split(
+        annotated, test_rate=test_rate, key_col=id_col, method=hash_method
+    )
 
 
 def write_curated(

@@ -111,3 +111,22 @@ def test_md5_split_portable_and_disjoint(spark):
 
     with pytest.raises(ValueError):
         train_test_split(df, method="nope")
+
+
+def test_curate_documents_md5_partitioning_invariant(spark, sf_dir):
+    """hash_method='md5' routes near-dedup AND split through portable
+    hashes: identical membership on any physical partitioning."""
+    from etl_oms_spark.plans.training_pipeline import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tr1, te1 = curate_documents(
+        docs, min_tokens=20, near_dup_threshold=0.7, hash_method="md5"
+    )
+    tr2, te2 = curate_documents(
+        docs.repartition(13), min_tokens=20, near_dup_threshold=0.7,
+        hash_method="md5",
+    )
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())  # noqa: E731
+    assert ids(tr1) == ids(tr2)
+    assert ids(te1) == ids(te2)
+    assert set(ids(tr1)).isdisjoint(ids(te1))
