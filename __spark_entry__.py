@@ -1145,8 +1145,8 @@ SELECT vec_id,
            x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)), ',') AS head4_q,
        list_max(list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS max_q,
-       list_sum(list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS sum_q
+       CAST(list_sum(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS sum_q
 FROM embeddings
 """
 
@@ -1183,8 +1183,12 @@ def f10_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(d).alias("m"),
         F.dayofmonth(d).alias("dom"),
         (F.dayofweek(d) - F.lit(1)).alias("dow"),
-        F.last_day(d).cast("date").alias("month_end"),
-        F.date_add(d.cast("date"), 30).alias("plus30"),
+        # timestamps, not dates: DATE columns reach pandas as object cells
+        # (datetime.date) on the Spark side but datetime64 from DuckDB —
+        # the one dtype gap the driver's datetime normalization can't
+        # bridge. Timestamp-typed on both sides compares exactly.
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("plus30"),
         F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("to_y2k"),
     )
 
@@ -1196,8 +1200,8 @@ SELECT o_orderkey,
        CAST(month(o_orderdate) AS INT) AS m,
        CAST(day(o_orderdate) AS INT) AS dom,
        CAST(dayofweek(o_orderdate) AS INT) AS dow,
-       last_day(CAST(o_orderdate AS DATE)) AS month_end,
-       CAST(o_orderdate AS DATE) + 30 AS plus30,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
        CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS to_y2k
 FROM orders
 """
@@ -2213,9 +2217,9 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T1_SQL = f"""
 SELECT doc_id,
-       CASE WHEN length({_NORM_SQL}) = 0 THEN 0
-            ELSE len(string_split({_NORM_SQL}, ' ')) END AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+       CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+            ELSE len(string_split({_NORM_SQL}, ' ')) END AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
 FROM documents
 """
 
