@@ -2463,6 +2463,33 @@ def sp1_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing / stratified sampling: per-source keep rates applied
+    with a hash-stable, partitioning-independent keep decision — the
+    standard corpus-mixing primitive (downweight a crawl source, keep all
+    of a curated one). Portable md5 buckets so the DuckDB oracle recomputes
+    identical membership (operators/sampling.stratified_sample)."""
+    from etl_oms_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    kept = stratified_sample(
+        d, "source", rates, key_col="doc_id", default_rate=0.05, method="md5"
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
+SP2_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE CAST('0x' || substring(md5('strata|' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) % 1000000
+      < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                    WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000
+                    ELSE 50000 END
+"""
+
+
 SP1_SQL = """
 WITH b AS (
     SELECT lang,
@@ -2922,6 +2949,171 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))
 """
 
 
+def d8_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (16→8-word block) exact dedup with reassembly: keep the
+    globally-first occurrence of every distinct block, rebuild documents
+    from surviving blocks (operators/dedup.block_dedup). Pure string
+    algebra on both engines → exact oracle."""
+    from etl_oms_spark.operators.dedup import block_dedup
+
+    return block_dedup(_t(spark, sf_dir, "documents"), block_words=8)
+
+
+D8_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+base AS (
+    SELECT doc_id, toks,
+           CAST(greatest(ceil(len(toks) / 8.0), 1) AS BIGINT) AS n_blocks
+    FROM t
+),
+blocks AS (
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(list_slice(toks, (i - 1) * 8 + 1, i * 8), ' ') AS block
+    FROM base, LATERAL unnest(range(1, n_blocks + 1)) u(i)
+),
+winners AS (
+    SELECT block, (min(struct_pack(d := doc_id, p := pos))).d AS wd,
+           (min(struct_pack(d := doc_id, p := pos))).p AS wp
+    FROM blocks GROUP BY block
+),
+kept AS (
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(b.block, ' ' ORDER BY b.pos) AS kept_text
+    FROM blocks b JOIN winners w
+      ON b.block = w.block AND b.doc_id = w.wd AND b.pos = w.wp
+    GROUP BY b.doc_id
+)
+SELECT base.doc_id, base.n_blocks,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.kept_text, '') AS kept_text
+FROM base LEFT JOIN kept k ON base.doc_id = k.doc_id
+"""
+
+
+def e7_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over embeddings (k=8, 2 iterations): broadcast-style
+    inlined centroids, one assign scan + one posexplode partial-sum shuffle
+    per iteration (operators/clustering.kmeans_fit). All arithmetic is
+    exact shifted-integer, so the DuckDB recursive-CTE oracle recomputes
+    bit-identical centroids, assignments and distances."""
+    from etl_oms_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, n_iter=2)
+    return kmeans_assign(emb, cents).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist2"
+    )
+
+
+def sd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means cluster (k=8, 2
+    Lloyd iterations), then exact quantized cosine over pairs WITHIN each
+    cluster only — Σ cluster² pair generation, the data-adaptive analogue
+    of LSH bucketing (operators/clustering.semantic_dedup_pairs)."""
+    from etl_oms_spark.operators.clustering import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, k=8, n_iter=2, threshold=0.35).select(
+        "id_a", "id_b", F.col("cluster").cast("int").alias("cluster"), "cosine"
+    )
+
+
+def _kmeans_dist_sql(vec: str, cent: str) -> str:
+    """Exact squared-L2 between two quantized BIGINT lists (lambda touches
+    only its own parameter — outer columns enter via list_zip)."""
+    return (
+        f"list_sum(list_transform(list_zip({vec}, {cent}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _kmeans_cte_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Recursive-CTE Lloyd k-means matching operators/clustering exactly:
+    quantize+shift → seed = k lowest ids → per-iteration argmin assignment
+    (struct min = (dist, cluster) lexicographic, low-cluster tie-break) →
+    exact half-up integer mean ``(2s + n) // (2n)``; empty clusters keep
+    their previous centroid. Yields CTEs ``q`` (vec_id, qv) and ``it``
+    (iter, cents)."""
+    d = _kmeans_dist_sql("q.qv", "it.cents[g2.cid + 1]")
+    return f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS qv
+  FROM embeddings
+),
+seed AS (
+  SELECT list(qv ORDER BY vec_id) AS cents
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+),
+it AS (
+  SELECT 0 AS iter, cents FROM seed
+  UNION ALL
+  SELECT it.iter + 1,
+    (SELECT list(COALESCE(nc.newc, it.cents[g.cid + 1]) ORDER BY g.cid)
+     FROM generate_series(0, {k - 1}) g(cid)
+     LEFT JOIN (
+       SELECT cid, list(c ORDER BY j) AS newc
+       FROM (
+         SELECT cid, j, (2 * SUM(qv[j]) + COUNT(*)) // (2 * COUNT(*)) AS c
+         FROM (
+           SELECT vec_id, qv, (min(struct_pack(d := d, c := cid))).c AS cid
+           FROM (
+             SELECT q.vec_id, q.qv, g2.cid, {d} AS d
+             FROM q CROSS JOIN generate_series(0, {k - 1}) g2(cid)
+           )
+           GROUP BY vec_id, qv
+         ) a, generate_series(1, {dim}) t(j)
+         GROUP BY cid, j
+       )
+       GROUP BY cid
+     ) nc ON nc.cid = g.cid
+    )
+  FROM it WHERE it.iter < {iters}
+),
+final_assign AS (
+  SELECT vec_id, (min(struct_pack(d := d, c := cid))).c AS cluster,
+         (min(struct_pack(d := d, c := cid))).d AS dist2
+  FROM (
+    SELECT q.vec_id, g.cid,
+           {_kmeans_dist_sql("q.qv", "f.cents[g.cid + 1]")} AS d
+    FROM q, (SELECT cents FROM it WHERE iter = {iters}) f,
+         generate_series(0, {k - 1}) g(cid)
+  )
+  GROUP BY vec_id
+)"""
+
+
+E7_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(8, 2)}
+SELECT vec_id, CAST(cluster AS INT) AS cluster, CAST(dist2 AS BIGINT) AS dist2
+FROM final_assign
+"""
+
+
+SD1_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(8, 2)},
+v AS (
+    SELECT f.vec_id, f.cluster, e.embedding
+    FROM final_assign f JOIN embeddings e ON f.vec_id = e.vec_id
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+           SUM({_QE.format(v='a.embedding')} * {_QE.format(v='b.embedding')}) AS dot,
+           SUM({_QE.format(v='a.embedding')} * {_QE.format(v='a.embedding')}) AS na,
+           SUM({_QE.format(v='b.embedding')} * {_QE.format(v='b.embedding')}) AS nb
+    FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id,
+         range(1, 65) t(i)
+    GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, CAST(cluster AS INT) AS cluster,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+FROM pairs
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+"""
+
+
 def tp2_curation_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation pipeline with portable hashes (md5 near-dedup
     signatures + md5 split buckets): gate → exact dedup → MinHash-LSH
@@ -3111,11 +3303,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_ann_portable": e5_ann_portable,
         "e6_neardup_portable": e6_neardup_portable,
         "tp2_curation_portable": tp2_curation_portable,
-        # -- representative core-ETL regression set (green in round 1) --
+        "sp2_stratified_sample": sp2_stratified_sample,
+        "e7_kmeans": e7_kmeans,
+        "sd1_semantic_dedup": sd1_semantic_dedup,
+        # ---- position 51+: all green in CORRECTNESS_r01.json
+        #      (d8 is new this round; front-load it in round 3) ----
+        "d8_block_dedup": d8_block_dedup,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
-        # ---- position 51+: all green in CORRECTNESS_r01.json ----
         "ev_window_agg": ev_window_agg,
         "q9_product_type_profit": q9_product_type_profit,
         "j2_multikey_join": j2_multikey_join,
@@ -3232,6 +3428,10 @@ def oracle_sql() -> dict[str, str]:
         "a13_exact_median": A13_SQL,
         "u2_grouped_ema": U2_SQL,
         "sp1_deterministic_split": SP1_SQL,
+        "sp2_stratified_sample": SP2_SQL,
+        "e7_kmeans": E7_SQL,
+        "sd1_semantic_dedup": SD1_SQL,
+        "d8_block_dedup": D8_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

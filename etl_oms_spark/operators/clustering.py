@@ -1,0 +1,202 @@
+"""Embedding clustering for data curation: Lloyd k-means + SemDeDup-style
+semantic dedup.
+
+The reference has no clustering (its similarity surface is pandas row
+loops); this is the Spark-native embedding-curation layer a training-data
+pipeline needs: cluster the corpus, then prune near-duplicates WITHIN
+clusters (SemDeDup) so the pair search is Σ cluster² instead of n².
+
+Determinism policy (same as operators/similarity.py): all per-vector
+arithmetic is exact integer — components are quantized with
+``round(x * 1e6)`` and SHIFTED non-negative, distances are exact long
+sums, and the centroid update is an exact half-up integer division
+``(2·s + n) // (2·n)``. Every engine (Spark, DuckDB, Python) recomputes
+bit-identical centroids and assignments from the same data, which is what
+makes the DuckDB oracle for the e7/sd1 queries exact rather than
+rows-only.
+
+Scale shape per Lloyd iteration:
+- assignment: one corpus scan; the k quantized centroids are inlined as
+  array literals (driver-held, k·dim longs — broadcast-scale, the same
+  thing MLlib ships to executors), argmin via an array_min over
+  (distance, cluster) structs — deterministic low-cluster tie-break.
+- update: posexplode to (cluster, dim, component) with map-side partial
+  sums — the shuffle carries only k·dim partial rows per task, never the
+  corpus; the k·dim summed components collect to the driver (tiny).
+Empty clusters keep their previous centroid (standard Lloyd handling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..util import ensure_parallelism
+from .similarity import QUANT, cosine_quantized
+
+#: shift added to quantized components so centroid-update division stays in
+#: the non-negative domain, where Spark, DuckDB and Python integer division
+#: agree (negative-operand rounding differs between engines).
+SHIFT = 1_000_000
+
+
+def quantize_shifted(vec: Column, shift: int = SHIFT) -> Column:
+    """array<long>: round(x · 1e6) + shift per component (non-negative for
+    embeddings with |x| ≤ shift/1e6)."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * F.lit(QUANT)).cast("long") + F.lit(shift)
+    )
+
+
+def _dist2(qvec: Column, centroid: list[int]) -> Column:
+    """Exact squared L2 distance between a quantized vector column and a
+    driver-held quantized centroid (inlined literal array)."""
+    arr = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(qvec, arr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cluster(qvec: Column, centroids: list[list[int]]) -> Column:
+    """Index of the nearest centroid; ties break to the LOWEST cluster id
+    (array_min over (dist, cluster) structs — struct ordering is
+    lexicographic, so equal distances compare on the id)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_dist2(qvec, c).alias("d"), F.lit(i).alias("c"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["c"].alias("cluster")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Lloyd k-means over quantized embeddings; returns the final quantized
+    (shifted) centroids as driver-held lists.
+
+    Seed = the k lowest-id vectors (TakeOrdered — deterministic, no global
+    sort); then ``n_iter`` iterations of assign → per-cluster exact integer
+    mean. The only driver-side data is k·dim longs per iteration — the
+    centroid set itself, which any distributed k-means must materialize to
+    broadcast the next round (MLlib's collectAsMap does the same).
+    """
+    qdf = (
+        ensure_parallelism(df, id_col)
+        .select(F.col(id_col), quantize_shifted(F.col(vec_col)).alias("__q"))
+    )
+    seeds = qdf.orderBy(id_col).limit(k).collect()
+    centroids = [list(r["__q"]) for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(n_iter):
+        assigned = qdf.select(
+            F.col("__q"), _argmin_cluster(F.col("__q"), centroids)
+        )
+        sums = (
+            assigned.select(
+                F.col("cluster"), F.posexplode(F.col("__q")).alias("j", "v")
+            )
+            .groupBy("cluster", "j")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_centroids = [list(c) for c in centroids]  # empty cluster → keep
+        by_cluster: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], []).append((r["j"], r["s"], r["n"]))
+        for cid, rows in by_cluster.items():
+            vec = [0] * dim
+            for j, s, n in rows:
+                vec[j] = (2 * s + n) // (2 * n)  # exact half-up mean
+            new_centroids[cid] = vec
+        centroids = new_centroids
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, cluster, dist2): nearest final centroid per vector —
+    one scan, centroids inlined, no shuffle. At scale, persist partitioned
+    by ``cluster``: that is the semantic shard layout."""
+    qvec = quantize_shifted(F.col(vec_col))
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(_dist2(qvec, c).alias("d"), F.lit(i).alias("c"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return ensure_parallelism(df, id_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        best["c"].alias("cluster"),
+        best["d"].alias("dist2"),
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style near-dup pairs: k-means cluster the corpus, then
+    exact quantized cosine over pairs WITHIN each cluster only.
+
+    (id_a, id_b, cluster, cosine) with id_a < id_b and cosine ≥ threshold.
+    The cluster equi-join bounds pair generation at Σ cluster² — the
+    semantic analogue of LSH bucketing, but with tunable k and data-adaptive
+    boundaries.
+    """
+    cents = kmeans_fit(df, k, n_iter, id_col, vec_col)
+    assigned = kmeans_assign(df, cents, id_col, vec_col)
+    a = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cluster",
+            cosine_quantized(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop every vector ≥ threshold-cosine-similar to a lower-id vector in
+    its cluster (greedy min-id-survives, same policy as minhash_dedup)."""
+    victims = (
+        semantic_dedup_pairs(df, k, n_iter, threshold, id_col, vec_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(victims, id_col, "left_anti")

@@ -402,6 +402,78 @@ def containment_pairs(
     )
 
 
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 16,
+) -> DataFrame:
+    """Sub-document exact dedup: chunk every document into consecutive
+    ``block_words``-word blocks, keep only the globally-FIRST occurrence of
+    each distinct block (ordered by (doc, position)), and reassemble each
+    document from its surviving blocks.
+
+    This is the chunk-granular exact-substring dedup pass training
+    pipelines run between whole-doc dedup and near-dedup: it strips
+    repeated boilerplate (headers, license blocks, navigation text) that
+    whole-document fingerprints can't see without dropping the documents
+    that contain it.
+
+    Shape: one explode (corpus blocks) → one hash-groupBy on the block
+    (min (doc, pos) winner — map-side combined, the same one-shuffle
+    pattern as `exact_dedup`) → broadcast-free equi-join back on the block
+    → one groupBy(doc) to reassemble (sorted struct array, JVM-side).
+    Block text itself never leaves the executors twice: the winner table
+    carries (block, winner-struct) only.
+
+    Returns (id, n_blocks, n_kept, kept_text) for every input document —
+    a fully-deduped document keeps 0 blocks and an empty text.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_blocks = F.greatest(F.ceil(n / F.lit(block_words)), F.lit(1)).cast("long")
+    block_arr = F.transform(
+        F.sequence(F.lit(1), n_blocks),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - F.lit(1)) * block_words + F.lit(1), block_words)
+        ),
+    )
+    base = ensure_parallelism(df, id_col).select(
+        F.col(id_col), n_blocks.alias("n_blocks"), block_arr.alias("__blocks")
+    )
+    exploded = base.select(
+        F.col(id_col), F.posexplode(F.col("__blocks")).alias("pos", "block")
+    )
+    winners = exploded.groupBy("block").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("__w")
+    )
+    kept = (
+        exploded.join(winners, "block")
+        .filter((F.col(id_col) == F.col("__w.d")) & (F.col("pos") == F.col("__w.p")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "block"))),
+                    lambda s: s["block"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        base.select(id_col, "n_blocks")
+        .join(kept, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_blocks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )
+
+
 def contamination_ids(
     df: DataFrame,
     benchmark: DataFrame,

@@ -78,10 +78,14 @@ def stratified_sample(
     key_col: str,
     default_rate: float = 0.0,
     salt: str = "strata",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample 'en' to 10%,
     keep all 'fr'): the rate is looked up per row from a literal CASE, the
-    keep-decision stays hash-stable."""
+    keep-decision stays hash-stable. This is the domain-mixing primitive
+    for training corpora — per-source keep rates applied identically on
+    every re-run. ``method="md5"`` makes membership reproducible outside
+    Spark (see `_md5_bucket`)."""
     rate_col = None
     for value, rate in rates.items():
         cond = F.col(strata_col) == value
@@ -92,7 +96,7 @@ def stratified_sample(
         if rate_col is not None
         else F.lit(int(default_rate * _BUCKETS))
     )
-    return df.filter(_hash_bucket(F.col(key_col), salt) < rate_col)
+    return df.filter(_bucket(F.col(key_col), salt, method) < rate_col)
 
 
 def deterministic_shuffle(

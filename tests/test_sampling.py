@@ -55,6 +55,37 @@ def test_stratified_sample(spark):
     assert "2" not in counts  # default rate 0 drops the stratum
 
 
+def test_stratified_sample_md5_portable(spark):
+    """method='md5' strata decisions are hash-stable, partitioning-
+    independent, and reproducible in DuckDB (the domain-mixing audit
+    path)."""
+    import duckdb
+
+    df = _docs(spark)
+    out = stratified_sample(
+        df, strata_col="lang", rates={"0": 1.0, "1": 0.2}, key_col="doc_id",
+        method="md5",
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    out2 = stratified_sample(
+        df.repartition(7), strata_col="lang", rates={"0": 1.0, "1": 0.2},
+        key_col="doc_id", method="md5",
+    )
+    assert kept == sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+
+    con = duckdb.connect()
+    oracle = sorted(
+        r[0] for r in con.execute("""
+            SELECT i FROM range(2000) t(i)
+            WHERE CAST('0x' || substring(md5('strata|' || CAST(i AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 1000000
+                  < CASE CAST(i % 3 AS VARCHAR) WHEN '0' THEN 1000000
+                         WHEN '1' THEN 200000 ELSE 0 END
+        """).fetchall()
+    )
+    assert kept == oracle
+
+
 def test_curate_documents_end_to_end(spark, sf_dir):
     import os
 

@@ -223,3 +223,38 @@ def test_minhash_md5_variant_finds_near_dups(spark):
     pairs = {(r["id_a"], r["id_b"])
              for r in lsh_candidate_pairs(sigs, hash_method="md5").collect()}
     assert (1, 2) in pairs  # exact dup always a candidate
+
+
+def test_block_dedup_strips_repeated_boilerplate(spark):
+    """The shared license header survives only in the first doc; unique
+    body text survives everywhere; fully-duplicate docs empty out."""
+    from etl_oms_spark.operators.dedup import block_dedup
+
+    header = "copyright notice all rights reserved do not remove this line"
+    rows = [
+        (1, header + " alpha beta gamma delta unique first body"),
+        (2, header + " epsilon zeta eta theta second body text here"),
+        (3, header),  # nothing but the boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in block_dedup(df, block_words=5).collect()}
+
+    assert out[1]["n_kept"] == out[1]["n_blocks"]  # first occurrence keeps all
+    assert out[1]["kept_text"].startswith("copyright notice all rights reserved")
+    # doc 2 loses exactly the two full header blocks (10 of its words),
+    # keeps its tail blocks (header tail merges into a distinct block)
+    assert out[2]["n_kept"] < out[2]["n_blocks"]
+    assert "second body text here" in out[2]["kept_text"]
+    assert not out[2]["kept_text"].startswith("copyright notice")
+    # doc 3 is the header verbatim: every block already seen -> empties out
+    assert out[3]["n_kept"] == 0
+    assert out[3]["kept_text"] == ""
+
+
+def test_block_dedup_partitioning_invariant(spark, sf_dir):
+    from etl_oms_spark.operators.dedup import block_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = block_dedup(docs, block_words=8)
+    b = block_dedup(docs.repartition(13), block_words=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
