@@ -2992,6 +2992,105 @@ FROM base LEFT JOIN kept k ON base.doc_id = k.doc_id
 """
 
 
+def ts1_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text BM25 top-k search over documents: inverted-index tf
+    (terms filtered pre-shuffle), broadcast df + corpus stats, per-term
+    scores quantized to exact 1e-6 integers BEFORE the per-doc sum so the
+    aggregate is order-independent and bit-identical on both engines
+    (operators/search.bm25_topk)."""
+    from etl_oms_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["join", "hash", "window", "spark"],
+        k=25,
+    )
+
+
+_BM25_TERMS = "('join', 'hash', 'window', 'spark')"
+
+TS1_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+gstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_len
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE term IN {_BM25_TERMS}
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(floor(
+             ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+             * CAST(tf * 880 * total_len AS DOUBLE)
+             / CAST(tf * 400 * total_len + 120 * total_len
+                    + 360 * dl.dl * n_docs AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS term_q
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN gstats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(SUM(term_q) AS BIGINT) AS score_q,
+       CAST(SUM(term_q) AS BIGINT) / 1000000.0 AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY score_q DESC, doc_id
+LIMIT 25
+"""
+
+
+def kw1_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: argmax TF-IDF term per doc
+    (min(struct(-tfidf, term)) — deterministic tie-break on term), from
+    the sparse TF-IDF postings (operators/search.tfidf_vectors)."""
+    from etl_oms_spark.operators.search import tfidf_vectors
+
+    v = tfidf_vectors(_t(spark, sf_dir, "documents"))
+    best = v.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("tfidf_q")).alias("n"), F.col("term").alias("t"))).alias("b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.t").alias("top_term"),
+        (-F.col("b.n")).cast("long").alias("tfidf_q"),
+    )
+
+
+KW1_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+v AS (
+    SELECT tf.doc_id, tf.term,
+           CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
+                AS BIGINT) AS tfidf_q
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+best AS (
+    SELECT doc_id, min(struct_pack(n := -tfidf_q, t := term)) AS b
+    FROM v GROUP BY doc_id
+)
+SELECT doc_id, b.t AS top_term, CAST(-b.n AS BIGINT) AS tfidf_q FROM best
+"""
+
+
 def e7_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means over embeddings (k=8, 2 iterations): broadcast-style
     inlined centroids, one assign scan + one posexplode partial-sum shuffle
@@ -3309,6 +3408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: all green in CORRECTNESS_r01.json
         #      (d8 is new this round; front-load it in round 3) ----
         "d8_block_dedup": d8_block_dedup,
+        "ts1_bm25": ts1_bm25,
+        "kw1_keywords": kw1_keywords,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -3432,6 +3533,8 @@ def oracle_sql() -> dict[str, str]:
         "e7_kmeans": E7_SQL,
         "sd1_semantic_dedup": SD1_SQL,
         "d8_block_dedup": D8_SQL,
+        "ts1_bm25": TS1_SQL,
+        "kw1_keywords": KW1_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,
