@@ -3091,6 +3091,79 @@ SELECT doc_id, b.t AS top_term, CAST(-b.n AS BIGINT) AS tfidf_q FROM best
 """
 
 
+def v1_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary heavy hitters: (term, tf, df) in one
+    map-side-combined aggregation (df via partial count-distinct on
+    doc_id — no second shuffle), deterministic top-100 cut
+    (operators/vocab.vocab_topk)."""
+    from etl_oms_spark.operators.vocab import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=100)
+
+
+V1_SQL = f"""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+    FROM documents
+)
+GROUP BY term
+ORDER BY tf DESC, term
+LIMIT 100
+"""
+
+
+def v2_bigram_merge_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate ranking: adjacent-token-pair frequencies built
+    inside the token array (zip with tail — exactly len-1 rows per doc),
+    one count shuffle, deterministic top-50 (operators/vocab.bigram_topk)."""
+    from etl_oms_spark.operators.vocab import bigram_topk
+
+    return bigram_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+V2_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+)
+SELECT t[i] || ' ' || t[i + 1] AS pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks, LATERAL unnest(range(1, len(t))) u(i)
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 50
+"""
+
+
+def cv1_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-size selection curve: cumulative corpus-token coverage of the
+    top-200 terms; the running-sum window runs over the 200-row head
+    only, never the corpus (operators/vocab.coverage_curve)."""
+    from etl_oms_spark.operators.vocab import coverage_curve
+
+    return coverage_curve(_t(spark, sf_dir, "documents"), top=200)
+
+
+CV1_SQL = f"""
+WITH counts AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    )
+    GROUP BY term
+),
+total AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM counts),
+head AS (SELECT term, tf FROM counts ORDER BY tf DESC, term LIMIT 200)
+SELECT CAST(row_number() OVER w AS BIGINT) AS rank, term, tf,
+       CAST(SUM(tf) OVER w AS BIGINT) AS cum_tf,
+       CAST(SUM(tf) OVER w AS BIGINT) / CAST(total AS DOUBLE) AS coverage
+FROM head CROSS JOIN total
+WINDOW w AS (ORDER BY tf DESC, term ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
 def e7_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means over embeddings (k=8, 2 iterations): broadcast-style
     inlined centroids, one assign scan + one posexplode partial-sum shuffle
@@ -3210,6 +3283,51 @@ SELECT id_a, id_b, CAST(cluster AS INT) AS cluster,
        CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
 FROM pairs
 WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+"""
+
+
+def cl1_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster curation diagnostics over the k-means assignment:
+    size, exact dist2 sum, prototype (min-dist2 member, id tie-break),
+    and members the exact-integer `dist2·n > 2·Σdist2` outlier rule
+    would prune (operators/clustering.cluster_stats)."""
+    from etl_oms_spark.operators.clustering import (
+        cluster_stats,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, kmeans_fit(emb, k=8, n_iter=2))
+    return cluster_stats(assigned).select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n",
+        "sum_dist2",
+        "prototype_id",
+        "prototype_dist2",
+        "n_outliers",
+    )
+
+
+CL1_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(8, 2)},
+per AS (
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dist2) AS BIGINT) AS sum_dist2,
+           (min(struct_pack(d := dist2, i := vec_id))).i AS prototype_id,
+           (min(struct_pack(d := dist2, i := vec_id))).d AS prototype_dist2
+    FROM final_assign GROUP BY cluster
+),
+outl AS (
+    SELECT f.cluster, CAST(COUNT(*) AS BIGINT) AS n_outliers
+    FROM final_assign f JOIN per p ON f.cluster = p.cluster
+    WHERE f.dist2 * p.n > 2 * p.sum_dist2
+    GROUP BY f.cluster
+)
+SELECT CAST(per.cluster AS INT) AS cluster, per.n, per.sum_dist2,
+       per.prototype_id, CAST(per.prototype_dist2 AS BIGINT) AS prototype_dist2,
+       COALESCE(o.n_outliers, 0) AS n_outliers
+FROM per LEFT JOIN outl o ON per.cluster = o.cluster
 """
 
 
@@ -3410,6 +3528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_block_dedup": d8_block_dedup,
         "ts1_bm25": ts1_bm25,
         "kw1_keywords": kw1_keywords,
+        "v1_vocab_topk": v1_vocab_topk,
+        "v2_bigram_merge_rank": v2_bigram_merge_rank,
+        "cv1_coverage_curve": cv1_coverage_curve,
+        "cl1_cluster_stats": cl1_cluster_stats,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -3535,6 +3657,10 @@ def oracle_sql() -> dict[str, str]:
         "d8_block_dedup": D8_SQL,
         "ts1_bm25": TS1_SQL,
         "kw1_keywords": KW1_SQL,
+        "v1_vocab_topk": V1_SQL,
+        "v2_bigram_merge_rank": V2_SQL,
+        "cv1_coverage_curve": CV1_SQL,
+        "cl1_cluster_stats": CL1_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

@@ -200,3 +200,69 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(victims, id_col, "left_anti")
+
+def cluster_stats(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster diagnostics over a `kmeans_assign` result: size, exact
+    dist2 sum, the prototype (min-dist2 member, id tie-break — the
+    cluster's most representative vector, cf. SemDeDup's keep-policy),
+    and how many members the `2× mean dist2` outlier rule would prune.
+
+    The outlier test is exact integer algebra — ``dist2 · n > 2 · Σdist2``
+    avoids the mean's division entirely — so every engine agrees
+    bit-for-bit. One map-side-combined groupBy(cluster); k rows out.
+
+    ANSI overflow bound: worst-case quantized dist2 ≈ 2.6e14 (64 dims,
+    |x| ≤ 1), so ``dist2 · n`` stays in BIGINT for clusters up to ~3.5e4
+    members at worst-case spread (far larger for realistic dist2 ≈ 1e12).
+    Past that, recast the two products to DECIMAL(38,0) — still exact.
+    """
+    per = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist2").alias("sum_dist2"),
+        F.min(F.struct(F.col("dist2").alias("d"), F.col(id_col).alias("i"))).alias(
+            "__p"
+        ),
+    )
+    outliers = (
+        assigned.join(F.broadcast(per.select("cluster", "n", "sum_dist2")), "cluster")
+        .filter(F.col("dist2") * F.col("n") > F.lit(2) * F.col("sum_dist2"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        per.join(outliers, "cluster", "left")
+        .select(
+            "cluster",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_dist2").cast("long").alias("sum_dist2"),
+            F.col("__p.i").alias("prototype_id"),
+            F.col("__p.d").cast("long").alias("prototype_dist2"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+def prune_outliers(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop vectors whose dist2 to their centroid exceeds 2× the cluster
+    mean (exact integer rule) — the cheap semantic-outlier filter run
+    before similarity search or SemDeDup."""
+    assigned = kmeans_assign(df, kmeans_fit(df, k, n_iter, id_col, vec_col),
+                             id_col, vec_col)
+    per = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("dist2").alias("__s")
+    )
+    keep = (
+        assigned.join(F.broadcast(per), "cluster")
+        .filter(F.col("dist2") * F.col("__n") <= F.lit(2) * F.col("__s"))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

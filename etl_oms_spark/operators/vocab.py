@@ -1,0 +1,119 @@
+"""Corpus vocabulary statistics — the tokenizer-training prep pass.
+
+Training pipelines build (a) a word-frequency table (vocab selection,
+coverage curves, OOV-rate estimation) and (b) adjacent-pair frequencies
+(the inner statistic of a BPE merge step) over the full corpus. Both are
+classic one-shuffle map-side-combined aggregations; the top-k cut is a
+TakeOrdered so only k rows per partition ever move after the count.
+
+At 100 TB the only hot spot is the count groupBy's key skew (Zipfian
+head terms). A map-side combine already collapses each partition's head
+to one row per term per partition, which is exactly the salting
+transform — no extra handling needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_oms_spark.operators.text import tokens
+from etl_oms_spark.util import ensure_parallelism
+
+
+def vocab_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, tf, df) over the corpus: total occurrences and document
+    frequency, in ONE aggregation — df via count_distinct on the doc id
+    (partial_count_distinct map-side, no second shuffle)."""
+    tok = ensure_parallelism(df, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    return tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k vocabulary by total frequency, deterministic (tf DESC, term
+    ASC) — a TakeOrdered cut over the count table."""
+    return (
+        vocab_counts(df, text_col, id_col)
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
+def bigram_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Adjacent-token-pair frequencies — the statistic a BPE/WordPiece
+    merge step maximizes. Pairs are built inside the array (zip of the
+    token array with its tail) so the explode emits exactly len-1 rows
+    per doc; one count shuffle after."""
+    toks = tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    tok = ensure_parallelism(df, id_col).select(
+        F.explode(pairs).alias("pair")
+    )
+    return tok.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+
+
+def bigram_topk(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k adjacent pairs (n DESC, pair ASC) — one BPE merge-candidate
+    ranking pass."""
+    return (
+        bigram_counts(df, text_col, id_col)
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
+def coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top: int = 200,
+) -> DataFrame:
+    """Cumulative token coverage of the top-``top`` vocabulary: rank terms
+    by frequency and report what fraction of all corpus tokens the top-r
+    terms cover — the vocab-size selection curve. The running sum windows
+    over the ``top``-row table only, never the corpus."""
+    counts = vocab_counts(df, text_col, id_col)
+    total = counts.agg(F.sum("tf").alias("total"))
+    head = (
+        counts.orderBy(F.col("tf").desc(), F.col("term")).limit(top)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("tf").desc(), F.col("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        head.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.col("tf").desc(), F.col("term"))
+            ).cast("long").alias("rank"),
+            "term",
+            "tf",
+            F.sum("tf").over(w).alias("cum_tf"),
+            (F.sum("tf").over(w) / F.col("total")).alias("coverage"),
+        )
+    )

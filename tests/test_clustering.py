@@ -100,3 +100,36 @@ def test_semantic_dedup_prunes_within_clusters(emb):
     kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
     assert kept_ids.isdisjoint(victims)
     assert kept_ids | victims == {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+
+def test_cluster_stats_consistency(emb):
+    from etl_oms_spark.operators.clustering import cluster_stats
+
+    cents = kmeans_fit(emb, k=4, n_iter=2)
+    assigned = kmeans_assign(emb, cents).cache()
+    stats = {r["cluster"]: r for r in cluster_stats(assigned).collect()}
+    raw = assigned.collect()
+    n = emb.count()
+    assert sum(r["n"] for r in stats.values()) == n
+    for cid, s in stats.items():
+        members = [r for r in raw if r["cluster"] == cid]
+        assert s["n"] == len(members)
+        assert s["sum_dist2"] == sum(r["dist2"] for r in members)
+        proto = min((r["dist2"], r["vec_id"]) for r in members)
+        assert (s["prototype_dist2"], s["prototype_id"]) == proto
+        expect_out = sum(
+            1 for r in members if r["dist2"] * s["n"] > 2 * s["sum_dist2"]
+        )
+        assert s["n_outliers"] == expect_out
+    assigned.unpersist()
+
+
+def test_prune_outliers_drops_flagged_rows_only(emb):
+    from etl_oms_spark.operators.clustering import cluster_stats, prune_outliers
+
+    cents = kmeans_fit(emb, k=4, n_iter=2)
+    stats = cluster_stats(kmeans_assign(emb, cents)).collect()
+    total_out = sum(r["n_outliers"] for r in stats)
+    kept = prune_outliers(emb, k=4, n_iter=2)
+    assert kept.count() == emb.count() - total_out
+    assert kept.columns == emb.columns

@@ -1,0 +1,60 @@
+"""Vocabulary / BPE-prep operator semantics."""
+
+from __future__ import annotations
+
+from etl_oms_spark.operators.vocab import (
+    bigram_counts,
+    bigram_topk,
+    coverage_curve,
+    vocab_counts,
+    vocab_topk,
+)
+
+CORPUS = [
+    (1, "a b a b c"),
+    (2, "a a a"),
+    (3, "b c d"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def test_vocab_counts_tf_and_df(spark):
+    rows = {r.term: r for r in vocab_counts(_df(spark)).collect()}
+    assert (rows["a"].tf, rows["a"].df) == (5, 2)
+    assert (rows["b"].tf, rows["b"].df) == (3, 2)
+    assert (rows["d"].tf, rows["d"].df) == (1, 1)
+
+
+def test_vocab_topk_deterministic_order(spark):
+    top = vocab_topk(_df(spark), k=2).collect()
+    assert [(r.term, r.tf) for r in top] == [("a", 5), ("b", 3)]
+
+
+def test_bigram_counts_adjacent_only(spark):
+    rows = {r.pair: r.n for r in bigram_counts(_df(spark)).collect()}
+    # doc1: (a b)(b a)(a b)(b c); doc2: (a a)(a a); doc3: (b c)(c d)
+    assert rows["a b"] == 2 and rows["b c"] == 2 and rows["a a"] == 2
+    assert rows["b a"] == 1 and rows["c d"] == 1
+    assert sum(rows.values()) == 8  # len-1 pairs per doc: 4+2+2
+
+
+def test_bigram_single_token_doc_emits_nothing(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
+    assert bigram_counts(df).count() == 0
+
+
+def test_bigram_topk_tiebreak(spark):
+    top = bigram_topk(_df(spark), k=3).collect()
+    assert [r.pair for r in top] == ["a a", "a b", "b c"]
+
+
+def test_coverage_curve_monotone_to_one(spark):
+    rows = coverage_curve(_df(spark), top=10).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    covs = [r.coverage for r in rows]
+    assert all(b >= a for a, b in zip(covs, covs[1:]))
+    assert abs(covs[-1] - 1.0) < 1e-12  # top-10 covers the whole 4-term vocab
+    assert rows[-1].cum_tf == 11
