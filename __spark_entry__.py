@@ -3331,6 +3331,150 @@ FROM per LEFT JOIN outl o ON per.cluster = o.cluster
 """
 
 
+def ds1_domain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (arXiv 2302.03169, unigram variant):
+    target slice = doc_id % 97 == 0 (the cx1 eval-slice convention), raw
+    = the rest; per-term add-1-smoothed ln(p_target/p_raw) quantized to
+    1e-6 BIGINT weights, per-doc score = exact Σ tf·w_q
+    (operators/domain.dsir_scores)."""
+    from etl_oms_spark.operators.domain import domain_log_ratios, dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 97 == 0)
+    raw = docs.filter(F.col("doc_id") % 97 != 0)
+    return dsir_scores(docs, domain_log_ratios(target, raw))
+
+
+DS1_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+    FROM documents
+),
+ct AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ct FROM tok
+       WHERE doc_id % 97 = 0 GROUP BY term),
+cr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cr FROM tok
+       WHERE doc_id % 97 <> 0 GROUP BY term),
+merged AS (
+    SELECT COALESCE(ct.term, cr.term) AS term,
+           COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+    FROM ct FULL OUTER JOIN cr ON ct.term = cr.term
+),
+stats AS (
+    SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM merged
+),
+w AS (
+    SELECT term,
+           CAST(floor(
+             ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)
+                * CAST(nr + v AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS w_q
+    FROM merged CROSS JOIN stats
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, term
+),
+per_doc AS (
+    SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * COALESCE(w.w_q, 0)) AS BIGINT) AS score_q
+    FROM tf LEFT JOIN w ON tf.term = w.term
+    GROUP BY tf.doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.score_q, 0) AS score_q,
+       COALESCE(p.score_q, 0) / 1000000.0 AS score
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def qc1_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality scoring: portable md5 feature
+    buckets (B=1024), broadcast integer weight table, exact BIGINT margin
+    Σ tf·w_q per doc (operators/classifier.linear_scores). Weights here
+    are the deterministic synthetic stand-in — swapping in a trained
+    export is a one-DataFrame change, same plan."""
+    from etl_oms_spark.operators.classifier import linear_scores, synthetic_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return linear_scores(docs, synthetic_weights(spark, 1024), n_buckets=1024)
+
+
+QC1_SQL = f"""
+WITH w AS (
+    SELECT bucket,
+           (CAST('0x' || substring(md5('w|' || CAST(bucket AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 21 - 10) * 1000000 AS w_q
+    FROM (SELECT unnest(range(0, 1024)) AS bucket)
+),
+tok AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+    FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5('qc' || '|' || term), 1, 15) AS BIGINT)
+             % 1024 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, term
+),
+feats2 AS (
+    SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf
+    FROM feats GROUP BY doc_id, bucket
+),
+scored AS (
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * w_q) AS BIGINT) AS margin_q
+    FROM feats2 JOIN w USING (bucket)
+    GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.margin_q, 0) AS margin_q,
+       COALESCE(s.margin_q, 0) / 1000000.0 AS margin
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+def mx1_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-assembly mix planning: per-source token availability vs a
+    target mix under a 20k-token budget — desired/planned tokens, exact
+    sampling rate, oversubscription flag
+    (operators/sampling.mix_plan)."""
+    from etl_oms_spark.operators.sampling import mix_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    targets = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    return mix_plan(docs, targets, budget_tokens=20_000)
+
+
+MX1_SQL = f"""
+WITH per AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                    ELSE len(string_split({_NORM_SQL}, ' ')) END) AS BIGINT)
+             AS n_tokens
+    FROM documents GROUP BY source
+),
+plan AS (
+    SELECT *,
+           CAST(floor(CASE source WHEN 'src0' THEN 400000
+                                  WHEN 'src1' THEN 300000
+                                  WHEN 'src2' THEN 200000
+                                  WHEN 'src3' THEN 100000
+                                  ELSE 0 END * CAST(20000 AS BIGINT)
+                    / 1000000.0) AS BIGINT)
+             AS desired_tokens
+    FROM per
+)
+SELECT source, n_docs, n_tokens, desired_tokens,
+       least(desired_tokens, n_tokens) AS planned_tokens,
+       least(desired_tokens, n_tokens) / CAST(n_tokens AS DOUBLE) AS rate,
+       desired_tokens > n_tokens AS oversubscribed
+FROM plan
+"""
+
+
 def tp2_curation_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL curation pipeline with portable hashes (md5 near-dedup
     signatures + md5 split buckets): gate → exact dedup → MinHash-LSH
@@ -3532,6 +3676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2_bigram_merge_rank": v2_bigram_merge_rank,
         "cv1_coverage_curve": cv1_coverage_curve,
         "cl1_cluster_stats": cl1_cluster_stats,
+        "ds1_domain_score": ds1_domain_score,
+        "qc1_quality_classifier": qc1_quality_classifier,
+        "mx1_mix_plan": mx1_mix_plan,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -3661,6 +3808,9 @@ def oracle_sql() -> dict[str, str]:
         "v2_bigram_merge_rank": V2_SQL,
         "cv1_coverage_curve": CV1_SQL,
         "cl1_cluster_stats": CL1_SQL,
+        "ds1_domain_score": DS1_SQL,
+        "qc1_quality_classifier": QC1_SQL,
+        "mx1_mix_plan": MX1_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

@@ -1,0 +1,122 @@
+"""Hashed linear text classifier — the quality-filter scoring pass.
+
+Production curation pipelines (GPT-3, LLaMA, Falcon data papers — all
+public) filter web text with a cheap linear classifier over hashed
+bag-of-words features (fastText architecture: hash terms into B buckets,
+sum per-bucket weights, threshold the margin). This module is the
+Spark-native scorer: the model is a (bucket, w_q) weight table with
+integer (1e-6-quantized) weights, scoring is an explode → broadcast
+weight join → exact BIGINT margin sum — order-independent and
+bit-identical on any engine, the repo-wide portability pattern.
+
+Training the weights is out of scope (no ML libs in this container, and
+the scorer is where the 100 TB cost sits); ``synthetic_weights`` builds
+a deterministic stand-in table with the exact shape a real exported
+fastText/logistic model would have, so swapping in trained weights is a
+one-DataFrame change.
+
+Feature hash: the portable md5 bucket (same family as
+sampling._md5_bucket) so any engine — and the training job that
+produced the weights — computes identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_oms_spark.operators.text import tokens
+from etl_oms_spark.util import ensure_parallelism
+
+W_SCALE = 1_000_000
+
+
+def term_bucket(term: Column, n_buckets: int, salt: str = "qc") -> Column:
+    """Portable feature hash: first 60 bits of md5(salt|term) mod B —
+    reproducible in DuckDB/Python byte-for-byte (cf. sampling._md5_bucket)."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(salt), term)), 1, 15), 16, 10)
+    return (h.cast("long") % n_buckets).alias("bucket")
+
+
+def synthetic_weights(
+    spark: SparkSession, n_buckets: int = 1024, seed_salt: str = "w"
+) -> DataFrame:
+    """Deterministic stand-in weight table (bucket, w_q): w_q spans
+    [-10, 10] · 1e6 via the same portable hash over the bucket id.
+    Replace with an exported trained model's weights in deployment —
+    identical schema, identical scoring plan."""
+    b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed_salt), F.col("bucket"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return b.select("bucket", ((h % 21 - 10) * W_SCALE).alias("w_q"))
+
+
+def hashed_term_counts(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "qc",
+) -> DataFrame:
+    """(id, bucket, tf): hashed bag-of-words counts — one explode + one
+    map-side-combined groupBy at (doc × distinct-bucket) cardinality."""
+    tok = ensure_parallelism(df, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    return (
+        tok.select(F.col(id_col), term_bucket(F.col("term"), n_buckets, salt))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def linear_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1024,
+    bias_q: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "qc",
+) -> DataFrame:
+    """(id, n_tokens, margin_q, margin): exact integer margin
+    bias_q + Σ tf·w_q per document. The weight table is broadcast (B
+    rows ≪ corpus); every input doc appears in the output (empty docs
+    score the bias)."""
+    feats = hashed_term_counts(df, n_buckets, text_col, id_col, salt)
+    scored = feats.join(F.broadcast(weights), "bucket").groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        (F.sum(F.col("tf") * F.col("w_q")) + F.lit(bias_q)).alias("margin_q"),
+    )
+    return (
+        ensure_parallelism(df, id_col)
+        .select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("margin_q"), F.lit(bias_q)).cast("long").alias("margin_q"),
+            (F.coalesce(F.col("margin_q"), F.lit(bias_q)) / W_SCALE).alias("margin"),
+        )
+    )
+
+
+def classifier_filter(
+    df: DataFrame,
+    weights: DataFrame,
+    min_margin_q: int = 0,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents the classifier scores above ``min_margin_q`` — a
+    pure filter join (left-semi), no global sort."""
+    keep = (
+        linear_scores(df, weights, n_buckets, text_col=text_col, id_col=id_col)
+        .filter(F.col("margin_q") > min_margin_q)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

@@ -1,0 +1,160 @@
+"""Domain-relevance scoring for data selection (DSIR-style).
+
+Data Selection with Importance Resampling (Xie et al., 2023, public
+arXiv 2302.03169) scores each raw document by the log-likelihood ratio
+of a target-domain n-gram model vs the raw-corpus model, then keeps the
+highest-importance documents. This module is the Spark-native unigram
+variant:
+
+- ``domain_log_ratios``: per-term add-1-smoothed log ratio
+  ln( p_target(term) / p_raw(term) ), quantized half-up to 1e-6 as a
+  BIGINT weight — a vocab-sized table built from two map-side-combined
+  count aggregations.
+- ``dsir_scores``: per-document importance = Σ tf(term) · w_q(term).
+  The weights join is an explicit broadcast (vocab ≪ corpus) and the
+  per-doc sum is an exact BIGINT aggregation — order-independent, so
+  the score is bit-identical on any engine/partitioning (the repo-wide
+  portability pattern).
+- ``dsir_topk`` / ``dsir_select``: deterministic selection by
+  (score DESC, id) — TakeOrdered — or a score threshold.
+
+Scale shape: one corpus scan for scoring (explode → broadcast join →
+groupBy(doc)); the only corpus-cardinality shuffle is the per-doc sum.
+Unseen terms get weight ln(raw_total+V) - ... from the smoothing counts
+only when they appear in a scored document via the left join's fallback
+weight (terms absent from BOTH models contribute the smoothed constant
+ratio, folded in below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_oms_spark.operators.text import tokens
+from etl_oms_spark.util import ensure_parallelism
+
+W_SCALE = 1_000_000
+
+
+def _unigram_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        ensure_parallelism(df, id_col)
+        .select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def domain_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, w_q): quantized ln(p_target/p_raw) with add-1 smoothing over
+    the UNION vocabulary V of both corpora:
+
+        p_target(t) = (c_t(t) + 1) / (N_t + V)
+        p_raw(t)    = (c_r(t) + 1) / (N_r + V)
+
+    Full-outer join of the two count tables (vocab-sized), then one
+    1-row stats broadcast. Terms seen in neither corpus are not in the
+    table; score-time joins treat them as weight 0 (they carry no
+    evidence either way).
+    """
+    ct = _unigram_counts(target, text_col, id_col).withColumnRenamed("c", "ct")
+    cr = _unigram_counts(raw, text_col, id_col).withColumnRenamed("c", "cr")
+    merged = ct.join(cr, "term", "full_outer").select(
+        "term",
+        F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+    )
+    stats = merged.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = F.log(
+        (F.col("ct") + F.lit(1)).cast("double")
+        / (F.col("nt") + F.col("v")).cast("double")
+        * (F.col("nr") + F.col("v")).cast("double")
+        / (F.col("cr") + F.lit(1)).cast("double")
+    )
+    return merged.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "ct",
+        "cr",
+        F.floor(w * W_SCALE + F.lit(0.5)).cast("long").alias("w_q"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, score_q, score): per-document importance as the
+    exact BIGINT sum of tf·w_q over the document's terms; terms missing
+    from the weight table contribute 0. ``score = score_q / 1e6``."""
+    base = ensure_parallelism(df, id_col)
+    tf = (
+        base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = tf.join(
+        F.broadcast(weights.select("term", "w_q")), "term", "left"
+    ).select(
+        F.col(id_col),
+        F.col("tf"),
+        F.coalesce(F.col("w_q"), F.lit(0)).alias("w_q"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("w_q")).alias("score_q"),
+    )
+    return base.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("score_q"), F.lit(0)).cast("long").alias("score_q"),
+        (F.coalesce(F.col("score_q"), F.lit(0)) / W_SCALE).alias("score"),
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    target: DataFrame,
+    raw: DataFrame | None = None,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the k documents most target-like: weights from (target, raw
+    or df), then a deterministic (score_q DESC, id) TakeOrdered cut."""
+    weights = domain_log_ratios(target, raw if raw is not None else df,
+                                text_col, id_col)
+    return (
+        dsir_scores(df, weights, text_col, id_col)
+        .orderBy(F.col("score_q").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    weights: DataFrame,
+    min_score_q: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Threshold selection: keep documents with score_q > min_score_q —
+    the streaming-friendly form (no global sort; a pure filter over the
+    scored corpus)."""
+    keep = (
+        dsir_scores(df, weights, text_col, id_col)
+        .filter(F.col("score_q") > min_score_q)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")

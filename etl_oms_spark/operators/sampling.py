@@ -163,3 +163,58 @@ def pack_sequences(
         "seq_id",
         F.floor(start_offset / F.lit(budget)).cast("long"),
     )
+
+
+def mix_plan(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget_tokens: int,
+    source_col: str = "source",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixing plan: given target mix fractions and a total token
+    budget, compute per-source availability and the deterministic
+    sampling rate that hits the budget — the planning step before
+    `stratified_sample` executes the mix (Dolma/RedPajama-style corpus
+    assembly, all public recipes).
+
+    Per source s: desired_s = floor(frac_s · budget); planned_s =
+    min(desired_s, available_s); rate_s = planned_s / available_s (one
+    exact integer division per source — deterministic double).
+    oversubscribed_s flags desired > available (the "not enough data in
+    this domain" signal that forces either upsampling or mix rebalance).
+
+    One groupBy(source) over the corpus; output is sources-sized.
+    Sources absent from ``targets`` get frac 0 (rate 0 — excluded).
+    """
+    from etl_oms_spark.operators.text import whitespace_token_count
+
+    tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else whitespace_token_count(text_col)
+    )
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok.cast("long")).alias("n_tokens"),
+    )
+    frac = None
+    for s, f_ in targets.items():
+        cond = F.col(source_col) == s
+        micro = int(round(f_ * 1_000_000))
+        frac = F.when(cond, micro) if frac is None else frac.when(cond, micro)
+    frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
+    desired = F.floor(
+        frac.cast("long") * F.lit(budget_tokens) / F.lit(1_000_000)
+    ).cast("long")
+    planned = F.least(desired, F.col("n_tokens"))
+    return per.select(
+        source_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        desired.alias("desired_tokens"),
+        planned.alias("planned_tokens"),
+        (planned / F.col("n_tokens")).alias("rate"),
+        (desired > F.col("n_tokens")).alias("oversubscribed"),
+    )

@@ -161,3 +161,31 @@ def test_curate_documents_md5_partitioning_invariant(spark, sf_dir):
     assert ids(tr1) == ids(tr2)
     assert ids(te1) == ids(te2)
     assert set(ids(tr1)).isdisjoint(ids(te1))
+
+
+def test_mix_plan_budget_and_rates(spark):
+    from etl_oms_spark.operators.sampling import mix_plan
+
+    rows = [
+        (i, "web", "w " * 50) for i in range(10)          # 500 tokens
+    ] + [
+        (100 + i, "books", "b " * 100) for i in range(2)  # 200 tokens
+    ] + [
+        (200, "code", "c " * 30)                          # 30 tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    plan = {
+        r.source: r
+        for r in mix_plan(
+            df, {"web": 0.5, "books": 0.5}, budget_tokens=600
+        ).collect()
+    }
+    web, books, code = plan["web"], plan["books"], plan["code"]
+    assert (web.n_docs, web.n_tokens) == (10, 500)
+    assert web.desired_tokens == 300 and web.planned_tokens == 300
+    assert abs(web.rate - 0.6) < 1e-12 and not web.oversubscribed
+    # books wants 300 but only 200 exist -> capped, flagged
+    assert books.desired_tokens == 300 and books.planned_tokens == 200
+    assert books.rate == 1.0 and books.oversubscribed
+    # code has no target entry -> rate 0
+    assert code.desired_tokens == 0 and code.rate == 0.0
