@@ -93,6 +93,10 @@ def kmeans_fit(
         ensure_parallelism(df, id_col)
         .select(F.col(id_col), quantize_shifted(F.col(vec_col)).alias("__q"))
     )
+    # every iteration re-reads the quantized corpus: persist it once so
+    # Lloyd pays one parquet scan + quantize, not n_iter+1 of them
+    # (MEMORY_AND_DISK spill-safe default; freed before returning)
+    qdf = qdf.persist()
     seeds = qdf.orderBy(id_col).limit(k).collect()
     centroids = [list(r["__q"]) for r in seeds]
     dim = len(centroids[0])
@@ -118,6 +122,7 @@ def kmeans_fit(
                 vec[j] = (2 * s + n) // (2 * n)  # exact half-up mean
             new_centroids[cid] = vec
         centroids = new_centroids
+    qdf.unpersist()
     return centroids
 
 
