@@ -2811,8 +2811,7 @@ def _build_d7_sql(num_hashes: int = 64, bands: int = 16, k: int = 3) -> str:
         + " || ',' || ".join(f"CAST(h{b * r + i} AS VARCHAR)" for i in range(r))
         for b in range(bands)
     )
-    return f"""
-WITH norm AS (
+    return f"""norm AS (
     SELECT doc_id,
            regexp_split_to_array(
                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS arr
@@ -2834,13 +2833,16 @@ WITH norm AS (
     SELECT doc_id,
            unnest([{band_strs}]) AS bk
     FROM sig
-)
+)"""
+
+
+_D7_FINAL = """
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
 """
 
 
-D7_SQL = _build_d7_sql()
+D7_SQL = "WITH " + _build_d7_sql() + _D7_FINAL
 
 
 _COMP_SQL = (
@@ -3389,6 +3391,156 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def cc1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster extraction: iterative min-label connected
+    components (operators/graph.connected_components, localCheckpoint
+    per round) over the portable md5 MinHash-LSH candidate pairs, plus
+    per-cluster sizes. The DuckDB oracle recomputes the SAME pairs (d7's
+    CTEs) and closes them with a recursive reachability CTE — an EXACT
+    oracle for an iterative graph algorithm."""
+    from etl_oms_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from etl_oms_spark.operators.graph import connected_components
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), hash_method="md5")
+    pairs = lsh_candidate_pairs(sigs, hash_method="md5")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        "component",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+CC1_SQL = (
+    "WITH RECURSIVE "
+    + _build_d7_sql()
+    + ""","""
+    + """
+pairs AS ({_final}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+    SELECT id, id AS r FROM nodes
+    UNION
+    SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.v
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component)
+SELECT comp.id AS doc_id, comp.component, sizes.cluster_size
+FROM comp JOIN sizes ON comp.component = sizes.component
+""".format(_final=_D7_FINAL.strip())
+)
+
+
+def fn1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user: single-shuffle
+    JVM-side fold over each user's time-sorted events (F.aggregate with
+    an array<timestamp> accumulator — no UDF); step i counts only
+    strictly after step i-1 (operators/stateful.funnel)."""
+    from etl_oms_spark.operators.stateful import funnel
+
+    return funnel(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    ).select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        F.col("stage").cast("int").alias("stage"),
+    )
+
+
+FN1_SQL = """
+WITH ev AS (
+    SELECT user_id, ts, event_type FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (SELECT user_id, MIN(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, MIN(ev.ts) AS t_click
+      FROM ev JOIN v ON ev.user_id = v.user_id
+      WHERE ev.event_type = 'click' AND ev.ts > v.t_view
+      GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, MIN(ev.ts) AS t_purchase
+      FROM ev JOIN c ON ev.user_id = c.user_id
+      WHERE ev.event_type = 'purchase' AND ev.ts > c.t_click
+      GROUP BY ev.user_id)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                 WHEN c.t_click IS NOT NULL THEN 2
+                 WHEN v.t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+def pp1_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style fluency scoring (arXiv 1911.00359) via a self-trained
+    add-1 bigram LM: per-bigram quantized log probs, exact BIGINT per-doc
+    sum, length-normalized avg (operators/domain.bigram_lm_scores)."""
+    from etl_oms_spark.operators.domain import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+PP1_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+uni AS (
+    SELECT term AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+    FROM (SELECT unnest(t) AS term FROM toks) GROUP BY term
+),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+bi AS (
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS c2
+    FROM (
+        SELECT t[i] || ' ' || t[i + 1] AS pair
+        FROM toks, LATERAL unnest(range(1, len(t))) u(i)
+    ) GROUP BY pair
+),
+doc_pairs AS (
+    SELECT doc_id, pair, CAST(COUNT(*) AS BIGINT) AS tf,
+           string_split(pair, ' ')[1] AS w1
+    FROM (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS pair
+        FROM toks, LATERAL unnest(range(1, len(t))) u(i)
+    ) GROUP BY doc_id, pair
+),
+scored AS (
+    SELECT dp.doc_id, dp.tf,
+           CAST(floor(
+             ln(CAST(COALESCE(bi.c2, 0) + 1 AS DOUBLE)
+                / CAST(COALESCE(uni.c1, 0) + vv.v AS DOUBLE))
+             * 1000000 + 0.5) AS BIGINT) AS w_q
+    FROM doc_pairs dp
+    LEFT JOIN bi ON dp.pair = bi.pair
+    LEFT JOIN uni ON dp.w1 = uni.w1
+    CROSS JOIN vv
+),
+per_doc AS (
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(tf * w_q) AS BIGINT) AS logprob_q
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.logprob_q, 0) AS logprob_q,
+       p.logprob_q / (p.n_bigrams * 1000000.0) AS avg_logprob
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def qc1_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear quality scoring: portable md5 feature
     buckets (B=1024), broadcast integer weight table, exact BIGINT margin
@@ -3668,8 +3820,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e7_kmeans": e7_kmeans,
         "sd1_semantic_dedup": sd1_semantic_dedup,
         # ---- position 51+: all green in CORRECTNESS_r01.json
-        #      (d8 is new this round; front-load it in round 3) ----
+        #      (d8/cc1/fn1/pp1 are new this round; front-load in round 3) ----
         "d8_block_dedup": d8_block_dedup,
+        "cc1_dup_clusters": cc1_dup_clusters,
+        "fn1_funnel": fn1_funnel,
+        "pp1_lm_fluency": pp1_lm_fluency,
         "ts1_bm25": ts1_bm25,
         "kw1_keywords": kw1_keywords,
         "v1_vocab_topk": v1_vocab_topk,
@@ -3802,6 +3957,9 @@ def oracle_sql() -> dict[str, str]:
         "e7_kmeans": E7_SQL,
         "sd1_semantic_dedup": SD1_SQL,
         "d8_block_dedup": D8_SQL,
+        "cc1_dup_clusters": CC1_SQL,
+        "fn1_funnel": FN1_SQL,
+        "pp1_lm_fluency": PP1_SQL,
         "ts1_bm25": TS1_SQL,
         "kw1_keywords": KW1_SQL,
         "v1_vocab_topk": V1_SQL,

@@ -158,3 +158,113 @@ def dsir_select(
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM fluency scoring — the CCNet-style "perplexity filter"
+    signal (public: CCNet, arXiv 1911.00359, which ranks web text by LM
+    score and drops the worst tail), built without an external LM: an
+    add-1-smoothed bigram model with per-bigram quantized log
+    probabilities.
+
+        logP(doc) = Σ_{(w1,w2) in doc} ln( (c2(w1,w2)+1) / (c1(w1)+V) )
+
+    ``model`` is a (w1, pair, c1, c2, v) table from `bigram_lm_model`
+    (defaults to training on ``df`` itself — self-scoring, which is the
+    usual "rank within the crawl" deployment). Per-(doc, pair) the log
+    term quantizes half-up to 1e-6 BIGINT, so the per-doc sum is exact
+    and order-independent; unseen pairs fall back to c2=0 and unseen w1
+    to c1=0 — the same smoothed mass, no special cases.
+
+    Output: (id, n_bigrams, logprob_q, avg_logprob) — avg is the length-
+    normalized score to threshold on (higher = more fluent under the
+    model); docs with no bigram score NULL avg and 0 sum.
+
+    Scale: the model is vocab²-bounded but corpus-truncated (observed
+    bigrams only) and joins broadcast; the corpus side is one explode +
+    two broadcast joins + one per-doc sum — no corpus×corpus anything.
+    """
+    if model is None:
+        model = bigram_lm_model(df, text_col, id_col)
+    toks = tokens(text_col)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = ensure_parallelism(df, id_col)
+    doc_pairs = (
+        base.select(F.col(id_col), F.explode(pairs).alias("pair"))
+        .groupBy(id_col, "pair")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
+    )
+    uni = model.select("w1", "c1").distinct()
+    bi = model.select("pair", "c2")
+    # v is constant over the model; carry it via a 1-row broadcast so rows
+    # whose w1/pair missed their join still see it
+    vrow = model.agg(F.max("v").alias("v"))
+    joined = (
+        doc_pairs.join(F.broadcast(bi), "pair", "left")
+        .join(F.broadcast(uni), "w1", "left")
+        .crossJoin(F.broadcast(vrow))
+        .select(
+            F.col(id_col),
+            "tf",
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            "v",
+        )
+    )
+    w = F.log(
+        (F.col("c2") + F.lit(1)).cast("double")
+        / (F.col("c1") + F.col("v")).cast("double")
+    )
+    scored = joined.select(
+        F.col(id_col),
+        "tf",
+        F.floor(w * W_SCALE + F.lit(0.5)).cast("long").alias("w_q"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * F.col("w_q")).alias("logprob_q"),
+    )
+    return base.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.col("logprob_q"), F.lit(0)).cast("long").alias("logprob_q"),
+        (F.col("logprob_q") / (F.col("n_bigrams") * F.lit(W_SCALE))).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+def bigram_lm_model(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Train the add-1 bigram model: (w1, pair, c1, c2, v) — corpus bigram
+    counts joined with first-token unigram counts and the vocabulary size.
+    Two map-side-combined aggregations over one corpus scan each."""
+    from etl_oms_spark.operators.vocab import bigram_counts
+
+    uni = (
+        _unigram_counts(df, text_col, id_col)
+        .withColumnRenamed("c", "c1")
+        .withColumnRenamed("term", "w1")
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    bi = (
+        bigram_counts(df, text_col, id_col)
+        .withColumnRenamed("n", "c2")
+        .withColumn("w1", F.split(F.col("pair"), " ").getItem(0))
+    )
+    return (
+        bi.join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("w1", "pair", "c1", "c2", "v")
+    )

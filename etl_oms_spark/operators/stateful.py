@@ -132,3 +132,69 @@ def running_distinct_users(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("total_users"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the timestamp at which each
+    step of ``steps`` was FIRST reached in order (step i counts only
+    strictly after step i-1), plus ``stage`` = number of steps reached.
+
+    One shuffle (groupBy user), then a JVM-side fold over the user's
+    time-sorted event array — ``F.aggregate`` with an array<timestamp>
+    accumulator, no UDF. Equivalent closed form: t_i = min event ts of
+    type steps[i] with ts > t_{i-1} (strict, so simultaneous events never
+    satisfy two consecutive steps). Per-user state is the event list —
+    bounded by events-per-user, the same contract as sessionize/
+    collect_list analytics; at whale-user scale pre-filter ``events`` to
+    the funnel's event types first (the fold only reads those).
+
+    Output: (user, t_<step> per step, stage).
+    """
+    n = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    seq = (
+        events.filter(F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y"))
+                )
+            ).alias("__seq")
+        )
+    )
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(n)])
+
+    def step_fold(acc, e):
+        def prev_ok(j):
+            # element_at is 1-based and rejects index 0, so the j=0 branch
+            # must short-circuit via CASE (when) before acc[j] evaluates
+            return F.when(j == 0, F.lit(True)).otherwise(
+                F.element_at(acc, j).isNotNull()
+                & (e["t"] > F.element_at(acc, j))
+            )
+
+        return F.transform(
+            acc,
+            lambda t, j: F.when(t.isNotNull(), t).when(
+                (e["y"] == F.element_at(steps_arr, j + 1)) & prev_ok(j),
+                e["t"],
+            ),
+        )
+
+    folded = seq.select(
+        F.col(user_col),
+        F.aggregate(F.col("__seq"), init, step_fold).alias("__f"),
+    )
+    cols = [
+        F.element_at(F.col("__f"), i + 1).alias(f"t_{s}")
+        for i, s in enumerate(steps)
+    ]
+    stage = F.size(F.filter(F.col("__f"), lambda t: t.isNotNull()))
+    return folded.select(F.col(user_col), *cols, stage.cast("int").alias("stage"))

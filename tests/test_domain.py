@@ -85,3 +85,43 @@ def test_dsir_topk_and_select(spark):
     kept = dsir_select(corpus, domain_log_ratios(t, r), min_score_q=0)
     assert {x.doc_id for x in kept.collect()} == {100}
     assert kept.columns == corpus.columns
+
+
+def test_bigram_lm_scores_match_manual_math(spark):
+    import math
+
+    from etl_oms_spark.operators.domain import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    # corpus bigrams: doc1: (a b)x2,(b a)x1; doc2: (a b)x1 → c2(a b)=3, c2(b a)=1
+    # unigrams: a=3, b=3, c=1 → V=3
+    q = lambda x: math.floor(x * 1_000_000 + 0.5)
+    w_ab = q(math.log(4 / 6))  # (3+1)/(c1(a)=3+V=3)
+    w_ba = q(math.log(2 / 6))
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["logprob_q"] == 2 * w_ab + w_ba
+    assert out[2]["logprob_q"] == w_ab
+    # single-token doc: no bigrams, NULL avg, zero sum
+    assert out[3]["n_bigrams"] == 0 and out[3]["logprob_q"] == 0
+    assert out[3]["avg_logprob"] is None
+    assert abs(
+        out[1]["avg_logprob"] - (2 * w_ab + w_ba) / (3 * 1_000_000)
+    ) < 1e-12
+
+
+def test_bigram_lm_external_model_unseen_fallback(spark):
+    import math
+
+    from etl_oms_spark.operators.domain import bigram_lm_model, bigram_lm_scores
+
+    train = spark.createDataFrame([(1, "x y x y")], "doc_id long, text string")
+    model = bigram_lm_model(train)
+    score = spark.createDataFrame([(9, "z z")], "doc_id long, text string")
+    out = bigram_lm_scores(score, model=model).collect()[0]
+    # unseen bigram, unseen w1: ln((0+1)/(0+V)) with V=2
+    q = lambda x: math.floor(x * 1_000_000 + 0.5)
+    assert out["logprob_q"] == q(math.log(1 / 2))

@@ -73,3 +73,59 @@ def test_running_distinct_users(spark):
     out = {r["day"].day: (r["new_users"], r["total_users"])
            for r in running_distinct_users(ev).collect()}
     assert out == {1: (2, 2), 2: (1, 3)}
+
+
+def test_funnel_ordered_stages(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+
+    def m(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    from etl_oms_spark.operators.stateful import funnel
+
+    rows = [
+        # u1: full ordered funnel
+        (1, m(0), 1, "view", 0.0, "{}"),
+        (2, m(1), 1, "click", 0.0, "{}"),
+        (3, m(2), 1, "purchase", 0.0, "{}"),
+        # u2: purchase BEFORE view/click → only stage 1 (view) counts later
+        (4, m(0), 2, "purchase", 0.0, "{}"),
+        (5, m(1), 2, "view", 0.0, "{}"),
+        # u3: click simultaneous with view — strict > means click not counted
+        (6, m(0), 3, "view", 0.0, "{}"),
+        (7, m(0), 3, "click", 0.0, "{}"),
+        # u4: noise event types ignored; later click counts
+        (8, m(0), 4, "view", 0.0, "{}"),
+        (9, m(1), 4, "scroll", 0.0, "{}"),
+        (10, m(2), 4, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r["user_id"]: r
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1]["stage"] == 3 and out[1]["t_purchase"] == m(2)
+    assert out[2]["stage"] == 1 and out[2]["t_click"] is None
+    assert out[3]["stage"] == 1  # simultaneous events never chain
+    assert out[4]["stage"] == 2 and out[4]["t_click"] == m(2)
+
+
+def test_funnel_first_qualifying_timestamp(spark):
+    # The FIRST click after the first view is kept, not a later one.
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def m(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    from etl_oms_spark.operators.stateful import funnel
+
+    ev = spark.createDataFrame(
+        [(1, m(0), 1, "view"), (2, m(5), 1, "click"), (3, m(9), 1, "click")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    row = funnel(ev, ["view", "click"]).collect()[0]
+    assert row["t_click"] == m(5) and row["stage"] == 2
