@@ -68,11 +68,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # noqa: BLE001 - conf not recognized on some versions
         pass
     df = _t(spark, sf_dir, "events")
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     if isinstance(df.schema["ts"].dataType, LongType):
         # integer DIV — epoch-nanos exceed double's exact-integer range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # newer testdata stores TIMESTAMP(MICROS) without a zone; session tz
+        # is UTC so this cast is value-preserving and keeps one ts type
+        # across all query plans (window(), lag, oracle comparisons)
+        df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

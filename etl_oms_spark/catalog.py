@@ -40,7 +40,7 @@ def register_dataset(
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -51,6 +51,10 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # TIMESTAMP(MICROS) without zone; session tz is UTC so the cast
+            # is value-preserving and keeps one ts type engine-wide
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
         return df
     return spark.read.parquet(path)
 
