@@ -48,29 +48,25 @@ def quantize_shifted(vec: Column, shift: int = SHIFT) -> Column:
     )
 
 
-def _dist2(qvec: Column, centroid: list[int]) -> Column:
-    """Exact squared L2 distance between a quantized vector column and a
-    driver-held quantized centroid (inlined literal array)."""
-    arr = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
-    return F.aggregate(
-        F.zip_with(qvec, arr, lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+def _argmin_struct(qcol_name: str, centroids: list[list[int]]) -> Column:
+    """(d, c) struct of the nearest centroid for the quantized vector column
+    named ``qcol_name``; ties break to the LOWEST cluster id (array_min over
+    (dist, cluster) structs — struct ordering is lexicographic, so equal
+    distances compare on the id).
 
-
-def _argmin_cluster(qvec: Column, centroids: list[list[int]]) -> Column:
-    """Index of the nearest centroid; ties break to the LOWEST cluster id
-    (array_min over (dist, cluster) structs — struct ordering is
-    lexicographic, so equal distances compare on the id)."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(_dist2(qvec, c).alias("d"), F.lit(i).alias("c"))
-                for i, c in enumerate(centroids)
-            ]
+    Built as ONE SQL string with the k·dim centroid components inlined as
+    array literals: the Column-API form (k·dim F.lit().cast() calls) costs
+    ~0.5s of py4j round-trips per construction at k=8·dim=64, paid once per
+    Lloyd iteration — parsing a 4 KB SQL string JVM-side is milliseconds."""
+    structs = []
+    for i, c in enumerate(centroids):
+        arr = ",".join(f"{int(v)}L" for v in c)
+        dist = (
+            f"aggregate(zip_with({qcol_name}, array({arr}), "
+            "(x, c) -> (x - c) * (x - c)), 0L, (acc, x) -> acc + x)"
         )
-    )["c"].alias("cluster")
+        structs.append(f"named_struct('d', {dist}, 'c', {i})")
+    return F.expr(f"array_min(array({','.join(structs)}))")
 
 
 def kmeans_fit(
@@ -102,7 +98,7 @@ def kmeans_fit(
     dim = len(centroids[0])
     for _ in range(n_iter):
         assigned = qdf.select(
-            F.col("__q"), _argmin_cluster(F.col("__q"), centroids)
+            F.col("__q"), _argmin_struct("__q", centroids)["c"].alias("cluster")
         )
         sums = (
             assigned.select(
@@ -135,20 +131,16 @@ def kmeans_assign(
     """(id, embedding, cluster, dist2): nearest final centroid per vector —
     one scan, centroids inlined, no shuffle. At scale, persist partitioned
     by ``cluster``: that is the semantic shard layout."""
-    qvec = quantize_shifted(F.col(vec_col))
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(_dist2(qvec, c).alias("d"), F.lit(i).alias("c"))
-                for i, c in enumerate(centroids)
-            ]
+    best = _argmin_struct("__q", centroids)
+    return (
+        ensure_parallelism(df, id_col)
+        .withColumn("__q", quantize_shifted(F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            best["c"].alias("cluster"),
+            best["d"].alias("dist2"),
         )
-    )
-    return ensure_parallelism(df, id_col).select(
-        F.col(id_col),
-        F.col(vec_col),
-        best["c"].alias("cluster"),
-        best["d"].alias("dist2"),
     )
 
 

@@ -101,19 +101,19 @@ def minhash_signatures(
     base = ensure_parallelism(df, id_col).select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("__shingle")
     ).select(F.col(id_col), h32.alias("__h32"))
-    aggs = []
     prime = (1 << 31) - 1  # Mersenne prime: the mod makes each h_j a
     # genuinely different permutation — without it a*h+b is monotone in h
-    # and every h_j would pick the same min-shingle (degenerate signature)
+    # and every h_j would pick the same min-shingle (degenerate signature).
+    # Aggregates are parsed from SQL strings, not built as Column chains:
+    # one py4j round-trip total instead of ~5 per derived hash (see simhash)
+    aggs = []
     for j in range(num_hashes):
         a, b = _minhash_params(j)
-        aggs.append(
-            F.min((F.col("__h32") * F.lit(a) + F.lit(b)) % F.lit(prime)).alias(f"h{j}")
-        )
+        aggs.append(F.expr(f"min((__h32 * {a} + {b}) % {prime}) AS h{j}"))
     agg = base.groupBy(id_col).agg(*aggs)
     return agg.select(
         F.col(id_col),
-        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("minhash"),
+        F.expr("array(" + ",".join(f"h{j}" for j in range(num_hashes)) + ")").alias("minhash"),
     )
 
 
@@ -263,21 +263,20 @@ def simhash(
         F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
     ).select(F.col(id_col), token_hash.alias("__h"))
     counted = exploded.groupBy(id_col, "__h").agg(F.count(F.lit(1)).alias("__n"))
+    # the per-bit aggregates and the fingerprint assembly are built as SQL
+    # strings (one parse each) rather than `bits`-long chains of Column
+    # calls: each F.* call is a py4j round-trip, and at bits=64 the Column
+    # form costs ~1.7s of pure driver latency per plan construction
     bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, F.col("__n")
-            ).otherwise(-F.col("__n"))
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(if((shiftright(__h, {b}) & 1) = 1, __n, -__n)) AS b{b}"
+        )
         for b in range(bits)
     ]
     agg = counted.groupBy(id_col).agg(*bit_sums)
-    fingerprint = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
+    fingerprint = F.expr(
+        " + ".join(f"if(b{b} > 0, shiftleft(CAST(1 AS BIGINT), {b}), CAST(0 AS BIGINT))" for b in range(bits))
+    )
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 

@@ -175,7 +175,9 @@ def lsh_bucket_portable(vec: Column, dim: int, num_planes: int = 8) -> Column:
     fold per plane."""
     bucket = F.lit(0).cast("long")
     for p, comps in enumerate(hyperplane_components(num_planes, dim)):
-        arr = F.array(*[F.lit(c).cast("long") for c in comps])
+        # one parsed literal array per plane, not dim F.lit().cast() py4j
+        # round-trips (dim=64 × 8 planes ≈ 1k calls ≈ 1s of driver latency)
+        arr = F.expr("array(" + ",".join(f"{c}L" for c in comps) + ")")
         proj = F.aggregate(
             F.zip_with(vec, arr, lambda x, h: _quant(x) * h),
             F.lit(0).cast("long"),
