@@ -3757,6 +3757,165 @@ GROUP BY split, lang_pred
 TP2_SQL = _build_tp2_sql()
 
 
+def dq1_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of lineitem: nulls / exact distincts /
+    min-max per column in ONE scan (operators/profile.profile_columns;
+    multi-count-distinct uses Spark's EXPAND strategy — documented cost
+    #cols × scan; approx=True is the HLL scale path)."""
+    from etl_oms_spark.operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "lineitem"))
+
+
+def _dq1_col_sql(name: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = f"CAST(min({name}) AS DOUBLE)", f"CAST(max({name}) AS DOUBLE)"
+        smn = smx = "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mn, mx = f"CAST(epoch(min({name})) AS DOUBLE)", f"CAST(epoch(max({name})) AS DOUBLE)"
+        smn = smx = "CAST(NULL AS VARCHAR)"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        smn, smx = f"min({name})", f"max({name})"
+    return (
+        f"SELECT '{name}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(*) - count({name}) AS BIGINT) AS n_null, "
+        f"CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+        f"{mn} AS min_num, {mx} AS max_num, {smn} AS min_str, {smx} AS max_str "
+        f"FROM lineitem"
+    )
+
+
+DQ1_SQL = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        _dq1_col_sql(n, k)
+        for n, k in [
+            ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+            ("l_linenumber", "num"), ("l_quantity", "num"),
+            ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+            ("l_returnflag", "str"), ("l_linestatus", "str"), ("l_shipdate", "ts"),
+        ]
+    )
+    + "\n) ORDER BY col_name"
+)
+
+
+def sc1_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 version table from a change log: per-user event_type
+    episodes with valid_from/valid_to/is_current (operators/scd.
+    scd2_history — change-point windows, no iteration). The warehouse-
+    history extension of the reference's Type-1 ON CONFLICT upserts."""
+    from etl_oms_spark.operators.scd import scd2_history
+
+    ev = _events(spark, sf_dir)
+    return scd2_history(ev, "user_id", ["event_type"], "ts").orderBy(
+        "user_id", "valid_from", "event_type"
+    )
+
+
+SC1_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_type
+  FROM events
+),
+episodes AS (
+  SELECT user_id, event_type, ts AS valid_from
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_type) IS NULL AS is_current
+FROM episodes
+ORDER BY user_id, valid_from, event_type
+"""
+
+
+def ev_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping event-time windows (width 2h, slide 1h — each event in two
+    windows): counts + exact-cents value sums per window
+    (operators/rollup.hopping_window_counts, the streaming-ready
+    ``F.window(ts, width, slide)`` construct)."""
+    from etl_oms_spark.operators.rollup import hopping_window_counts
+
+    ev = _events(spark, sf_dir).withColumn("value", _cents(F.col("value")))
+    return (
+        hopping_window_counts(ev, "2 hours", "1 hour")
+        .withColumnRenamed("sum_value", "sum_value_cents")
+        .withColumn("sum_value_cents", F.col("sum_value_cents").cast("long"))
+    )
+
+
+EV_HOPPING_SQL = """
+WITH expanded AS (
+  SELECT date_trunc('hour', ts) - i.i * INTERVAL 1 HOUR AS window_start,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events, (SELECT 0 AS i UNION ALL SELECT 1) i
+)
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_value_cents
+FROM expanded
+GROUP BY window_start
+"""
+
+
+def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame: events per user in the trailing 1 hour
+    (RANGE frame over epoch-micros ordering — peers with equal timestamps
+    share a frame, which a ROWS frame cannot express)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+    )
+
+
+W5_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_trailing_1h
+FROM events
+"""
+
+
+def w4_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorization of document lengths at exact p05/p95
+    (transform.winsorize — one bounds aggregation + broadcast join back;
+    integer percentile interpolation is bit-exact cross-engine, see a13)."""
+    from etl_oms_spark.transform import winsorize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return winsorize(d, "n_chars", ["source"])
+
+
+W4_SQL = """
+WITH b AS (
+  SELECT source,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source, n_chars,
+       least(greatest(CAST(n_chars AS DOUBLE), b.lo), b.hi) AS n_chars_winsorized
+FROM documents d JOIN b USING (source)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3839,6 +3998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds1_domain_score": ds1_domain_score,
         "qc1_quality_classifier": qc1_quality_classifier,
         "mx1_mix_plan": mx1_mix_plan,
+        "dq1_profile": dq1_profile,
+        "sc1_scd2": sc1_scd2,
+        "ev_hopping": ev_hopping,
+        "w5_range_frame": w5_range_frame,
+        "w4_winsorize": w4_winsorize,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -3974,6 +4138,11 @@ def oracle_sql() -> dict[str, str]:
         "ds1_domain_score": DS1_SQL,
         "qc1_quality_classifier": QC1_SQL,
         "mx1_mix_plan": MX1_SQL,
+        "dq1_profile": DQ1_SQL,
+        "sc1_scd2": SC1_SQL,
+        "ev_hopping": EV_HOPPING_SQL,
+        "w5_range_frame": W5_SQL,
+        "w4_winsorize": W4_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

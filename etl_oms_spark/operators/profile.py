@@ -1,0 +1,106 @@
+"""Column profiling: per-column null counts, distinct counts, min/max.
+
+The data-quality survey step every warehouse load (and every training-data
+ingest) runs before trusting a new source — the reference does this by hand
+with ``df.info()`` / ``df.isnull().sum()`` during notebook exploration
+(ETL_OMS_FINAL_Upgraded.py's ad-hoc checks); here it is one declarative
+aggregation:
+
+- ONE corpus scan computes every per-column statistic (count/nulls/min/max)
+  as ordinary map-side-combined aggregates.
+- exact distinct counts use Spark's multi-count-distinct EXPAND strategy —
+  rows are replicated once per profiled column before the shuffle, so cost
+  is (#cols × scan); pass ``approx=True`` to profile with HLL sketches
+  instead (one pass, no expand — the 100 TB default).
+- the wide one-row aggregate is unpivoted driver-side into the tidy
+  (column, stats...) frame — #cols rows, never data-sized.
+
+Type policy (keeps the output schema fixed and engine-portable): numeric
+columns report min/max as DOUBLE; timestamps as epoch seconds (DOUBLE);
+strings as min_str/max_str. Booleans/arrays/etc. report ordering stats as
+NULL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _stat_exprs(name: str, dtype: T.DataType, approx: bool) -> list:
+    nd = (
+        F.approx_count_distinct(name).alias(f"__nd_{name}")
+        if approx
+        else F.count_distinct(F.col(name)).alias(f"__nd_{name}")
+    )
+    exprs = [
+        F.count(F.col(name)).alias(f"__nn_{name}"),
+        nd,
+    ]
+    if isinstance(dtype, T.NumericType):
+        exprs += [
+            F.min(F.col(name)).cast("double").alias(f"__min_{name}"),
+            F.max(F.col(name)).cast("double").alias(f"__max_{name}"),
+        ]
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        exprs += [
+            F.unix_timestamp(F.min(F.col(name))).cast("double").alias(f"__min_{name}"),
+            F.unix_timestamp(F.max(F.col(name))).cast("double").alias(f"__max_{name}"),
+        ]
+    else:
+        exprs += [
+            F.lit(None).cast("double").alias(f"__min_{name}"),
+            F.lit(None).cast("double").alias(f"__max_{name}"),
+        ]
+    if isinstance(dtype, T.StringType):
+        exprs += [
+            F.min(F.col(name)).alias(f"__smin_{name}"),
+            F.max(F.col(name)).alias(f"__smax_{name}"),
+        ]
+    else:
+        exprs += [
+            F.lit(None).cast("string").alias(f"__smin_{name}"),
+            F.lit(None).cast("string").alias(f"__smax_{name}"),
+        ]
+    return exprs
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Tidy per-column profile: (col_name, n_rows, n_null, n_distinct,
+    min_num, max_num, min_str, max_str), one row per profiled column,
+    ordered by column name."""
+    names = cols if cols is not None else df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for n in names:
+        aggs.extend(_stat_exprs(n, schema[n], approx))
+    wide = df.agg(*aggs)
+    # unpivot the one-row wide aggregate into (column, ...) rows — a
+    # driver-free stack() over literals; the frame is already 1 row
+    parts = []
+    for n in names:
+        parts.append(
+            f"'{n}', __rows - __nn_{n}, __nd_{n}, __min_{n}, __max_{n}, __smin_{n}, __smax_{n}"
+        )
+    stacked = wide.select(
+        F.col("__rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(names)}, " + ", ".join(parts)
+            + ") AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    ).orderBy("col_name")

@@ -116,3 +116,39 @@ def refresh_rollup(
         keys=["bucket", *keys],
         partition_col="bucket_date",
     )
+
+
+def hopping_window_counts(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: each event lands in
+    width/slide overlapping windows; counts + value sums per window (and
+    optional extra grouping keys).
+
+    ``F.window(ts, width, slide)`` — the same construct Structured
+    Streaming uses, so this aggregation is streaming-ready as-is (add a
+    watermark and feed a readStream source). Spark expands each row into
+    its width/slide windows before the shuffle; at scale the shuffle
+    carries (windows-per-event ×) rows, which is the irreducible cost of
+    overlapping windows.
+    """
+    extra = group_cols or []
+    w = F.window(F.col(ts_col), width, slide)
+    return (
+        events.groupBy(w.alias("w"), *extra)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *extra,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -174,3 +174,29 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, schema=None
             reader = reader.schema(schema)
         return reader.format(fmt).load(path)
     raise ValueError(f"unsupported format: {fmt!r}")
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-bytes ingestion via Spark's built-in ``binaryFile`` source:
+    (path, modificationTime, length, content binary) — the entry point for
+    the multimodal pipeline (operators/multimodal.py decodes the
+    ``content`` column with Arrow-batched mapInPandas).
+
+    ``glob`` filters filenames (e.g. ``*.png``); ``max_bytes`` pushes a
+    length predicate down to the file listing so oversized blobs are never
+    read. At scale prefer many medium files over millions of tiny ones
+    (listing cost) or a few huge ones (a file is the split unit here —
+    binary content is not splittable).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -203,3 +203,32 @@ def map_lookup(col: Column | str, mapping: dict[str, str], default: str = "unkno
         cond = c == F.lit(k)
         expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
     return expr.otherwise(F.lit(default)) if expr is not None else F.lit(default)
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Winsorize an integer-valued column at exact per-group percentiles:
+    values below p_lower / above p_upper are clipped to those bounds
+    (outlier taming before stats/quality scoring — the robust alternative
+    to dropping tails).
+
+    Exact ``percentile`` needs a per-group sort at 100 TB — swap in
+    ``approx_percentile`` for the sketch path when exactness isn't
+    required. Bounds computed once per group (one aggregation), then one
+    broadcast-or-shuffle join back; the clip itself is a pure column
+    expression. Integer inputs make the interpolated bounds bit-identical
+    across engines (see a13 oracle note).
+    """
+    keys = group_cols or []
+    bounds = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, {lower})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("__hi"),
+    )
+    joined = df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(F.broadcast(bounds))
+    clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.col("__lo")), F.col("__hi"))
+    return joined.withColumn(f"{value_col}_winsorized", clipped).drop("__lo", "__hi")
