@@ -3916,6 +3916,104 @@ FROM documents d JOIN b USING (source)
 """
 
 
+def sp3_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: at most 20 documents per source, selected by
+    portable md5 priority (operators/sampling.per_group_cap) — identical
+    kept-set on any partitioning, any engine. The cap guard every
+    training mix needs against one domain dominating."""
+    from etl_oms_spark.operators.sampling import per_group_cap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return per_group_cap(d, ["source"], "doc_id", cap=20, method="md5")
+
+
+SP3_SQL = """
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         CAST('0x' || substring(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000000 AS bucket
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
+  FROM pri
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 20
+"""
+
+
+def rs1_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling onto a per-user daily spine with forward
+    fill (operators/temporal.resample_ffill): empty days report 0 events
+    and carry the last observed per-day max value forward. Exact-cents
+    value keeps the bucket aggregate bit-identical cross-engine."""
+    from etl_oms_spark.operators.temporal import resample_ffill
+
+    ev = _events(spark, sf_dir).withColumn("cents", _cents(F.col("value")))
+    return resample_ffill(ev, "user_id", "ts", "cents", step="1 day", agg="max")
+
+
+RS1_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+spans AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS f, date_trunc('day', max(ts)) AS l
+  FROM ev GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(f, l, INTERVAL 1 DAY)) AS bucket_ts
+  FROM spans
+),
+obs AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n, max(cents) AS v
+  FROM ev GROUP BY 1, 2
+)
+SELECT s.user_id, s.bucket_ts,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_events,
+       last_value(o.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS cents_filled
+FROM spine s LEFT JOIN obs o USING (user_id, bucket_ts)
+"""
+
+
+def sk1_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi join (util.salted_join): lineitem salted across 8
+    sub-keys, supplier replicated 8x, joined on (l_suppkey, salt) — the
+    explicit skew-mitigation pattern for joins AQE can't split. The
+    post-join aggregate proves salting is semantics-preserving: results
+    must equal the plain-join oracle exactly."""
+    from etl_oms_spark.util import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", _cents(F.col("l_extendedprice")).alias("cents")
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        salted_join(li, sup, "l_suppkey", salt_buckets=8)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+SK1_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4003,6 +4101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_hopping": ev_hopping,
         "w5_range_frame": w5_range_frame,
         "w4_winsorize": w4_winsorize,
+        "sp3_domain_cap": sp3_domain_cap,
+        "rs1_resample_ffill": rs1_resample_ffill,
+        "sk1_salted_join": sk1_salted_join,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4143,6 +4244,9 @@ def oracle_sql() -> dict[str, str]:
         "ev_hopping": EV_HOPPING_SQL,
         "w5_range_frame": W5_SQL,
         "w4_winsorize": W4_SQL,
+        "sp3_domain_cap": SP3_SQL,
+        "rs1_resample_ffill": RS1_SQL,
+        "sk1_salted_join": SK1_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

@@ -218,3 +218,39 @@ def mix_plan(
         (planned / F.col("n_tokens")).alias("rate"),
         (desired > F.col("n_tokens")).alias("oversubscribed"),
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    cap: int,
+    salt: str = "cap",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Domain balancing: keep at most ``cap`` rows per group, chosen by a
+    deterministic hash priority — the standard guard against one domain
+    (crawl host, source feed) dominating a training mix.
+
+    The priority is a stable hash of ``key_col`` (not ``rand()``), so the
+    kept set is identical on any partitioning, any cluster, any re-run —
+    and with ``method="md5"`` it is reproducible in any engine (same
+    portable-bucket trick as `deterministic_split`). Ties break on the key
+    itself, making selection total and exact.
+
+    One shuffle on ``group_cols`` for the per-group ``row_number``. The
+    window sorts each group in a single task, so a pathologically hot
+    group serializes there; at that scale pre-thin first (e.g. filter on
+    ``bucket < cap × safety / approx_group_count`` with a per-group
+    approx count) and only then rank exactly — same determinism, bounded
+    task size.
+    """
+    from pyspark.sql import Window
+
+    pri = _bucket(F.col(key_col), salt, method)
+    w = Window.partitionBy(*group_cols).orderBy(pri.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

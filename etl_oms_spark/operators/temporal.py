@@ -170,3 +170,66 @@ def range_join(
         F.col(point_col).between(F.col(start_col), F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 day",
+    agg: str = "max",
+) -> DataFrame:
+    """Regularize an irregular event series onto a fixed-step time spine
+    per key, forward-filling gaps — the resample/ffill every time-series
+    warehouse needs (sensor rollups, daily account snapshots) and Spark
+    has no primitive for.
+
+    Three stages, all bounded:
+    1. per-key span: ``groupBy(key).agg(min/max(bucket))`` — one shuffle,
+       keys-sized result;
+    2. spine: ``explode(sequence(first, last, interval step))`` — row
+       count is keys × span/step, generated distributed, never on the
+       driver;
+    3. observed per bucket (``agg`` of values in the bucket, one more
+       keys×buckets-sized shuffle) left-joined onto the spine, then
+       ``last(value, ignorenulls=True)`` over an unbounded-preceding
+       window per key carries the latest observation forward.
+
+    ``agg="max"`` keeps the per-bucket reduction order-independent and
+    therefore exact cross-engine; "last observed in bucket" semantics
+    would be tie-dependent under duplicate timestamps (same trap as the
+    lineitem keep-last note in COVERAGE.md).
+
+    Empty buckets report ``n_events = 0`` and the carried value;
+    leading buckets before a key's first observation keep NULL.
+    """
+    unit = step.split()[-1].rstrip("s")
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    spans = df.groupBy(key_col).agg(
+        F.min(bucket).alias("__first"), F.max(bucket).alias("__last")
+    )
+    spine = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__first"), F.col("__last"), F.expr(f"interval {step}"))
+        ).alias("bucket_ts"),
+    )
+    observed = df.groupBy(key_col, bucket.alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        getattr(F, agg)(F.col(value_col)).alias("__v"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(observed, [key_col, "bucket_ts"], "left")
+        .select(
+            key_col,
+            "bucket_ts",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("__v", ignorenulls=True).over(w).alias(f"{value_col}_filled"),
+        )
+    )
