@@ -4014,6 +4014,127 @@ GROUP BY s_name
 """
 
 
+def fz1_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names within 3 edits (reconcile.
+    fuzzy_value_pairs): blocked Levenshtein self-join over DISTINCT
+    values — block key = first token (shared adjective), so cost is
+    Σ block², never all-pairs. The data-value twin of the reference's
+    synonym-map schema reconciliation."""
+    from etl_oms_spark.reconcile import fuzzy_value_pairs
+
+    return fuzzy_value_pairs(
+        _t(spark, sf_dir, "part").select("p_name"), "p_name", max_dist=3
+    )
+
+
+FZ1_SQL = """
+WITH vals AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL),
+blocked AS (
+  SELECT v, string_split(v, ' ')[1] AS blk
+  FROM vals
+)
+SELECT a.v AS value_a, b.v AS value_b,
+       CAST(levenshtein(a.v, b.v) AS INT) AS dist
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.v < b.v
+WHERE levenshtein(a.v, b.v) <= 3
+"""
+
+
+def rt1_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/rollup.retention_matrix):
+    users bucketed by first-activity week, distinct-counted in each week
+    offset they return. Integer epoch-week periods — no calendar
+    week-start convention to diverge on."""
+    from etl_oms_spark.operators.rollup import retention_matrix
+
+    return retention_matrix(_events(spark, sf_dir))
+
+
+RT1_SQL = """
+WITH p AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS period
+  FROM events
+),
+first AS (
+  SELECT user_id, min(period) AS cohort_period FROM p GROUP BY user_id
+),
+marks AS (
+  SELECT DISTINCT p.user_id, f.cohort_period,
+         p.period - f.cohort_period AS period_offset
+  FROM p JOIN first f ON p.user_id = f.user_id
+)
+SELECT cohort_period, period_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM marks GROUP BY cohort_period, period_offset
+"""
+
+
+def cd1_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log replay to final snapshot (merge.cdc_snapshot):
+    events mapped to I/U/D ops per user (signup→I, error→D, else U);
+    latest op wins, latest-delete removes the key. Deterministic tie
+    break on (ts, op, value) keeps replays idempotent."""
+    from etl_oms_spark.merge import cdc_snapshot
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        _cents(F.col("value")).alias("cents"),
+    )
+    return cdc_snapshot(ev, ["user_id"], "ts", "op", ["cents"])
+
+
+CD1_SQL = """
+WITH log AS (
+  SELECT user_id, ts,
+         CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+              ELSE 'U' END AS op,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT user_id, ts, op, cents,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, op DESC, cents DESC
+         ) AS rn
+  FROM log
+)
+SELECT user_id, ts, op, cents FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def h1_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bucket histogram of lineitem extended price in
+    exact cents (transform.fixed_width_histogram): one scalar min/max
+    aggregate broadcast back, pure integer bucket arithmetic, one tiny
+    count shuffle."""
+    from etl_oms_spark.transform import fixed_width_histogram
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        _cents(F.col("l_extendedprice")).alias("cents")
+    )
+    return fixed_width_histogram(li, "cents", n_buckets=20)
+
+
+H1_SQL = """
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+),
+b AS (SELECT min(cents) AS lo, max(cents) - min(cents) + 1 AS span FROM c)
+SELECT CAST(floor((cents - lo) * 20 / span) AS INT) AS bucket,
+       CAST(lo + floor(floor((cents - lo) * 20 / span) * span / 20) AS BIGINT)
+         AS bucket_lo,
+       CAST(lo + floor((floor((cents - lo) * 20 / span) + 1) * span / 20) - 1
+            AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM c, b
+GROUP BY bucket, bucket_lo, bucket_hi
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4104,6 +4225,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp3_domain_cap": sp3_domain_cap,
         "rs1_resample_ffill": rs1_resample_ffill,
         "sk1_salted_join": sk1_salted_join,
+        "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
+        "rt1_retention": rt1_retention,
+        "cd1_cdc_snapshot": cd1_cdc_snapshot,
+        "h1_histogram": h1_histogram,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4247,6 +4372,10 @@ def oracle_sql() -> dict[str, str]:
         "sp3_domain_cap": SP3_SQL,
         "rs1_resample_ffill": RS1_SQL,
         "sk1_salted_join": SK1_SQL,
+        "fz1_fuzzy_pairs": FZ1_SQL,
+        "rt1_retention": RT1_SQL,
+        "cd1_cdc_snapshot": CD1_SQL,
+        "h1_histogram": H1_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

@@ -18,7 +18,7 @@ offers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,3 +81,30 @@ def upsert_coalesce_nulls(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
+
+
+def cdc_snapshot(
+    log: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    value_cols: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Replay an insert/update/delete change log into its final snapshot:
+    per key, the latest operation wins; a latest-op delete removes the key.
+
+    The batch twin of streaming foreach_batch_upsert and the generalization
+    of the reference's ON CONFLICT upserts (ETL_OMS_FINAL_Upgraded.py:
+    129-137) to logs that carry deletes. One shuffle on the key for the
+    keep-last window; ties on ``ts_col`` break deterministically on
+    (op, values) so replays are idempotent on any partitioning.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col(op_col).desc(), *[F.col(c).desc() for c in value_cols]
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .select(*key_cols, ts_col, op_col, *value_cols)
+    )

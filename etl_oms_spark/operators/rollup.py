@@ -152,3 +152,37 @@ def hopping_window_counts(
             "sum_value",
         )
     )
+
+
+def retention_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity period, counted
+    in each later period they return — the (cohort, offset, n_users)
+    matrix every growth dashboard draws.
+
+    Two shuffles, both key-bounded: min(ts) per user (users-sized), then
+    distinct (cohort, offset, user) → count. Periods are integer
+    ``floor(epoch / unit_seconds)`` rather than calendar truncation so
+    offsets are pure integer arithmetic — exact on every engine and free
+    of week-start conventions.
+    """
+    period = (F.unix_timestamp(F.col(ts_col)) / F.lit(unit_seconds)).cast("long")
+    first = events.groupBy(user_col).agg(
+        F.min(period).alias("cohort_period")
+    )
+    return (
+        events.select(user_col, period.alias("__p"))
+        .join(first, user_col)
+        .select(
+            user_col,
+            "cohort_period",
+            (F.col("__p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_period", "period_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -164,3 +164,46 @@ def reconcile(
     if pandemic is not None:
         out = out.withColumn("pandemic", F.lit(pandemic))
     return out
+
+
+def fuzzy_value_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    block_expr: Column | None = None,
+) -> DataFrame:
+    """Near-duplicate VALUE detection via blocked edit distance — the
+    data-value extension of this module's schema reconciliation: where
+    `build_rename_map` matches column names against synonym lists, this
+    surfaces pairs of column *values* within ``max_dist`` Levenshtein
+    edits ("Cote d'Ivoire" vs "Côte d’Ivoire" style drift the reference's
+    per-provider country spellings exhibit).
+
+    All-pairs edit distance is O(V²); blocking bounds it: values
+    self-join only within equal ``block_expr`` keys (default: first
+    whitespace token, which survives edits anywhere past it — do NOT
+    block on exact length, an insertion/deletion changes it), so cost is
+    Σ block² over distinct values — the same inverted-index discipline
+    as dedup.ngram_jaccard_pairs. Distinct values are extracted first
+    (dims-sized, not corpus-sized); the output is
+    (value_a < value_b, dist) per candidate pair.
+    """
+    vals = df.select(F.col(col).alias("value_a")).filter(
+        F.col("value_a").isNotNull()
+    ).distinct()
+    blk = (
+        block_expr
+        if block_expr is not None
+        else F.split(F.col("value_a"), r"\s+").getItem(0)
+    )
+    left = vals.withColumn("__blk", blk)
+    right = left.select(
+        F.col("value_a").alias("value_b"), F.col("__blk")
+    )
+    return (
+        left.join(right, "__blk")
+        .filter(F.col("value_a") < F.col("value_b"))
+        .withColumn("dist", F.levenshtein("value_a", "value_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("value_a", "value_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -232,3 +232,52 @@ def winsorize(
     joined = df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(F.broadcast(bounds))
     clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.col("__lo")), F.col("__hi"))
     return joined.withColumn(f"{value_col}_winsorized", clipped).drop("__lo", "__hi")
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Equal-width histogram of an integer-valued column: global min/max
+    via one scalar aggregate (broadcast back — the same one-plan guard
+    trick as derive_daily_columns), bucket index by pure integer
+    arithmetic, then a buckets-sized count aggregate.
+
+    Integer math keeps bucket edges bit-exact cross-engine (floating
+    division would drift at the boundaries). The histogram itself is two
+    scans of arithmetic + one tiny shuffle — at 100 TB the cost is the
+    scan, as it should be.
+    """
+    bounds = df.agg(
+        F.min(value_col).cast("long").alias("__lo"),
+        F.max(value_col).cast("long").alias("__hi"),
+    )
+    span = F.col("__hi") - F.col("__lo") + F.lit(1)
+    idx = F.floor(
+        (F.col(value_col).cast("long") - F.col("__lo")) * F.lit(n_buckets) / span
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            idx.alias("bucket"),
+            F.col("__lo"),
+            span.alias("__span"),
+        )
+        .groupBy("bucket", "__lo", "__span")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            "bucket",
+            (F.col("__lo") + F.floor(F.col("bucket") * F.col("__span") / F.lit(n_buckets)))
+            .cast("long")
+            .alias("bucket_lo"),
+            (
+                F.col("__lo")
+                + F.floor((F.col("bucket") + 1) * F.col("__span") / F.lit(n_buckets))
+                - F.lit(1)
+            )
+            .cast("long")
+            .alias("bucket_hi"),
+            "n_rows",
+        )
+    )

@@ -1,0 +1,79 @@
+"""Fuzzy value pairs, cohort retention, CDC snapshot replay, histogram."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_fuzzy_value_pairs_blocked(spark):
+    from etl_oms_spark.reconcile import fuzzy_value_pairs
+
+    df = spark.createDataFrame(
+        [("red bolt",), ("red bol",), ("red widget",), ("blue bolt",), (None,)],
+        "name STRING",
+    )
+    out = fuzzy_value_pairs(df, "name", max_dist=2)
+    pairs = {(r["value_a"], r["value_b"]): r["dist"] for r in out.collect()}
+    # within the "red" block: bolt/bol at dist 1; widget too far
+    assert pairs == {("red bol", "red bolt"): 1}
+    # "blue bolt" is in another block — never compared against "red bolt"
+
+
+def test_retention_matrix_offsets(spark):
+    from etl_oms_spark.operators.rollup import retention_matrix
+
+    day = 86400
+    rows = [
+        (1, _ts("2024-01-01T10:00:00")),  # cohort week w0
+        (1, _ts("2024-01-09T10:00:00")),  # returns in w1
+        (1, _ts("2024-01-09T11:00:00")),  # same week: counted once
+        (2, _ts("2024-01-01T12:00:00")),  # cohort w0, never returns
+        (3, _ts("2024-01-10T00:00:00")),  # cohort w1
+    ]
+    ev = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    out = retention_matrix(ev, unit_seconds=7 * day)
+    m = {(r["cohort_period"], r["period_offset"]): r["n_users"] for r in out.collect()}
+    c0 = min(k[0] for k in m)
+    assert m[(c0, 0)] == 2          # users 1 and 2 active in their cohort week
+    assert m[(c0, 1)] == 1          # only user 1 returned
+    assert m[(c0 + 1, 0)] == 1      # user 3's own cohort
+
+
+def test_cdc_snapshot_replay(spark):
+    from etl_oms_spark.merge import cdc_snapshot
+
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), "I", 10),
+        (1, _ts("2024-01-02T00:00:00"), "U", 20),   # latest for user 1
+        (2, _ts("2024-01-01T00:00:00"), "I", 5),
+        (2, _ts("2024-01-03T00:00:00"), "D", 0),    # user 2 deleted
+        (3, _ts("2024-01-01T00:00:00"), "D", 0),
+        (3, _ts("2024-01-02T00:00:00"), "I", 7),    # re-created after delete
+    ]
+    log = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP, op STRING, v INT")
+    out = cdc_snapshot(log, ["user_id"], "ts", "op", ["v"])
+    snap = {r["user_id"]: (r["op"], r["v"]) for r in out.collect()}
+    assert snap == {1: ("U", 20), 3: ("I", 7)}
+    # idempotent on repartitioned input
+    out2 = cdc_snapshot(log.repartition(5), ["user_id"], "ts", "op", ["v"])
+    assert {r["user_id"]: (r["op"], r["v"]) for r in out2.collect()} == snap
+
+
+def test_fixed_width_histogram_edges(spark):
+    from etl_oms_spark.transform import fixed_width_histogram
+
+    df = spark.createDataFrame([(v,) for v in range(100)], "x LONG")
+    out = fixed_width_histogram(df, "x", n_buckets=10).orderBy("bucket")
+    rows = out.collect()
+    assert [r["bucket"] for r in rows] == list(range(10))
+    assert all(r["n_rows"] == 10 for r in rows)
+    assert rows[0]["bucket_lo"] == 0 and rows[0]["bucket_hi"] == 9
+    assert rows[-1]["bucket_lo"] == 90 and rows[-1]["bucket_hi"] == 99
+    # total preserved
+    assert sum(r["n_rows"] for r in rows) == 100
