@@ -4135,6 +4135,79 @@ GROUP BY bucket, bucket_lo, bucket_hi
 """
 
 
+def dv1_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation report (operators/validate): PK uniqueness,
+    FK closure, and not-null checks as plain aggregates — the lakehouse
+    twin of the reference's Postgres UNIQUE/sequence DDL (GENERATION de
+    la BDD). One tiny row per check; the known lineitem composite-key
+    duplicates surface as a nonzero count."""
+    from etl_oms_spark.operators.validate import (
+        constraint_report,
+        fk_orphans,
+        pk_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    checks = {
+        "lineitem_pk_dup_keys": pk_violations(li, ["l_orderkey", "l_linenumber"]),
+        "orders_custkey_orphans": fk_orphans(orders, cust, "o_custkey", "c_custkey"),
+        "lineitem_orderkey_orphans": fk_orphans(li, orders, "l_orderkey", "o_orderkey"),
+        "orders_null_custkey": orders.filter(F.col("o_custkey").isNull()),
+    }
+    return constraint_report(checks).orderBy("check_name")
+
+
+DV1_SQL = """
+SELECT 'lineitem_pk_dup_keys' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY 1, 2 HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders_custkey_orphans',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_orderkey_orphans',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders_null_custkey',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_custkey IS NULL
+ORDER BY check_name
+"""
+
+
+def pp2_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (operators/domain.perplexity_buckets):
+    per-language ntile(3) over exact bigram-LM fluency, most-fluent tile
+    first. Total order = (avg_logprob NULLS FIRST, doc_id) — tile
+    assignment is bit-reproducible cross-engine."""
+    from etl_oms_spark.operators.domain import bigram_lm_scores, perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(bigram_lm_scores(docs), docs)
+
+
+PP2_SQL = f"""
+WITH pp1 AS ({PP1_SQL}),
+tiled AS (
+  SELECT d.lang, pp1.logprob_q,
+         ntile(3) OVER (
+           PARTITION BY d.lang
+           ORDER BY pp1.avg_logprob ASC NULLS FIRST, pp1.doc_id ASC
+         ) AS bucket
+  FROM pp1 JOIN documents d ON pp1.doc_id = d.doc_id
+)
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(logprob_q) AS BIGINT) AS sum_logprob_q
+FROM tiled GROUP BY lang, bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4229,6 +4302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt1_retention": rt1_retention,
         "cd1_cdc_snapshot": cd1_cdc_snapshot,
         "h1_histogram": h1_histogram,
+        "dv1_constraints": dv1_constraints,
+        "pp2_perplexity_buckets": pp2_perplexity_buckets,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4376,6 +4451,8 @@ def oracle_sql() -> dict[str, str]:
         "rt1_retention": RT1_SQL,
         "cd1_cdc_snapshot": CD1_SQL,
         "h1_histogram": H1_SQL,
+        "dv1_constraints": DV1_SQL,
+        "pp2_perplexity_buckets": PP2_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

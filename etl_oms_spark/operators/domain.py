@@ -268,3 +268,37 @@ def bigram_lm_model(
         .crossJoin(F.broadcast(v))
         .select("w1", "pair", "c1", "c2", "v")
     )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning (arXiv 1911.00359):
+    within each group (language), rank documents by LM fluency and split
+    into ``n_buckets`` equal tiles — bucket 1 is the most-fluent "head"
+    CCNet keeps preferentially.
+
+    ``ntile`` over (avg_logprob, doc_id) — the average is an exact
+    BIGINT/BIGINT IEEE division and the id tiebreak makes the order
+    total, so tile assignment is bit-reproducible cross-engine. One
+    shuffle on the group for the window, one groups×buckets-sized
+    aggregate after.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("avg_logprob").asc(), F.col(id_col).asc()
+    )
+    return (
+        scores.join(docs.select(id_col, group_col), id_col)
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("logprob_q").cast("long").alias("sum_logprob_q"),
+        )
+    )

@@ -77,3 +77,39 @@ def test_fixed_width_histogram_edges(spark):
     assert rows[-1]["bucket_lo"] == 90 and rows[-1]["bucket_hi"] == 99
     # total preserved
     assert sum(r["n_rows"] for r in rows) == 100
+
+
+def test_constraint_report_checks(spark):
+    from etl_oms_spark.operators.validate import (
+        constraint_report,
+        fk_orphans,
+        pk_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20), (3, 99)], "id INT, parent_id INT"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pid INT")
+    dup = pk_violations(child, ["id"])
+    assert {(r["id"], r["n_rows"]) for r in dup.collect()} == {(1, 2)}
+    orph = fk_orphans(child, parent, "parent_id", "pid")
+    assert [r["id"] for r in orph.collect()] == [3]
+    rep = constraint_report({"dup_ids": dup, "orphans": orph})
+    got = {r["check_name"]: r["n_violations"] for r in rep.collect()}
+    assert got == {"dup_ids": 1, "orphans": 1}
+
+
+def test_perplexity_buckets_tiles(spark):
+    from etl_oms_spark.operators.domain import perplexity_buckets
+
+    scores = spark.createDataFrame(
+        [(i, 10, -i * 1_000_000, float(-i)) for i in range(1, 7)],
+        "doc_id LONG, n_bigrams LONG, logprob_q LONG, avg_logprob DOUBLE",
+    )
+    docs = spark.createDataFrame([(i, "en") for i in range(1, 7)], "doc_id LONG, lang STRING")
+    out = perplexity_buckets(scores, docs, n_buckets=3)
+    rows = {r["bucket"]: (r["n_docs"], r["sum_logprob_q"]) for r in out.collect()}
+    # ascending avg_logprob: docs 6,5 (worst) -> tile 1; 4,3 -> 2; 2,1 -> 3
+    assert rows[1] == (2, -11_000_000)
+    assert rows[2] == (2, -7_000_000)
+    assert rows[3] == (2, -3_000_000)

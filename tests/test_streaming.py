@@ -267,3 +267,30 @@ def test_stateful_user_profiles(spark, tmp_path):
         assert r["first_ts"].minute == 10 and r["last_ts"].hour == 2
     finally:
         q.stop()
+
+
+def test_streaming_hopping_windows(spark, tmp_path):
+    """hopping_window_counts is streaming-ready as-is: the same F.window
+    (width, slide) aggregation runs under readStream with a watermark,
+    and every event lands in width/slide overlapping windows."""
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.rollup import hopping_window_counts
+
+    src = tmp_path / "hop_src"
+    src.mkdir()
+    _write_events_json(src / "batch1.json", EVENTS)
+    stream = stream_events(spark, str(src), fmt="json").withWatermark("ts", "2 hours")
+    agg = hopping_window_counts(stream, width="2 hours", slide="1 hour")
+    q = run_stream_to_memory(agg, "hop_counts", output_mode="update")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hop_counts").collect()
+        got = {r["window_start"].hour: (r["n_events"], r["sum_value"]) for r in rows}
+        # events at 00:10/00:20 land in windows starting 23:00 and 00:00;
+        # the 01:05 view joins the 00:00 window and opens 01:00
+        assert got[0] == (3, 6.0)
+        assert got[1] == (1, 3.0)
+        assert got[23] == (2, 3.0)
+    finally:
+        q.stop()
