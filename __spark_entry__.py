@@ -4208,6 +4208,88 @@ FROM tiled GROUP BY lang, bucket
 """
 
 
+def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag, status), (flag), ()) with
+    grouping_id disambiguation — the general form a12's CUBE specializes
+    (DataFrame.groupingSets, Spark 4). Exact-cents sums; NULL group keys
+    distinguished from grouping NULLs by grouping_id."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("sum_price_cents"),
+        )
+    )
+
+
+A14_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def ag1_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per region: nation names joined into one
+    deterministic comma list (array_sort + array_join — the Spark lowering
+    of SQL's string_agg(... ORDER BY ...), order-independent of
+    partitioning by construction)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+        )
+    )
+
+
+AG1_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def a15_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/distinct aggregate surface per return flag: count_if,
+    bool_or / bool_and, and SUM(DISTINCT) on exact cents — each lowers to
+    a plain conditional or distinct hash aggregate, no UDF."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).cast("long").alias("n_discounted"),
+        F.bool_or(F.col("l_tax") == 0).alias("any_tax_free"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.sum_distinct(_cents(F.col("l_quantity"), 100)).cast("long")
+        .alias("sum_distinct_qty_cents"),
+    )
+
+
+A15_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+       bool_or(l_tax = 0) AS any_tax_free,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       CAST(SUM(DISTINCT CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_distinct_qty_cents
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4304,6 +4386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h1_histogram": h1_histogram,
         "dv1_constraints": dv1_constraints,
         "pp2_perplexity_buckets": pp2_perplexity_buckets,
+        "a14_grouping_sets": a14_grouping_sets,
+        "ag1_ordered_string_agg": ag1_ordered_string_agg,
+        "a15_conditional_aggs": a15_conditional_aggs,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4453,6 +4538,9 @@ def oracle_sql() -> dict[str, str]:
         "h1_histogram": H1_SQL,
         "dv1_constraints": DV1_SQL,
         "pp2_perplexity_buckets": PP2_SQL,
+        "a14_grouping_sets": A14_SQL,
+        "ag1_ordered_string_agg": AG1_SQL,
+        "a15_conditional_aggs": A15_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,
