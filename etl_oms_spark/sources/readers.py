@@ -200,3 +200,35 @@ def read_binary_dir(
     if max_bytes is not None:
         df = df.filter(F.col("length") <= max_bytes)
     return df
+
+
+def read_csv_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """S1 + the reference's coerce philosophy lifted to whole records:
+    PERMISSIVE parse against an explicit schema, with rows that fail the
+    schema landed in ``corrupt_col`` instead of failing the job (pandas'
+    ``errors="coerce"`` coerces cell-wise; this is the record-wise Spark
+    form — quarantine, count, and triage the bad rows downstream).
+
+    The corrupt column is appended to the caller's schema automatically.
+    Pass ``mode="FAILFAST"`` to assert clean data instead, or
+    ``mode="DROPMALFORMED"`` to silently drop (the pandas dropna twin).
+    At 100 TB a quarantine column beats a failed 6-hour job.
+    """
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    opts = {
+        "header": "true",
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": corrupt_col,
+        **options,
+    }
+    return spark.read.options(**opts).schema(full).csv(path)

@@ -161,3 +161,34 @@ def test_read_write_any_roundtrip(spark, tmp_path):
     write_any(df, ppath, fmt="orc", partition_by=["s"])
     pruned = read_any(spark, ppath, fmt="orc").filter("s = 'a'")
     assert pruned.count() == 1
+
+
+def test_read_csv_tolerant_quarantines_bad_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_oms_spark.sources.readers import read_csv_tolerant
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "country,confirmed\n"
+        "France,100\n"
+        "Spain,not_a_number\n"
+        "Italy,50\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("country", T.StringType()),
+            T.StructField("confirmed", T.LongType()),
+        ]
+    )
+    df = read_csv_tolerant(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["country"]: r["confirmed"] for r in good.collect()} == {
+        "France": 100,
+        "Italy": 50,
+    }
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0]["_corrupt_record"]
+    df.unpersist()

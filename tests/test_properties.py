@@ -130,3 +130,69 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
     # and LSH at 16 bands / r=4 must surface the similar pair
     cands = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()}
     assert (0, 1) in cands
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 8),
+)
+@settings(max_examples=10, deadline=None)
+def test_per_group_cap_invariants(spark, rows, cap):
+    """Cap respected per group; kept set is a subset and deterministic."""
+    from etl_oms_spark.operators.sampling import per_group_cap
+
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = per_group_cap(df, ["source"], "doc_id", cap=cap).collect()
+    per = {}
+    for r in out:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert all(n <= cap for n in per.values())
+    kept = {r["doc_id"] for r in out}
+    assert kept <= {t[0] for t in rows}
+    # groups smaller than the cap are kept whole
+    sizes = {}
+    for i, s in rows:
+        sizes[s] = sizes.get(s, 0) + 1
+    for s, n in sizes.items():
+        assert per.get(s, 0) == min(n, cap)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 5),                      # key
+            st.integers(0, 1_000_000),              # ts offset seconds
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(-100, 100),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_cdc_snapshot_partitioning_independent(spark, ops):
+    """Snapshot is identical on any input partitioning (deterministic
+    tie-breaks), and snapshot(snapshot ∪ nothing) is a fixed point."""
+    import datetime as dt
+
+    from etl_oms_spark.merge import cdc_snapshot
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(k, base + dt.timedelta(seconds=s), op, v) for k, s, op, v in ops]
+    log = spark.createDataFrame(rows, "k INT, ts TIMESTAMP, op STRING, v INT")
+
+    def snap(df):
+        return sorted(
+            (r["k"], r["ts"], r["op"], r["v"])
+            for r in cdc_snapshot(df, ["k"], "ts", "op", ["v"]).collect()
+        )
+
+    s1 = snap(log)
+    s2 = snap(log.repartition(7))
+    assert s1 == s2
+    assert all(op != "D" for _, _, op, _ in s1)
