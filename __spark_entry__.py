@@ -4290,6 +4290,113 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def dr1_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor (operators/validate.psi_drift):
+    Population Stability Index of event values, first week vs the rest.
+    Per-bucket contributions quantized to 1e-9 BIGINT so the total is
+    order-independent and bit-stable cross-engine."""
+    from etl_oms_spark.operators.validate import psi_drift
+
+    ev = _events(spark, sf_dir).withColumn("cents", _cents(F.col("value")))
+    cut = F.lit("2024-01-08").cast("timestamp")
+    return psi_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        "cents",
+    ).orderBy("bucket")
+
+
+DR1_SQL = """
+WITH tagged AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 0 ELSE 1 END AS side
+  FROM events
+),
+b AS (SELECT min(v) AS lo, max(v) - min(v) + 1 AS span FROM tagged),
+counts AS (
+  SELECT CAST(floor((v - lo) * 10 / span) AS INT) AS bucket,
+         count(*) FILTER (WHERE side = 0) AS n_base,
+         count(*) FILTER (WHERE side = 1) AS n_cur
+  FROM tagged, b GROUP BY 1
+),
+t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM counts)
+SELECT bucket, CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(floor(
+         ((n_cur + 1) / (tc + 10) - (n_base + 1) / (tb + 10))
+         * ln(((n_cur + 1) / (tc + 10)) / ((n_base + 1) / (tb + 10)))
+         * 1000000000 + 0.5) AS BIGINT) AS psi_q9
+FROM counts, t
+ORDER BY bucket
+"""
+
+
+def st1_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean / sample variance / stddev derived from exact integer
+    sums (n, Σx, Σx²) — the numerically-portable form: every double is a
+    single IEEE op on BIGINTs, so results are bit-identical cross-engine
+    (stddev_samp's streaming accumulation would not be)."""
+    ev = _events(spark, sf_dir).withColumn("cents", _cents(F.col("value")))
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_cents"),
+        var.alias("var_cents"),
+        F.sqrt(var).alias("std_cents"),
+    )
+
+
+ST1_SQL = """
+WITH a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(s1 AS DOUBLE) / n AS mean_cents,
+       (n * s2 - s1 * s1) / (n * (n - 1.0)) AS var_cents,
+       sqrt((n * s2 - s1 * s1) / (n * (n - 1.0))) AS std_cents
+FROM a
+"""
+
+
+def o3_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language (row_number window with
+    deterministic (n_chars DESC, doc_id) order) — the per-group top-k
+    staple; Spark prunes it map-side via WindowGroupLimit before the
+    shuffle, so the exchange carries O(groups × k)."""
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+O3_SQL = """
+SELECT lang, doc_id, n_chars, CAST(rank AS INT) AS rank
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         ) AS rank
+  FROM documents
+)
+WHERE rank <= 3
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4389,6 +4496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_grouping_sets": a14_grouping_sets,
         "ag1_ordered_string_agg": ag1_ordered_string_agg,
         "a15_conditional_aggs": a15_conditional_aggs,
+        "dr1_drift_psi": dr1_drift_psi,
+        "st1_grouped_stats": st1_grouped_stats,
+        "o3_topk_per_group": o3_topk_per_group,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4541,6 +4651,9 @@ def oracle_sql() -> dict[str, str]:
         "a14_grouping_sets": A14_SQL,
         "ag1_ordered_string_agg": AG1_SQL,
         "a15_conditional_aggs": A15_SQL,
+        "dr1_drift_psi": DR1_SQL,
+        "st1_grouped_stats": ST1_SQL,
+        "o3_topk_per_group": O3_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

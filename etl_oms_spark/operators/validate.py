@@ -51,3 +51,62 @@ def constraint_report(checks: dict[str, DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of an integer
+    column — the drift monitor run before trusting a new data drop
+    against the distribution a model (or mix plan) was built on.
+
+    Buckets are fixed-width over the UNION's global min/max (integer
+    arithmetic, same edges for both sides); per-bucket proportions use
+    Laplace-smoothed counts so empty buckets stay finite. Output is one
+    row per bucket with the PSI contribution quantized to 1e-9 (BIGINT)
+    — summing the quantized contributions is order-independent, so the
+    total is bit-stable on any partitioning/engine; the conventional
+    >0.2 "significant drift" threshold applies to the (double) total.
+
+    Cost: one scalar min/max over the union + one bucketed count per
+    side — two scans of arithmetic into buckets-sized aggregates.
+    """
+    tagged = base.select(F.col(value_col).cast("long").alias("__v")).withColumn(
+        "__side", F.lit(0)
+    ).unionByName(
+        current.select(F.col(value_col).cast("long").alias("__v")).withColumn(
+            "__side", F.lit(1)
+        )
+    )
+    bounds = tagged.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    span = F.col("__hi") - F.col("__lo") + F.lit(1)
+    idx = F.floor((F.col("__v") - F.col("__lo")) * F.lit(n_buckets) / span).cast("int")
+    counts = (
+        tagged.crossJoin(F.broadcast(bounds))
+        .select(idx.alias("bucket"), "__side")
+        .groupBy("bucket")
+        .agg(
+            F.count_if(F.col("__side") == 0).alias("n_base"),
+            F.count_if(F.col("__side") == 1).alias("n_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    p = (F.col("n_base") + F.lit(1)) / (F.col("__tb") + F.lit(n_buckets))
+    q = (F.col("n_cur") + F.lit(1)) / (F.col("__tc") + F.lit(n_buckets))
+    contrib = (q - p) * F.log(q / p)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast("long").alias("psi_q9"),
+        )
+    )

@@ -113,3 +113,22 @@ def test_perplexity_buckets_tiles(spark):
     assert rows[1] == (2, -11_000_000)
     assert rows[2] == (2, -7_000_000)
     assert rows[3] == (2, -3_000_000)
+
+
+def test_psi_drift_zero_on_identical(spark):
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.validate import psi_drift
+
+    df = spark.createDataFrame([(v,) for v in range(200)], "v LONG")
+    out = psi_drift(df, df, "v", n_buckets=5)
+    rows = out.collect()
+    # identical distributions: every per-bucket contribution is exactly 0
+    assert all(r["psi_q9"] == 0 for r in rows)
+    assert sum(r["n_base"] for r in rows) == 200
+
+    # shifted distribution drifts: total PSI well above the 0.2 threshold
+    shifted = spark.createDataFrame([(v + 150,) for v in range(200)], "v LONG")
+    drifted = psi_drift(df, shifted, "v", n_buckets=5)
+    total = sum(r["psi_q9"] for r in drifted.collect()) / 1e9
+    assert total > 0.2
