@@ -94,3 +94,62 @@ def compact_partitions(
         df.write.partitionBy(partition_col).mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def cdc_merge_into_parquet(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    ts_col: str = "ts",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> None:
+    """Apply an insert/update/delete change batch to a partitioned parquet
+    table — MERGE ... WHEN MATCHED DELETE semantics without a lakehouse,
+    same partition-swap discipline as `merge_into_parquet` (cost = touched
+    partitions, not table).
+
+    Existing rows are replayed as opening state (their stored ts) against
+    the batch through `merge.cdc_snapshot`: per key the latest op wins and
+    a latest delete removes the row. ``changes`` carries
+    (keys..., ts, op, values...); rows must not move across partitions.
+    Idempotent: re-applying the same batch is a no-op.
+    """
+    from ..merge import cdc_snapshot
+
+    try:
+        existing = spark.read.parquet(target_path)
+        first_write = False
+    except Exception:  # noqa: BLE001 - target does not exist yet
+        existing = None
+        first_write = True
+
+    value_cols = [
+        c for c in changes.columns if c not in (*keys, ts_col, op_col)
+    ]
+    if first_write:
+        snap = cdc_snapshot(changes, keys, ts_col, op_col, value_cols, delete_op)
+        snap.write.partitionBy(partition_col).mode("overwrite").parquet(target_path)
+        return
+
+    touched = [r[0] for r in changes.select(partition_col).distinct().collect()]
+    affected = existing.filter(F.col(partition_col).isin(touched))
+    log = affected.select(
+        *keys, ts_col, F.lit("U").alias(op_col), *value_cols
+    ).unionByName(changes.select(*keys, ts_col, op_col, *value_cols))
+    merged = cdc_snapshot(
+        log, keys, ts_col, op_col, value_cols, delete_op
+    ).localCheckpoint(eager=True)
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.write.partitionBy(partition_col)
+            .mode("overwrite")
+            .parquet(target_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

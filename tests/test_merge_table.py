@@ -93,3 +93,38 @@ def test_warehouse_to_parquet_end_to_end(spark, tmp_path):
     out2 = {(r["id_region"], str(r["date"])): r["nouveau_cas"]
             for r in spark.read.parquet(target).collect()}
     assert len(out2) == 3 and out2[(1, "2022-05-02")] == 5
+
+
+def test_cdc_merge_into_parquet_deletes_and_idempotence(spark, tmp_path):
+    import datetime as dt
+
+    from etl_oms_spark.sources.merge_table import cdc_merge_into_parquet
+
+    target = str(tmp_path / "cdc_target")
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+
+    def read():
+        return {
+            r["id"]: (r["op"], r["v"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+    batch1 = spark.createDataFrame(
+        [(1, "p0", t0, "I", 10), (2, "p0", t0, "I", 20), (3, "p1", t0, "I", 30)],
+        "id INT, part STRING, ts TIMESTAMP, op STRING, v INT",
+    )
+    cdc_merge_into_parquet(spark, target, batch1, ["id"], "part")
+    assert read() == {1: ("I", 10), 2: ("I", 20), 3: ("I", 30)}
+
+    # update 1, delete 2, leave p1 untouched (partition never read)
+    batch2 = spark.createDataFrame(
+        [(1, "p0", t1, "U", 11), (2, "p0", t1, "D", 0)],
+        "id INT, part STRING, ts TIMESTAMP, op STRING, v INT",
+    )
+    cdc_merge_into_parquet(spark, target, batch2, ["id"], "part")
+    assert read() == {1: ("U", 11), 3: ("I", 30)}
+
+    # re-applying the same batch is a no-op
+    cdc_merge_into_parquet(spark, target, batch2, ["id"], "part")
+    assert read() == {1: ("U", 11), 3: ("I", 30)}
