@@ -294,3 +294,54 @@ def test_streaming_hopping_windows(spark, tmp_path):
         assert got[23] == (2, 3.0)
     finally:
         q.stop()
+
+
+def test_foreach_batch_cdc_stream(spark, tmp_path):
+    """Streaming CDC: I/U/D micro-batches land in a partitioned parquet
+    target with delete semantics, idempotent per batch."""
+    from etl_oms_spark.streaming.events import foreach_batch_cdc
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    target = str(tmp_path / "cdc_target")
+
+    def write_batch(name, rows):
+        _write_events_json(src / name, rows)
+
+    write_batch("b1.json", [
+        {"id": 1, "part": "p0", "ts": "2024-01-01T00:00:00Z", "op": "I", "v": 10},
+        {"id": 2, "part": "p0", "ts": "2024-01-01T00:00:00Z", "op": "I", "v": 20},
+    ])
+    stream = (
+        spark.readStream.schema("id INT, part STRING, ts TIMESTAMP, op STRING, v INT")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_cdc(target, ["id"], spark, "part")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def read():
+        return {r["id"]: (r["op"], r["v"]) for r in spark.read.parquet(target).collect()}
+
+    assert read() == {1: ("I", 10), 2: ("I", 20)}
+
+    write_batch("b2.json", [
+        {"id": 1, "part": "p0", "ts": "2024-01-02T00:00:00Z", "op": "U", "v": 11},
+        {"id": 2, "part": "p0", "ts": "2024-01-02T00:00:00Z", "op": "D", "v": 0},
+    ])
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_cdc(target, ["id"], spark, "part")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert read() == {1: ("U", 11)}
