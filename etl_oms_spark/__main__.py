@@ -83,6 +83,21 @@ def main(argv: list[str] | None = None) -> int:
     p_cur.add_argument("--transitive", action="store_true",
                        help="transitive closure over near-dup pairs (iterative)")
 
+    p_prof = sub.add_parser(
+        "profile", help="data-quality survey: per-column nulls/distincts/min-max"
+    )
+    p_prof.add_argument("--table", required=True, help="parquet path to profile")
+    p_prof.add_argument("--approx", action="store_true",
+                        help="HLL distinct counts (one scan, the at-scale default)")
+
+    p_val = sub.add_parser(
+        "validate", help="constraint report: PK duplicates / FK orphans"
+    )
+    p_val.add_argument("--table", required=True, help="parquet path (child table)")
+    p_val.add_argument("--pk", required=True, help="comma-separated key columns")
+    p_val.add_argument("--fk", default=None,
+                       help="child_col:parent_path:parent_col foreign-key check")
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -143,6 +158,25 @@ def main(argv: list[str] | None = None) -> int:
         counts = {r["split"]: r["n"] for r in
                   kept.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
         print(f"curated: {counts} (input {docs.count()})")
+    elif args.cmd == "profile":
+        from .operators.profile import profile_columns
+
+        df = spark.read.parquet(args.table)
+        profile_columns(df, approx=args.approx).show(100, truncate=False)
+    elif args.cmd == "validate":
+        from .operators.validate import constraint_report, fk_orphans, pk_violations
+
+        df = spark.read.parquet(args.table)
+        keys = [k.strip() for k in args.pk.split(",")]
+        checks = {"pk_duplicate_keys": pk_violations(df, keys)}
+        if args.fk:
+            child_col, parent_path, parent_col = args.fk.split(":")
+            parent = spark.read.parquet(parent_path)
+            checks["fk_orphans"] = fk_orphans(df, parent, child_col, parent_col)
+        report = constraint_report(checks)
+        report.show(truncate=False)
+        n_bad = sum(r["n_violations"] for r in report.collect())
+        return 0 if n_bad == 0 else 2
     return 0
 
 

@@ -137,3 +137,29 @@ def test_cli_curate(spark, tmp_path):
     # annotation columns materialized for downstream training jobs
     for col in ("quality", "lang_pred", "fingerprint"):
         assert col in curated.columns
+
+
+def test_cli_profile_and_validate(spark, tmp_path, capsys):
+    from etl_oms_spark.__main__ import main
+
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, None)], "id INT, v INT"
+    ).write.parquet(src)
+
+    assert main(["profile", "--table", src]) == 0
+    out = capsys.readouterr().out
+    assert "n_distinct" in out and "id" in out
+
+    # duplicate id=1 -> nonzero violations -> exit code 2
+    assert main(["validate", "--table", src, "--pk", "id"]) == 2
+    out = capsys.readouterr().out
+    assert "pk_duplicate_keys" in out
+
+    parent = str(tmp_path / "p.parquet")
+    spark.createDataFrame([(10,), (20,)], "pid INT").write.parquet(parent)
+    clean = str(tmp_path / "c.parquet")
+    spark.createDataFrame([(1, 10), (2, 20)], "id INT, v INT").write.parquet(clean)
+    rc = main(["validate", "--table", clean, "--pk", "id",
+               "--fk", f"v:{parent}:pid"])
+    assert rc == 0
