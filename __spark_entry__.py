@@ -4397,6 +4397,56 @@ WHERE rank <= 3
 """
 
 
+def tj3_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/temporal.asof_join
+    direction="forward"): each view matched to the user's NEXT purchase
+    within 1 day — pandas merge_asof(direction='forward') semantics, one
+    shuffle, no point-in-interval explosion. Purchases pre-deduped per
+    (user, ts) so the carried value is deterministic."""
+    from etl_oms_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(_cents(F.col("value"))).alias("cents"))
+        .withColumn("purchase_ts", F.col("ts"))
+    )
+    return asof_join(
+        views,
+        purchases,
+        "ts",
+        by=["user_id"],
+        value_cols=["purchase_ts", "cents"],
+        tolerance="1 DAY",
+        direction="forward",
+    )
+
+
+TJ3_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts, max(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+nxt AS (
+  SELECT v.event_id, v.user_id, v.ts, min(p.ts) AS purchase_ts
+  FROM v LEFT JOIN p
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+   AND p.ts <= v.ts + INTERVAL 1 DAY
+  GROUP BY v.event_id, v.user_id, v.ts
+)
+SELECT n.event_id, n.user_id, n.ts, n.purchase_ts, p.cents
+FROM nxt n LEFT JOIN p
+  ON p.user_id = n.user_id AND p.ts = n.purchase_ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4499,6 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dr1_drift_psi": dr1_drift_psi,
         "st1_grouped_stats": st1_grouped_stats,
         "o3_topk_per_group": o3_topk_per_group,
+        "tj3_asof_forward": tj3_asof_forward,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4654,6 +4705,7 @@ def oracle_sql() -> dict[str, str]:
         "dr1_drift_psi": DR1_SQL,
         "st1_grouped_stats": ST1_SQL,
         "o3_topk_per_group": O3_SQL,
+        "tj3_asof_forward": TJ3_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

@@ -29,17 +29,23 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: latest ``right`` row with ``right.on <=
-    left.on`` per ``by`` group.
+    """As-of join: per ``by`` group, the latest ``right`` row with
+    ``right.on <= left.on`` (``direction="backward"``, the default) or the
+    earliest with ``right.on >= left.on`` (``"forward"`` — pandas
+    ``merge_asof`` parity; next-quote lookups, SLA deadline matching).
 
     Mechanics: tag both sides, union on (by, on), compute
     ``last(value, ignorenulls=True)`` over an unbounded-preceding window
     ordered by (on, side) — right rows sort before left rows at equal
-    timestamps so exact-tie matches are included. Left rows then carry the
-    most recent right values. ``tolerance`` (e.g. ``"3600"`` seconds or an
-    INTERVAL string like ``"1 hour"``) nulls matches older than the bound.
+    timestamps so exact-tie matches are included; forward simply walks
+    time in descending order, same single shuffle. ``tolerance`` (e.g.
+    ``"3600"`` seconds or an INTERVAL string like ``"1 hour"``) nulls
+    matches outside the bound.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = by or []
     value_cols = value_cols or [
         c for c in right.columns if c != on and c not in by
@@ -59,9 +65,10 @@ def asof_join(
             l_tag = l_tag.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
 
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+    on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(on_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -78,13 +85,21 @@ def asof_join(
     )
     result = carried.filter(F.col("__side") == 1)
     if tolerance is not None:
+        gap = (
+            F.col(on).cast("double") - F.col("__asof_ts").cast("double")
+            if direction == "backward"
+            else F.col("__asof_ts").cast("double") - F.col(on).cast("double")
+        )
         try:
             bound = float(tolerance)
-            in_tol = (
-                F.col(on).cast("double") - F.col("__asof_ts").cast("double")
-            ) <= bound
+            in_tol = gap <= bound
         except ValueError:
-            in_tol = F.col(on) <= F.col("__asof_ts") + F.expr(f"INTERVAL {tolerance}")
+            iv = F.expr(f"INTERVAL {tolerance}")
+            in_tol = (
+                F.col(on) <= F.col("__asof_ts") + iv
+                if direction == "backward"
+                else F.col("__asof_ts") <= F.col(on) + iv
+            )
         keep = in_tol
         result = result.select(
             *left.columns,

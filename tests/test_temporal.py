@@ -97,3 +97,29 @@ def test_range_join_auto_bucket_width(spark):
     key = lambda r: (r["point_id"], r["iv_id"])  # noqa: E731
     assert sorted(map(key, auto)) == sorted(map(key, explicit))
     assert len(auto) > 0
+
+
+def test_asof_join_forward(spark):
+    import datetime as dt
+
+    from etl_oms_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("a", t("2024-01-01T00:10:00")), ("a", t("2024-01-01T02:00:00"))],
+        "k STRING, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [("a", t("2024-01-01T00:30:00"), 1.0), ("a", t("2024-01-01T01:00:00"), 2.0)],
+        "k STRING, ts TIMESTAMP, q DOUBLE",
+    )
+    out = asof_join(left, right, "ts", by=["k"], direction="forward")
+    got = {r["ts"]: r["q"] for r in out.collect()}
+    # 00:10 -> next quote at 00:30; 02:00 has no future quote
+    assert got[t("2024-01-01T00:10:00")] == 1.0
+    assert got[t("2024-01-01T02:00:00")] is None
+
+    # tolerance: next quote must be within 10 minutes
+    tight = asof_join(left, right, "ts", by=["k"], direction="forward", tolerance="600")
+    got = {r["ts"]: r["q"] for r in tight.collect()}
+    assert got[t("2024-01-01T00:10:00")] is None
