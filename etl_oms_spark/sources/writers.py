@@ -248,3 +248,30 @@ def write_any(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally-ordered parquet without a global sort: ``repartitionByRange``
+    samples the order keys and gives each output file a disjoint,
+    monotonically increasing key range (part-00000 < part-00001 < ...),
+    then ``sortWithinPartitions`` orders rows inside each file.
+
+    Total cost = one range exchange + per-partition sorts — the 100 TB
+    form of ORDER BY ... writes (a single-partition global sort would
+    serialize the table through one task). Ordered files give parquet
+    min/max row-group stats their full pruning power for range predicates
+    on the sort key, and give training-data loaders a deterministic
+    global read order (pair with a deterministic-shuffle rank key, sh1).
+    """
+    out = (
+        df.repartitionByRange(n_files, *order_cols)
+        if n_files
+        else df.repartitionByRange(*order_cols)
+    )
+    out.sortWithinPartitions(*order_cols).write.mode(mode).parquet(path)

@@ -192,3 +192,27 @@ def test_read_csv_tolerant_quarantines_bad_rows(spark, tmp_path):
     bad_rows = bad.collect()
     assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0]["_corrupt_record"]
     df.unpersist()
+
+
+def test_write_sorted_parquet_global_order(spark, tmp_path):
+    import glob as globmod
+
+    from etl_oms_spark.sources.writers import write_sorted_parquet
+
+    target = str(tmp_path / "sorted")
+    df = spark.createDataFrame([(v,) for v in range(1000)], "x LONG").repartition(13)
+    write_sorted_parquet(df, target, ["x"], n_files=4)
+
+    files = sorted(globmod.glob(target + "/part-*.parquet"))
+    assert len(files) == 4
+    prev_max = None
+    total = 0
+    for f in files:
+        vals = [r["x"] for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals)          # ordered within file
+        if prev_max is not None and vals:
+            assert vals[0] > prev_max        # disjoint, increasing ranges
+        if vals:
+            prev_max = vals[-1]
+        total += len(vals)
+    assert total == 1000
