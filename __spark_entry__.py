@@ -4447,6 +4447,49 @@ FROM nxt n LEFT JOIN p
 """
 
 
+def mx2_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the mx1 mix plan (operators/sampling.apply_mix_plan):
+    deterministic per-source md5-bucket sampling at the planned rates —
+    kept set is partitioning-independent and monotonic in the rate. The
+    corpus never shuffles: one broadcast of the sources-sized plan + a
+    filter. Reports achieved docs/tokens per source."""
+    from etl_oms_spark.operators.sampling import apply_mix_plan, mix_plan
+    from etl_oms_spark.operators.text import whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    targets = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    plan = mix_plan(docs, targets, budget_tokens=20_000)
+    kept = apply_mix_plan(docs, plan)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum(whitespace_token_count("text").cast("long"))
+        .cast("long")
+        .alias("n_tokens_kept"),
+    )
+
+
+MX2_SQL = f"""
+WITH mx1 AS ({MX1_SQL}),
+rates AS (
+  SELECT source,
+         CAST(floor(planned_tokens * 1000000 / n_tokens) AS BIGINT)
+           AS rate_micro
+  FROM mx1
+),
+kept AS (
+  SELECT d.source,
+         CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+              ELSE len(string_split({_NORM_SQL}, ' ')) END AS toks
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE CAST('0x' || substring(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 1000000 < r.rate_micro
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(toks) AS BIGINT) AS n_tokens_kept
+FROM kept GROUP BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4550,6 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st1_grouped_stats": st1_grouped_stats,
         "o3_topk_per_group": o3_topk_per_group,
         "tj3_asof_forward": tj3_asof_forward,
+        "mx2_mix_apply": mx2_mix_apply,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4706,6 +4750,7 @@ def oracle_sql() -> dict[str, str]:
         "st1_grouped_stats": ST1_SQL,
         "o3_topk_per_group": O3_SQL,
         "tj3_asof_forward": TJ3_SQL,
+        "mx2_mix_apply": MX2_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

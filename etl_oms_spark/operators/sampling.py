@@ -254,3 +254,38 @@ def per_group_cap(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def apply_mix_plan(
+    df: DataFrame,
+    plan: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    method: str = "md5",
+) -> DataFrame:
+    """Materialize a `mix_plan`: deterministically sample each source at
+    its planned rate — the execution half of token-budget corpus
+    assembly.
+
+    A document is kept iff ``hash_bucket(key) < floor(rate × 1e6)``, so
+    the kept set is stable across partitionings, clusters, and
+    incremental re-runs (a re-run with the same plan selects the same
+    documents; a plan with a higher rate strictly grows the kept set —
+    buckets are a fixed total order, which makes mix revisions
+    monotonic). The rate is re-derived from the plan's exact integer
+    (planned_tokens, n_tokens) pair rather than trusting its double.
+
+    One broadcast join against the sources-sized plan + a column-
+    expression filter: no shuffle of the corpus at all.
+    """
+    rate_micro = F.floor(
+        F.col("planned_tokens") * F.lit(1_000_000) / F.col("n_tokens")
+    ).cast("long")
+    p = plan.select(source_col, rate_micro.alias("__rate_micro"))
+    bucket = _bucket(F.col(key_col), salt, method)
+    return (
+        df.join(F.broadcast(p), source_col, "inner")
+        .filter(bucket < F.col("__rate_micro"))
+        .drop("__rate_micro")
+    )

@@ -189,3 +189,35 @@ def test_mix_plan_budget_and_rates(spark):
     assert books.rate == 1.0 and books.oversubscribed
     # code has no target entry -> rate 0
     assert code.desired_tokens == 0 and code.rate == 0.0
+
+
+def test_apply_mix_plan_deterministic_and_monotonic(spark):
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.sampling import apply_mix_plan
+
+    docs = spark.createDataFrame(
+        [(i, "a", "w " * 10) for i in range(200)]
+        + [(i, "b", "w " * 10) for i in range(200, 400)],
+        "doc_id LONG, source STRING, text STRING",
+    )
+
+    def plan(rate_a, rate_b):
+        # planned/n_tokens pairs that reduce to the requested rates
+        return spark.createDataFrame(
+            [("a", int(rate_a * 1000), 1000), ("b", int(rate_b * 1000), 1000)],
+            "source STRING, planned_tokens LONG, n_tokens LONG",
+        )
+
+    half = apply_mix_plan(docs, plan(0.5, 0.1))
+    kept1 = {r["doc_id"] for r in half.collect()}
+    kept2 = {r["doc_id"] for r in apply_mix_plan(docs.repartition(7), plan(0.5, 0.1)).collect()}
+    assert kept1 == kept2  # partitioning-independent
+
+    fuller = {r["doc_id"] for r in apply_mix_plan(docs, plan(0.8, 0.2)).collect()}
+    assert kept1 <= fuller  # higher rate strictly grows the kept set
+
+    by_src = {r["source"]: r["n"] for r in half.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # md5 buckets are uniform-ish: 0.5 of 200 ≈ 100, 0.1 of 200 ≈ 20
+    assert 70 <= by_src.get("a", 0) <= 130
+    assert 5 <= by_src.get("b", 0) <= 40
