@@ -4490,6 +4490,68 @@ FROM kept GROUP BY source
 """
 
 
+def iv1_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators/temporal.
+    interval_overlap_join): closed 'view' episodes vs closed 'purchase'
+    episodes of the same user (episodes from scd2_history), matched on
+    inclusive range intersection via shared-bucket equi join — O(span/
+    bucket) shuffled rows, not per-user cross products."""
+    from etl_oms_spark.operators.scd import scd2_history
+    from etl_oms_spark.operators.temporal import interval_overlap_join
+
+    ep = scd2_history(_events(spark, sf_dir), "user_id", ["event_type"], "ts").filter(
+        F.col("valid_to").isNotNull()
+    )
+    views = ep.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("valid_from").alias("v_start"),
+        F.col("valid_to").alias("v_end"),
+    )
+    purchases = ep.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("valid_from").alias("p_start"),
+        F.col("valid_to").alias("p_end"),
+    )
+    out = interval_overlap_join(
+        views,
+        purchases,
+        ["user_id"],
+        left_start="v_start",
+        left_end="v_end",
+        right_start="p_start",
+        right_end="p_end",
+        bucket_seconds=6 * 3600,
+    )
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps")
+    )
+
+
+IV1_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+           AS prev_type
+  FROM events
+),
+episodes AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+           AS valid_to
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_overlaps
+FROM (SELECT * FROM episodes WHERE event_type = 'view'
+        AND valid_to IS NOT NULL) v
+JOIN (SELECT * FROM episodes WHERE event_type = 'purchase'
+        AND valid_to IS NOT NULL) p
+  ON v.user_id = p.user_id
+ AND v.valid_from <= p.valid_to AND p.valid_from <= v.valid_to
+GROUP BY v.user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4594,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_topk_per_group": o3_topk_per_group,
         "tj3_asof_forward": tj3_asof_forward,
         "mx2_mix_apply": mx2_mix_apply,
+        "iv1_interval_overlap": iv1_interval_overlap,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4751,6 +4814,7 @@ def oracle_sql() -> dict[str, str]:
         "o3_topk_per_group": O3_SQL,
         "tj3_asof_forward": TJ3_SQL,
         "mx2_mix_apply": MX2_SQL,
+        "iv1_interval_overlap": IV1_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

@@ -248,3 +248,52 @@ def resample_ffill(
             F.last("__v", ignorenulls=True).over(w).alias(f"{value_col}_filled"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    bucket_seconds: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval × interval overlap join: all (left, right) pairs sharing a
+    ``by`` key whose time ranges intersect (``l.start <= r.end AND
+    r.start <= l.end``, inclusive) — episode-overlap analytics, outage ×
+    session attribution, genomics-style range intersection.
+
+    Naive lowering is a cross join + filter per key. Here both sides
+    explode into fixed-width buckets covering their span and equi-join on
+    (by, bucket); a pair spanning several shared buckets is collapsed
+    with ``dropDuplicates`` before the exact predicate. Cost is
+    O(Σ span/bucket) rows shuffled instead of |L|×|R| per key —
+    `range_join`'s discipline extended to two interval sides.
+    ``bucket_seconds`` trades explode factor against join selectivity
+    (heuristic: the median interval span).
+    """
+    def bucketed(df, start, end):
+        b = F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / F.lit(bucket_seconds)),
+                F.floor(F.unix_timestamp(F.col(end)) / F.lit(bucket_seconds)),
+            )
+        ).alias("__bucket")
+        return df.select(*df.columns, b)
+
+    lb = bucketed(left, left_start, left_end)
+    rb = bucketed(right, right_start, right_end)
+    renames = {
+        c: f"{c}{suffix}" for c in right.columns if c in left.columns and c not in by
+    }
+    for old, new in renames.items():
+        rb = rb.withColumnRenamed(old, new)
+    rs = renames.get(right_start, right_start)
+    re_ = renames.get(right_end, right_end)
+    joined = lb.join(rb, [*by, "__bucket"]).drop("__bucket").dropDuplicates()
+    return joined.filter(
+        (F.col(left_start) <= F.col(re_)) & (F.col(rs) <= F.col(left_end))
+    )

@@ -123,3 +123,32 @@ def test_asof_join_forward(spark):
     tight = asof_join(left, right, "ts", by=["k"], direction="forward", tolerance="600")
     got = {r["ts"]: r["q"] for r in tight.collect()}
     assert got[t("2024-01-01T00:10:00")] is None
+
+
+def test_interval_overlap_join(spark):
+    import datetime as dt
+
+    from etl_oms_spark.operators.temporal import interval_overlap_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            ("a", t("2024-01-01T00:00:00"), t("2024-01-01T05:00:00")),
+            ("a", t("2024-01-02T00:00:00"), t("2024-01-02T01:00:00")),
+        ],
+        "k STRING, start TIMESTAMP, end TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", t("2024-01-01T04:00:00"), t("2024-01-01T06:00:00")),  # overlaps #1
+            ("a", t("2024-01-01T05:00:00"), t("2024-01-01T07:00:00")),  # touches #1 (inclusive)
+            ("a", t("2024-01-03T00:00:00"), t("2024-01-03T01:00:00")),  # no overlap
+            ("b", t("2024-01-01T00:00:00"), t("2024-01-01T09:00:00")),  # other key
+        ],
+        "k STRING, start TIMESTAMP, end TIMESTAMP",
+    )
+    out = interval_overlap_join(left, right, ["k"], bucket_seconds=1800)
+    pairs = {(r["start"].hour, r["start_r"].hour) for r in out.collect()}
+    assert pairs == {(0, 4), (0, 5)}
+    # exactly one row per overlapping pair despite many shared buckets
+    assert out.count() == 2
