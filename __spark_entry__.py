@@ -4552,6 +4552,34 @@ GROUP BY v.user_id
 """
 
 
+def wt1_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample_topk, Efraimidis–Spirakis):
+    100 documents drawn with probability ∝ n_chars via portable-hash
+    priorities ln(u)/w — reproducible cross-engine, TakeOrdered top-k
+    so the corpus never fully shuffles."""
+    from etl_oms_spark.operators.sampling import weighted_sample_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_topk(d, "n_chars", k=100).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+WT1_SQL = """
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         ln((CAST('0x' || substring(md5('wsample|' || CAST(doc_id AS VARCHAR)),
+                                    1, 15) AS BIGINT) % 1000000 + 0.5)
+            / 1000000.0)
+         / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars
+FROM pri ORDER BY priority DESC, doc_id ASC LIMIT 100
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4657,6 +4685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tj3_asof_forward": tj3_asof_forward,
         "mx2_mix_apply": mx2_mix_apply,
         "iv1_interval_overlap": iv1_interval_overlap,
+        "wt1_weighted_sample": wt1_weighted_sample,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4815,6 +4844,7 @@ def oracle_sql() -> dict[str, str]:
         "tj3_asof_forward": TJ3_SQL,
         "mx2_mix_apply": MX2_SQL,
         "iv1_interval_overlap": IV1_SQL,
+        "wt1_weighted_sample": WT1_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

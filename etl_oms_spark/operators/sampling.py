@@ -289,3 +289,35 @@ def apply_mix_plan(
         .filter(bucket < F.col("__rate_micro"))
         .drop("__rate_micro")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+    method: str = "md5",
+) -> DataFrame:
+    """Weighted random sampling without replacement, deterministically:
+    Efraimidis–Spirakis priority sampling. Each row draws a stable
+    pseudo-uniform u from its hash bucket and gets priority
+    ``ln(u) / w`` (equivalent to ranking by u^(1/w)); the k largest
+    priorities are the weighted sample — inclusion probability
+    proportional to weight, reproducible on any partitioning/engine
+    because u comes from the portable hash, not rand().
+
+    The top-k lowers to TakeOrdered (per-partition heads + k-row driver
+    merge), so nothing corpus-sized shuffles. Weights must be > 0 (rows
+    with w <= 0 are excluded).
+    """
+    u = (_bucket(F.col(key_col), salt, method).cast("double") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__priority", pri)
+        .orderBy(F.col("__priority").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -221,3 +221,24 @@ def test_apply_mix_plan_deterministic_and_monotonic(spark):
     # md5 buckets are uniform-ish: 0.5 of 200 ≈ 100, 0.1 of 200 ≈ 20
     assert 70 <= by_src.get("a", 0) <= 130
     assert 5 <= by_src.get("b", 0) <= 40
+
+
+def test_weighted_sample_topk_bias_and_determinism(spark):
+    from etl_oms_spark.operators.sampling import weighted_sample_topk
+
+    # heavy rows weight 100, light rows weight 1
+    rows = [(i, 100 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    out = weighted_sample_topk(df, "w", k=50)
+    kept = [r["doc_id"] for r in out.collect()]
+    assert len(kept) == 50
+    heavy = sum(1 for i in kept if i < 50)
+    # 50 heavy rows carry 100/1 weight each vs 450 light: expect the
+    # sample dominated by heavy rows (prob ∝ weight)
+    assert heavy >= 35
+    # deterministic under repartitioning
+    kept2 = [r["doc_id"] for r in weighted_sample_topk(df.repartition(9), "w", k=50).collect()]
+    assert sorted(kept) == sorted(kept2)
+    # zero/negative weights excluded
+    dfz = spark.createDataFrame([(1, 0), (2, 5)], "doc_id LONG, w LONG")
+    assert [r["doc_id"] for r in weighted_sample_topk(dfz, "w", k=5).collect()] == [2]
