@@ -4580,6 +4580,49 @@ FROM pri ORDER BY priority DESC, doc_id ASC LIMIT 100
 """
 
 
+def w6_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day (rolling WAU). COUNT(DISTINCT)
+    over a sliding window isn't expressible as a Spark window function;
+    the scalable lowering: dedup to (day, user) pairs, fan each pair out
+    to the ≤7 window-end days it serves (explode of a bounded sequence —
+    ×7, not ×rows), then one exact distinct count per window-end day."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    pairs = ev.select(day.alias("day"), "user_id").distinct()
+    served = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_day"),
+        "user_id",
+    )
+    days = pairs.select(F.col("day").alias("window_day")).distinct()
+    return (
+        served.join(days, "window_day")  # only report days that exist
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+    )
+
+
+W6_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+served AS (
+  SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+           AS window_day,
+         user_id
+  FROM pairs
+),
+days AS (SELECT DISTINCT day AS window_day FROM pairs)
+SELECT s.window_day, CAST(count(DISTINCT s.user_id) AS BIGINT) AS wau
+FROM served s JOIN days d ON s.window_day = d.window_day
+GROUP BY s.window_day
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4686,6 +4729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mx2_mix_apply": mx2_mix_apply,
         "iv1_interval_overlap": iv1_interval_overlap,
         "wt1_weighted_sample": wt1_weighted_sample,
+        "w6_rolling_distinct": w6_rolling_distinct,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4845,6 +4889,7 @@ def oracle_sql() -> dict[str, str]:
         "mx2_mix_apply": MX2_SQL,
         "iv1_interval_overlap": IV1_SQL,
         "wt1_weighted_sample": WT1_SQL,
+        "w6_rolling_distinct": W6_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,
