@@ -345,3 +345,37 @@ def test_foreach_batch_cdc_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert read() == {1: ("U", 11)}
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """The same sessionize plan (native session_window) runs under
+    readStream with a watermark: gap-separated bursts yield separate
+    sessions with bounded state."""
+    from etl_oms_spark.operators.stateful import sessionize
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    _write_events_json(src / "b1.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:05:00Z", "user_id": 1,
+         "event_type": "click", "value": 2.0, "props": "{}"},
+        # >10 min gap -> new session
+        {"event_id": 3, "ts": "2024-01-01T01:00:00Z", "user_id": 1,
+         "event_type": "view", "value": 4.0, "props": "{}"},
+    ])
+    stream = stream_events(spark, str(src), fmt="json")
+    sessions = sessionize(stream, gap="10 minutes", watermark="2 hours")
+    # session_window streaming aggregations support append (emit on
+    # watermark close) or complete — use complete so the assertion sees
+    # sessions the watermark has not finalized yet
+    q = run_stream_to_memory(sessions, "sess_out", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_out ORDER BY session_start").collect()
+        assert [r["n_events"] for r in rows] == [2, 1]
+        assert rows[0]["session_value"] == 3.0
+        # session_window extends `gap` past the last event
+        assert (rows[0]["session_end"] - rows[0]["session_start"]).seconds == 15 * 60
+    finally:
+        q.stop()
