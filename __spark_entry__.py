@@ -4623,6 +4623,98 @@ GROUP BY s.window_day
 """
 
 
+def st2_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per return flag from exact integer sums
+    (n, Σx, Σy, Σxy, Σx², Σy²): the portable form of corr() — built-in
+    streaming corr accumulates doubles in partition order and is not
+    bit-reproducible; this is. Correlation is scale-invariant, so the
+    inputs are quantized coarsely (quantity units, price in hundreds of
+    dollars) to keep n·Σy² under 2^63 through sf1+ under ANSI mode."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") / 100).cast("long").alias("y"),
+    )
+    a = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return a.select(
+        "l_returnflag", "n", (num.cast("double") / den).alias("corr_qty_price")
+    )
+
+
+ST2_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM (
+    SELECT l_returnflag,
+           CAST(round(l_quantity) AS BIGINT) AS x,
+           CAST(round(l_extendedprice / 100) AS BIGINT) AS y
+    FROM lineitem
+  ) GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+FROM s
+"""
+
+
+def st3_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language distribution per source — the
+    label-balance check before training on a mixed corpus. Contributions
+    -p·ln(p) from exact counts, quantized to 1e-9 BIGINT per (source,
+    lang) so the per-source total is order-independent (same discipline
+    as dr1's PSI)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("source")
+    p = F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+    contrib = F.floor(-p * F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        counts.withColumn("__c", contrib)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum("__c").cast("long").alias("entropy_q9"),
+        )
+    )
+
+
+ST3_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+p AS (
+  SELECT source, CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY source)
+                                          AS DOUBLE) AS p
+  FROM c
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+       CAST(sum(CAST(floor(-p * ln(p) * 1000000000 + 0.5) AS BIGINT))
+            AS BIGINT) AS entropy_q9
+FROM p GROUP BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4730,6 +4822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iv1_interval_overlap": iv1_interval_overlap,
         "wt1_weighted_sample": wt1_weighted_sample,
         "w6_rolling_distinct": w6_rolling_distinct,
+        "st2_correlation": st2_correlation,
+        "st3_entropy": st3_entropy,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4890,6 +4984,8 @@ def oracle_sql() -> dict[str, str]:
         "iv1_interval_overlap": IV1_SQL,
         "wt1_weighted_sample": WT1_SQL,
         "w6_rolling_distinct": W6_SQL,
+        "st2_correlation": ST2_SQL,
+        "st3_entropy": ST3_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,
