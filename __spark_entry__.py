@@ -4715,6 +4715,39 @@ FROM p GROUP BY source
 """
 
 
+def vs1_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (operators/vocab.
+    source_vocab_overlap): inverted-index self-join over DISTINCT
+    (source, term) pairs — Σ df² cost, vocab-sized inputs, exact integer
+    set algebra."""
+    from etl_oms_spark.operators.vocab import source_vocab_overlap
+
+    return source_vocab_overlap(_t(spark, sf_dir, "documents"))
+
+
+VS1_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT source AS src, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+),
+sizes AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_terms FROM pairs GROUP BY src
+),
+shared AS (
+  SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM pairs a JOIN pairs b ON a.term = b.term AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT s.src_a, s.src_b, s.n_shared,
+       sa.n_terms AS n_a, sb.n_terms AS n_b,
+       CAST(s.n_shared AS DOUBLE)
+         / CAST(sa.n_terms + sb.n_terms - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.src_a = sa.src
+JOIN sizes sb ON s.src_b = sb.src
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4824,6 +4857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_rolling_distinct": w6_rolling_distinct,
         "st2_correlation": st2_correlation,
         "st3_entropy": st3_entropy,
+        "vs1_source_overlap": vs1_source_overlap,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -4986,6 +5020,7 @@ def oracle_sql() -> dict[str, str]:
         "w6_rolling_distinct": W6_SQL,
         "st2_correlation": ST2_SQL,
         "st3_entropy": ST3_SQL,
+        "vs1_source_overlap": VS1_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

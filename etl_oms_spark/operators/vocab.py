@@ -117,3 +117,55 @@ def coverage_curve(
             (F.sum("tf").over(w) / F.col("total")).alias("coverage"),
         )
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-comparison
+    diagnostic run before mixing domains (near-identical vocabularies ⇒
+    redundant sources; disjoint ⇒ coverage win).
+
+    Inverted-index discipline: distinct (source, term) pairs (vocab-sized,
+    not corpus-sized), self-join on term, so cost is Σ df(term)² over
+    terms — bounded by #sources² per term, and ``max_df`` drops
+    ubiquitous terms first at web scale (same guard as the n-gram pair
+    twins). Jaccard from exact integer counts: |A∩B| / (|A|+|B|−|A∩B|).
+    """
+    pairs = df.select(
+        F.col(source_col).alias("src"), F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    if max_df is not None:
+        dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+        pairs = pairs.join(
+            F.broadcast(dfreq.filter(F.col("__df") <= max_df).select("term")), "term"
+        )
+    sizes = pairs.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    a = pairs.select(F.col("src").alias("src_a"), "term")
+    b = pairs.select(F.col("src").alias("src_b"), "term")
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("src").alias("src_a"), F.col("n_terms").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("src_b"), F.col("n_terms").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
