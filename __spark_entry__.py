@@ -4748,6 +4748,31 @@ JOIN sizes sb ON s.src_b = sb.src
 """
 
 
+def a16_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p10/p50/p90 of document length per source — the per-group
+    generalization of a13: integer inputs make linear-interpolated exact
+    percentiles bit-identical cross-engine (each is one IEEE multiply-add
+    on integers). Exact percentile sorts per group; swap approx_percentile
+    at 100 TB when sketch error is acceptable."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.1)").alias("p10"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+A16_SQL = """
+SELECT source,
+       quantile_cont(n_chars, 0.1) AS p10,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4858,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st2_correlation": st2_correlation,
         "st3_entropy": st3_entropy,
         "vs1_source_overlap": vs1_source_overlap,
+        "a16_group_percentiles": a16_group_percentiles,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -5021,6 +5047,7 @@ def oracle_sql() -> dict[str, str]:
         "st2_correlation": ST2_SQL,
         "st3_entropy": ST3_SQL,
         "vs1_source_overlap": VS1_SQL,
+        "a16_group_percentiles": A16_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,
