@@ -4773,6 +4773,96 @@ FROM documents GROUP BY source
 """
 
 
+def w7_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per source: |x − median| > 3 × MAD (median
+    absolute deviation) — the robust z-score that survives the heavy
+    tails that break mean/stddev fences. Two exact-percentile
+    aggregations (median, then MAD) + broadcast joins back; integer
+    inputs keep both medians bit-exact cross-engine."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    med = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("source").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    flagged = (
+        d.join(F.broadcast(med), "source")
+        .join(F.broadcast(mad), "source")
+        .select(
+            "source",
+            "med",
+            "mad",
+            (F.abs(F.col("n_chars") - F.col("med")) > F.lit(3.0) * F.col("mad"))
+            .alias("is_out"),
+        )
+    )
+    return flagged.groupBy("source", "med", "mad").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("is_out")).cast("long").alias("n_outliers"),
+    )
+
+
+W7_SQL = """
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY source
+),
+mad AS (
+  SELECT d.source, quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+  FROM documents d JOIN med m ON d.source = m.source
+  GROUP BY d.source
+)
+SELECT d.source, m.med, a.mad,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE abs(d.n_chars - m.med) > 3.0 * a.mad)
+            AS BIGINT) AS n_outliers
+FROM documents d
+JOIN med m ON d.source = m.source
+JOIN mad a ON d.source = a.source
+GROUP BY d.source, m.med, a.mad
+"""
+
+
+def sk2_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 5 heaviest l_suppkey values with
+    their row share in millionths (exact integer arithmetic) — the
+    numbers that decide between AQE skew-join, salting (sk1), and plain
+    shuffle. Key counts + one TakeOrdered; nothing corpus-sized sorts."""
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    counts = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            "n_rows",
+            F.floor(F.col("n_rows") * F.lit(1_000_000) / F.col("__total"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("l_suppkey").asc())
+        .limit(5)
+    )
+
+
+SK2_SQL = """
+WITH c AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem
+  GROUP BY l_suppkey
+),
+t AS (SELECT sum(n_rows) AS total FROM c)
+SELECT l_suppkey, n_rows,
+       CAST(floor(n_rows * 1000000 / total) AS BIGINT) AS share_ppm
+FROM c, t
+ORDER BY n_rows DESC, l_suppkey ASC
+LIMIT 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4884,6 +4974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st3_entropy": st3_entropy,
         "vs1_source_overlap": vs1_source_overlap,
         "a16_group_percentiles": a16_group_percentiles,
+        "w7_mad_outliers": w7_mad_outliers,
+        "sk2_skew_report": sk2_skew_report,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -5048,6 +5140,8 @@ def oracle_sql() -> dict[str, str]:
         "st3_entropy": ST3_SQL,
         "vs1_source_overlap": VS1_SQL,
         "a16_group_percentiles": A16_SQL,
+        "w7_mad_outliers": W7_SQL,
+        "sk2_skew_report": SK2_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,
