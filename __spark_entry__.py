@@ -4863,6 +4863,25 @@ LIMIT 5
 """
 
 
+def ix1_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row index without a single-partition sort
+    (util.with_global_index): range-partition on the total order
+    (n_chars, doc_id), per-partition row_number + broadcast cumulative
+    offsets. The scalable form of row_number() OVER (ORDER BY ...)."""
+    from etl_oms_spark.util import with_global_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return with_global_index(d, ["n_chars", "doc_id"], n_parts=8)
+
+
+IX1_SQL = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+         AS row_idx
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4976,6 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a16_group_percentiles": a16_group_percentiles,
         "w7_mad_outliers": w7_mad_outliers,
         "sk2_skew_report": sk2_skew_report,
+        "ix1_global_index": ix1_global_index,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -5142,6 +5162,7 @@ def oracle_sql() -> dict[str, str]:
         "a16_group_percentiles": A16_SQL,
         "w7_mad_outliers": W7_SQL,
         "sk2_skew_report": SK2_SQL,
+        "ix1_global_index": IX1_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

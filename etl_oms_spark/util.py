@@ -121,3 +121,48 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
     """The physical plan as a string (for plan-shape assertions in tests)."""
     jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)
+
+
+def with_global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    index_col: str = "row_idx",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Contiguous global row index 0..N-1 in (total) ``order_cols`` order —
+    WITHOUT the single-partition sort that ``row_number() OVER (ORDER BY
+    ...)`` forces.
+
+    Classic two-phase: range-partition on the order key (disjoint sorted
+    ranges per partition), count rows per partition (partitions-sized
+    aggregate), broadcast the cumulative offsets back, and add each
+    partition's local ``row_number``. The only data-sized movement is the
+    range exchange; every later step is partition-local or tiny.
+    ``order_cols`` must be a TOTAL order (include a tiebreak id) or the
+    index is nondeterministic within ties.
+    """
+    from pyspark.sql import Window
+
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        if n_parts
+        else df.repartitionByRange(*order_cols)
+    )
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    counts = with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset")
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        with_pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            index_col,
+            (F.row_number().over(w_local) - 1 + F.col("__offset")).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )

@@ -96,3 +96,25 @@ def test_ensure_parallelism_with_human_readable_conf(spark, sf_dir):
         assert ensure_parallelism(df).count() == df.count()
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+def test_with_global_index_contiguous_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.util import with_global_index
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(300)], "id LONG, grp LONG"
+    ).repartition(11)
+    out = with_global_index(df, ["grp", "id"], n_parts=5)
+    rows = sorted((r["row_idx"], r["grp"], r["id"]) for r in out.collect())
+    # contiguous 0..N-1
+    assert [r[0] for r in rows] == list(range(300))
+    # index order == total (grp, id) order
+    assert rows == sorted(rows, key=lambda r: (r[1], r[2]))
+    # identical on a different input partitioning
+    out2 = with_global_index(df.repartition(3), ["grp", "id"], n_parts=5)
+    assert sorted((r["row_idx"], r["grp"], r["id"]) for r in out2.collect()) == rows
+    # no single-partition exchange of the data in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
