@@ -4882,6 +4882,46 @@ FROM documents
 """
 
 
+def t9_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition repair (operators/dedup.
+    intra_doc_block_dedup): repeated 8-word blocks inside one document
+    collapse to their first occurrence; other documents are untouched.
+    Fully partition-local after the explode — shuffle key is doc_id
+    only (contrast d8's corpus-global winner table)."""
+    from etl_oms_spark.operators.dedup import intra_doc_block_dedup
+
+    return intra_doc_block_dedup(
+        _t(spark, sf_dir, "documents"), block_words=8
+    )
+
+
+T9_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+),
+base AS (
+    SELECT doc_id, toks,
+           CAST(greatest(ceil(len(toks) / 8.0), 1) AS BIGINT) AS n_blocks
+    FROM t
+),
+blocks AS (
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(list_slice(toks, (i - 1) * 8 + 1, i * 8), ' ') AS block
+    FROM base, LATERAL unnest(range(1, n_blocks + 1)) u(i)
+),
+winners AS (
+    SELECT doc_id, block, min(pos) AS pos FROM blocks GROUP BY doc_id, block
+),
+kept AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(block, ' ' ORDER BY pos) AS kept_text
+    FROM winners GROUP BY doc_id
+)
+SELECT base.doc_id, base.n_blocks, k.n_kept, k.kept_text
+FROM base JOIN kept k ON base.doc_id = k.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4996,6 +5036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_mad_outliers": w7_mad_outliers,
         "sk2_skew_report": sk2_skew_report,
         "ix1_global_index": ix1_global_index,
+        "t9_intra_dedup": t9_intra_dedup,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -5163,6 +5204,7 @@ def oracle_sql() -> dict[str, str]:
         "w7_mad_outliers": W7_SQL,
         "sk2_skew_report": SK2_SQL,
         "ix1_global_index": IX1_SQL,
+        "t9_intra_dedup": T9_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

@@ -499,3 +499,60 @@ def contamination_ids(
         .select(id_col)
         .distinct()
     )
+
+
+def intra_doc_block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 8,
+) -> DataFrame:
+    """WITHIN-document repetition repair: chunk each document into
+    consecutive ``block_words``-word blocks and drop repeats of a block
+    inside the SAME document (first occurrence kept, other documents
+    unaffected) — the fix-don't-drop counterpart to Gopher-style
+    repetition filters, and the per-doc complement of `block_dedup`'s
+    cross-corpus pass.
+
+    Entirely partition-local after the explode: winner selection and
+    reassembly both group by (doc, block)/(doc), so the only shuffle key
+    is the document id — no corpus-global state at all.
+
+    Returns (id, n_blocks, n_kept, kept_text).
+    """
+    from .text import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_blocks = F.ceil(F.size(toks) / F.lit(block_words)).cast("int")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_blocks - 1)).alias("__pos"),
+    ).select(
+        id_col,
+        "__pos",
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__pos") * block_words + 1, block_words),
+            " ",
+        ).alias("__block"),
+    )
+    winners = base.groupBy(id_col, "__block").agg(F.min("__pos").alias("__pos"))
+    return (
+        base.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_blocks"))
+        .join(
+            winners.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__pos", "__block"))
+                        ),
+                        lambda s: s["__block"],
+                    ),
+                    " ",
+                ).alias("kept_text"),
+            ),
+            id_col,
+        )
+    )

@@ -258,3 +258,21 @@ def test_block_dedup_partitioning_invariant(spark, sf_dir):
     a = block_dedup(docs, block_words=8)
     b = block_dedup(docs.repartition(13), block_words=8)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_intra_doc_block_dedup(spark):
+    from etl_oms_spark.operators.dedup import intra_doc_block_dedup
+
+    rep = "alpha beta gamma delta"          # one 4-word block
+    df = spark.createDataFrame(
+        [
+            (1, f"{rep} {rep} epsilon zeta eta theta"),  # block repeated within doc
+            (2, rep),                                     # same block in ANOTHER doc: untouched
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in intra_doc_block_dedup(df, block_words=4).collect()}
+    assert out[1]["n_blocks"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["kept_text"] == f"{rep} epsilon zeta eta theta"
+    # cross-doc occurrences are NOT deduped by the intra-doc pass
+    assert out[2]["n_kept"] == 1 and out[2]["kept_text"] == rep
