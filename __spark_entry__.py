@@ -4922,6 +4922,87 @@ FROM base JOIN kept k ON base.doc_id = k.doc_id
 """
 
 
+def r4_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate pivot: per day, (count, exact-cents sum) for each
+    event type — lowered to conditional aggregation (count_if / filtered
+    sum), the shape reshape.pivot_wide prefers over groupBy().pivot()
+    (~3× faster, one pass, no pivot-values scan)."""
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        _cents(F.col("value")).alias("cents"),
+    )
+    aggs = []
+    for t in ["view", "click", "purchase", "signup", "error"]:
+        cond = F.col("event_type") == t
+        aggs.append(F.count_if(cond).cast("long").alias(f"n_{t}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("cents"))).cast("long").alias(f"cents_{t}")
+        )
+    return ev.groupBy("day").agg(*aggs)
+
+
+R4_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'view'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS cents_view,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'click'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS cents_click,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS cents_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'signup'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS cents_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'error'
+                THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS cents_error
+FROM events GROUP BY day
+"""
+
+
+def cs1_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids (operators/clustering.
+    label_centroid_similarity): quantized component sums as BIGINTs so
+    the centroid math is order-independent; cosine of the sum vector
+    equals cosine of the mean (1/n cancels). Class-separation
+    diagnostic over the embeddings table."""
+    from etl_oms_spark.operators.clustering import label_centroid_similarity
+
+    return label_centroid_similarity(_t(spark, sf_dir, "embeddings"))
+
+
+CS1_SQL = """
+WITH comps AS (
+  SELECT label AS lbl,
+         unnest(range(len(embedding))) AS dim,
+         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+sums AS (
+  SELECT lbl, dim, CAST(sum(q) AS BIGINT) AS s FROM comps GROUP BY lbl, dim
+),
+norms AS (
+  SELECT lbl, CAST(sum(s * s) AS BIGINT) AS dot_self FROM sums GROUP BY lbl
+),
+dots AS (
+  SELECT a.lbl AS label_a, b.lbl AS label_b,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot_ab
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.lbl < b.lbl
+  GROUP BY a.lbl, b.lbl
+)
+SELECT d.label_a, d.label_b,
+       CAST(d.dot_ab AS DOUBLE)
+         / (sqrt(CAST(na.dot_self AS DOUBLE)) * sqrt(CAST(nb.dot_self AS DOUBLE)))
+         AS centroid_cosine
+FROM dots d
+JOIN norms na ON d.label_a = na.lbl
+JOIN norms nb ON d.label_b = nb.lbl
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5037,6 +5118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk2_skew_report": sk2_skew_report,
         "ix1_global_index": ix1_global_index,
         "t9_intra_dedup": t9_intra_dedup,
+        "r4_pivot_multi": r4_pivot_multi,
+        "cs1_centroid_similarity": cs1_centroid_similarity,
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
         "j5_upsert_merge": j5_upsert_merge,
@@ -5205,6 +5288,8 @@ def oracle_sql() -> dict[str, str]:
         "sk2_skew_report": SK2_SQL,
         "ix1_global_index": IX1_SQL,
         "t9_intra_dedup": T9_SQL,
+        "r4_pivot_multi": R4_SQL,
+        "cs1_centroid_similarity": CS1_SQL,
         "t7_repetition_stats": T7_SQL,
         "t8_pii_redaction": T8_SQL,
         "sh1_deterministic_shuffle": SH1_SQL,

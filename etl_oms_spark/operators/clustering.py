@@ -263,3 +263,61 @@ def prune_outliers(
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Pairwise cosine similarity between LABEL CENTROIDS — the
+    class-separation diagnostic (SemDeDup-adjacent: near-identical
+    centroids flag redundant label groups; orthogonal ones, clean
+    separation).
+
+    Exactness discipline: float centroids summed in partition order are
+    not reproducible, so components are quantized to integers
+    (``round(x·scale)``) and summed as BIGINTs via posexplode →
+    groupBy(label, dim) — labels×dims-sized, order-independent. Cosine
+    then needs only BIGINT dot products of the per-label sum vectors
+    (cos of the sum is cos of the mean — the 1/n factors cancel), so
+    every double in the output is one IEEE op on exact integers.
+    ``scale`` bounds the products: |Σq| ≤ n·|x|max·scale must stay
+    under 2^63/ (dims·|Σq|) — scale 1e3 holds through sf1 for unit-norm
+    embeddings.
+    """
+    comps = df.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long"),
+            )
+        ).alias("dim", "q"),
+    )
+    sums = comps.groupBy("lbl", "dim").agg(F.sum("q").alias("s"))
+    norms = sums.groupBy("lbl").agg(F.sum(F.col("s") * F.col("s")).alias("dot_self"))
+    a = sums.select(F.col("lbl").alias("label_a"), "dim", F.col("s").alias("sa"))
+    b = sums.select(F.col("lbl").alias("label_b"), "dim", F.col("s").alias("sb"))
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot_ab"))
+    )
+    na = norms.select(F.col("lbl").alias("label_a"), F.col("dot_self").alias("na"))
+    nb = norms.select(F.col("lbl").alias("label_b"), F.col("dot_self").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.col("dot_ab").cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+            ).alias("centroid_cosine"),
+        )
+    )
