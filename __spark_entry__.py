@@ -5010,68 +5010,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS check covers the FIRST 50
-    # entries. Round 1 verified 47/50 of the core-ETL block, so round 2
-    # front-loads (a) the 34 queries the driver has never checked — the
-    # whole LLM-data-pipeline suite plus q16/q20/q21, temporal joins,
-    # rollups and sketches — (b) the 3 type-parity fixes, and (c) a
-    # 13-query representative core-ETL regression set. The remaining 34
-    # all passed in CORRECTNESS_r01.json.
+    # entries. Rounds 1+2 verified the core-ETL block and the LLM-pipeline
+    # suite (97 distinct queries green across CORRECTNESS_r01∪r02, zero
+    # failures). Round 3 front-loads the 48 queries added late in round 2
+    # that have never had a driver row (d8_block_dedup ..
+    # cs1_centroid_similarity — all pass local exact oracles via
+    # tools/check.py), plus 2 green core entries (q1, star_fact_rollup)
+    # as cross-round continuity anchors. Everything after position 50 has
+    # a green row in r01 or r02.
     return {
-        # -- never driver-checked in round 1 (positions 51-84 back then) --
-        "q16_supplier_part_count": q16_supplier_part_count,
-        "q20_potential_promotion": q20_potential_promotion,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "ar1_array_funcs": ar1_array_funcs,
-        "ar2_explode_wordcount": ar2_explode_wordcount,
-        "w3_rank_functions": w3_rank_functions,
-        "t5_regex_extract": t5_regex_extract,
-        "f10_date_funcs": f10_date_funcs,
-        "tj1_asof_join": tj1_asof_join,
-        "tj2_range_join": tj2_range_join,
-        "rl1_time_rollup": rl1_time_rollup,
-        "ev_sessionize": ev_sessionize,
-        "a10_distinct_agg": a10_distinct_agg,
-        "a11_approx_distinct": a11_approx_distinct,
-        "a12_cube": a12_cube,
-        "a13_exact_median": a13_exact_median,
-        "u2_grouped_ema": u2_grouped_ema,
-        "d1_exact_dedup": d1_exact_dedup,
-        "d2_ngram_jaccard": d2_ngram_jaccard,
-        "d3_minhash_candidates": d3_minhash_candidates,
-        "d4_simhash": d4_simhash,
-        "d5_containment": d5_containment,
-        "t6_quality_filter": t6_quality_filter,
-        "sp1_deterministic_split": sp1_deterministic_split,
-        "tp1_curation_pipeline": tp1_curation_pipeline,
-        "t1_token_stats": t1_token_stats,
-        "t2_quality_score": t2_quality_score,
-        "t3_language_id": t3_language_id,
-        "t4_fingerprint": t4_fingerprint,
-        "e1_cosine_topk": e1_cosine_topk,
-        "e2_ann_lsh": e2_ann_lsh,
-        "e4_ivf_topk": e4_ivf_topk,
-        "e3_embedding_neardup": e3_embedding_neardup,
-        "m1_media_metadata": m1_media_metadata,
-        # -- round-1 hash fails, fixed this round (type parity) --
-        "a4_guard_derive": a4_guard_derive,
-        "q12_late_priority": q12_late_priority,
-        "f11_variant_json": f11_variant_json,
-        # -- new round-2 curation operators (first driver check) --
-        "t7_repetition_stats": t7_repetition_stats,
-        "t8_pii_redaction": t8_pii_redaction,
-        "sh1_deterministic_shuffle": sh1_deterministic_shuffle,
-        "pk1_token_packing": pk1_token_packing,
-        "cx1_contamination": cx1_contamination,
-        "d6_simhash_portable": d6_simhash_portable,
-        "d7_minhash_portable": d7_minhash_portable,
-        "e5_ann_portable": e5_ann_portable,
-        "e6_neardup_portable": e6_neardup_portable,
-        "tp2_curation_portable": tp2_curation_portable,
-        "sp2_stratified_sample": sp2_stratified_sample,
-        "e7_kmeans": e7_kmeans,
-        "sd1_semantic_dedup": sd1_semantic_dedup,
-        # ---- position 51+: all green in CORRECTNESS_r01.json
-        #      (d8/cc1/fn1/pp1 are new this round; front-load in round 3) ----
+        # -- round-2 additions, first driver check (48 queries) --
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
         "fn1_funnel": fn1_funnel,
@@ -5120,8 +5068,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_intra_dedup": t9_intra_dedup,
         "r4_pivot_multi": r4_pivot_multi,
         "cs1_centroid_similarity": cs1_centroid_similarity,
+        # -- continuity anchors (green r01; re-checked every round) --
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
+        # ---- position 51+: all green in CORRECTNESS_r01 or _r02 ----
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q20_potential_promotion": q20_potential_promotion,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "ar1_array_funcs": ar1_array_funcs,
+        "ar2_explode_wordcount": ar2_explode_wordcount,
+        "w3_rank_functions": w3_rank_functions,
+        "t5_regex_extract": t5_regex_extract,
+        "f10_date_funcs": f10_date_funcs,
+        "tj1_asof_join": tj1_asof_join,
+        "tj2_range_join": tj2_range_join,
+        "rl1_time_rollup": rl1_time_rollup,
+        "ev_sessionize": ev_sessionize,
+        "a10_distinct_agg": a10_distinct_agg,
+        "a11_approx_distinct": a11_approx_distinct,
+        "a12_cube": a12_cube,
+        "a13_exact_median": a13_exact_median,
+        "u2_grouped_ema": u2_grouped_ema,
+        "d1_exact_dedup": d1_exact_dedup,
+        "d2_ngram_jaccard": d2_ngram_jaccard,
+        "d3_minhash_candidates": d3_minhash_candidates,
+        "d4_simhash": d4_simhash,
+        "d5_containment": d5_containment,
+        "t6_quality_filter": t6_quality_filter,
+        "sp1_deterministic_split": sp1_deterministic_split,
+        "tp1_curation_pipeline": tp1_curation_pipeline,
+        "t1_token_stats": t1_token_stats,
+        "t2_quality_score": t2_quality_score,
+        "t3_language_id": t3_language_id,
+        "t4_fingerprint": t4_fingerprint,
+        "e1_cosine_topk": e1_cosine_topk,
+        "e2_ann_lsh": e2_ann_lsh,
+        "e4_ivf_topk": e4_ivf_topk,
+        "e3_embedding_neardup": e3_embedding_neardup,
+        "m1_media_metadata": m1_media_metadata,
+        "a4_guard_derive": a4_guard_derive,
+        "q12_late_priority": q12_late_priority,
+        "f11_variant_json": f11_variant_json,
+        "t7_repetition_stats": t7_repetition_stats,
+        "t8_pii_redaction": t8_pii_redaction,
+        "sh1_deterministic_shuffle": sh1_deterministic_shuffle,
+        "pk1_token_packing": pk1_token_packing,
+        "cx1_contamination": cx1_contamination,
+        "d6_simhash_portable": d6_simhash_portable,
+        "d7_minhash_portable": d7_minhash_portable,
+        "e5_ann_portable": e5_ann_portable,
+        "e6_neardup_portable": e6_neardup_portable,
+        "tp2_curation_portable": tp2_curation_portable,
+        "sp2_stratified_sample": sp2_stratified_sample,
+        "e7_kmeans": e7_kmeans,
+        "sd1_semantic_dedup": sd1_semantic_dedup,
         "j5_upsert_merge": j5_upsert_merge,
         "ev_window_agg": ev_window_agg,
         "q9_product_type_profit": q9_product_type_profit,

@@ -522,8 +522,13 @@ def intra_doc_block_dedup(
     """
     from .text import normalize_text
 
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    n_blocks = F.ceil(F.size(toks) / F.lit(block_words)).cast("int")
+    # NULL text would make size(split) = -1 → sequence(0, -1) runs
+    # DESCENDING (Spark defaults to step -1 when start > stop), inventing
+    # bogus positions; coalesce to '' and clamp like block_dedup does.
+    toks = F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    n_blocks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(block_words)), F.lit(1)
+    ).cast("int")
     base = df.select(
         F.col(id_col),
         toks.alias("__toks"),

@@ -79,13 +79,23 @@ def profile_columns(
         aggs.extend(_stat_exprs(n, schema[n], approx))
     wide = df.agg(*aggs)
     # unpivot the one-row wide aggregate into (column, ...) rows — a
-    # driver-free stack() over literals; the frame is already 1 row
-    nd = "__nd_{0}" if approx else "CAST(NULL AS BIGINT)"
+    # driver-free stack() over literals; the frame is already 1 row.
+    # Identifiers are backquoted and the label literal quote-escaped so
+    # column names with spaces/hyphens/quotes/reserved words survive the
+    # generated SQL (the Column-API half handles them natively).
+    def _bq(ident: str) -> str:
+        return "`" + ident.replace("`", "``") + "`"
+
+    def _lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     parts = []
     for n in names:
+        nd = _bq(f"__nd_{n}") if approx else "CAST(NULL AS BIGINT)"
         parts.append(
-            f"'{n}', __rows - __nn_{n}, {nd.format(n)}, "
-            f"__min_{n}, __max_{n}, __smin_{n}, __smax_{n}"
+            f"{_lit(n)}, __rows - {_bq(f'__nn_{n}')}, {nd}, "
+            f"{_bq(f'__min_{n}')}, {_bq(f'__max_{n}')}, "
+            f"{_bq(f'__smin_{n}')}, {_bq(f'__smax_{n}')}"
         )
     stacked = wide.select(
         F.col("__rows").alias("n_rows"),
@@ -108,7 +118,7 @@ def profile_columns(
         # exact distincts: unpivot rows into (col, value) pairs and count
         # two-phase — partial agg bounds the shuffle at Σ per-column NDV
         pair_parts = ", ".join(
-            f"'{n}', CAST({n} AS STRING)" for n in names
+            f"{_lit(n)}, CAST({_bq(n)} AS STRING)" for n in names
         )
         pairs = df.select(
             F.expr(f"stack({len(names)}, {pair_parts}) AS (__cn, __v)")

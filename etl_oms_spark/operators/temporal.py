@@ -218,9 +218,33 @@ def resample_ffill(
 
     Empty buckets report ``n_events = 0`` and the carried value;
     leading buckets before a key's first observation keep NULL.
+
+    Steps with a count > 1 ("2 hours", "15 minutes") bucket on an epoch
+    grid (``floor(epoch / step_seconds)``) so observations and the spine
+    share the same grid — ``date_trunc(unit)`` alone would place
+    observations between spine points and silently drop them. Calendar
+    units (month/year) have no fixed width, so only count == 1 is
+    supported there.
     """
-    unit = step.split()[-1].rstrip("s")
-    bucket = F.date_trunc(unit, F.col(ts_col))
+    parts = step.split()
+    count = int(parts[0]) if len(parts) > 1 else 1
+    unit = parts[-1].rstrip("s")
+    if count == 1:
+        bucket = F.date_trunc(unit, F.col(ts_col))
+    else:
+        fixed = {"second": 1, "minute": 60, "hour": 3600,
+                 "day": 86400, "week": 604800}
+        if unit not in fixed:
+            raise ValueError(
+                f"resample_ffill: step {step!r} — multi-count steps need a "
+                "fixed-width unit (second/minute/hour/day/week); calendar "
+                f"unit {unit!r} only supports count 1"
+            )
+        step_seconds = count * fixed[unit]
+        bucket = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(step_seconds))
+            * F.lit(step_seconds)
+        )
     spans = df.groupBy(key_col).agg(
         F.min(bucket).alias("__first"), F.max(bucket).alias("__last")
     )

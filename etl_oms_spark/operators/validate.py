@@ -30,10 +30,17 @@ def pk_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def fk_orphans(child: DataFrame, parent: DataFrame, child_key: str, parent_key: str) -> DataFrame:
-    """Child rows whose key has no parent — left-anti join (broadcast when
-    the parent is dim-sized, shuffle otherwise; Catalyst decides)."""
-    p = parent.select(F.col(parent_key).alias(child_key)).distinct()
-    return child.join(p, child_key, "left_anti")
+    """Child rows whose NON-NULL key has no parent — left-anti join
+    (broadcast when the parent is dim-sized, shuffle otherwise; Catalyst
+    decides). SQL FK semantics: a NULL foreign key is never a violation
+    (that is the not-null check's job), and NULL parent keys cannot match
+    anything, so both sides drop NULLs before the probe."""
+    p = (
+        parent.filter(F.col(parent_key).isNotNull())
+        .select(F.col(parent_key).alias(child_key))
+        .distinct()
+    )
+    return child.filter(F.col(child_key).isNotNull()).join(p, child_key, "left_anti")
 
 
 def constraint_report(checks: dict[str, DataFrame]) -> DataFrame:

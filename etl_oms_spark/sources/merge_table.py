@@ -96,6 +96,33 @@ def compact_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
 
+def _delete_partition_dirs(
+    spark: SparkSession,
+    target_path: str,
+    partition_col: str,
+    values: list,
+) -> None:
+    """Remove ``partition_col=value`` directories under ``target_path``.
+
+    Dynamic partition overwrite only replaces partitions PRESENT in the
+    written output; a partition whose every row was deleted produces zero
+    output rows, so its directory would silently survive. Uses the Hadoop
+    FileSystem API (works on HDFS/S3A/local alike); each delete is one
+    metadata op, so cost stays O(emptied partitions).
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in values:
+        dirname = (
+            "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        )
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{target_path}/{partition_col}={dirname}"
+        )
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+
+
 def cdc_merge_into_parquet(
     spark: SparkSession,
     target_path: str,
@@ -143,6 +170,14 @@ def cdc_merge_into_parquet(
         log, keys, ts_col, op_col, value_cols, delete_op
     ).localCheckpoint(eager=True)
 
+    # a batch that deletes EVERY remaining row of a touched partition emits
+    # zero rows for it — dynamic overwrite would never touch that directory
+    # and the stale rows would survive. Diff and delete those explicitly.
+    present = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
+    emptied = [v for v in touched if v not in present]
+
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -153,3 +188,5 @@ def cdc_merge_into_parquet(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    if emptied:
+        _delete_partition_dirs(spark, target_path, partition_col, emptied)

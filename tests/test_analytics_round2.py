@@ -132,3 +132,16 @@ def test_psi_drift_zero_on_identical(spark):
     drifted = psi_drift(df, shifted, "v", n_buckets=5)
     total = sum(r["psi_q9"] for r in drifted.collect()) / 1e9
     assert total > 0.2
+
+
+def test_fk_orphans_null_semantics(spark):
+    """SQL FK semantics: NULL child keys are never violations; NULL parent
+    keys match nothing (and must not poison the probe side)."""
+    from etl_oms_spark.operators.validate import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id INT, parent_id INT"
+    )
+    parent = spark.createDataFrame([(10,), (None,)], "pid INT")
+    orph = fk_orphans(child, parent, "parent_id", "pid")
+    assert [r["id"] for r in orph.collect()] == [3]

@@ -128,3 +128,33 @@ def test_cdc_merge_into_parquet_deletes_and_idempotence(spark, tmp_path):
     # re-applying the same batch is a no-op
     cdc_merge_into_parquet(spark, target, batch2, ["id"], "part")
     assert read() == {1: ("U", 11), 3: ("I", 30)}
+
+
+def test_cdc_merge_empties_whole_partition(spark, tmp_path):
+    """A batch deleting every remaining row of a partition must remove the
+    partition directory — dynamic overwrite alone would leave it stale."""
+    import datetime as dt
+
+    from etl_oms_spark.sources.merge_table import cdc_merge_into_parquet
+
+    target = str(tmp_path / "cdc_empty")
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    batch1 = spark.createDataFrame(
+        [(1, "p0", t0, "I", 10), (2, "p1", t0, "I", 20), (3, "p1", t0, "I", 30)],
+        "id INT, part STRING, ts TIMESTAMP, op STRING, v INT",
+    )
+    cdc_merge_into_parquet(spark, target, batch1, ["id"], "part")
+
+    # delete BOTH p1 rows: p1 emits zero output rows and must disappear
+    batch2 = spark.createDataFrame(
+        [(2, "p1", t1, "D", 0), (3, "p1", t1, "D", 0)],
+        "id INT, part STRING, ts TIMESTAMP, op STRING, v INT",
+    )
+    cdc_merge_into_parquet(spark, target, batch2, ["id"], "part")
+    rows = {r["id"] for r in spark.read.parquet(target).collect()}
+    assert rows == {1}
+    assert not os.path.exists(os.path.join(target, "part=p1"))
+    # idempotent: re-applying the emptying batch is a no-op
+    cdc_merge_into_parquet(spark, target, batch2, ["id"], "part")
+    assert {r["id"] for r in spark.read.parquet(target).collect()} == {1}

@@ -76,3 +76,40 @@ def test_resample_ffill_spine_and_fill(sparse_events):
         assert rows[(1, day)]["v_filled"] == 30
     assert rows[(1, "2024-01-04")]["v_filled"] == 7
     assert rows[(2, "2024-01-02")]["n_events"] == 1 and rows[(2, "2024-01-02")]["v_filled"] == 5
+
+
+def test_resample_ffill_multicount_step(spark):
+    """Steps with count > 1 bucket on the epoch grid — observations landing
+    between 1-unit truncation points must aggregate into the covering
+    bucket, not silently vanish off the spine."""
+    from etl_oms_spark.operators.temporal import resample_ffill
+
+    rows = [
+        (1, _ts("2024-01-01T00:10:00"), 1),
+        (1, _ts("2024-01-01T03:00:00"), 5),   # falls in the 02:00 bucket
+        (1, _ts("2024-01-01T07:59:00"), 9),   # 06:00 bucket
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP, v LONG")
+    out = resample_ffill(df, "user_id", "ts", "v", step="2 hours", agg="max")
+    got = {str(r["bucket_ts"])[11:16]: (r["n_events"], r["v_filled"])
+           for r in out.collect()}
+    # spine 00:00..06:00 every 2h; every observation lands on a spine bucket
+    assert got == {
+        "00:00": (1, 1),
+        "02:00": (1, 5),
+        "04:00": (0, 5),   # gap: carried forward
+        "06:00": (1, 9),
+    }
+    assert sum(n for n, _ in got.values()) == 3  # nothing dropped
+
+
+def test_resample_ffill_multicount_calendar_raises(spark):
+    import pytest as _pytest
+
+    from etl_oms_spark.operators.temporal import resample_ffill
+
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), 1)], "user_id INT, ts TIMESTAMP, v LONG"
+    )
+    with _pytest.raises(ValueError, match="calendar unit"):
+        resample_ffill(df, "user_id", "ts", "v", step="2 months")

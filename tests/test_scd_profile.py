@@ -128,3 +128,26 @@ def test_read_binary_dir(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["path"].endswith("a.png")
     assert bytes(rows[0]["content"]).startswith(b"\x89PNG")
+
+
+def test_profile_columns_awkward_names(spark):
+    """Column names with spaces, hyphens, quotes and reserved words must
+    survive the generated stack()/CAST SQL (backquoted identifiers,
+    escaped label literals)."""
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.profile import profile_columns
+
+    df = spark.range(3).select(
+        F.col("id").alias("my col"),
+        (F.col("id") * 2).alias("select"),
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("it's-weird"),
+    )
+    out = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert set(out) == {"my col", "select", "it's-weird"}
+    assert out["my col"]["n_distinct"] == 3 and out["my col"]["max_num"] == 2.0
+    assert out["select"]["max_num"] == 4.0
+    assert out["it's-weird"]["n_null"] == 0 and out["it's-weird"]["min_str"] == "x0"
+
+    approx = {r["col_name"]: r for r in profile_columns(df, approx=True).collect()}
+    assert approx["my col"]["n_distinct"] == 3

@@ -276,3 +276,18 @@ def test_intra_doc_block_dedup(spark):
     assert out[1]["kept_text"] == f"{rep} epsilon zeta eta theta"
     # cross-doc occurrences are NOT deduped by the intra-doc pass
     assert out[2]["n_kept"] == 1 and out[2]["kept_text"] == rep
+
+
+def test_intra_doc_block_dedup_null_and_empty_text(spark):
+    """NULL text must not explode into sequence(0,-1)'s descending bogus
+    positions; both NULL and '' yield one (empty) block, n_blocks=1."""
+    from etl_oms_spark.operators.dedup import intra_doc_block_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "alpha beta gamma delta")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in intra_doc_block_dedup(df, block_words=4).collect()}
+    assert out[1]["n_blocks"] == 1 and out[1]["n_kept"] == 1
+    assert out[2]["n_blocks"] == 1 and out[2]["n_kept"] == 1
+    assert out[3]["n_kept"] == 1 and out[3]["kept_text"] == "alpha beta gamma delta"
