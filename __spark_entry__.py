@@ -1950,21 +1950,30 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 def a13_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (median/p90) per group via Spark's ``percentile``.
+    """Exact percentiles (median/p90) per group — two-phase exact lowering.
 
     Computed on integer cents: linear interpolation between two exact
     integers is bit-identical under both engines' formulas (a+(b-a)*f vs
-    (1-f)*a+f*b), so the oracle compare is exact. At 100 TB exact
-    percentiles need a full sort per group — a11_approx_distinct carries
-    the approx_percentile scale path; this is its exact twin."""
+    (1-f)*a+f*b), so the oracle compare is exact. Uses
+    ``group_percentiles(mode="hist")``: Spark's native ``percentile``
+    buffers every group value in ONE task's aggregation buffer (an OOM at
+    100 TB with a handful of priorities); the histogram+rank lowering is
+    bounded by per-group distinct values, sort-based and spillable, and
+    reproduces the same interpolation bit-for-bit."""
+    from etl_oms_spark.operators.quantiles import group_percentiles
+
     o = _t(spark, sf_dir, "orders")
-    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    q = group_percentiles(
+        o, ["o_orderpriority"], cents, [0.5, 0.9],
+        names=["med_c", "p90_c"], mode="hist", count_col="n",
+    )
     return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            (F.expr(f"percentile({cents}, 0.5)") / F.lit(100.0)).alias("median_price"),
-            (F.expr(f"percentile({cents}, 0.9)") / F.lit(100.0)).alias("p90_price"),
-            F.count(F.lit(1)).alias("n"),
+        q.select(
+            "o_orderpriority",
+            (F.col("med_c") / F.lit(100.0)).alias("median_price"),
+            (F.col("p90_c") / F.lit(100.0)).alias("p90_price"),
+            F.col("n"),
         )
         .orderBy("o_orderpriority")
     )
@@ -4752,14 +4761,16 @@ def a16_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p10/p50/p90 of document length per source — the per-group
     generalization of a13: integer inputs make linear-interpolated exact
     percentiles bit-identical cross-engine (each is one IEEE multiply-add
-    on integers). Exact percentile sorts per group; swap approx_percentile
-    at 100 TB when sketch error is acceptable."""
+    on integers). Lowered via ``group_percentiles(mode="hist")``: the
+    value-histogram + rank-walk two-phase plan is bounded by per-group
+    distinct lengths (not rows), so no task ever buffers a whole source's
+    values — the plan that survives 100 TB with 5 sources."""
+    from etl_oms_spark.operators.quantiles import group_percentiles
+
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
-        F.expr("percentile(n_chars, 0.1)").alias("p10"),
-        F.expr("percentile(n_chars, 0.5)").alias("p50"),
-        F.expr("percentile(n_chars, 0.9)").alias("p90"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    return group_percentiles(
+        d, ["source"], "n_chars", [0.1, 0.5, 0.9],
+        names=["p10", "p50", "p90"], mode="hist", count_col="n_docs",
     )
 
 
@@ -4778,15 +4789,21 @@ def w7_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute deviation) — the robust z-score that survives the heavy
     tails that break mean/stddev fences. Two exact-percentile
     aggregations (median, then MAD) + broadcast joins back; integer
-    inputs keep both medians bit-exact cross-engine."""
+    inputs keep both medians bit-exact cross-engine. Both medians use the
+    two-phase ``group_percentiles(mode="hist")`` lowering — no task ever
+    buffers a whole source's values (see quantiles.py)."""
+    from etl_oms_spark.operators.quantiles import group_percentiles
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    med = d.groupBy("source").agg(
-        F.expr("percentile(n_chars, 0.5)").alias("med")
+    med = group_percentiles(
+        d, ["source"], "n_chars", [0.5], names=["med"], mode="hist"
     )
     dev = d.join(F.broadcast(med), "source").select(
         "source", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
     )
-    mad = dev.groupBy("source").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    mad = group_percentiles(
+        dev, ["source"], "adev", [0.5], names=["mad"], mode="hist"
+    )
     flagged = (
         d.join(F.broadcast(med), "source")
         .join(F.broadcast(mad), "source")

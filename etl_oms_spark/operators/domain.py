@@ -282,20 +282,25 @@ def perplexity_buckets(
     into ``n_buckets`` equal tiles — bucket 1 is the most-fluent "head"
     CCNet keeps preferentially.
 
-    ``ntile`` over (avg_logprob, doc_id) — the average is an exact
+    Tile assignment over (avg_logprob, doc_id) — the average is an exact
     BIGINT/BIGINT IEEE division and the id tiebreak makes the order
-    total, so tile assignment is bit-reproducible cross-engine. One
-    shuffle on the group for the window, one groups×buckets-sized
-    aggregate after.
+    total, so it is bit-reproducible cross-engine. Lowered via
+    ``grouped_ntile`` (quantiles.py): an ``ntile() OVER (PARTITION BY
+    lang ...)`` window cannot be split, so the dominant language of a web
+    corpus (50%+ English) would sort in ONE task at 100 TB; the
+    range-partition + broadcast-offset rank reproduces the exact same
+    buckets with every sort bounded by a partition, not a group.
     """
-    from pyspark.sql import Window
+    from etl_oms_spark.operators.quantiles import grouped_ntile
 
-    w = Window.partitionBy(group_col).orderBy(
-        F.col("avg_logprob").asc(), F.col(id_col).asc()
-    )
+    joined = scores.join(docs.select(id_col, group_col), id_col)
     return (
-        scores.join(docs.select(id_col, group_col), id_col)
-        .withColumn("bucket", F.ntile(n_buckets).over(w))
+        grouped_ntile(
+            joined,
+            [group_col],
+            [F.col("avg_logprob").asc_nulls_first(), F.col(id_col).asc()],
+            n_buckets,
+        )
         .groupBy(group_col, "bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -217,17 +217,21 @@ def winsorize(
     (outlier taming before stats/quality scoring — the robust alternative
     to dropping tails).
 
-    Exact ``percentile`` needs a per-group sort at 100 TB — swap in
-    ``approx_percentile`` for the sketch path when exactness isn't
-    required. Bounds computed once per group (one aggregation), then one
+    Bounds use the two-phase exact ``group_percentiles(mode="hist")``
+    lowering — Spark's native ``percentile`` would buffer every group
+    value in one task (OOM-bound at 100 TB); the histogram+rank plan is
+    bounded by per-group distinct values and bit-identical (pass
+    ``mode="approx"`` upstream when sketch error is acceptable). Bounds
+    computed once per group (one aggregation), then one
     broadcast-or-shuffle join back; the clip itself is a pure column
     expression. Integer inputs make the interpolated bounds bit-identical
     across engines (see a13 oracle note).
     """
+    from .operators.quantiles import group_percentiles
+
     keys = group_cols or []
-    bounds = df.groupBy(*keys).agg(
-        F.expr(f"percentile({value_col}, {lower})").alias("__lo"),
-        F.expr(f"percentile({value_col}, {upper})").alias("__hi"),
+    bounds = group_percentiles(
+        df, keys, value_col, [lower, upper], names=["__lo", "__hi"], mode="hist"
     )
     joined = df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(F.broadcast(bounds))
     clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.col("__lo")), F.col("__hi"))
