@@ -69,12 +69,63 @@ def _argmin_struct(qcol_name: str, centroids: list[list[int]]) -> Column:
     return F.expr(f"array_min(array({','.join(structs)}))")
 
 
+#: largest k whose centroids are inlined as SQL array literals. The inline
+#: form is one codegen'd projection (no row replication) but its expression
+#: text is O(k·dim) — at SemDeDup scale (k ≈ 10k–100k, SCALING.md) a
+#: multi-megabyte expression breaks analysis/codegen. Past this bound the
+#: assignment switches to the broadcast-join lowering.
+INLINE_MAX_K = 64
+
+
+def _centroids_df(spark, centroids: list[list[int]]) -> DataFrame:
+    """(cluster, __qc) frame from driver-held quantized centroids."""
+    return spark.createDataFrame(
+        [(i, [int(v) for v in c]) for i, c in enumerate(centroids)],
+        "cluster INT, __qc ARRAY<BIGINT>",
+    )
+
+
+def _assign_join(qdf: DataFrame, centroids, carry: list[str], id_col: str) -> DataFrame:
+    """Broadcast-join argmin: replicate each vector against the k broadcast
+    centroids, exact integer dist2 per pair, then ``min(struct(d, c))`` per
+    vector. Map-side partial aggregation collapses the k rows per vector
+    BEFORE the shuffle (all replicas of a vector sit in one task under a
+    broadcast join), so the exchange carries one row per vector — same
+    bytes as the corpus, independent of k. Expression text is O(1) in k.
+
+    ``centroids`` is a (cluster, __qc array<bigint>) DataFrame or a
+    driver-held list; ``carry`` columns ride along via ``first`` (constant
+    within a vector's replica group). Ties break to the lowest cluster id,
+    identical to the inline ``array_min`` form.
+    """
+    cdf = (
+        centroids
+        if isinstance(centroids, DataFrame)
+        else _centroids_df(qdf.sparkSession, centroids)
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__q"), F.col("__qc"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = qdf.crossJoin(F.broadcast(cdf)).select(
+        F.col(id_col),
+        *carry,
+        F.struct(dist.alias("d"), F.col("cluster").alias("c")).alias("__dc"),
+    )
+    return pairs.groupBy(id_col).agg(
+        F.min("__dc").alias("__best"),
+        *[F.first(c).alias(c) for c in carry],
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_inline_k: int = INLINE_MAX_K,
 ) -> list[list[int]]:
     """Lloyd k-means over quantized embeddings; returns the final quantized
     (shifted) centroids as driver-held lists.
@@ -97,9 +148,14 @@ def kmeans_fit(
     centroids = [list(r["__q"]) for r in seeds]
     dim = len(centroids[0])
     for _ in range(n_iter):
-        assigned = qdf.select(
-            F.col("__q"), _argmin_struct("__q", centroids)["c"].alias("cluster")
-        )
+        if k <= max_inline_k:
+            assigned = qdf.select(
+                F.col("__q"), _argmin_struct("__q", centroids)["c"].alias("cluster")
+            )
+        else:
+            assigned = _assign_join(qdf, centroids, ["__q"], id_col).select(
+                F.col("__q"), F.col("__best")["c"].alias("cluster")
+            )
         sums = (
             assigned.select(
                 F.col("cluster"), F.posexplode(F.col("__q")).alias("j", "v")
@@ -124,23 +180,37 @@ def kmeans_fit(
 
 def kmeans_assign(
     df: DataFrame,
-    centroids: list[list[int]],
+    centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_inline_k: int = INLINE_MAX_K,
 ) -> DataFrame:
-    """(id, embedding, cluster, dist2): nearest final centroid per vector —
-    one scan, centroids inlined, no shuffle. At scale, persist partitioned
-    by ``cluster``: that is the semantic shard layout."""
-    best = _argmin_struct("__q", centroids)
-    return (
-        ensure_parallelism(df, id_col)
-        .withColumn("__q", quantize_shifted(F.col(vec_col)))
-        .select(
+    """(id, embedding, cluster, dist2): nearest final centroid per vector.
+
+    ``centroids`` may be a driver-held list (k ≤ ``max_inline_k`` →
+    inlined as SQL literals: one codegen'd scan, no shuffle) or a
+    (cluster, __qc) DataFrame / larger list (→ broadcast-join argmin with
+    O(1)-in-k expression text; one map-side-combined exchange of one row
+    per vector). Both lowerings produce identical assignments (exact
+    integer dist2, lowest-cluster tie-break). At scale, persist the result
+    partitioned by ``cluster``: that is the semantic shard layout."""
+    qdf = ensure_parallelism(df, id_col).withColumn(
+        "__q", quantize_shifted(F.col(vec_col))
+    )
+    if not isinstance(centroids, DataFrame) and len(centroids) <= max_inline_k:
+        best = _argmin_struct("__q", centroids)
+        return qdf.select(
             F.col(id_col),
             F.col(vec_col),
             best["c"].alias("cluster"),
             best["d"].alias("dist2"),
         )
+    out = _assign_join(qdf, centroids, [vec_col], id_col)
+    return out.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__best")["c"].alias("cluster"),
+        F.col("__best")["d"].alias("dist2"),
     )
 
 

@@ -146,11 +146,22 @@ def pack_sequences(
 
     One running-sum window, partitioned by ``shard_col`` when given (the
     scale path: shuffle-shard first via `deterministic_shuffle`, then pack
-    each shard independently) — unsharded packing of a whole corpus would
-    be a single-partition window and is only for small inputs.
+    each shard independently) — unsharded packing of a whole corpus is a
+    SINGLE-PARTITION window that serializes the corpus through one task,
+    so ``shard_col=None`` warns (same policy as ngram dedup's ``max_df``)
+    and is only for small inputs / oracle twins.
     """
+    import warnings
+
     from pyspark.sql import Window
 
+    if shard_col is None:
+        warnings.warn(
+            "pack_sequences: shard_col=None packs the whole input through a "
+            "single-partition window — fine for small data, serializing at "
+            "scale. Shard first (deterministic_shuffle) and pass shard_col.",
+            stacklevel=2,
+        )
     parts = [shard_col] if shard_col else []
     w = (
         Window.partitionBy(*parts).orderBy(order_col)

@@ -105,6 +105,42 @@ def read_jdbc_dim(
     return spark.read.jdbc(url, table, properties=properties or {})
 
 
+def read_dbapi_dim(
+    spark: SparkSession,
+    connect,
+    table_or_query: str,
+    schema=None,
+) -> DataFrame:
+    """S5 dim read over any DB-API connection — the embedded twin of
+    `read_jdbc_dim`, testable against a real database without a JDBC
+    server (same seam-closing move as ``upsert_via_dbapi`` on the write
+    side). Reference: ETL_OMS_OPERATIONNEL.py:229-234 SELECTs whole dims
+    into Python dicts; here the dim lands in a (tiny) DataFrame the
+    caller ``broadcast()``s into joins.
+
+    Driver-side funnel BY DESIGN: dims are dim-sized. Anything bigger
+    belongs to `read_jdbc_dim`'s parallel partitioned JDBC scan.
+    ``connect`` is a zero-arg factory (connection closed on return) or an
+    open connection (left open). ``table_or_query`` is a table name or a
+    full SELECT. Pass ``schema`` explicitly for empty dims (no rows to
+    infer from) or to pin types.
+    """
+    owns_conn = callable(connect)
+    conn = connect() if owns_conn else connect
+    try:
+        cur = conn.cursor()
+        q = table_or_query
+        if not q.lstrip().lower().startswith(("select", "with")):
+            q = f"SELECT * FROM {q}"
+        cur.execute(q)
+        names = [d[0] for d in cur.description]
+        rows = [tuple(r) for r in cur.fetchall()]
+    finally:
+        if owns_conn:
+            conn.close()
+    return spark.createDataFrame(rows, schema if schema is not None else names)
+
+
 def read_csv_robust(
     spark: SparkSession,
     path: str,

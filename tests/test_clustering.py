@@ -133,3 +133,40 @@ def test_prune_outliers_drops_flagged_rows_only(emb):
     kept = prune_outliers(emb, k=4, n_iter=2)
     assert kept.count() == emb.count() - total_out
     assert kept.columns == emb.columns
+
+
+def test_kmeans_assign_join_path_matches_inline(emb):
+    """The broadcast-join argmin (large-k path) must reproduce the inlined
+    SQL-literal assignment bit-for-bit, including dist2 and tie-breaks."""
+    cents = kmeans_fit(emb, k=4, n_iter=1)
+    inline = kmeans_assign(emb, cents)                       # k=4 <= INLINE_MAX_K
+    joined = kmeans_assign(emb, cents, max_inline_k=0)       # force join path
+    a = sorted((r["vec_id"], r["cluster"], r["dist2"]) for r in inline.collect())
+    b = sorted((r["vec_id"], r["cluster"], r["dist2"]) for r in joined.collect())
+    assert a == b
+
+
+def test_kmeans_fit_join_path_matches_inline(emb):
+    cents_inline = kmeans_fit(emb, k=4, n_iter=2)
+    cents_join = kmeans_fit(emb, k=4, n_iter=2, max_inline_k=0)
+    assert cents_inline == cents_join
+
+
+def test_kmeans_assign_k1000_plan_bounded(emb):
+    """k=1000 must not inline O(k*dim) expression text: the join-path plan
+    stays small and the assignment still runs end-to-end."""
+    import random
+
+    from etl_oms_spark.operators.clustering import _centroids_df
+    from etl_oms_spark.util import physical_plan
+
+    rng = random.Random(3)
+    k, dim = 1000, 64
+    cents = [[SHIFT + rng.randint(-1000, 1000) for _ in range(dim)] for _ in range(k)]
+    cdf = _centroids_df(emb.sparkSession, cents)
+    out = kmeans_assign(emb.limit(50), cdf)
+    plan = physical_plan(out)
+    assert len(plan) < 100_000  # the inline form would be ~1.5 MB of literals
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(0 <= r["cluster"] < k for r in rows)

@@ -128,3 +128,53 @@ def test_dbapi_upsert_matches_in_engine_merge(spark, db):
         for r in merged.collect()
     )
     assert db_rows == engine_rows
+
+
+def test_dbapi_dim_read_broadcast_join_grow_cycle(spark, tmp_path):
+    """S5 seam closed end-to-end: read a dim from a REAL embedded DB,
+    broadcast-join it into a fact, grow it with unseen members
+    (grow_dimension), write the grown dim back, and read it again —
+    the reference's SELECT-dims / INSERT-new-members cycle
+    (ETL_OMS_OPERATIONNEL.py:229-234, 276-284)."""
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.sources.readers import read_dbapi_dim
+    from etl_oms_spark.star import grow_dimension
+
+    path = str(tmp_path / "dims.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE region (id_region INT, nom_region VARCHAR)")
+    con.execute("INSERT INTO region VALUES (1, 'France'), (2, 'Spain')")
+    con.close()
+
+    dim = read_dbapi_dim(spark, lambda: duckdb.connect(path), "region")
+    assert dim.columns == ["id_region", "nom_region"]
+
+    fact = spark.createDataFrame(
+        [("France", 10), ("Spain", 7), ("Italy", 3)], "nom_region STRING, cases INT"
+    )
+    joined = fact.join(F.broadcast(dim), "nom_region", "left")
+    got = {r["nom_region"]: r["id_region"] for r in joined.collect()}
+    assert got == {"France": 1, "Spain": 2, "Italy": None}
+
+    grown = grow_dimension(dim, fact.select("nom_region"), "nom_region", "id_region")
+    new = {r["nom_region"]: r["id_region"] for r in grown.collect()}
+    assert new == {"France": 1, "Spain": 2, "Italy": 3}
+
+    # write the new member back and re-read: the cycle is stable
+    con = duckdb.connect(path)
+    con.execute("INSERT INTO region VALUES (3, 'Italy')")
+    con.close()
+    again = read_dbapi_dim(
+        spark, lambda: duckdb.connect(path),
+        "SELECT id_region, nom_region FROM region ORDER BY id_region",
+    )
+    assert {r["nom_region"]: r["id_region"] for r in again.collect()} == new
+
+    # explicit schema path (needed for empty dims)
+    empty = read_dbapi_dim(
+        spark, lambda: duckdb.connect(path),
+        "SELECT id_region, nom_region FROM region WHERE 1=0",
+        schema="id_region INT, nom_region STRING",
+    )
+    assert empty.count() == 0 and empty.columns == ["id_region", "nom_region"]

@@ -242,3 +242,26 @@ def test_weighted_sample_topk_bias_and_determinism(spark):
     # zero/negative weights excluded
     dfz = spark.createDataFrame([(1, 0), (2, 5)], "doc_id LONG, w LONG")
     assert [r["doc_id"] for r in weighted_sample_topk(dfz, "w", k=5).collect()] == [2]
+
+
+def test_pack_sequences_unsharded_warns(spark):
+    """shard_col=None is a single-partition window — it must warn; the
+    sharded scale path must stay silent."""
+    import warnings
+
+    from etl_oms_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100, 0), (2, 100, 0)], "doc_id LONG, n_tokens LONG, shard INT"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pack_sequences(df, "n_tokens", budget=128, order_col="doc_id")
+    assert any("single-partition" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pack_sequences(
+            df, "n_tokens", budget=128, order_col="doc_id", shard_col="shard"
+        )
+    assert not caught
