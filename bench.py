@@ -50,6 +50,14 @@ HEADLINE = [
     "tj2_range_join",
     "rl1_time_rollup",
     "e4_ivf_topk",
+    # round-2 heavyweights (added r3 so future rounds get deltas; the
+    # original 32-query set above is unchanged for 1:1 r02 comparison)
+    "e7_kmeans",
+    "sd1_semantic_dedup",
+    "cl1_cluster_stats",
+    "w7_mad_outliers",
+    "ix1_global_index",
+    "dq1_profile",
 ]
 
 

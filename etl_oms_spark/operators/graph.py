@@ -29,9 +29,19 @@ def connected_components(
     """Connected components by min-label propagation.
 
     ``edges`` is an undirected pair list; returns (id, component) with
-    component = the minimum node id in each component. Converges in
-    O(graph diameter) rounds; each round joins current labels across edges
-    and takes the min incoming label per node.
+    component = the minimum node id in each component.
+
+    Each round is (a) one neighbor-min propagation (join labels across
+    edges + min per node) and (b) one pointer-jumping step (adopt the
+    label OF my label — the path-doubling contraction that large-star /
+    small-star CC [Kiveris et al., "Connected Components in MapReduce and
+    Beyond"] performs on the edge list, applied here to the label forest).
+    Propagation alone needs O(diameter) rounds; with doubling the
+    unresolved chain length halves per round, so convergence is
+    O(log diameter) — a 200-hop duplicate chain closes in ~8 rounds
+    (test_graph_directory covers depth ≫ max_iterations). Every frame is
+    localCheckpoint-ed per round: lineage stays flat, and the per-round
+    cost is one edges-sized join + two labels-sized joins.
     """
     import warnings
 

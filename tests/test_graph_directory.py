@@ -20,15 +20,22 @@ def test_connected_components_chain(spark):
 
 
 def test_connected_components_long_chain_pointer_jumping(spark):
-    # a 60-hop chain converges well inside max_iterations=8: pointer
-    # jumping halves the remaining chain each round (O(log diameter)),
-    # where direct-neighbor propagation alone would need 60 rounds
+    # a 200-hop chain (depth >> max_iterations=12) converges WITHOUT the
+    # non-convergence warning: pointer jumping halves the remaining chain
+    # each round (the large-star/small-star contraction applied to the
+    # label forest, O(log diameter)), where direct-neighbor propagation
+    # alone would need 200 rounds
+    import warnings
+
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
     )
-    out = connected_components(edges, max_iterations=8)
-    comps = {r["component"] for r in out.collect()}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(edges, max_iterations=12)
+        comps = {r["component"] for r in out.collect()}
     assert comps == {0}
+    assert not any(issubclass(w.category, RuntimeWarning) for w in caught)
 
 
 def test_connected_components_warns_on_non_convergence(spark):
