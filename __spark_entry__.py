@@ -5020,6 +5020,297 @@ JOIN norms nb ON d.label_b = nb.lbl
 """
 
 
+# ---------------------------------------------------------------------------
+# round-3 additions: rank normalization, Gopher gates, market basket,
+# profiling top values, snapshot diff, as-of tolerance, embedding covariance
+# ---------------------------------------------------------------------------
+
+
+def qn1_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source CDF normalization of document length via
+    `grouped_percent_rank` (operators/quantiles.py): exact
+    ``percent_rank()`` semantics over the total order (n_chars, doc_id)
+    WITHOUT the per-source corpus-wide window — the same distributed-rank
+    core as pp2's ntile, exposed as the score-calibration primitive
+    (rank-normalize any quality signal per group before thresholding)."""
+    from etl_oms_spark.operators.quantiles import grouped_percent_rank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = grouped_percent_rank(
+        d, ["source"], [F.col("n_chars").asc(), F.col("doc_id").asc()]
+    )
+    return out.select("doc_id", "source", "n_chars", "pct_rank")
+
+
+QN1_SQL = """
+SELECT doc_id, source, n_chars,
+       percent_rank() OVER (
+         PARTITION BY source ORDER BY n_chars ASC, doc_id ASC
+       ) AS pct_rank
+FROM documents
+"""
+
+
+def t10_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gates (operators/text.gopher_rules,
+    arXiv 2112.11446 §A1.1): per-document hard pass/fail on word count,
+    mean word length, symbol ratio, alpha-word ratio and stopword
+    presence — individually reportable for filter-loss audits. Pure
+    column expressions; booleans cast to INT for cross-engine hashing."""
+    from etl_oms_spark.operators.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    rules = gopher_rules(F.col("text"), min_words=30)
+    return d.select(
+        "doc_id",
+        *[rules[k].cast("int").alias(k) for k in
+          ("ok_n_words", "ok_mean_word_len", "ok_symbol_ratio",
+           "ok_alpha_words", "ok_stopwords")],
+        rules["pass"].cast("int").alias("pass_gate"),
+    )
+
+
+T10_SQL = rf"""
+WITH g AS (
+  SELECT doc_id,
+         {_NORM_SQL} AS norm,
+         {_WS} AS n_words,
+         greatest({_WS}, 1) AS sw
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(n_words >= 30 AND n_words <= 100000 AS INT) AS ok_n_words,
+         CAST(
+           (CAST(length(norm) - (n_words - 1) AS DOUBLE) / sw) >= 3.0
+           AND (CAST(length(norm) - (n_words - 1) AS DOUBLE) / sw) <= 10.0
+           AS INT) AS ok_mean_word_len,
+         CAST(
+           CAST(len(regexp_extract_all(norm, '#|\.\.\.'))
+                + len(regexp_extract_all(norm, '…')) AS DOUBLE) / sw <= 0.1
+           AS INT) AS ok_symbol_ratio,
+         CAST(
+           CAST(len(list_filter(string_split(norm, ' '),
+                                t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+             / sw >= 0.8
+           AS INT) AS ok_alpha_words,
+         CAST(
+           len(regexp_extract_all(lower(text),
+               '\b(the|a|an|and|or|of|to|in|is|it)\b')) >= 2
+           AS INT) AS ok_stopwords
+  FROM g JOIN documents USING (doc_id)
+)
+SELECT doc_id, ok_n_words, ok_mean_word_len, ok_symbol_ratio,
+       ok_alpha_words, ok_stopwords,
+       CAST(ok_n_words + ok_mean_word_len + ok_symbol_ratio
+            + ok_alpha_words + ok_stopwords = 5 AS INT) AS pass_gate
+FROM r
+"""
+
+
+def fi1_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent part pairs: parts co-ordered in ≥3 orders
+    (the FP-growth-style co-occurrence primitive, lowered to a within-key
+    self-join). Pair generation is bounded by Σ items-per-order² — the
+    same confinement discipline as LSH buckets / SemDeDup clusters; the
+    order key is the natural salt, so no global quadratic ever forms."""
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+FI1_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM items a
+JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+def pf1_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column top-3 most frequent values over orders' categorical
+    columns — the profiling deep-dive next to dq1's summary stats. One
+    stack() unpivot → two-phase (col, value) count (map-side combine
+    bounds the shuffle at Σ per-column NDV) → rank window over the
+    NDV-sized counts frame (WindowGroupLimit prunes to k per column
+    pre-shuffle). Ties break by value ascending for determinism."""
+    o = _t(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.expr(
+            "stack(2, 'o_orderstatus', o_orderstatus, "
+            "'o_orderpriority', o_orderpriority) AS (col_name, value)"
+        )
+    )
+    counts = pairs.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+PF1_SQL = """
+WITH pairs AS (
+  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS value FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+counts AS (
+  SELECT col_name, value, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2
+)
+SELECT col_name, value, n,
+       CAST(row_number() OVER (
+         PARTITION BY col_name ORDER BY n DESC, value ASC
+       ) AS INT) AS rnk
+FROM counts
+QUALIFY rnk <= 3
+"""
+
+
+def tc1_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit (operators/validate.table_diff): orders
+    'before' vs a deterministically perturbed 'after' (every 97th order
+    deleted, urgent orders repriced) — per-status row counts, the
+    what-did-this-batch-do report between two loads. One full-outer join
+    on the key; NULL-safe per-column compare."""
+    from etl_oms_spark.operators.validate import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    after = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        # exact doubling (IEEE-exact, no cross-engine rounding hazard)
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.col("o_totalprice") * 2,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = table_diff(o, after, ["o_orderkey"])
+    return (
+        diff.groupBy("diff_status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+TC1_SQL = """
+WITH before AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+),
+after AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+classified AS (
+  SELECT CASE
+           WHEN b.o_orderkey IS NULL THEN 'added'
+           WHEN a.o_orderkey IS NULL THEN 'removed'
+           WHEN b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority
+                AND b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice
+             THEN 'unchanged'
+           ELSE 'changed'
+         END AS diff_status
+  FROM before b FULL OUTER JOIN after a USING (o_orderkey)
+)
+SELECT diff_status, CAST(count(*) AS BIGINT) AS n_rows
+FROM classified GROUP BY diff_status
+"""
+
+
+def tj4_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join: each purchase matched to the user's
+    latest click AT MOST 1 HOUR old — `asof_join`'s tolerance parameter
+    (matches outside the bound null out), the merge_asof(tolerance=...)
+    semantics quote-staleness rules need. Same single-shuffle union+carry
+    plan as tj1."""
+    from etl_oms_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by=["user_id"],
+        value_cols=["click_value"], tolerance="1 hour",
+    )
+    return out.select("event_id", "user_id", "value", "click_value")
+
+
+TJ4_SQL = """
+SELECT p.event_id, p.user_id, p.value,
+       CASE WHEN p.ts <= c.ts + INTERVAL 1 HOUR THEN c.value END AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def em1_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the embedding corpus
+    (operators/linalg.covariance_matrix): partition-local int64 QᵀQ via
+    mapInPandas (numpy matmul inside Arrow batches), so the shuffle
+    carries d·(d+1)/2 rows PER PARTITION instead of n·d² — the combiner
+    pattern that makes PCA/whitening diagnostics feasible at 100 TB.
+    Exact integer sums → the three IEEE ops per cell are bit-identical
+    cross-engine."""
+    from etl_oms_spark.operators.linalg import covariance_matrix
+
+    return covariance_matrix(_t(spark, sf_dir, "embeddings"))
+
+
+EM1_SQL = """
+WITH comps AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS dim,
+         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+s2 AS (
+  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s2
+  FROM comps a JOIN comps b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+),
+s1 AS (
+  SELECT dim AS i, CAST(sum(q) AS BIGINT) AS s1,
+         CAST(count(*) AS BIGINT) AS n
+  FROM comps GROUP BY dim
+)
+SELECT CAST(s2.i AS INT) AS i, CAST(s2.j AS INT) AS j,
+       CAST(s2.s2 AS DOUBLE) / CAST(sa.n AS DOUBLE)
+         - (CAST(sa.s1 AS DOUBLE) / CAST(sa.n AS DOUBLE))
+           * (CAST(sb.s1 AS DOUBLE) / CAST(sa.n AS DOUBLE)) AS cov
+FROM s2
+JOIN s1 sa ON s2.i = sa.i
+JOIN s1 sb ON s2.j = sb.i
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5088,7 +5379,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- continuity anchors (green r01; re-checked every round) --
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- position 51+: all green in CORRECTNESS_r01 or _r02 ----
+        # ---- position 51+: new round-3 queries first (front-load in
+        #      round 4), then entries green in CORRECTNESS_r01 or _r02 ----
+        "qn1_percent_rank": qn1_percent_rank,
+        "t10_gopher_gate": t10_gopher_gate,
+        "fi1_frequent_pairs": fi1_frequent_pairs,
+        "pf1_top_values": pf1_top_values,
+        "tc1_table_diff": tc1_table_diff,
+        "tj4_asof_tolerance": tj4_asof_tolerance,
+        "em1_embedding_covariance": em1_embedding_covariance,
         "q16_supplier_part_count": q16_supplier_part_count,
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -5331,4 +5630,11 @@ def oracle_sql() -> dict[str, str]:
         "e1_cosine_topk": E1_SQL,
         "e4_ivf_topk": E1_SQL,  # full probe == exact brute force
         "m1_media_metadata": M1_SQL,
+        "qn1_percent_rank": QN1_SQL,
+        "t10_gopher_gate": T10_SQL,
+        "fi1_frequent_pairs": FI1_SQL,
+        "pf1_top_values": PF1_SQL,
+        "tc1_table_diff": TC1_SQL,
+        "tj4_asof_tolerance": TJ4_SQL,
+        "em1_embedding_covariance": EM1_SQL,
     }

@@ -1,0 +1,122 @@
+"""Distributed embedding linear algebra: exact second-moment / covariance.
+
+The covariance (or Gram) matrix of an embedding corpus is the workhorse
+behind PCA whitening, spectral diagnostics, and feature-redundancy checks
+on training data. The naive Spark lowering — posexplode each vector twice
+and self-join on the row id — shuffles n·d² rows: at n = 1e8, d = 64 that
+is 4·10¹¹ rows, dead on arrival.
+
+The scale lowering here is **partition-local partial aggregation via
+``mapInPandas``**: each partition stacks its vectors into an int64 matrix
+(quantized ``round(x·scale)`` — exact integer arithmetic, the repo-wide
+determinism policy) and emits ONE d×d partial product ``QᵀQ`` plus the
+per-dimension component sums. The shuffle then carries d·(d+1)/2 + d rows
+PER PARTITION, independent of n — the classic combiner pattern, with the
+O(n·d²) multiply-add work done by numpy inside Arrow batches instead of
+row-at-a-time JVM expression evaluation.
+
+Integer matmul is exact and order-independent (int64 add/mul are
+associative/commutative and overflow-checked by bounds below), so results
+are bit-identical on any partitioning — and a DuckDB oracle recomputing
+the same integer sums matches exactly.
+
+Overflow bounds: |q| ≤ scale (unit-ish embeddings), so a partial product
+entry ≤ rows_per_partition · scale²; with scale = 1000 and ≤ 2^43 rows per
+partition the entry stays under 2^63. Global sums hold to n ≤ 9·10¹² rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def second_moment_sums(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(i, j, s2) for i ≤ j: exact Σ q_i·q_j over all vectors, where
+    ``q = round(x·scale)`` — the upper triangle of the quantized Gram
+    matrix, d·(d+1)/2 rows."""
+    import pandas as pd
+
+    schema = "i INT, j INT, s2 LONG"
+
+    def partial(batches):
+        import numpy as np
+
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.rint(
+                np.stack(pdf[vec_col].to_numpy()).astype("float64") * scale
+            ).astype("int64")
+            g = mat.T @ mat  # exact int64 partial Gram
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        d = acc.shape[0]
+        iu, ju = [], []
+        for i in range(d):
+            for j in range(i, d):
+                iu.append(i)
+                ju.append(j)
+        yield pd.DataFrame(
+            {"i": iu, "j": ju, "s2": [int(acc[i, j]) for i, j in zip(iu, ju)]}
+        )
+
+    partials = df.select(vec_col).mapInPandas(partial, schema)
+    return partials.groupBy("i", "j").agg(F.sum("s2").alias("s2"))
+
+
+def component_sums(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(i, s1, n): exact per-dimension Σ q_i and the vector count — the
+    first-moment side of the covariance, d rows. Pure posexplode + agg
+    (d rows per vector through a map-side-combined shuffle)."""
+    comps = df.select(
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long"),
+            )
+        ).alias("i", "q")
+    )
+    n = df.count()
+    return comps.groupBy("i").agg(
+        F.sum("q").alias("s1"), F.lit(n).cast("long").alias("n")
+    )
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(i, j, cov) for i ≤ j: covariance of quantized components,
+    ``cov = S2/n − (S1_i/n)·(S1_j/n)`` — three IEEE ops on exact integer
+    sums, so any engine recomputing the same integers gets the identical
+    double. Output is d·(d+1)/2 rows (the symmetric lower half is implied).
+    """
+    s2 = second_moment_sums(df, vec_col, scale)
+    s1 = component_sums(df, vec_col, scale)
+    a = s1.select(F.col("i").alias("__i"), F.col("s1").alias("s1_i"), "n")
+    b = s1.select(F.col("i").alias("__j"), F.col("s1").alias("s1_j"))
+    return (
+        s2.join(F.broadcast(a), s2["i"] == a["__i"])
+        .join(F.broadcast(b), s2["j"] == b["__j"])
+        .select(
+            "i",
+            "j",
+            (
+                F.col("s2").cast("double") / F.col("n").cast("double")
+                - (F.col("s1_i").cast("double") / F.col("n").cast("double"))
+                * (F.col("s1_j").cast("double") / F.col("n").cast("double"))
+            ).alias("cov"),
+        )
+    )

@@ -136,19 +136,13 @@ def group_percentiles(
     return cum.groupBy(*group_cols).agg(*aggs).select(*group_cols, *post)
 
 
-def grouped_ntile(
+def _grouped_rank(
     df: DataFrame,
     group_cols: list[str],
     order_cols: list,
-    n_buckets: int,
-    bucket_col: str = "bucket",
 ) -> DataFrame:
-    """Exact per-group ``ntile(n)`` WITHOUT a per-group corpus-wide window.
-
-    ``ntile() OVER (PARTITION BY g ORDER BY ...)`` cannot split a window
-    partition: the dominant group of a skewed corpus (50%+ English in web
-    data) sorts in ONE task. This lowering reproduces ntile's exact bucket
-    assignment from a distributed rank instead:
+    """Distributed exact per-group 0-based rank: the shared core of
+    `grouped_ntile` / `grouped_percent_rank`.
 
     1. range-partition on (group, order) — disjoint sorted key ranges, so
        for any group, rows in partition p all precede rows in p+1;
@@ -156,14 +150,12 @@ def grouped_ntile(
        cumulative offsets per group over ascending partition id (a window
        over that TINY frame) give each partition its group-rank base;
     3. local ``row_number`` per (partition, group) — bounded by partition
-       size, sort-based, spillable — plus the broadcast offset = exact
-       0-based per-group rank ``r``;
-    4. Spark's NTile arithmetic on (r, group size): the first ``n % nb``
-       buckets take ``n div nb + 1`` rows, the rest ``n div nb``.
+       size, sort-based, spillable — plus the broadcast offset.
 
-    ``order_cols`` accepts names or sort Columns (e.g.
-    ``F.col("x").asc_nulls_first()``) and must be a TOTAL order within
-    each group (include a tiebreak id) for deterministic assignment.
+    Returns the input plus ``__r`` (0-based per-group rank in row_number
+    semantics: ties broken by position, so ``order_cols`` must be a TOTAL
+    order within each group for determinism), ``__n`` (group size), and
+    ``__pid``. Callers consume and drop the bookkeeping columns.
     """
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = df.repartitionByRange(
@@ -186,12 +178,37 @@ def grouped_ntile(
     )
     w_local = Window.partitionBy("__pid", *group_cols).orderBy(*order_exprs)
     r = (F.row_number().over(w_local) - 1 + F.col("__offset")).cast("long")
+    return (
+        ranged.join(F.broadcast(meta), ["__pid", *group_cols])
+        .withColumn("__r", r)
+        .drop("__offset")
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    n_buckets: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact per-group ``ntile(n)`` WITHOUT a per-group corpus-wide window.
+
+    ``ntile() OVER (PARTITION BY g ORDER BY ...)`` cannot split a window
+    partition: the dominant group of a skewed corpus (50%+ English in web
+    data) sorts in ONE task. This lowering reproduces ntile's exact bucket
+    assignment from `_grouped_rank`'s distributed rank plus Spark's NTile
+    arithmetic on (rank, group size): the first ``n % nb`` buckets take
+    ``n div nb + 1`` rows, the rest ``n div nb``.
+
+    ``order_cols`` accepts names or sort Columns (e.g.
+    ``F.col("x").asc_nulls_first()``) and must be a TOTAL order within
+    each group (include a tiebreak id) for deterministic assignment.
+    """
     bsize = F.expr(f"__n DIV {n_buckets}")
     rem = F.col("__n") % n_buckets
     cutoff = rem * (bsize + 1)
-    ranked = ranged.join(F.broadcast(meta), ["__pid", *group_cols]).withColumn(
-        "__r", r
-    )
+    ranked = _grouped_rank(df, group_cols, order_cols)
     bucket = (
         F.when(
             F.col("__r") < cutoff,
@@ -206,6 +223,27 @@ def grouped_ntile(
         )
         .cast("int")
     )
-    return ranked.withColumn(bucket_col, bucket).drop(
-        "__pid", "__offset", "__n", "__r"
+    return ranked.withColumn(bucket_col, bucket).drop("__pid", "__n", "__r")
+
+
+def grouped_percent_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    rank_col: str = "pct_rank",
+) -> DataFrame:
+    """Exact per-group ``percent_rank()``-style CDF normalization without a
+    corpus-wide window — rank-normalize a quality/fluency score per group
+    so thresholds compare across groups (the CDF/quantile-normalization
+    step of score-calibrated curation).
+
+    Semantics = ``(row_number - 1) / (n - 1)`` over a TOTAL per-group
+    order (supply a tiebreak id; with one, row_number ≡ rank and this IS
+    SQL ``percent_rank``). Single-row groups get 0.0. The rank comes from
+    `_grouped_rank` — every sort stays partition-bounded.
+    """
+    ranked = _grouped_rank(df, group_cols, order_cols)
+    pr = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        F.col("__r").cast("double") / (F.col("__n") - 1).cast("double")
     )
+    return ranked.withColumn(rank_col, pr).drop("__pid", "__n", "__r")

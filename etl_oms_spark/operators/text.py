@@ -110,6 +110,64 @@ def quality_score(col: Column | str) -> Column:
     return length_term * F.lit(0.4) + stop_term * F.lit(0.4) + (F.lit(1.0) - punct_pen) * F.lit(0.2)
 
 
+def gopher_rules(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style document quality gates (arXiv 2112.11446 §A1.1),
+    each as a boolean column plus the conjunctive ``pass`` — the
+    rule-based pre-filter every web-scale curation pipeline runs before
+    model-based scoring. Pure column expressions, zero shuffle.
+
+    Rules (thresholds are the published defaults, parameterized):
+    - ``ok_n_words``: whitespace word count in [min_words, max_words];
+    - ``ok_mean_word_len``: mean word length in [min, max] (exact: on the
+      single-spaced normalized text, Σ word lens = len − (n−1));
+    - ``ok_symbol_ratio``: (# of '#' or ellipsis) / words ≤ max;
+    - ``ok_alpha_words``: fraction of words containing ≥1 ASCII letter
+      ≥ min (array filter, no explode);
+    - ``ok_stopwords``: ≥ ``min_stop_hits`` English stopword occurrences
+      (the Gopher "contains 2 of 8 common words" proxy).
+
+    Distinct from `quality_score` (a soft heuristic scalar): these are the
+    hard published gates, individually reportable for filter-loss audits.
+    """
+    norm = normalize_text(col)
+    n_words = whitespace_token_count(col)
+    safe_words = F.greatest(n_words, F.lit(1))
+    mean_wl = (
+        (F.length(norm) - (n_words - 1)).cast("double") / safe_words.cast("double")
+    )
+    n_symbols = F.regexp_count(norm, F.lit(r"#|\.\.\.")) + F.regexp_count(
+        norm, F.lit("…")
+    )
+    n_alpha_words = F.size(
+        F.filter(F.split(norm, " "), lambda t: t.rlike("[a-z]"))
+    )
+    stop_hits = marker_hits(col, STOPWORDS_EN)
+    rules = {
+        "ok_n_words": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": n_symbols.cast("double") / safe_words.cast("double")
+        <= max_symbol_ratio,
+        "ok_alpha_words": n_alpha_words.cast("double") / safe_words.cast("double")
+        >= min_alpha_word_ratio,
+        "ok_stopwords": stop_hits >= min_stop_hits,
+    }
+    gate = F.lit(True)
+    for r in rules.values():
+        gate = gate & r
+    rules["pass"] = gate
+    return rules
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Canonical-form md5 fingerprint — the exact-dedup key."""
     return F.md5(normalize_text(col))

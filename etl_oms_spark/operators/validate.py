@@ -60,6 +60,47 @@ def constraint_report(checks: dict[str, DataFrame]) -> DataFrame:
     return out
 
 
+def table_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level snapshot diff: (keys..., diff_status) with status in
+    {'added', 'removed', 'changed', 'unchanged'} — the audit step between
+    two loads of the same table (what did this batch actually do?), the
+    read-side complement of `merge`'s write-side upserts.
+
+    One full-outer join on the keys; change detection is a NULL-safe
+    equality fold over ``compare_cols`` (default: all shared non-key
+    columns), so NULL→value and value→NULL both count as changes. Cost is
+    one co-partitioned join; at 100 TB run it on bucketed snapshots and
+    the shuffle disappears.
+    """
+    if compare_cols is None:
+        shared = set(before.columns) & set(after.columns)
+        compare_cols = [c for c in before.columns if c in shared and c not in keys]
+    b = before.select(
+        *keys, *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_b"),
+    )
+    a = after.select(
+        *keys, *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_a"),
+    )
+    joined = b.join(a, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__b_{c}").eqNullSafe(F.col(f"__a_{c}"))
+    status = (
+        F.when(F.col("__in_b").isNull(), F.lit("added"))
+        .when(F.col("__in_a").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*keys, status.alias("diff_status"))
+
+
 def psi_drift(
     base: DataFrame,
     current: DataFrame,

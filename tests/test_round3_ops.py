@@ -1,0 +1,105 @@
+"""Round-3 operators: covariance via mapInPandas partial aggregation,
+snapshot diff, Gopher gates, percent-rank normalization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_covariance_matches_numpy(emb):
+    """The distributed int64 QtQ must equal a single-node numpy reference
+    bit-for-bit (exact integer sums, identical IEEE expression)."""
+    import numpy as np
+
+    from etl_oms_spark.operators.linalg import covariance_matrix
+
+    rows = emb.select("embedding").collect()
+    q = np.rint(np.stack([r["embedding"] for r in rows]).astype("float64") * 1000
+                ).astype("int64")
+    n = q.shape[0]
+    s2 = q.T @ q
+    s1 = q.sum(axis=0)
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance_matrix(emb).collect()}
+    assert len(got) == 64 * 65 // 2
+    for (i, j), cov in got.items():
+        ref = float(s2[i, j]) / n - (float(s1[i]) / n) * (float(s1[j]) / n)
+        assert cov == ref  # exact equality, not approx
+
+
+def test_covariance_partitioning_invariant(emb):
+    from etl_oms_spark.operators.linalg import second_moment_sums
+
+    a = {(r["i"], r["j"]): r["s2"] for r in second_moment_sums(emb).collect()}
+    b = {
+        (r["i"], r["j"]): r["s2"]
+        for r in second_moment_sums(emb.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_table_diff_statuses(spark):
+    from etl_oms_spark.operators.validate import table_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "id INT, s STRING, v INT",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (3, "c", 30), (5, "e", 50)],
+        "id INT, s STRING, v INT",
+    )
+    got = {r["id"]: r["diff_status"] for r in table_diff(before, after, ["id"]).collect()}
+    # NULL -> value counts as changed (null-safe compare), not unchanged
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
+
+
+def test_gopher_rules_gates(spark):
+    from etl_oms_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and runs to it " * 5
+    rows = [
+        (1, good),                         # passes all gates
+        (2, "short text"),                 # fails word count
+        (3, "### " * 60),                  # symbol soup: fails symbol+alpha
+        (4, None),                         # NULL text: fails closed
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    r = gopher_rules(F.col("text"), min_words=30)
+    out = {
+        row["doc_id"]: row
+        for row in df.select(
+            "doc_id", *[v.alias(k.replace("pass", "pass_gate")) for k, v in r.items()]
+        ).collect()
+    }
+    assert out[1]["pass_gate"] is True
+    assert out[2]["ok_n_words"] is False and out[2]["pass_gate"] is False
+    assert out[3]["ok_symbol_ratio"] is False and out[3]["ok_alpha_words"] is False
+    assert not out[4]["pass_gate"]
+
+
+def test_grouped_percent_rank_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_oms_spark.operators.quantiles import grouped_percent_rank
+
+    rng = random.Random(5)
+    rows = [("g1", i, rng.randint(0, 30)) for i in range(500)]
+    rows += [("solo", 9999, 7)]  # single-row group -> 0.0
+    df = spark.createDataFrame(rows, "g STRING, id LONG, v INT").repartition(6)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = grouped_percent_rank(df, ["g"], order)
+    ref = df.withColumn(
+        "ref", F.percent_rank().over(Window.partitionBy("g").orderBy(*order))
+    )
+    cmp = got.join(ref.select("g", "id", "ref"), ["g", "id"])
+    assert cmp.filter(F.col("pct_rank") != F.col("ref")).count() == 0
+    assert cmp.count() == df.count()
