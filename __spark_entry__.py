@@ -93,6 +93,60 @@ def _sum_sql(x: str, s: int = 100) -> str:
     return _SUM.format(x=x, s=s)
 
 
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: the testdata ships no partsupp table, so the
+    distinct (l_partkey, l_suppkey) pairs observed in lineitem define the
+    supply relation, and the two TPC-H measure columns are synthesized
+    deterministically from a portable md5 hash of the key pair — Spark and
+    the DuckDB oracle (``PARTSUPP_SQL``) recompute identical values, so
+    Q2/Q11/Q20 run with real partsupp semantics (ps_supplycost correlated
+    min, ps_supplycost×ps_availqty stock value, ps_availqty threshold)
+    under an exact oracle.
+
+    - ``ps_availqty``       int in [1, 9999]        (TPC-H range)
+    - ``ps_supplycost_cents`` bigint in [100, 100000] = 1.00–1000.00 (cents
+      so threshold compares stay integer-exact; divide by 100 at the edge)
+
+    Scale posture: one lineitem-wide distinct (shuffle on the pair), then
+    pure per-row column math — no extra shuffle, no driver state.
+    """
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+
+    def h(salt: str) -> Column:
+        key = F.concat(
+            F.lit(salt + "|"),
+            F.col("ps_partkey").cast("string"),
+            F.lit("|"),
+            F.col("ps_suppkey").cast("string"),
+        )
+        return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+    return ps.withColumn(
+        "ps_availqty", (h("psq") % F.lit(9999) + F.lit(1)).cast("int")
+    ).withColumn("ps_supplycost_cents", h("psc") % F.lit(99901) + F.lit(100))
+
+
+_PS_H = (
+    "CAST('0x' || substring(md5('{salt}|' || CAST(ps_partkey AS VARCHAR)"
+    " || '|' || CAST(ps_suppkey AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+
+PARTSUPP_SQL = f"""
+SELECT ps_partkey, ps_suppkey,
+       CAST({_PS_H.format(salt="psq")} % 9999 + 1 AS INT) AS ps_availqty,
+       {_PS_H.format(salt="psc")} % 99901 + 100 AS ps_supplycost_cents
+FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem)
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -1495,23 +1549,16 @@ LIMIT 25
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: correlated-min subquery — for each small part, the
-    EUROPE supplier with the minimum account balance among those who have
-    supplied it.
+    """TPC-H Q2: correlated-min subquery — for each small part, the EUROPE
+    supplier(s) offering the minimum ps_supplycost among those who supply
+    it (real Q2 semantics via the derived ``_partsupp`` relation; the cost
+    compare is on integer cents so both engines cut identically).
 
-    The testdata has no partsupp table; the distinct (l_partkey, l_suppkey)
-    pairs from lineitem stand in for it, and s_acctbal stands in for
-    ps_supplycost. The correlated MIN becomes a partition-window min —
-    one shuffle on p_partkey instead of a second scan + rejoin.
+    The correlated MIN becomes a partition-window min over p_partkey —
+    one shuffle instead of a second partsupp scan + rejoin. The part
+    filter and the EUROPE supplier dim both broadcast.
     """
-    ps = (
-        _t(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .distinct()
-    )
+    ps = _partsupp(spark, sf_dir)
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -1526,30 +1573,38 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey")
     return (
-        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
-        .filter(F.col("s_acctbal") == F.col("min_bal"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        cand.withColumn("min_cost", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            (F.col("ps_supplycost_cents") / F.lit(100.0)).alias("supply_cost"),
+        )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
 
 
-Q2_SQL = """
-WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
-            FROM lineitem),
+Q2_SQL = f"""
+WITH ps AS ({PARTSUPP_SQL}),
      supp AS (SELECT s_suppkey, s_name, s_acctbal, n_name
               FROM supplier
               JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
               WHERE r_name = 'EUROPE')
-SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS supply_cost
 FROM ps
 JOIN part ON ps_partkey = p_partkey
 JOIN supp ON ps_suppkey = s_suppkey
 WHERE p_size <= 15
-  AND s_acctbal = (SELECT MIN(s2.s_acctbal)
-                   FROM ps ps2 JOIN supp s2 ON ps2.ps_suppkey = s2.s_suppkey
-                   WHERE ps2.ps_partkey = p_partkey)
+  AND ps_supplycost_cents = (
+        SELECT MIN(ps2.ps_supplycost_cents)
+        FROM ps ps2 JOIN supp s2 ON ps2.ps_suppkey = s2.s_suppkey
+        WHERE ps2.ps_partkey = p_partkey)
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """
@@ -1586,19 +1641,34 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 
 
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: profit by supplier nation × order year for one
-    product family. No partsupp/ps_supplycost in the testdata, so profit =
-    revenue (extendedprice × (1-discount)); the join/aggregation shape is
-    unchanged: selective part filter broadcast into the fact, two more
-    joins, group by (nation, year)."""
+    """TPC-H Q9: profit by supplier nation × order year for one product
+    family, with the REAL profit formula — revenue minus supply cost
+    (ps_supplycost × l_quantity) via the derived ``_partsupp``. Both terms
+    are exact integers at scale 10000 (revenue rounded per-row; cost =
+    cost_cents × qty_cents is a product of integers), so the grouped sum
+    is bit-identical across engines.
+
+    Plan: selective part filter broadcast into the fact; the partsupp
+    join shares the (part, supplier) pair key with its derivation so AQE
+    sees matching partitioning; orders joins on the orderkey shuffle;
+    supplier/nation broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    ps = _partsupp(spark, sf_dir)
     amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    profit_units = _cents(amount, 10_000) - F.col("ps_supplycost_cents") * _cents(
+        F.col("l_quantity")
+    )
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
@@ -1606,16 +1676,20 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg((F.sum(_cents(amount, 10_000)) / F.lit(10000.0)).alias("sum_profit"))
+        .agg((F.sum(profit_units) / F.lit(10000.0)).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
 
 Q9_SQL = f"""
+WITH ps AS ({PARTSUPP_SQL})
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       {_sum_sql('l_extendedprice * (1.0 - l_discount)', 10000)} AS sum_profit
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+                - ps_supplycost_cents * CAST(round(l_quantity * 100) AS BIGINT))
+            AS DOUBLE) / 10000.0 AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
+JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -1626,45 +1700,62 @@ ORDER BY nation, o_year DESC
 
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: grouped value per part HAVING value > fraction of
-    the global total (scalar subquery in HAVING). lineitem revenue stands in
-    for partsupp stock value. The threshold compare is done on exact integer
-    cents (value×1000 > total), so both engines make identical keep/drop
-    decisions — no float-epsilon flakiness at the cut line."""
-    li = _t(spark, sf_dir, "lineitem")
+    """TPC-H Q11: per-part stock value SUM(ps_supplycost × ps_availqty)
+    restricted to one nation's suppliers, HAVING value > fraction of the
+    global total (scalar subquery in HAVING) — real Q11 semantics via the
+    derived ``_partsupp``. The threshold compare is on exact integer cents
+    (value×1000 > total), so both engines make identical keep/drop
+    decisions — no float-epsilon flakiness at the cut line.
+
+    Plan: partsupp shuffles once on ps_partkey for the group-by; the
+    nation-filtered supplier dim broadcasts; the global total is a
+    broadcast scalar (no second scan of the grouped side thanks to the
+    crossJoin of the 1-row aggregate)."""
+    ps = _partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     grp = (
-        li.join(F.broadcast(s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])),
-                li["l_suppkey"] == F.col("s_suppkey"))
-        .groupBy("l_partkey")
-        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+        ps.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            ),
+            ps["ps_suppkey"] == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty").cast("long")
+            ).alias("value_cents")
+        )
     )
     total = grp.agg(F.sum("value_cents").alias("total_cents"))
     return (
         grp.crossJoin(F.broadcast(total))
         .filter(F.col("value_cents") * F.lit(1000) > F.col("total_cents"))
         .select(
-            "l_partkey",
+            "ps_partkey",
             (F.col("value_cents") / F.lit(100.0)).alias("part_value"),
         )
-        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
     )
 
 
-Q11_SQL = """
-WITH v AS (
-    SELECT l_partkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
-    FROM lineitem
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_7'
-    GROUP BY l_partkey
+Q11_SQL = f"""
+WITH ps AS ({PARTSUPP_SQL}),
+v AS (
+    SELECT ps_partkey, SUM(ps_supplycost_cents * CAST(ps_availqty AS BIGINT)) AS value_cents
+    FROM ps
+    WHERE ps_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7')
+    GROUP BY ps_partkey
 )
-SELECT l_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS part_value
+SELECT ps_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS part_value
 FROM v
 WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM v)
-ORDER BY part_value DESC, l_partkey
+ORDER BY part_value DESC, ps_partkey
 """
 
 
@@ -1794,18 +1885,24 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 
 
 def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: nested semi-join reduction — suppliers in one
-    nation who shipped >40 units of 'small…' parts during 1997. partsupp
-    availability becomes shipped-quantity per (part, supplier); the
-    double-nested IN subqueries become left-semi joins, keeping every stage
-    distributed and the part filter broadcast."""
+    """TPC-H Q20: nested semi-join reduction — suppliers in one nation
+    holding excess stock of 'small…' parts: ps_availqty > half the 1997
+    shipped quantity of that (part, supplier) — real Q20 semantics via the
+    derived ``_partsupp``. The double-nested IN subqueries become
+    semi/equi joins; the correlated shipped-quantity scalar subquery
+    becomes a grouped aggregate joined back on the pair key. The ×2/×100
+    scaling keeps the threshold compare integer-exact.
+
+    Plan: one lineitem shuffle on (part, supplier) for the shipped
+    aggregate; partsupp joins it on the same pair key; the part filter
+    broadcasts into both sides; supplier/nation broadcast at the end."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small")).select(
         "p_partkey"
     )
-    heavy = (
+    shipped = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1813,30 +1910,51 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"))
-        .filter(F.col("qty_cents") > 40 * 100)
-        .select("l_suppkey")
+    )
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(p), F.col("ps_partkey") == p["p_partkey"], "left_semi"
+    )
+    heavy = (
+        ps.join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        # availqty > 0.5 * shipped_qty  ⇔  availqty*2*100 > qty_cents
+        .filter(F.col("ps_availqty").cast("long") * F.lit(200) > F.col("qty_cents"))
+        .select("ps_suppkey")
         .distinct()
     )
     return (
-        s.join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        s.join(F.broadcast(heavy), s["s_suppkey"] == heavy["ps_suppkey"], "left_semi")
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_name", "s_suppkey")
     )
 
 
-Q20_SQL = """
+Q20_SQL = f"""
+WITH ps AS ({PARTSUPP_SQL}),
+small_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+shipped AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM small_parts)
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_partkey, l_suppkey
+)
 SELECT s_suppkey, s_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_4'
   AND s_suppkey IN (
-      SELECT l_suppkey
-      FROM lineitem
-      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
-        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-      GROUP BY l_partkey, l_suppkey
-      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 4000)
+      SELECT ps_suppkey
+      FROM ps
+      JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE ps_partkey IN (SELECT p_partkey FROM small_parts)
+        AND CAST(ps_availqty AS BIGINT) * 200 > qty_cents)
 ORDER BY s_name, s_suppkey
 """
 
