@@ -5429,6 +5429,202 @@ JOIN s1 sb ON s2.j = sb.i
 """
 
 
+def ga1_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (operators/temporal.activity_islands): per-user
+    maximal runs of consecutive active days. Both windows partition by
+    user_id, so the only shuffle key is the user — no corpus-global sort."""
+    from etl_oms_spark.operators.temporal import activity_islands
+
+    return activity_islands(_events(spark, sf_dir)).orderBy(
+        "user_id", "streak_start"
+    )
+
+
+GA1_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), grp AS (
+    SELECT user_id, day,
+           CAST(day - DATE '1970-01-01' AS INT)
+             - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT)
+             AS island
+    FROM days
+)
+SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+       CAST(COUNT(*) AS BIGINT) AS streak_days
+FROM grp GROUP BY user_id, island
+ORDER BY user_id, streak_start
+"""
+
+
+def mk1_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream
+    (operators/temporal.transition_matrix): per-user lead() window keyed
+    on the user, then an event-types²-bounded aggregate. Probabilities
+    divide exact integer counts, so both engines emit identical doubles."""
+    from etl_oms_spark.operators.temporal import transition_matrix
+
+    return transition_matrix(_events(spark, sf_dir)).orderBy(
+        "from_state", "to_state"
+    )
+
+
+MK1_SQL = """
+WITH nxt AS (
+    SELECT event_type AS from_state,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+    FROM events
+)
+SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(SUM(COUNT(*)) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+FROM nxt WHERE to_state IS NOT NULL
+GROUP BY from_state, to_state
+ORDER BY from_state, to_state
+"""
+
+
+def tw1_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value
+    (operators/temporal.time_weighted_avg): each value holds until the
+    user's next event, weight = duration in exact integer microseconds ×
+    value scaled to integer ten-thousandths — the weighted sum is pure
+    BIGINT so the one final division is bit-identical cross-engine."""
+    from etl_oms_spark.operators.temporal import time_weighted_avg
+
+    return time_weighted_avg(
+        _events(spark, sf_dir), tiebreak_col="event_id"
+    ).orderBy("user_id")
+
+
+TW1_SQL = """
+WITH d AS (
+    SELECT user_id,
+           CAST(round(value * 10000) AS BIGINT) AS vq,
+           epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS dur
+    FROM events
+)
+SELECT user_id,
+       CAST(SUM(dur * vq) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) / 10000.0 AS tw_avg
+FROM d WHERE dur IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def zo1_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys (operators/layout.morton_interleave):
+    interleave customer key and order day so range-partitioned parquet
+    files get compact (customer, date) bounding boxes — multi-dimensional
+    data skipping from plain min/max row-group stats. Pure bit math, all
+    inside whole-stage codegen; this query surfaces the keys themselves
+    so the oracle can verify the curve bit-exactly."""
+    from etl_oms_spark.operators.layout import morton_interleave
+
+    o = _t(spark, sf_dir, "orders")
+    zkey = morton_interleave(
+        F.col("o_custkey"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")),
+        bits=16,
+    )
+    return (
+        o.select("o_orderkey", zkey.alias("zkey"))
+        .orderBy("zkey", "o_orderkey")
+        .limit(200)
+    )
+
+
+def _zo1_sql() -> str:
+    from etl_oms_spark.operators.layout import morton_sql
+
+    code = morton_sql(
+        "o_custkey", "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)"
+    )
+    return f"""
+SELECT o_orderkey, {code} AS zkey
+FROM orders
+ORDER BY zkey, o_orderkey
+LIMIT 200
+"""
+
+
+def cp1_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/layout.compaction_plan):
+    pack per-ship-day byte totals into ~5 MB output files by exclusive
+    running sum DIV target. The cumsum is the distributed two-phase form
+    (range partition + local window + broadcast offsets) — planning a
+    million-file manifest never serializes through one task."""
+    from etl_oms_spark.operators.layout import compaction_plan
+
+    sizes = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg((F.count(F.lit(1)) * F.lit(100)).alias("bytes"))
+    )
+    return compaction_plan(
+        sizes, "bytes", ["day"], target_bytes=5_000_000
+    ).orderBy("day")
+
+
+CP1_SQL = """
+WITH sizes AS (
+    SELECT CAST(l_shipdate AS DATE) AS day,
+           CAST(COUNT(*) * 100 AS BIGINT) AS bytes
+    FROM lineitem GROUP BY 1
+)
+SELECT day, bytes,
+       CAST(floor(CAST(COALESCE(SUM(bytes) OVER (
+                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS DOUBLE) / 5000000) AS BIGINT) AS out_file
+FROM sizes
+ORDER BY day
+"""
+
+
+def nv1_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty (operators/dedup.ngram_novelty): share
+    of a doc's distinct shingles first seen in it (by doc id order) —
+    ranks near-duplicate survivors and exposes template-heavy sources.
+    Shingles travel as portable 60-bit md5 longs; two bounded shuffles
+    (shingle key with map-side combine, then doc id)."""
+    from etl_oms_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), k=8).orderBy("doc_id")
+
+
+NV1_SQL = r"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS arr
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(arr) - 7, 1) + 1),
+               i -> array_to_string(arr[i:i+7], ' ')))) AS s
+    FROM norm
+), hashed AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+    FROM sh
+), first AS (
+    SELECT h, MIN(doc_id) AS first_doc FROM hashed GROUP BY h
+)
+SELECT hashed.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN first_doc = hashed.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = hashed.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM hashed JOIN first ON hashed.h = first.h
+GROUP BY hashed.doc_id
+ORDER BY hashed.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5601,6 +5797,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
+        # -- round-3 additions (driver rotation next round) --
+        "ga1_activity_islands": ga1_activity_islands,
+        "mk1_event_transitions": mk1_event_transitions,
+        "tw1_time_weighted_avg": tw1_time_weighted_avg,
+        "zo1_zorder_key": zo1_zorder_key,
+        "cp1_compaction_plan": cp1_compaction_plan,
+        "nv1_ngram_novelty": nv1_ngram_novelty,
     }
 
 
@@ -5755,4 +5958,10 @@ def oracle_sql() -> dict[str, str]:
         "tc1_table_diff": TC1_SQL,
         "tj4_asof_tolerance": TJ4_SQL,
         "em1_embedding_covariance": EM1_SQL,
+        "ga1_activity_islands": GA1_SQL,
+        "mk1_event_transitions": MK1_SQL,
+        "tw1_time_weighted_avg": TW1_SQL,
+        "zo1_zorder_key": _zo1_sql(),
+        "cp1_compaction_plan": CP1_SQL,
+        "nv1_ngram_novelty": NV1_SQL,
     }

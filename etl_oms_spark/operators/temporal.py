@@ -321,3 +321,131 @@ def interval_overlap_join(
     return joined.filter(
         (F.col(left_start) <= F.col(re_)) & (F.col(rs) <= F.col(left_end))
     )
+
+
+def activity_islands(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's distinct active DAYS into
+    maximal runs of consecutive days, returning one row per streak with
+    (key, streak_start, streak_end, streak_days).
+
+    Classic lowering: distinct days per key, then ``day -
+    row_number()`` is constant within a consecutive run (the island id),
+    then one group-by over (key, island). Both windows partition by the
+    key, so nothing is corpus-global — the shuffle key is ``key_col``
+    throughout and a hot user costs only its own day count (bounded by
+    days-in-history, not events).
+
+    The reference has no session analytics at all; this generalizes its
+    per-period reporting (`ETL_OMS_OPERATIONNEL.py` date-window filters)
+    to contiguity analysis.
+    """
+    from pyspark.sql import Window
+
+    days = df.select(
+        F.col(key_col), F.to_date(F.col(ts_col)).alias("__day")
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("__day")
+    grp = days.withColumn(
+        "__island", F.datediff(F.col("__day"), F.lit("1970-01-01")) - F.row_number().over(w)
+    )
+    return (
+        grp.groupBy(key_col, "__island")
+        .agg(
+            F.min("__day").alias("streak_start"),
+            F.max("__day").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("__island")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities between
+    consecutive states per key: one row per (from_state, to_state) with
+    ``n_transitions`` and ``p`` = n / Σ n over the from-state.
+
+    Lowering: per-key lead() window (shuffle on the key only), then a
+    states²-bounded count aggregate — the output is tiny regardless of
+    corpus size, and the probability division happens on exact integer
+    counts so both engines compute identical doubles. ``tiebreak_col``
+    makes the within-timestamp order total (deterministic transitions on
+    simultaneous events).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__next", F.lead(state_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(state_col).alias("from_state"), F.col("__next").alias("to_state")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_state")
+    return pairs.withColumn(
+        "p", F.col("n_transitions") / F.sum("n_transitions").over(w_from)
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    value_scale: int = 10_000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average of a step signal: each observation
+    holds until the key's next one, weight = that duration. Rows with no
+    successor (each key's last) carry zero weight, as in a right-open
+    integral; keys with a single event are absent from the output.
+
+    Exactness: duration is integer microseconds, the value is scaled to
+    an integer (``round(value*scale)``), the weighted sum is a product of
+    BIGINTs — so the final double division is bit-identical across
+    engines. Per-key windows keep the shuffle on ``key_col`` only.
+    At 2^63 overflow limits: |value|≤10^5 at scale 10^4 leaves room for
+    ~29 years of microseconds per row — validate inputs beyond that.
+    ``tiebreak_col`` totalizes the order under equal timestamps: ties
+    step with zero duration, but which tied value carries the weight to
+    the next distinct timestamp depends on order, so pass a unique id
+    for deterministic results.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    micros = (F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col)))
+    vq = F.round(F.col(value_col) * F.lit(float(value_scale))).cast("long")
+    rows = df.withColumn("__dur", micros).filter(F.col("__dur").isNotNull())
+    return (
+        rows.groupBy(key_col)
+        .agg(
+            F.sum(F.col("__dur") * vq).alias("__num"),
+            F.sum("__dur").alias("__den"),
+        )
+        .select(
+            key_col,
+            (
+                F.col("__num")
+                / F.col("__den").cast("double")
+                / F.lit(float(value_scale))
+            ).alias("tw_avg"),
+        )
+    )
