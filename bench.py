@@ -58,6 +58,12 @@ HEADLINE = [
     "w7_mad_outliers",
     "ix1_global_index",
     "dq1_profile",
+    # round-3 batch-2 operators
+    "nv1_ngram_novelty",
+    "ga1_activity_islands",
+    "mk1_event_transitions",
+    "zo1_zorder_key",
+    "cp1_compaction_plan",
 ]
 
 

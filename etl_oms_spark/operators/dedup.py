@@ -589,7 +589,8 @@ def ngram_novelty(
     100 TB use the full md5 string (portability unchanged) if that
     matters.
     """
-    ex = df.select(
+    par = ensure_parallelism(df, id_col)
+    ex = par.select(
         F.col(id_col), F.explode(shingles(text_col, k)).alias("__shingle")
     ).select(
         id_col,
@@ -597,7 +598,7 @@ def ngram_novelty(
         .cast("long")
         .alias("__h"),
     )
-    totals = df.select(
+    totals = par.select(
         F.col(id_col), F.size(shingles(text_col, k)).cast("long").alias("n_shingles")
     )
     novel = (
