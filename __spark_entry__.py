@@ -1657,7 +1657,15 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
-    ps = _partsupp(spark, sf_dir)
+    # semi-filter partsupp by the selective part predicate BEFORE the pair
+    # join — the broadcast filter costs nothing and cuts the shuffled ps
+    # side to the 'gear' fraction (result unchanged: the part join would
+    # drop those rows anyway)
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("ps_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     profit_units = _cents(amount, 10_000) - F.col("ps_supplycost_cents") * _cents(
         F.col("l_quantity")
@@ -5625,6 +5633,79 @@ ORDER BY hashed.doc_id
 """
 
 
+def x1_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared discriminative keywords per source
+    (operators/vocab.chi2_keywords): 2×2 presence contingency per (source,
+    term), scored on doubles cast from exact integer counts with a fixed
+    association order — bit-identical cross-engine. One term explode, one
+    (source, term) shuffle, broadcast margins, WindowGroupLimit top-10."""
+    from etl_oms_spark.operators.vocab import chi2_keywords
+
+    return chi2_keywords(_t(spark, sf_dir, "documents"), k=10).orderBy(
+        "source", F.desc("chi2"), "term"
+    )
+
+
+X1_SQL = f"""
+WITH pres AS (
+    SELECT DISTINCT doc_id, source, term
+    FROM (
+        SELECT doc_id, source, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    )
+), a AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS df_in
+    FROM pres GROUP BY source, term
+), sizes AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g FROM documents GROUP BY source
+), tot AS (
+    SELECT term, CAST(SUM(df_in) AS BIGINT) AS t_tot FROM a GROUP BY term
+), n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents
+), scored AS (
+    SELECT a.source, a.term,
+           (CAST(n_all AS DOUBLE) *
+            ((CAST(df_in AS DOUBLE) * CAST(n_all - n_g - (t_tot - df_in) AS DOUBLE)
+              - CAST(n_g - df_in AS DOUBLE) * CAST(t_tot - df_in AS DOUBLE))
+             * (CAST(df_in AS DOUBLE) * CAST(n_all - n_g - (t_tot - df_in) AS DOUBLE)
+              - CAST(n_g - df_in AS DOUBLE) * CAST(t_tot - df_in AS DOUBLE))))
+           / (((CAST(df_in AS DOUBLE) + CAST(n_g - df_in AS DOUBLE))
+               * (CAST(t_tot - df_in AS DOUBLE)
+                  + CAST(n_all - n_g - (t_tot - df_in) AS DOUBLE)))
+              * ((CAST(df_in AS DOUBLE) + CAST(t_tot - df_in AS DOUBLE))
+                 * (CAST(n_g - df_in AS DOUBLE)
+                    + CAST(n_all - n_g - (t_tot - df_in) AS DOUBLE))))
+           AS chi2,
+           df_in, t_tot - df_in AS df_out
+    FROM a JOIN tot USING (term) JOIN sizes USING (source) CROSS JOIN n
+    WHERE n_all > t_tot AND n_all > n_g
+)
+SELECT source, term, chi2, df_in, df_out
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY chi2 DESC, term) <= 10
+ORDER BY source, chi2 DESC, term
+"""
+
+
+def pc1_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its own top-2
+    components (operators/linalg.pca_project): distributed exact
+    covariance (partition-local int64 QᵀQ partials) → driver eigh over
+    the d×d matrix (2 080 doubles — k/dim-bounded collect) → broadcast
+    basis → streaming dot products, no shuffle in the projection pass.
+    No SQL oracle (eigendecomposition is not SQL-expressible); the
+    operator is pytest-verified against single-node numpy PCA
+    (test_round3_ops.test_pca_components_match_numpy), and the output is
+    deterministic: exact integer covariance + sign-normalized eigh."""
+    from etl_oms_spark.operators.linalg import pca_project
+
+    return (
+        pca_project(_t(spark, sf_dir, "embeddings"), n_components=2)
+        .select("vec_id", "label", "pc1", "pc2")
+        .orderBy("vec_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5804,6 +5885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zo1_zorder_key": zo1_zorder_key,
         "cp1_compaction_plan": cp1_compaction_plan,
         "nv1_ngram_novelty": nv1_ngram_novelty,
+        "x1_chi2_keywords": x1_chi2_keywords,
+        "pc1_pca_projection": pc1_pca_projection,
     }
 
 
@@ -5964,4 +6047,5 @@ def oracle_sql() -> dict[str, str]:
         "zo1_zorder_key": _zo1_sql(),
         "cp1_compaction_plan": CP1_SQL,
         "nv1_ngram_novelty": NV1_SQL,
+        "x1_chi2_keywords": X1_SQL,
     }

@@ -120,3 +120,77 @@ def covariance_matrix(
             ).alias("cov"),
         )
     )
+
+
+def principal_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    scale: int = 1000,
+) -> "list[list[float]]":
+    """Top eigenvectors of the corpus covariance — the PCA basis.
+
+    The heavy pass is :func:`covariance_matrix` (distributed, exact,
+    partition-local partials); the eigendecomposition itself runs on the
+    driver over the d×d matrix — d·(d+1)/2 values (2 080 doubles at
+    d = 64), a k/dim-bounded collect consistent with the repo's
+    centroid/threshold patterns, nowhere near row-bounded. numpy ``eigh``
+    on the symmetric matrix, components ordered by descending eigenvalue,
+    sign-normalized (largest-|component| entry made positive) so the basis
+    is deterministic.
+    """
+    import numpy as np
+
+    rows = covariance_matrix(df, vec_col, scale).collect()
+    d = max(r["j"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    comps = []
+    for idx in np.argsort(vals)[::-1][:n_components]:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps
+
+
+def project_onto(
+    df: DataFrame,
+    components: "list[list[float]]",
+    vec_col: str = "embedding",
+    prefix: str = "pc",
+) -> DataFrame:
+    """Project each vector onto the given basis: one ``aggregate`` fold
+    per component over a zip of the vector with a broadcast array literal
+    — pure column algebra, no shuffle, no UDF; the projection streams
+    through the scan. Adds ``{prefix}1..{prefix}k`` double columns."""
+    out = df
+    for ci, comp in enumerate(components, start=1):
+        lit_arr = F.array(*[F.lit(float(x)) for x in comp])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit_arr, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"{prefix}{ci}", dot)
+    return out
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """PCA-project the corpus onto its own top components: covariance →
+    driver eigh → broadcast basis → streaming dot products. Two passes
+    over the data (one bounded-shuffle covariance pass, one scan), O(d²)
+    driver state."""
+    comps = principal_components(df, vec_col, n_components, scale)
+    return project_onto(df, comps, vec_col)

@@ -169,3 +169,68 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def chi2_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """Per-group discriminative keywords by chi-squared feature selection:
+    for each (group, term), the 2×2 presence contingency (in-group /
+    out-group × contains / doesn't) scored with the classic chi² statistic;
+    top-``k`` terms per group. The labeled-data counterpart of TF-IDF —
+    the standard feature-selection pass before training a quality / domain
+    classifier on curated vs raw corpus labels.
+
+    Lowering: distinct per-doc terms explode once; one (group, term)
+    count shuffle (map-side combined); term totals re-aggregate that
+    output (term-keyed, NDV-bounded); group sizes and the corpus total
+    are broadcast scalars. The chi² arithmetic runs on doubles cast from
+    exact integer counts with a fixed association order, so any engine
+    recomputing the same counts produces bit-identical scores. The final
+    per-group top-k is a rank filter Spark executes as WindowGroupLimit
+    (pre-shuffle prune); partitions are vocabulary-bounded.
+
+    Terms present in every document are dropped (their out-group margin
+    is zero, chi² undefined); single-group inputs return no rows for the
+    same reason.
+    """
+    pres = ensure_parallelism(df, id_col).select(
+        F.col(group_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+    )
+    a = pres.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("df_in"))
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
+    totals = df.agg(F.count(F.lit(1)).alias("__n"))
+    tot = a.groupBy("term").agg(F.sum("df_in").alias("__t_tot"))
+    j = (
+        a.join(tot, "term")
+        .join(F.broadcast(sizes), group_col)
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            (F.col("__n") > F.col("__t_tot")) & (F.col("__n") > F.col("__n_g"))
+        )
+    )
+    da = F.col("df_in").cast("double")
+    db = (F.col("__n_g") - F.col("df_in")).cast("double")
+    dc = (F.col("__t_tot") - F.col("df_in")).cast("double")
+    dd = (F.col("__n") - F.col("__n_g") - (F.col("__t_tot") - F.col("df_in"))).cast(
+        "double"
+    )
+    diff = da * dd - db * dc
+    chi2 = (F.col("__n").cast("double") * (diff * diff)) / (
+        ((da + db) * (dc + dd)) * ((da + dc) * (db + dd))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("chi2"), F.asc("term"))
+    return (
+        j.withColumn("chi2", chi2)
+        .withColumn("df_out", (F.col("__t_tot") - F.col("df_in")))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(group_col, "term", "chi2", "df_in", "df_out")
+    )

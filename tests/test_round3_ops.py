@@ -103,3 +103,44 @@ def test_grouped_percent_rank_matches_window(spark):
     cmp = got.join(ref.select("g", "id", "ref"), ["g", "id"])
     assert cmp.filter(F.col("pct_rank") != F.col("ref")).count() == 0
     assert cmp.count() == df.count()
+
+
+def test_pca_components_match_numpy(emb):
+    """Driver eigh over the distributed covariance must reproduce a pure
+    single-node numpy PCA (same quantization) up to sign normalization."""
+    import numpy as np
+
+    from etl_oms_spark.operators.linalg import principal_components
+
+    rows = emb.select("embedding").collect()
+    x = np.rint(np.stack([r["embedding"] for r in rows]).astype("float64") * 1000)
+    n = x.shape[0]
+    cov = (x.T @ x) / n - np.outer(x.sum(0) / n, x.sum(0) / n)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    got = principal_components(emb, n_components=3)
+    assert len(got) == 3 and len(got[0]) == 64
+    for ci in range(3):
+        ref = vecs[:, order[ci]]
+        g = np.array(got[ci])
+        # same direction up to sign
+        cos = abs(float(ref @ g) / (np.linalg.norm(ref) * np.linalg.norm(g)))
+        assert cos > 0.9999, (ci, cos)
+
+
+def test_project_onto_streams_dot_products(spark):
+    from etl_oms_spark.operators.linalg import project_onto
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [0.0, -1.0, 1.0])],
+        "id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {r["id"]: (r["pc1"], r["pc2"]) for r in project_onto(
+        df, [[1.0, 0.0, 0.0], [0.5, 0.5, 0.5]]).collect()}
+    assert got[1] == (1.0, 3.0)
+    assert got[2] == (0.0, 0.0)
+    # no exchange in the plan: projection is scan-local
+    from etl_oms_spark.util import physical_plan
+
+    assert "Exchange" not in physical_plan(
+        project_onto(df, [[1.0, 0.0, 0.0]]))
