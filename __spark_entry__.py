@@ -5706,6 +5706,90 @@ def pc1_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def so1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: customers active in 1996 INTERSECT 1997,
+    EXCEPT those with any 'F' order — lowered to left-semi / left-anti
+    joins over year-filtered distinct key sets (each a pushed-down scan +
+    one keyed shuffle; no row-pair comparison anywhere)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def yr(y: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == y).select("o_custkey").distinct()
+        )
+
+    fallen = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        yr(1996)
+        .join(yr(1997), "o_custkey", "left_semi")
+        .join(fallen, "o_custkey", "left_anti")
+        .orderBy("o_custkey")
+    )
+
+
+SO1_SQL = """
+SELECT o_custkey FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+ORDER BY o_custkey
+"""
+
+
+def hl1_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of active users,
+    UNIONED up to weeks WITHOUT rescanning events —
+    ``hll_sketch_agg`` at the fine grain, ``hll_union_agg`` at the
+    coarse. At 100 TB this is the only viable daily→weekly/monthly distinct
+    rollup: the re-aggregation input is days × 1.5 KB sketches, not the
+    event log. No oracle (sketch binaries are engine-specific); the
+    EXACT portable twin is hl2_exact_rollup, which validates the same
+    rollup shape with true distincts."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.date_trunc("week", "ts").alias("week"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "approx_weekly_users"
+            ),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("week")
+    )
+
+
+def hl2_exact_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of hl1: the same day→week rollup shape computed on
+    distinct (month, user) pairs — a keyed dedup then a count, the exact
+    re-aggregation whose input the sketch path shrinks to sketches.
+    Proves the rollup logic; hl1 proves the mergeable-sketch lowering."""
+    e = _events(spark, sf_dir)
+    pairs = e.select(
+        F.date_trunc("week", "ts").alias("week"), "user_id"
+    ).distinct()
+    return (
+        pairs.groupBy("week")
+        .agg(F.count(F.lit(1)).alias("weekly_users"))
+        .orderBy("week")
+    )
+
+
+HL2_SQL = """
+SELECT date_trunc('week', ts) AS week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS weekly_users
+FROM events
+GROUP BY 1
+ORDER BY week
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5887,6 +5971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nv1_ngram_novelty": nv1_ngram_novelty,
         "x1_chi2_keywords": x1_chi2_keywords,
         "pc1_pca_projection": pc1_pca_projection,
+        "so1_set_ops": so1_set_ops,
+        "hl1_sketch_rollup": hl1_sketch_rollup,
+        "hl2_exact_rollup": hl2_exact_rollup,
     }
 
 
@@ -6048,4 +6135,6 @@ def oracle_sql() -> dict[str, str]:
         "cp1_compaction_plan": CP1_SQL,
         "nv1_ngram_novelty": NV1_SQL,
         "x1_chi2_keywords": X1_SQL,
+        "so1_set_ops": SO1_SQL,
+        "hl2_exact_rollup": HL2_SQL,
     }
