@@ -64,6 +64,7 @@ HEADLINE = [
     "mk1_event_transitions",
     "zo1_zorder_key",
     "cp1_compaction_plan",
+    "x1_chi2_keywords",
 ]
 
 

@@ -43,6 +43,25 @@ def morton_interleave(x: Column | str, y: Column | str, bits: int = 16) -> Colum
     return out
 
 
+def morton_decode(code: Column | str, bits: int = 16) -> tuple[Column, Column]:
+    """Inverse of :func:`morton_interleave`: recover (x, y) from a z-order
+    code — de-interleave even bits into x, odd bits into y. Used for
+    debugging layouts and for deriving curve-segment bounding boxes
+    without carrying the original columns."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    c = F.col(code) if isinstance(code, str) else code
+    c = c.cast("long")
+    x = F.lit(0).cast("long")
+    y = F.lit(0).cast("long")
+    for i in range(bits):
+        x = x.bitwiseOR(F.shiftleft(F.shiftright(c, 2 * i).bitwiseAND(F.lit(1)), i))
+        y = y.bitwiseOR(
+            F.shiftleft(F.shiftright(c, 2 * i + 1).bitwiseAND(F.lit(1)), i)
+        )
+    return x, y
+
+
 def morton_sql(x: str, y: str, bits: int = 16) -> str:
     """ANSI-SQL twin of :func:`morton_interleave` (same OR-of-shifts form),
     for DuckDB oracles and for engines without a zorder expression."""

@@ -178,3 +178,48 @@ def test_ngram_novelty_first_doc_wins(spark):
     got = {r["doc_id"]: (r["n_shingles"], r["novelty"])
            for r in ngram_novelty(df, k=3).collect()}
     assert got == {1: (2, 1.0), 2: (2, 0.0), 3: (2, 0.5)}
+
+
+def test_morton_roundtrip_property(spark):
+    """Interleave then decode must be the identity on [0, 2^bits) — checked
+    over a pseudo-random sample of the full 16-bit domain."""
+    from etl_oms_spark.operators.layout import morton_decode, morton_interleave
+
+    df = spark.range(2000).select(
+        (F.xxhash64("id").bitwiseAND(F.lit(0xFFFF))).alias("x"),
+        (F.xxhash64("id", F.lit(3)).bitwiseAND(F.lit(0xFFFF))).alias("y"),
+    )
+    dx, dy = morton_decode(morton_interleave("x", "y", 16), 16)
+    bad = df.select("x", "y", dx.alias("rx"), dy.alias("ry")).filter(
+        (F.col("x") != F.col("rx")) | (F.col("y") != F.col("ry"))
+    )
+    assert bad.count() == 0
+
+
+def test_morton_is_monotone_on_each_axis(spark):
+    """Fixing one coordinate, the code must be strictly increasing in the
+    other — the property that makes min/max stats selective."""
+    from etl_oms_spark.operators.layout import morton_interleave
+
+    df = spark.range(256).select(F.col("id").alias("x"), F.lit(77).alias("y"))
+    rows = df.select("x", morton_interleave("x", "y", 8).alias("z")).orderBy("x").collect()
+    zs = [r["z"] for r in rows]
+    assert all(a < b for a, b in zip(zs, zs[1:]))
+
+
+def test_compaction_plan_bin_property(spark):
+    """Every output file except possibly those holding a single oversized
+    unit stays under target + max_unit bytes (greedy next-fit bound)."""
+    from etl_oms_spark.operators.layout import compaction_plan
+
+    sizes = spark.range(300).select(
+        F.col("id").alias("k"), (F.xxhash64("id").bitwiseAND(F.lit(399)) + 1).alias("bytes")
+    )
+    target = 1000
+    out = compaction_plan(sizes, "bytes", ["k"], target)
+    per_file = out.groupBy("out_file").agg(F.sum("bytes").alias("b")).collect()
+    max_unit = 400
+    assert all(r["b"] <= target + max_unit for r in per_file)
+    # and the plan uses roughly ceil(total/target) files, not 1 per unit
+    total = sizes.agg(F.sum("bytes")).first()[0]
+    assert len(per_file) <= total // target + 2
