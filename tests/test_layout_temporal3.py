@@ -223,3 +223,45 @@ def test_compaction_plan_bin_property(spark):
     # and the plan uses roughly ceil(total/target) files, not 1 per unit
     total = sizes.agg(F.sum("bytes")).first()[0]
     assert len(per_file) <= total // target + 2
+
+
+def test_plan_shapes_of_round3_ops(spark, sf_dir):
+    """Plan-level scale assertions for the batch: no corpus-global window
+    anywhere, and nv1 carries exactly one shingle-keyed exchange."""
+    import re
+
+    from etl_oms_spark.operators.dedup import ngram_novelty
+    from etl_oms_spark.operators.layout import compaction_plan
+    from etl_oms_spark.operators.temporal import activity_islands
+
+    from etl_oms_spark.util import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # nv1: every Window node must be partitioned (none present at all,
+    # in fact), and the only wide exchanges are hashpartitioning on the
+    # shingle hash / doc id — no rangepartitioning, no global sort
+    plan = physical_plan(ngram_novelty(docs))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+    # islands: both windows partition by the user key
+    ev = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1))],
+        "user_id LONG, ts TIMESTAMP",
+    )
+    plan = physical_plan(activity_islands(ev), "simple")
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "user_id" in line, line
+    assert "SinglePartition" not in plan
+
+    # compaction: the only single-partition window runs over the tiny
+    # per-partition totals frame (__pid/__pt), never over the data
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("bytes"))
+    plan = physical_plan(
+        compaction_plan(sizes, "bytes", ["source"], 1000), "simple"
+    )
+    wins = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert wins  # offsets window exists
+    assert all("__pt" in w or "__pid" in w for w in wins)
