@@ -268,3 +268,49 @@ def read_csv_tolerant(
         **options,
     }
     return spark.read.options(**opts).schema(full).csv(path)
+
+
+def ingest_new_files(
+    spark: SparkSession,
+    path: str,
+    ledger_path: str,
+    fmt: str = "csv",
+    schema=None,
+    **options,
+):
+    """Incremental file-level ingest: read a directory, keep only rows
+    from files NOT yet recorded in the ledger, and return (new_rows,
+    new_files) so the caller can process then commit.
+
+    The ledger is a tiny parquet of processed file paths — broadcast into
+    a left-anti join against ``input_file_name()``, so re-running a
+    nightly load never re-ingests yesterday's files (the reference reruns
+    whole directories and relies on DB upserts to mask it —
+    ETL_OMS_OPERATIONNEL.py directory loops; this makes the idempotence
+    explicit and pushes only NEW bytes through the pipeline). Commit with
+    :func:`record_ingested` AFTER the downstream write succeeds —
+    at-least-once on failure, never silent loss.
+    """
+    from pyspark.sql import functions as F
+
+    df = read_any(spark, path, fmt=fmt, schema=schema, **options).withColumn(
+        "__file", F.input_file_name()
+    )
+    try:
+        seen = spark.read.parquet(ledger_path).select("file")
+    except Exception:  # noqa: BLE001 - first run: no ledger yet
+        seen = spark.createDataFrame([], "file STRING")
+    fresh = df.join(
+        F.broadcast(seen), df["__file"] == seen["file"], "left_anti"
+    )
+    new_files = [r["__file"] for r in fresh.select("__file").distinct().collect()]
+    return fresh.drop("__file"), new_files
+
+
+def record_ingested(spark: SparkSession, files: list[str], ledger_path: str) -> None:
+    """Append processed file paths to the ingest ledger (tiny parquet)."""
+    if not files:
+        return
+    spark.createDataFrame([(f,) for f in files], "file STRING").write.mode(
+        "append"
+    ).parquet(ledger_path)

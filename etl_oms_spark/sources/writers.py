@@ -275,3 +275,44 @@ def write_sorted_parquet(
         else df.repartitionByRange(*order_cols)
     )
     out.sortWithinPartitions(*order_cols).write.mode(mode).parquet(path)
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    target_bytes: int,
+    order_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-data export: write the frame as JSONL sharded into
+    ~``target_bytes`` files — the terminal step of a curation pipeline
+    (data loaders want uniform shards, not whatever sizes the last
+    shuffle produced).
+
+    Shard assignment is :func:`~etl_oms_spark.operators.layout.compaction_plan`
+    over the EXACT serialized row size (``length(to_json(struct(*)))`` +
+    newline) in ``order_cols`` order — the distributed two-phase cumsum,
+    so sharding a billion rows never funnels through one task, shards are
+    contiguous in the given order, and shard boundaries are deterministic.
+    One range exchange + one partitioned write.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.layout import compaction_plan
+
+    order = order_cols or df.columns[:1]
+    cols = df.columns
+    sized = df.withColumn(
+        "__bytes",
+        (F.length(F.to_json(F.struct(*[F.col(c) for c in cols]))) + F.lit(1)).cast(
+            "long"
+        ),
+    )
+    planned = compaction_plan(sized, "__bytes", order, target_bytes, file_col="shard")
+    (
+        planned.drop("__bytes")
+        .repartition("shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .json(path)
+    )
