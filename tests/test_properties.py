@@ -196,3 +196,41 @@ def test_cdc_snapshot_partitioning_independent(spark, ops):
     s2 = snap(log.repartition(7))
     assert s1 == s2
     assert all(op != "D" for _, _, op, _ in s1)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(0, 50)),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_bpe_encode_word_reconstructs(evts):
+    """BPE encoding must always concatenate back to the original word,
+    regardless of the merge list."""
+    from etl_oms_spark.operators.tokenize import bpe_encode_word
+
+    rnd = random.Random(evts[0][1])
+    word = "".join(rnd.choice("abcd") for _ in range(1 + evts[0][2] % 12))
+    merges = {}
+    for i, (a, b, _) in enumerate(evts):
+        merges[("abcd"[a % 4], "abcd"[b % 4])] = i
+    toks = bpe_encode_word(word, merges)
+    assert "".join(toks) == word
+    assert all(toks)
+
+
+@given(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1))
+@settings(max_examples=200)
+def test_morton_python_model_roundtrip(x, y):
+    """Pure-python model of the column expressions: interleave/deinterleave
+    are inverse bijections on the 16-bit grid."""
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (rx, ry) == (x, y)
+    assert z < 1 << 32
