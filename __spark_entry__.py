@@ -5790,6 +5790,99 @@ ORDER BY week
 """
 
 
+def h2_time_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity heatmap over the event stream: counts
+    and exact-integer mean value per cell (168 rows max — a pure
+    map-side-combined aggregate, the canonical ops-dashboard query).
+    dayofweek normalized to 0=Sunday (Spark is 1-based, DuckDB 0-based)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - F.lit(1)).alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(_cents(F.col("value"), 10_000))
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+H2_SQL = """
+SELECT CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) / 10000.0 AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour
+"""
+
+
+def ps1_supply_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp relation itself (``_partsupp``): the
+    hash-synthesized supply table behind Q2/Q9/Q11/Q20, surfaced directly
+    so the derivation is oracle-verified end-to-end, not only through the
+    queries that consume it. One distinct shuffle + per-row md5 math."""
+    return (
+        _partsupp(spark, sf_dir)
+        .orderBy("ps_partkey", "ps_suppkey")
+        .limit(500)
+    )
+
+
+PS1_SQL = f"""
+WITH ps AS ({PARTSUPP_SQL})
+SELECT * FROM ps ORDER BY ps_partkey, ps_suppkey LIMIT 500
+"""
+
+
+def qa1_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue percent change: exact integer monthly
+    sums, lag window over the months-sized frame (group cardinality, not
+    rows), division of exact longs → identical doubles cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(F.date_trunc("month", "l_shipdate").alias("month")).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000)).alias(
+            "rev_units"
+        )
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_units", F.lag("rev_units").over(w))
+        .select(
+            "month",
+            (F.col("rev_units") / F.lit(10000.0)).alias("revenue"),
+            (
+                (F.col("rev_units") - F.col("prev_units"))
+                / F.col("prev_units").cast("double")
+            ).alias("mom_change"),
+        )
+        .orderBy("month")
+    )
+
+
+QA1_SQL = """
+WITH monthly AS (
+    SELECT date_trunc('month', l_shipdate) AS month,
+           SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))
+             AS rev_units
+    FROM lineitem GROUP BY 1
+)
+SELECT month,
+       CAST(rev_units AS DOUBLE) / 10000.0 AS revenue,
+       CAST(rev_units - lag(rev_units) OVER (ORDER BY month) AS DOUBLE)
+         / CAST(lag(rev_units) OVER (ORDER BY month) AS DOUBLE) AS mom_change
+FROM monthly
+ORDER BY month
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5974,6 +6067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "so1_set_ops": so1_set_ops,
         "hl1_sketch_rollup": hl1_sketch_rollup,
         "hl2_exact_rollup": hl2_exact_rollup,
+        "h2_time_heatmap": h2_time_heatmap,
+        "ps1_supply_relation": ps1_supply_relation,
+        "qa1_revenue_momentum": qa1_revenue_momentum,
     }
 
 
@@ -6137,4 +6233,7 @@ def oracle_sql() -> dict[str, str]:
         "x1_chi2_keywords": X1_SQL,
         "so1_set_ops": SO1_SQL,
         "hl2_exact_rollup": HL2_SQL,
+        "h2_time_heatmap": H2_SQL,
+        "ps1_supply_relation": PS1_SQL,
+        "qa1_revenue_momentum": QA1_SQL,
     }
