@@ -5883,6 +5883,135 @@ ORDER BY month
 """
 
 
+def t11_dup_block_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-block share (operators/dedup.dup_block_rate):
+    the boilerplate-contamination monitor beside d8's repair pass. Every
+    post-explode frame is NDV-bounded: per-(block, source) counts join
+    per-block counts — never the instance frame."""
+    from etl_oms_spark.operators.dedup import dup_block_rate
+
+    return dup_block_rate(_t(spark, sf_dir, "documents")).orderBy("source")
+
+
+T11_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id, source, toks,
+           CAST(greatest(ceil(len(toks) / 8.0), 1) AS BIGINT) AS n_blocks
+    FROM t
+), blocks AS (
+    SELECT source,
+           CAST('0x' || substring(md5(
+               array_to_string(list_slice(toks, (i - 1) * 8 + 1, i * 8), ' ')
+           ), 1, 15) AS BIGINT) AS h
+    FROM base, LATERAL unnest(range(1, n_blocks + 1)) u(i)
+), hs AS (
+    SELECT h, source, CAST(COUNT(*) AS BIGINT) AS n_hs
+    FROM blocks GROUP BY h, source
+), hh AS (
+    SELECT h, CAST(SUM(n_hs) AS BIGINT) AS n_h FROM hs GROUP BY h
+)
+SELECT source,
+       CAST(SUM(n_hs) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN n_h > 1 THEN n_hs ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN n_h > 1 THEN n_hs ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(n_hs) AS DOUBLE) AS dup_rate
+FROM hs JOIN hh USING (h)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def zf1_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per source: OLS slope of ln(freq) vs
+    ln(rank) over each source's top-500 terms — the "does this source
+    look like natural language" screen (natural text ≈ −1; templated or
+    synthetic sources drift off). Per-term log contributions are
+    quantized to 1e-9 BIGINTs before summation (st3's discipline), so the
+    four OLS sums are order-independent and the final slope arithmetic on
+    exact longs is bit-identical cross-engine. Partitions are
+    vocabulary-bounded; the rank cut is a WindowGroupLimit."""
+    d = _t(spark, sf_dir, "documents")
+    from etl_oms_spark.operators.text import tokens as _tok
+
+    tf = (
+        d.select(F.col("source"), F.explode(_tok("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("term"))
+    ranked = tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 500
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("tf").cast("double"))
+
+    def q9(c: Column) -> Column:
+        return F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    sums = ranked.select(
+        "source",
+        q9(lx).alias("qx"),
+        q9(ly).alias("qy"),
+        q9(lx * ly).alias("qxy"),
+        q9(lx * lx).alias("qxx"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum("qxy").alias("sxy"),
+        F.sum("qxx").alias("sxx"),
+    )
+    nd = F.col("n_terms").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e9)
+    sy = F.col("sy").cast("double") / F.lit(1e9)
+    sxy = F.col("sxy").cast("double") / F.lit(1e9)
+    sxx = F.col("sxx").cast("double") / F.lit(1e9)
+    return sums.select(
+        "source",
+        "n_terms",
+        ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).alias("zipf_slope"),
+    ).orderBy("source")
+
+
+ZF1_SQL = f"""
+WITH tf AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (
+        SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    )
+    GROUP BY source, term
+), ranked AS (
+    SELECT source, tf,
+           row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS rank
+    FROM tf
+    QUALIFY rank <= 500
+), q AS (
+    SELECT source,
+           CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS qx,
+           CAST(floor(ln(CAST(tf AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS qy,
+           CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(tf AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS qxy,
+           CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS qxx
+    FROM ranked
+), s AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+           CAST(SUM(qxy) AS BIGINT) AS sxy, CAST(SUM(qxx) AS BIGINT) AS sxx
+    FROM q GROUP BY source
+)
+SELECT source, n_terms,
+       (CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+          - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+       / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+          - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9)) AS zipf_slope
+FROM s
+ORDER BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6070,6 +6199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h2_time_heatmap": h2_time_heatmap,
         "ps1_supply_relation": ps1_supply_relation,
         "qa1_revenue_momentum": qa1_revenue_momentum,
+        "t11_dup_block_rate": t11_dup_block_rate,
+        "zf1_zipf_slope": zf1_zipf_slope,
     }
 
 
@@ -6236,4 +6367,6 @@ def oracle_sql() -> dict[str, str]:
         "h2_time_heatmap": H2_SQL,
         "ps1_supply_relation": PS1_SQL,
         "qa1_revenue_momentum": QA1_SQL,
+        "t11_dup_block_rate": T11_SQL,
+        "zf1_zipf_slope": ZF1_SQL,
     }

@@ -612,3 +612,54 @@ def ngram_novelty(
         .withColumn("n_novel", F.coalesce(F.col("n_novel"), F.lit(0)))
         .withColumn("novelty", F.col("n_novel") / F.col("n_shingles").cast("double"))
     )
+
+
+def dup_block_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    block_words: int = 8,
+) -> DataFrame:
+    """Corpus-health metric: per group (source), the share of its text
+    blocks that are duplicated ANYWHERE in the corpus — the dashboard
+    number behind boilerplate/template contamination (block_dedup is the
+    repair; this is the monitor).
+
+    Lowering keeps every frame NDV-bounded after the one explode: blocks
+    reduce to portable 60-bit md5 keys, counts aggregate per (block,
+    group) and per block (both map-side combined), and the duplicate
+    classification joins those two COUNT frames — never the instance
+    frame (the nv1 lesson: joining exploded data back is the scale trap).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_blocks = F.greatest(F.ceil(n / F.lit(block_words)), F.lit(1)).cast("long")
+    block_arr = F.transform(
+        F.sequence(F.lit(1), n_blocks),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i - F.lit(1)) * block_words + F.lit(1), block_words)
+        ),
+    )
+    blocks = ensure_parallelism(df, id_col).select(
+        F.col(group_col),
+        F.explode(block_arr).alias("__b"),
+    ).select(
+        group_col,
+        F.conv(F.substring(F.md5(F.col("__b")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    hs = blocks.groupBy("__h", group_col).agg(F.count(F.lit(1)).alias("__n_hs"))
+    hh = hs.groupBy("__h").agg(F.sum("__n_hs").alias("__n_h"))
+    return (
+        hs.join(hh, "__h")
+        .groupBy(group_col)
+        .agg(
+            F.sum("__n_hs").alias("n_blocks"),
+            F.sum(F.when(F.col("__n_h") > 1, F.col("__n_hs")).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+        .withColumn("dup_rate", F.col("n_dup") / F.col("n_blocks").cast("double"))
+    )
