@@ -6012,6 +6012,106 @@ ORDER BY source
 """
 
 
+def a17_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of extended price per return flag: exact p10/p90
+    bounds via the two-phase histogram percentile lowering (no group
+    buffering), broadcast back, then an exact-integer mean over the kept
+    band. The bounds themselves are NOT output: Spark's and DuckDB's
+    interpolation formulas are algebraically equal but can differ in the
+    last ULP, which never flips row membership (a bound strictly between
+    two adjacent data values classifies identically under ±1 ULP; a bound
+    ON a data value is interpolation-degenerate and exact) but could fail
+    a bit-compare of the bound itself."""
+    from etl_oms_spark.operators.quantiles import group_percentiles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    b = group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.1, 0.9],
+        names=["lo", "hi"], mode="hist",
+    )
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .filter(
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") <= F.col("hi"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice")))
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0)
+            ).alias("trimmed_mean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+A17_SQL = """
+WITH b AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.1) AS lo,
+           quantile_cont(l_extendedprice, 0.9) AS hi
+    FROM lineitem GROUP BY 1
+)
+SELECT l.l_returnflag,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) / 100.0 AS trimmed_mean,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM lineitem l JOIN b USING (l_returnflag)
+WHERE l_extendedprice >= lo AND l_extendedprice <= hi
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+def cc2_dup_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate hub detection: documents with the most LSH
+    candidate partners (degree in the d7 pair graph) — the template/
+    boilerplate diagnostic (a hub is a page layout, not a document).
+    Degree is one count aggregate over the pair list (both directions);
+    top-20 is a TakeOrdered cut. Oracle recomputes the identical md5
+    pair set (d7's CTEs)."""
+    from etl_oms_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), hash_method="md5")
+    pairs = lsh_candidate_pairs(sigs, hash_method="md5")
+    both = pairs.select(F.col("id_a").alias("doc_id")).union(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    return (
+        both.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.desc("degree"), "doc_id")
+        .limit(20)
+    )
+
+
+CC2_SQL = (
+    "WITH "
+    + _build_d7_sql()
+    + ","
+    + """
+pairs AS ({_final}),
+deg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL SELECT id_b FROM pairs
+    )
+    GROUP BY doc_id
+)
+SELECT doc_id, degree FROM deg
+ORDER BY degree DESC, doc_id
+LIMIT 20
+""".format(_final=_D7_FINAL.strip())
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6201,6 +6301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa1_revenue_momentum": qa1_revenue_momentum,
         "t11_dup_block_rate": t11_dup_block_rate,
         "zf1_zipf_slope": zf1_zipf_slope,
+        "a17_trimmed_mean": a17_trimmed_mean,
+        "cc2_dup_hubs": cc2_dup_hubs,
     }
 
 
@@ -6369,4 +6471,6 @@ def oracle_sql() -> dict[str, str]:
         "qa1_revenue_momentum": QA1_SQL,
         "t11_dup_block_rate": T11_SQL,
         "zf1_zipf_slope": ZF1_SQL,
+        "a17_trimmed_mean": A17_SQL,
+        "cc2_dup_hubs": CC2_SQL,
     }
