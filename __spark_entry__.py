@@ -6112,6 +6112,117 @@ LIMIT 20
 )
 
 
+def a18_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup: each nation's revenue share within its
+    region (two-level hierarchy ratio-to-report). Exact integer revenue
+    per nation, region totals via a regions-sized window over the
+    aggregate (group cardinality, never rows), division of exact longs."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000)
+            ).alias("units")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        (F.col("units") / F.lit(10000.0)).alias("revenue"),
+        (F.col("units") / F.sum("units").over(w).cast("double")).alias(
+            "region_share"
+        ),
+    ).orderBy("r_name", "n_name")
+
+
+A18_SQL = """
+WITH rev AS (
+    SELECT r_name, n_name,
+           SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))
+             AS units
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(units AS DOUBLE) / 10000.0 AS revenue,
+       CAST(units AS DOUBLE)
+         / CAST(SUM(units) OVER (PARTITION BY r_name) AS DOUBLE) AS region_share
+FROM rev
+ORDER BY r_name, n_name
+"""
+
+
+def o4_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH ties (rank, not row_number): the 3 highest order price
+    levels per priority, keeping every order on a tied level — the
+    semantics LIMIT cannot express. WindowGroupLimit prunes per-partition
+    before the shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        o.withColumn("price_rank", F.dense_rank().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select("o_orderpriority", "price_rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "price_rank", "o_orderkey")
+    )
+
+
+O4_SQL = """
+SELECT o_orderpriority, CAST(price_rank AS INT) AS price_rank,
+       o_orderkey, o_totalprice
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           dense_rank() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice DESC
+           ) AS price_rank
+    FROM orders
+)
+WHERE price_rank <= 3
+ORDER BY o_orderpriority, price_rank, o_orderkey
+"""
+
+
+def a19_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group: each source's most frequent language
+    (deterministic tie-break on the value). Two NDV-bounded aggregates +
+    a WindowGroupLimit rank cut — the standard mode lowering that never
+    buffers values."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("source", F.col("lang").alias("mode_lang"), "n")
+        .orderBy("source")
+    )
+
+
+A19_SQL = """
+SELECT source, lang AS mode_lang, n
+FROM (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+           row_number() OVER (
+               PARTITION BY source ORDER BY COUNT(*) DESC, lang
+           ) AS rk
+    FROM documents GROUP BY source, lang
+)
+WHERE rk = 1
+ORDER BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6303,6 +6414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zf1_zipf_slope": zf1_zipf_slope,
         "a17_trimmed_mean": a17_trimmed_mean,
         "cc2_dup_hubs": cc2_dup_hubs,
+        "a18_hierarchy_share": a18_hierarchy_share,
+        "o4_topk_with_ties": o4_topk_with_ties,
+        "a19_group_mode": a19_group_mode,
     }
 
 
@@ -6473,4 +6587,7 @@ def oracle_sql() -> dict[str, str]:
         "zf1_zipf_slope": ZF1_SQL,
         "a17_trimmed_mean": A17_SQL,
         "cc2_dup_hubs": CC2_SQL,
+        "a18_hierarchy_share": A18_SQL,
+        "o4_topk_with_ties": O4_SQL,
+        "a19_group_mode": A19_SQL,
     }
