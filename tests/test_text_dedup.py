@@ -291,3 +291,26 @@ def test_intra_doc_block_dedup_null_and_empty_text(spark):
     assert out[1]["n_blocks"] == 1 and out[1]["n_kept"] == 1
     assert out[2]["n_blocks"] == 1 and out[2]["n_kept"] == 1
     assert out[3]["n_kept"] == 1 and out[3]["kept_text"] == "alpha beta gamma delta"
+
+
+def test_dup_block_rate_hand_case(spark):
+    from etl_oms_spark.operators.dedup import dup_block_rate
+
+    blk = "w1 w2 w3 w4 w5 w6 w7 w8"
+    uniq_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    uniq_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = spark.createDataFrame(
+        [
+            (1, f"{blk} {uniq_a}", "s1"),   # 2 blocks: dup + unique
+            (2, f"{blk} {uniq_b}", "s2"),   # 2 blocks: dup + unique
+            (3, uniq_b, "s2"),              # 1 block: duplicated within s2
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    got = {r["source"]: r for r in dup_block_rate(df, block_words=8).collect()}
+    # s1: blocks [blk, uniq_a]; blk appears in s2 too -> 1/2 dup
+    assert got["s1"]["n_blocks"] == 2 and got["s1"]["n_dup"] == 1
+    assert got["s1"]["dup_rate"] == 0.5
+    # s2: blocks [blk, uniq_b, uniq_b] -> all three are duplicated somewhere
+    assert got["s2"]["n_blocks"] == 3 and got["s2"]["n_dup"] == 3
+    assert got["s2"]["dup_rate"] == 1.0

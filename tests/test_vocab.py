@@ -58,3 +58,31 @@ def test_coverage_curve_monotone_to_one(spark):
     assert all(b >= a for a, b in zip(covs, covs[1:]))
     assert abs(covs[-1] - 1.0) < 1e-12  # top-10 covers the whole 4-term vocab
     assert rows[-1].cum_tf == 11
+
+
+def test_chi2_keywords_hand_case(spark):
+    """4-doc corpus with a perfectly discriminative term: chi2 must equal
+    the explicit 2x2 formula and rank that term first."""
+    from etl_oms_spark.operators.vocab import chi2_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple zz", "A"),
+            (2, "apple yy", "A"),
+            (3, "banana zz", "B"),
+            (4, "banana yy", "B"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    got = {(r["source"], r["term"]): r for r in chi2_keywords(df, k=3).collect()}
+    row = got[("A", "apple")]
+    # a=2 in-A docs with apple, b=0, c=0, d=2 -> chi2 = 4*(2*2)^2/(2*2*2*2) = 4
+    assert row["df_in"] == 2 and row["df_out"] == 0
+    assert row["chi2"] == 4.0
+    # top term for A is apple (highest chi2)
+    a_terms = sorted(
+        ((r["chi2"], t) for (s, t), r in got.items() if s == "A"), reverse=True
+    )
+    assert a_terms[0][1] in ("apple",)
+    # shared terms (zz/yy appear in both groups evenly) score 0
+    assert got[("A", "zz")]["chi2"] == 0.0
