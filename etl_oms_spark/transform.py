@@ -285,3 +285,65 @@ def fixed_width_histogram(
             "n_rows",
         )
     )
+
+
+def impute_columns(
+    df: DataFrame,
+    cols: list[str],
+    strategy: str = "mean",
+    group_cols: list[str] | None = None,
+    fill_value=None,
+) -> DataFrame:
+    """NULL imputation with distributed statistics — the general form of
+    the reference's ``fillna(0)`` (F4, ETL_OMS_FINAL_Upgraded.py pivot
+    fill): per-column ``mean`` / ``median`` / ``mode`` / ``const``,
+    optionally per ``group_cols`` (each group imputes from its own
+    statistic).
+
+    The statistics frame is group-cardinality (one aggregate, map-side
+    combined; median uses approx_percentile(…, 0.5) at accuracy 10000 —
+    a sketch, appropriate for imputation; mode is a count + keep-first) and
+    broadcast back — the corpus is touched once, NULL cells coalesce
+    against the broadcast statistic, everything else streams through.
+    """
+    from pyspark.sql import Window
+
+    if strategy == "const":
+        return df.fillna({c: fill_value for c in cols})
+    gb = group_cols or []
+    if strategy in ("mean", "median"):
+        aggs = [
+            (
+                F.avg(c) if strategy == "mean"
+                else F.expr(f"approx_percentile({c}, 0.5, 10000)")
+            ).alias(f"__st_{c}")
+            for c in cols
+        ]
+        stats = df.groupBy(*gb).agg(*aggs) if gb else df.agg(*aggs)
+    elif strategy == "mode":
+        parts = []
+        for c in cols:
+            w = Window.partitionBy(*gb).orderBy(F.desc("__n"), F.asc(c))
+            cnt = (
+                df.filter(F.col(c).isNotNull())
+                .groupBy(*gb, c)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .select(*gb, F.col(c).alias(f"__st_{c}"))
+            )
+            parts.append(cnt)
+        stats = parts[0]
+        for p in parts[1:]:
+            stats = stats.join(p, gb) if gb else stats.crossJoin(p)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    joined = (
+        df.join(F.broadcast(stats), gb) if gb else df.crossJoin(F.broadcast(stats))
+    )
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        joined = joined.withColumn(
+            c, F.coalesce(F.col(c), F.col(f"__st_{c}").cast(dt))
+        )
+    return joined.drop(*[f"__st_{c}" for c in cols])

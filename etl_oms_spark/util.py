@@ -166,3 +166,25 @@ def with_global_index(
         )
         .drop("__pid", "__offset")
     )
+
+
+def plan_stats(df: DataFrame) -> dict:
+    """Physical-plan shape counters for tests and plan reviews: exchanges
+    (shuffles), broadcast exchanges, scans, sorts, single-partition
+    exchanges, and whole-stage-codegen spans. A cheap guardrail — assert
+    `plan_stats(q)["exchanges"] <= n` instead of string-matching the whole
+    plan dump."""
+    plan = physical_plan(df, "simple")
+    import re
+
+    def count(pat: str) -> int:
+        return len(re.findall(pat, plan))
+
+    return {
+        "exchanges": count(r"Exchange (?:hash|range)partitioning"),
+        "broadcasts": count(r"BroadcastExchange|Exchange SinglePartition.*broadcast"),
+        "single_partition": count(r"Exchange SinglePartition"),
+        "scans": count(r"FileScan|Scan parquet|Scan csv|Scan json"),
+        "sorts": count(r"\bSort\b|\bSort \["),
+        "codegen_spans": count(r"WholeStageCodegen"),
+    }
