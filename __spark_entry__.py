@@ -6223,6 +6223,49 @@ ORDER BY source
 """
 
 
+def im1_mode_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mode imputation (transform.impute_columns): blank out one
+    language ('de' → NULL, simulating a lossy upstream), impute each
+    source's missing values with that source's modal remaining language,
+    and report the resulting per-source language distribution. String-
+    typed and count-based throughout — fully deterministic, exact oracle.
+    The statistics frame is (sources)-sized and broadcast; one corpus
+    pass."""
+    from etl_oms_spark.transform import impute_columns
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang2", F.nullif(F.col("lang"), F.lit("de"))
+    )
+    imp = impute_columns(d, ["lang2"], "mode", ["source"])
+    return (
+        imp.groupBy("source", F.col("lang2").alias("lang_imputed"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "lang_imputed")
+    )
+
+
+IM1_SQL = """
+WITH d AS (
+    SELECT source, nullif(lang, 'de') AS lang2 FROM documents
+), m AS (
+    SELECT source, lang2 AS mode_lang
+    FROM (
+        SELECT source, lang2, row_number() OVER (
+                   PARTITION BY source ORDER BY COUNT(*) DESC, lang2
+               ) AS rk
+        FROM d WHERE lang2 IS NOT NULL
+        GROUP BY source, lang2
+    )
+    WHERE rk = 1
+)
+SELECT d.source, COALESCE(d.lang2, m.mode_lang) AS lang_imputed,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d JOIN m ON d.source = m.source
+GROUP BY d.source, COALESCE(d.lang2, m.mode_lang)
+ORDER BY d.source, lang_imputed
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6417,6 +6460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_hierarchy_share": a18_hierarchy_share,
         "o4_topk_with_ties": o4_topk_with_ties,
         "a19_group_mode": a19_group_mode,
+        "im1_mode_impute": im1_mode_impute,
     }
 
 
@@ -6590,4 +6634,5 @@ def oracle_sql() -> dict[str, str]:
         "a18_hierarchy_share": A18_SQL,
         "o4_topk_with_ties": O4_SQL,
         "a19_group_mode": A19_SQL,
+        "im1_mode_impute": IM1_SQL,
     }
