@@ -6266,6 +6266,62 @@ ORDER BY d.source, lang_imputed
 """
 
 
+def e8_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized cosine top-5
+    (operators/similarity.sq_cosine_topk): per-dim absmax scales →
+    symmetric int8 codes (4× smaller than float32 — the memory-bound
+    corpus representation) → exact integer dots over the codes. The
+    approximation lives entirely in the quantization; the arithmetic on
+    codes is exact, so the oracle recomputing the same codes matches
+    bit-for-bit."""
+    from etl_oms_spark.operators.similarity import sq_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sq_cosine_topk(emb, query, k=5).orderBy("query_id", "vec_id")
+
+
+E8_SQL = """
+WITH comps AS (
+    SELECT vec_id, unnest(range(len(embedding))) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), m AS (
+    SELECT i, MAX(abs(x)) AS mx FROM comps GROUP BY i
+), codes AS (
+    SELECT vec_id, c.i,
+           CASE WHEN mx = 0 THEN 0
+                ELSE CAST(round(x / mx * 127.0) AS INT) END AS q
+    FROM comps c JOIN m USING (i)
+), norms AS (
+    SELECT vec_id,
+           CAST(SUM(CAST(q AS BIGINT) * CAST(q AS BIGINT)) AS BIGINT) AS n2
+    FROM codes GROUP BY vec_id
+), dots AS (
+    SELECT qq.vec_id AS query_id, c.vec_id,
+           CAST(SUM(CAST(c.q AS BIGINT) * CAST(qq.q AS BIGINT)) AS BIGINT) AS dot
+    FROM codes c
+    JOIN codes qq ON c.i = qq.i AND qq.vec_id IN (0, 1)
+    GROUP BY qq.vec_id, c.vec_id
+), scored AS (
+    SELECT d.query_id, d.vec_id,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS sq_cosine
+    FROM dots d
+    JOIN norms na ON d.vec_id = na.vec_id
+    JOIN norms nb ON d.query_id = nb.vec_id
+)
+SELECT query_id, vec_id, sq_cosine
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sq_cosine DESC, vec_id) <= 5
+ORDER BY query_id, vec_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6461,6 +6517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_topk_with_ties": o4_topk_with_ties,
         "a19_group_mode": a19_group_mode,
         "im1_mode_impute": im1_mode_impute,
+        "e8_sq_topk": e8_sq_topk,
     }
 
 
@@ -6635,4 +6692,5 @@ def oracle_sql() -> dict[str, str]:
         "o4_topk_with_ties": O4_SQL,
         "a19_group_mode": A19_SQL,
         "im1_mode_impute": IM1_SQL,
+        "e8_sq_topk": E8_SQL,
     }

@@ -371,3 +371,93 @@ def ivf_topk(
         assigned, probes, id_col, vec_col, query_id_col, join_on=["centroid_id"]
     )
     return _topk(scored, k, id_col, query_id_col)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (memory-bound ANN path)
+
+
+def scalar_quant_scales(
+    df: DataFrame, vec_col: str = "embedding"
+) -> list[float]:
+    """Per-dimension absolute-max scales for symmetric int8 quantization:
+    one posexplode + max aggregate, d rows collected (dim-bounded driver
+    state, same budget class as centroids/PCA components)."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("m"))
+        .orderBy("i")
+        .collect()
+    )
+    return [float(r["m"]) for r in rows]
+
+
+def sq_encode(vec: Column, scales: list[float]) -> Column:
+    """Symmetric int8 encode: ``q_i = round(x_i / s_i * 127)`` (0 where the
+    dimension is constant-zero). 4× smaller than float32 — the memory-
+    bound corpus representation; pure array math in one pass."""
+    s = F.array(*[F.lit(float(v)) for v in scales])
+    return F.zip_with(
+        vec,
+        s,
+        lambda x, m: F.when(m == 0.0, F.lit(0)).otherwise(
+            F.round(x.cast("double") / m * F.lit(127.0)).cast("int")
+        ),
+    )
+
+
+def sq_cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scales: list[float] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors: integer dot
+    and integer norms of the int8 codes (exact arithmetic on the codes →
+    bit-identical scores cross-engine; the approximation is entirely in
+    the quantization). The corpus streams once with the query side
+    broadcast, same plan shape as the float path — the win is 4× smaller
+    shuffle/cache footprint at identical plan cost."""
+    if scales is None:
+        scales = scalar_quant_scales(df, vec_col)
+    q = query.select(
+        F.col(query_id_col), sq_encode(F.col(vec_col), scales).alias("__qq")
+    )
+    corp = ensure_parallelism(df, id_col).select(
+        F.col(id_col), sq_encode(F.col(vec_col), scales).alias("__cq")
+    )
+
+    def idot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    corp = corp.withColumn("__na", idot(F.col("__cq"), F.col("__cq")))
+    q = F.broadcast(q.withColumn("__nb", idot(F.col("__qq"), F.col("__qq"))))
+    scored = corp.crossJoin(q).select(
+        query_id_col,
+        id_col,
+        (
+            idot(F.col("__cq"), F.col("__qq")).cast("double")
+            / (
+                F.sqrt(F.col("__na").cast("double"))
+                * F.sqrt(F.col("__nb").cast("double"))
+            )
+        ).alias("sq_cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sq_cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )

@@ -252,3 +252,21 @@ def test_ann_md5_requires_dim(spark, sf_dir):
     q = emb.limit(1).selectExpr("vec_id AS query_id", "embedding")
     with pytest.raises(ValueError):
         ann_lsh_topk(emb, q, hash_method="md5")
+
+
+def test_sq_topk_tracks_exact_cosine(spark, sf_dir):
+    """int8 quantization must preserve the exact top-1 neighbor and keep
+    high recall@5 against the float cosine path on real embeddings."""
+    from etl_oms_spark.operators.similarity import cosine_topk, sq_cosine_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    sq = {(r["query_id"], r["vec_id"]) for r in sq_cosine_topk(emb, q, k=5).collect()}
+    # self-match (top-1) must survive quantization
+    assert {(0, 0), (1, 1)} <= sq
+    # recall@5 >= 0.8 on both queries combined
+    assert len(exact & sq) >= 8
