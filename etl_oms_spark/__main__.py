@@ -98,6 +98,23 @@ def main(argv: list[str] | None = None) -> int:
     p_val.add_argument("--fk", default=None,
                        help="child_col:parent_path:parent_col foreign-key check")
 
+    p_exp = sub.add_parser(
+        "export", help="write a parquet table as ~target-byte JSONL shards"
+    )
+    p_exp.add_argument("--table", required=True, help="parquet path to export")
+    p_exp.add_argument("--out", required=True)
+    p_exp.add_argument("--target-mb", type=int, default=256)
+    p_exp.add_argument("--order-by", default=None,
+                       help="comma-separated shard-order columns (default: first column)")
+
+    p_ing = sub.add_parser(
+        "ingest", help="incremental directory ingest via file ledger (only new files)"
+    )
+    p_ing.add_argument("--directory", required=True)
+    p_ing.add_argument("--ledger", required=True, help="processed-file ledger parquet")
+    p_ing.add_argument("--out", required=True, help="append-target parquet")
+    p_ing.add_argument("--format", default="csv", choices=["csv", "json", "parquet"])
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -177,6 +194,28 @@ def main(argv: list[str] | None = None) -> int:
         report.show(truncate=False)
         n_bad = sum(r["n_violations"] for r in report.collect())
         return 0 if n_bad == 0 else 2
+    elif args.cmd == "export":
+        from .sources.writers import export_jsonl_shards
+
+        df = spark.read.parquet(args.table)
+        order = [c.strip() for c in args.order_by.split(",")] if args.order_by else None
+        export_jsonl_shards(
+            df, args.out, target_bytes=args.target_mb * 1024 * 1024, order_cols=order
+        )
+        print(f"exported {df.count()} rows to {args.out}")
+    elif args.cmd == "ingest":
+        from .sources.readers import ingest_new_files, record_ingested
+
+        rows, files = ingest_new_files(
+            spark, args.directory, args.ledger, fmt=args.format,
+            **({"header": True} if args.format == "csv" else {}),
+        )
+        if not files:
+            print("no new files")
+            return 0
+        rows.write.mode("append").parquet(args.out)
+        record_ingested(spark, files, args.ledger)
+        print(f"ingested {len(files)} new file(s) into {args.out}")
     return 0
 
 

@@ -163,3 +163,27 @@ def test_cli_profile_and_validate(spark, tmp_path, capsys):
     rc = main(["validate", "--table", clean, "--pk", "id",
                "--fk", f"v:{parent}:pid"])
     assert rc == 0
+
+
+def test_cli_export_and_ingest(spark, tmp_path):
+    from etl_oms_spark.__main__ import main
+
+    src = tmp_path / "t"
+    spark.range(50).selectExpr("id", "concat('v', id) AS v").write.parquet(str(src))
+    out = tmp_path / "shards"
+    assert main(["export", "--table", str(src), "--out", str(out),
+                 "--target-mb", "1"]) == 0
+    assert spark.read.json(str(out)).count() == 50
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    (ind / "a.csv").write_text("id,v\n1,x\n")
+    ledger = str(tmp_path / "ledger")
+    tgt = str(tmp_path / "ingested")
+    assert main(["ingest", "--directory", str(ind), "--ledger", ledger,
+                 "--out", tgt]) == 0
+    assert spark.read.parquet(tgt).count() == 1
+    # second run: no new files, target unchanged
+    assert main(["ingest", "--directory", str(ind), "--ledger", ledger,
+                 "--out", tgt]) == 0
+    assert spark.read.parquet(tgt).count() == 1
