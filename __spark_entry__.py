@@ -6322,6 +6322,24 @@ ORDER BY query_id, vec_id
 """
 
 
+def e9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (operators/similarity.pq_topk):
+    8×16 codebooks trained on a deterministic id-ordered sample, corpus
+    encoded to 8 int8 codes (32× compression), scored via per-query
+    lookup tables — m element_at lookups + a sum per row. No SQL oracle
+    (k-means codebook training is iterative); deterministic end-to-end
+    (id-ordered sample, first-index tie-breaks) and pytest-verified for
+    distortion, recall-vs-exact, and partitioning invariance."""
+    from etl_oms_spark.operators.similarity import pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, sample=500)
+    query = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, query, books, k=5).orderBy("query_id", "vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6518,6 +6536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_group_mode": a19_group_mode,
         "im1_mode_impute": im1_mode_impute,
         "e8_sq_topk": e8_sq_topk,
+        "e9_pq_topk": e9_pq_topk,
     }
 
 

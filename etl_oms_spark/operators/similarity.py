@@ -461,3 +461,161 @@ def sq_cosine_topk(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ): codebook compression + ADC scoring
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+) -> "list":
+    """Train PQ codebooks: split dims into ``m`` subspaces, k-means each
+    on a DETERMINISTIC sample (first ``sample`` vectors by id order —
+    TakeOrdered, no shuffle of the corpus; PQ codebooks are classically
+    trained on a subsample since they only need the subspace density
+    shape, not every point). Lloyd runs in numpy on the driver over
+    sample×(d/m) — k·m·(d/m) = k·d floats of output state, the same
+    dim-bounded budget class as centroids/PCA. Deterministic: sample is
+    id-ordered, init takes the first k distinct rows per subspace,
+    ties in assignment break toward the lower centroid index.
+
+    Returns ``codebooks[m][k][d/m]``.
+    """
+    import numpy as np
+
+    id_col = df.columns[0]
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    x = np.stack([np.asarray(r[vec_col], dtype="float64") for r in rows])
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        # deterministic init: first k distinct subvectors
+        seen: list = []
+        for row in xs:
+            t = tuple(row)
+            if t not in seen:
+                seen.append(t)
+            if len(seen) == k:
+                break
+        cents = np.array(seen[:k])
+        if cents.shape[0] < k:  # degenerate tiny input: pad by repeat
+            reps = (k + cents.shape[0] - 1) // cents.shape[0]
+            cents = np.tile(cents, (reps, 1))[:k]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)  # numpy argmin: first (lowest) index wins ties
+            for c in range(k):
+                pts = xs[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(vec: Column, codebooks: "list") -> Column:
+    """Encode a vector to ``m`` int8 codes: per subspace, argmin L2 to the
+    codebook centroids — pure column algebra (slice + fold argmin over k
+    literal centroids); ties break toward the lower code, matching
+    pq_train. m bytes per vector (64-dim float32 → 8 bytes = 32×)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        subv = F.slice(vec, s * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        subv,
+                        F.array(*[F.lit(float(v)) for v in codebooks[s][c]]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in range(k)
+            ]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_topk(
+    df: DataFrame,
+    query: DataFrame,
+    codebooks: "list",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the corpus is scored through its
+    PQ codes only — per query, a (m × k) lookup table of exact
+    query-subvector→centroid distances is built as literal arrays, and
+    each corpus row costs m ``element_at`` lookups + a sum. The corpus
+    streams once (codes can be precomputed and cached at 32× compression);
+    the query table rides the broadcast. Ties break on id."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    corp = ensure_parallelism(df, id_col).select(
+        F.col(id_col), pq_encode(F.col(vec_col), codebooks).alias("__code")
+    )
+    q = F.broadcast(
+        query.select(
+            F.col(query_id_col),
+            *[
+                F.array(
+                    *[
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(
+                                    F.col(vec_col),
+                                    s * len(codebooks[0][0]) + 1,
+                                    len(codebooks[0][0]),
+                                ),
+                                F.array(
+                                    *[F.lit(float(v)) for v in codebooks[s][c]]
+                                ),
+                                lambda a, b: (a.cast("double") - b)
+                                * (a.cast("double") - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        for c in range(len(codebooks[0]))
+                    ]
+                ).alias(f"__lut{s}")
+                for s in range(m)
+            ],
+        )
+    )
+    dist = None
+    for s in range(m):
+        term = F.element_at(F.col(f"__lut{s}"), F.element_at("__code", s + 1) + 1)
+        dist = term if dist is None else dist + term
+    scored = corp.crossJoin(q).select(
+        query_id_col, id_col, dist.alias("pq_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("pq_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )

@@ -16,6 +16,7 @@ KNOWN_ROWS_ONLY = {
     "tp1_curation_pipeline", # xxhash64 prod default; exact twin tp2
     "hl1_sketch_rollup",     # HLL sketch union; exact twin hl2
     "pc1_pca_projection",    # eigendecomposition; pytest vs numpy
+    "e9_pq_topk",            # iterative k-means codebooks; pytest vs exact path
 }
 
 

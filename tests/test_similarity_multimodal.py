@@ -270,3 +270,49 @@ def test_sq_topk_tracks_exact_cosine(spark, sf_dir):
     assert {(0, 0), (1, 1)} <= sq
     # recall@5 >= 0.8 on both queries combined
     assert len(exact & sq) >= 8
+
+
+def test_pq_roundtrip_and_recall(spark, sf_dir):
+    """PQ codes must reconstruct with bounded distortion and ADC top-5 must
+    overlap the exact float cosine top-5 (self-match always survives)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.similarity import (
+        cosine_topk, pq_encode, pq_train, pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_train(emb, m=8, k=16, sample=500)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+
+    # distortion: reconstruction error well below vector norm
+    rows = emb.select("vec_id", "embedding",
+                      pq_encode(F.col("embedding"), books).alias("code")).limit(50).collect()
+    errs, norms = [], []
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype="float64")
+        rec = np.concatenate([np.asarray(books[s][r["code"][s]]) for s in range(8)])
+        errs.append(np.linalg.norm(x - rec)); norms.append(np.linalg.norm(x))
+    assert np.mean(errs) < 0.8 * np.mean(norms)
+
+    q = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    pq = {(r["query_id"], r["vec_id"]) for r in pq_topk(emb, q, books, k=5).collect()}
+    assert {(0, 0), (1, 1)} <= pq  # self-match survives compression
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    assert len(exact & pq) >= 4  # recall@5 >= 0.4 at 32x compression
+
+
+def test_pq_encode_partitioning_invariant(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.similarity import pq_encode, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    books = pq_train(emb, m=8, k=16, sample=100)
+    a = {r["vec_id"]: r["c"] for r in emb.select(
+        "vec_id", pq_encode(F.col("embedding"), books).alias("c")).collect()}
+    b = {r["vec_id"]: r["c"] for r in emb.repartition(7).select(
+        "vec_id", pq_encode(F.col("embedding"), books).alias("c")).collect()}
+    assert a == b
