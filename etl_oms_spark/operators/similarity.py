@@ -619,3 +619,85 @@ def pq_topk(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    codebooks: "list",
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ (the FAISS-standard composition): IVF bounds WHAT is
+    scanned (only the ``n_probe`` probed inverted lists), PQ bounds the
+    BYTES per scanned row (8 int8 codes instead of a float vector), and
+    scoring is ADC lookup-table sums. At 100 TB this is the shape that
+    matters: the corpus lives as (centroid_id, code) — ~9 bytes/vector —
+    partitioned by list, and a query moves only its lookup tables.
+
+    Candidates come back by ADC distance; for production use, rerank the
+    top candidates with the exact path (`cosine_topk` on the candidate
+    ids) — the compose-don't-compete pattern in SCALING.md.
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col("centroid_id"),
+        pq_encode(F.col(vec_col), codebooks).alias("__code"),
+    )
+    c = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("__cvec"))
+    q_scored = query.crossJoin(F.broadcast(c)).select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.col("centroid_id"),
+        cosine_quantized(F.col(vec_col), F.col("__cvec")).alias("__sim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("__sim").desc(), F.col("centroid_id")
+    )
+    sub = len(codebooks[0][0])
+    probes = (
+        q_scored.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= n_probe)
+        .select(
+            query_id_col,
+            "centroid_id",
+            *[
+                F.array(
+                    *[
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(F.col("__qvec"), s * sub + 1, sub),
+                                F.array(
+                                    *[F.lit(float(v)) for v in codebooks[s][cc]]
+                                ),
+                                lambda a, b: (a.cast("double") - b)
+                                * (a.cast("double") - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        for cc in range(len(codebooks[0]))
+                    ]
+                ).alias(f"__lut{s}")
+                for s in range(len(codebooks))
+            ],
+        )
+    )
+    dist = None
+    for s in range(len(codebooks)):
+        term = F.element_at(F.col(f"__lut{s}"), F.element_at("__code", s + 1) + 1)
+        dist = term if dist is None else dist + term
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        query_id_col, id_col, dist.alias("pq_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("pq_dist"), F.asc(id_col))
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )

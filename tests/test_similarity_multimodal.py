@@ -316,3 +316,24 @@ def test_pq_encode_partitioning_invariant(spark, sf_dir):
     b = {r["vec_id"]: r["c"] for r in emb.repartition(7).select(
         "vec_id", pq_encode(F.col("embedding"), books).alias("c")).collect()}
     assert a == b
+
+
+def test_ivfpq_composition(spark, sf_dir):
+    """IVF-PQ: probed-list pruning + code scoring must still find the
+    self-match and overlap exact top-5."""
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.similarity import (
+        cosine_topk, ivf_centroids_sample, ivfpq_topk, pq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_centroids_sample(emb, k=8)
+    books = pq_train(emb, m=8, k=16, sample=500)
+    q = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r["query_id"], r["vec_id"])
+           for r in ivfpq_topk(emb, q, cents, books, k=5, n_probe=4).collect()}
+    assert {(0, 0), (1, 1)} <= got
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    assert len(exact & got) >= 3
