@@ -6340,6 +6340,64 @@ def e9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, query, books, k=5).orderBy("query_id", "vec_id")
 
 
+def dc1_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card (plans/dataset_card.dataset_card): the long-format
+    per-source release summary — docs, tokens, avg tokens, language
+    count, duplicate-block rate — every metric exact-integer derived, so
+    the whole card gets one oracle. One scan for counts/tokens + the
+    NDV-bounded block pass."""
+    from etl_oms_spark.plans.dataset_card import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents")).orderBy(
+        "metric", "source"
+    )
+
+
+DC1_SQL = f"""
+WITH base AS (
+    SELECT source,
+           CAST(COUNT(*) AS DOUBLE) AS docs,
+           CAST(SUM(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                ELSE len(string_split({_NORM_SQL}, ' ')) END) AS DOUBLE) AS tokens,
+           CAST(COUNT(DISTINCT lang) AS DOUBLE) AS distinct_langs
+    FROM documents GROUP BY source
+), dup AS (
+    WITH t AS (
+        SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS toks
+        FROM documents
+    ), b AS (
+        SELECT doc_id, source, toks,
+               CAST(greatest(ceil(len(toks) / 8.0), 1) AS BIGINT) AS n_blocks
+        FROM t
+    ), blocks AS (
+        SELECT source,
+               CAST('0x' || substring(md5(
+                   array_to_string(list_slice(toks, (i - 1) * 8 + 1, i * 8), ' ')
+               ), 1, 15) AS BIGINT) AS h
+        FROM b, LATERAL unnest(range(1, n_blocks + 1)) u(i)
+    ), hs AS (
+        SELECT h, source, CAST(COUNT(*) AS BIGINT) AS n_hs
+        FROM blocks GROUP BY h, source
+    ), hh AS (
+        SELECT h, CAST(SUM(n_hs) AS BIGINT) AS n_h FROM hs GROUP BY h
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN n_h > 1 THEN n_hs ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_hs) AS DOUBLE) AS dup_rate
+    FROM hs JOIN hh USING (h)
+    GROUP BY source
+)
+SELECT metric, source, value FROM (
+    SELECT 'docs' AS metric, source, docs AS value FROM base
+    UNION ALL SELECT 'tokens', source, tokens FROM base
+    UNION ALL SELECT 'distinct_langs', source, distinct_langs FROM base
+    UNION ALL SELECT 'avg_tokens', source, tokens / docs FROM base
+    UNION ALL SELECT 'dup_block_rate', source, dup_rate FROM dup
+)
+ORDER BY metric, source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6537,6 +6595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "im1_mode_impute": im1_mode_impute,
         "e8_sq_topk": e8_sq_topk,
         "e9_pq_topk": e9_pq_topk,
+        "dc1_dataset_card": dc1_dataset_card,
     }
 
 
@@ -6712,4 +6771,5 @@ def oracle_sql() -> dict[str, str]:
         "a19_group_mode": A19_SQL,
         "im1_mode_impute": IM1_SQL,
         "e8_sq_topk": E8_SQL,
+        "dc1_dataset_card": DC1_SQL,
     }
