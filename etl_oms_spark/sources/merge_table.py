@@ -190,3 +190,57 @@ def cdc_merge_into_parquet(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     if emptied:
         _delete_partition_dirs(spark, target_path, partition_col, emptied)
+
+
+def refresh_aggregate(
+    spark: SparkSession,
+    agg_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    partition_col: str,
+    count_col: str = "n_rows",
+) -> None:
+    """Incremental materialized-aggregate maintenance: fold a fact DELTA
+    into a persisted (keys → SUM/COUNT) rollup without recomputing from
+    the full fact table.
+
+    Works because SUM and COUNT are commutative monoids: the stored
+    aggregate IS a partial aggregate, so merging the delta's partials is
+    one union + re-aggregate over (stored ∩ touched partitions) ∪
+    (delta partials) — O(delta + touched partitions), never O(fact).
+    The write reuses the partition-swap path (dynamic partition
+    overwrite), so untouched partitions never rewrite. AVG and friends
+    derive downstream as SUM/COUNT; non-decomposable aggregates
+    (MEDIAN, COUNT DISTINCT) need sketch-typed state instead — see
+    hl1's HLL rollup for the distinct-count version of this pattern.
+
+    First call bootstraps the table (no existing aggregate).
+    """
+    partials = delta.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count(F.lit(1)).cast("long").alias(count_col),
+    )
+    try:
+        existing = spark.read.parquet(agg_path)
+        touched = [
+            r[partition_col]
+            for r in partials.select(partition_col).distinct().collect()
+        ]
+        relevant = existing.filter(F.col(partition_col).isin(touched))
+        merged = (
+            relevant.select(partials.columns)
+            .unionAll(partials)
+            .groupBy(*keys)
+            .agg(
+                *[F.sum(c).alias(c) for c in sum_cols],
+                F.sum(count_col).cast("long").alias(count_col),
+            )
+        )
+    except Exception:  # noqa: BLE001 - bootstrap: no table yet
+        merged = partials
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(agg_path)
+        return
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(agg_path)
