@@ -2300,9 +2300,15 @@ def d2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 D2_SQL = f"""
-WITH toks AS (
+WITH raw_toks AS (
     SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
     FROM documents
+), toks AS (
+    -- mirror the engine's max_df=1000 stopword-shingle cap: tokens in
+    -- more than 1000 docs count toward neither |A∩B| nor the set sizes
+    -- (first diverged at sf0.1, where common words exceed the cap)
+    SELECT doc_id, tok FROM raw_toks
+    WHERE tok IN (SELECT tok FROM raw_toks GROUP BY tok HAVING COUNT(*) <= 1000)
 ), cnt AS (
     SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
 ), common AS (
@@ -2543,9 +2549,13 @@ def d5_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 D5_SQL = f"""
-WITH toks AS (
+WITH raw_toks AS (
     SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
     FROM documents
+), toks AS (
+    -- mirror the engine's max_df=1000 cap (see D2_SQL)
+    SELECT doc_id, tok FROM raw_toks
+    WHERE tok IN (SELECT tok FROM raw_toks GROUP BY tok HAVING COUNT(*) <= 1000)
 ), cnt AS (
     SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
 ), common AS (
@@ -5121,7 +5131,7 @@ CS1_SQL = """
 WITH comps AS (
   SELECT label AS lbl,
          unnest(range(len(embedding))) AS dim,
-         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS q
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
   FROM embeddings
 ),
 sums AS (
@@ -5414,7 +5424,7 @@ EM1_SQL = """
 WITH comps AS (
   SELECT vec_id,
          unnest(range(len(embedding))) AS dim,
-         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS q
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
   FROM embeddings
 ),
 s2 AS (

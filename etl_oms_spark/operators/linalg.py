@@ -50,9 +50,12 @@ def second_moment_sums(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.rint(
-                np.stack(pdf[vec_col].to_numpy()).astype("float64") * scale
-            ).astype("int64")
+            v = np.stack(pdf[vec_col].to_numpy()).astype("float64") * scale
+            # round HALF AWAY FROM ZERO — np.rint is half-to-even, which
+            # silently diverges from Spark's F.round / DuckDB round() on
+            # exact-.5 products (first observed at sf0.1: a float32 value
+            # whose x*1000 is exactly representable as n+0.5)
+            mat = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
             g = mat.T @ mat  # exact int64 partial Gram
             acc = g if acc is None else acc + g
         if acc is None:

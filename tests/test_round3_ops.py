@@ -20,8 +20,8 @@ def test_covariance_matches_numpy(emb):
     from etl_oms_spark.operators.linalg import covariance_matrix
 
     rows = emb.select("embedding").collect()
-    q = np.rint(np.stack([r["embedding"] for r in rows]).astype("float64") * 1000
-                ).astype("int64")
+    v = np.stack([r["embedding"] for r in rows]).astype("float64") * 1000
+    q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")  # half away from zero, like F.round
     n = q.shape[0]
     s2 = q.T @ q
     s1 = q.sum(axis=0)
@@ -113,7 +113,8 @@ def test_pca_components_match_numpy(emb):
     from etl_oms_spark.operators.linalg import principal_components
 
     rows = emb.select("embedding").collect()
-    x = np.rint(np.stack([r["embedding"] for r in rows]).astype("float64") * 1000)
+    xv = np.stack([r["embedding"] for r in rows]).astype("float64") * 1000
+    x = np.sign(xv) * np.floor(np.abs(xv) + 0.5)  # half away from zero, like F.round
     n = x.shape[0]
     cov = (x.T @ x) / n - np.outer(x.sum(0) / n, x.sum(0) / n)
     vals, vecs = np.linalg.eigh(cov)
