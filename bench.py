@@ -65,6 +65,8 @@ HEADLINE = [
     "zo1_zorder_key",
     "cp1_compaction_plan",
     "x1_chi2_keywords",
+    "e8_sq_topk",
+    "dc1_dataset_card",
 ]
 
 
