@@ -186,5 +186,6 @@ def plan_stats(df: DataFrame) -> dict:
         "single_partition": count(r"Exchange SinglePartition"),
         "scans": count(r"FileScan|Scan parquet|Scan csv|Scan json"),
         "sorts": count(r"\bSort\b|\bSort \["),
-        "codegen_spans": count(r"WholeStageCodegen"),
+        # simple-mode plans mark codegen stages with "*(n)" prefixes
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
     }
