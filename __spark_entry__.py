@@ -6408,6 +6408,84 @@ ORDER BY metric, source
 """
 
 
+def dq2_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profiling default: profile_columns(approx=True) — one
+    scan, HLL distinct sketches instead of the #cols× EXPAND. No oracle
+    (sketch estimates are engine-specific); the exact twin dq1_profile
+    carries the oracle, this row proves the scale path executes."""
+    from etl_oms_spark.operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "lineitem"), approx=True)
+
+
+def uq1_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-trajectory similarity (REPOSE-style, PAPERS.md): encode
+    each user's time-ordered event-type sequence as an initial-letter
+    string, block candidate pairs by similar sequence length (|len
+    difference| ≤ 10 — the provable lower bound |a|−|b| ≤ edit distance
+    makes this a lossless filter for near pairs), Levenshtein within
+    blocks, and keep the 50 most-similar pairs (deterministic
+    tie-breaks). Everything before the bounded pair join is one
+    user-keyed aggregation; the top-k is a TakeOrdered cut."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seqs = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 40)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", F.col("event_type")))
+                    ),
+                    lambda s: F.substring(s["event_type"], 1, 1),
+                ),
+            ).alias("seq")
+        )
+        .withColumn("len", F.length("seq"))
+    )
+    a = seqs.select(
+        F.col("user_id").alias("user_a"), F.col("seq").alias("seq_a"), F.col("len").alias("la")
+    )
+    b = seqs.select(
+        F.col("user_id").alias("user_b"), F.col("seq").alias("seq_b"), F.col("len").alias("lb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_a") < F.col("user_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 10),
+        )
+        .withColumn("edit_dist", F.levenshtein("seq_a", "seq_b"))
+        .select("user_a", "user_b", "edit_dist")
+        .orderBy(F.asc("edit_dist"), "user_a", "user_b")
+        .limit(50)
+    )
+
+
+UQ1_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), seqs AS (
+    SELECT user_id,
+           string_agg(substring(event_type, 1, 1), '' ORDER BY rn) AS seq
+    FROM ranked WHERE rn <= 40
+    GROUP BY user_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(levenshtein(a.seq, b.seq) AS INT) AS edit_dist
+FROM seqs a JOIN seqs b
+  ON a.user_id < b.user_id
+ AND abs(length(a.seq) - length(b.seq)) <= 10
+ORDER BY edit_dist, user_a, user_b
+LIMIT 50
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6606,6 +6684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e8_sq_topk": e8_sq_topk,
         "e9_pq_topk": e9_pq_topk,
         "dc1_dataset_card": dc1_dataset_card,
+        "dq2_profile_approx": dq2_profile_approx,
+        "uq1_user_similarity": uq1_user_similarity,
     }
 
 
@@ -6782,4 +6862,5 @@ def oracle_sql() -> dict[str, str]:
         "im1_mode_impute": IM1_SQL,
         "e8_sq_topk": E8_SQL,
         "dc1_dataset_card": DC1_SQL,
+        "uq1_user_similarity": UQ1_SQL,
     }

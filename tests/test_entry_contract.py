@@ -17,6 +17,7 @@ KNOWN_ROWS_ONLY = {
     "hl1_sketch_rollup",     # HLL sketch union; exact twin hl2
     "pc1_pca_projection",    # eigendecomposition; pytest vs numpy
     "e9_pq_topk",            # iterative k-means codebooks; pytest vs exact path
+    "dq2_profile_approx",    # HLL estimates; exact twin dq1_profile
 }
 
 
