@@ -6486,6 +6486,138 @@ LIMIT 50
 """
 
 
+def fn2_cohort_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorted funnel conversion: per first-activity day, the share of
+    users reaching each view→click→purchase stage — fn1's per-user fold
+    re-aggregated by cohort (user-keyed shuffle, then a days-sized
+    frame). Rates divide exact integer counts."""
+    from etl_oms_spark.operators.stateful import funnel
+
+    e = _events(spark, sf_dir)
+    cohorts = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    f = funnel(e, ["view", "click", "purchase"])
+    # left join: users with NO funnel-type events still belong to their
+    # cohort denominator (funnel() pre-filters to funnel event types)
+    return (
+        cohorts.join(f.select("user_id", "stage"), "user_id", "left")
+        .withColumn("stage", F.coalesce(F.col("stage"), F.lit(0)))
+        .groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("n_view"),
+            F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("n_click"),
+            F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).alias("n_purchase"),
+        )
+        .withColumn(
+            "purchase_rate",
+            F.col("n_purchase") / F.col("n_users").cast("double"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+FN2_SQL = """
+WITH ev AS (
+    SELECT user_id, ts, event_type FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (SELECT user_id, MIN(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, MIN(ev.ts) AS t_click
+      FROM ev JOIN v ON ev.user_id = v.user_id
+      WHERE ev.event_type = 'click' AND ev.ts > v.t_view
+      GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, MIN(ev.ts) AS t_purchase
+      FROM ev JOIN c ON ev.user_id = c.user_id
+      WHERE ev.event_type = 'purchase' AND ev.ts > c.t_click
+      GROUP BY ev.user_id),
+cohorts AS (
+    SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+    FROM events GROUP BY user_id
+)
+SELECT cohort_day,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(v.user_id) AS BIGINT) AS n_view,
+       CAST(COUNT(c.user_id) AS BIGINT) AS n_click,
+       CAST(COUNT(p.user_id) AS BIGINT) AS n_purchase,
+       CAST(COUNT(p.user_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS purchase_rate
+FROM cohorts co
+LEFT JOIN v ON co.user_id = v.user_id
+LEFT JOIN c ON co.user_id = c.user_id
+LEFT JOIN p ON co.user_id = p.user_id
+GROUP BY cohort_day
+ORDER BY cohort_day
+"""
+
+
+def a20_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of brands by revenue: cumulative share
+    of the exact-integer revenue in descending order → A (first 70%),
+    B (to 90%), C (tail). The cumulative window runs over the
+    brands-sized aggregate (group cardinality), never the fact table;
+    shares divide exact longs so the class cut is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10_000)
+            ).alias("units")
+        )
+    )
+    w = Window.orderBy(F.desc("units"), F.asc("p_brand")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = rev.agg(F.sum("units").alias("total"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("cum_share", F.sum("units").over(w) / F.col("total").cast("double"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.7, "A")
+            .when(F.col("cum_share") <= 0.9, "B")
+            .otherwise("C"),
+        )
+        .select(
+            "p_brand",
+            (F.col("units") / F.lit(10000.0)).alias("revenue"),
+            "cum_share",
+            "abc_class",
+        )
+        .orderBy(F.desc("revenue"), "p_brand")
+    )
+
+
+A20_SQL = """
+WITH rev AS (
+    SELECT p_brand,
+           SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT))
+             AS units
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+), tot AS (SELECT SUM(units) AS total FROM rev)
+SELECT p_brand,
+       CAST(units AS DOUBLE) / 10000.0 AS revenue,
+       CAST(SUM(units) OVER (ORDER BY units DESC, p_brand
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(total AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(SUM(units) OVER (ORDER BY units DESC, p_brand
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(total AS DOUBLE) <= 0.7 THEN 'A'
+            WHEN CAST(SUM(units) OVER (ORDER BY units DESC, p_brand
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(total AS DOUBLE) <= 0.9 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM rev CROSS JOIN tot
+ORDER BY revenue DESC, p_brand
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6686,6 +6818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc1_dataset_card": dc1_dataset_card,
         "dq2_profile_approx": dq2_profile_approx,
         "uq1_user_similarity": uq1_user_similarity,
+        "fn2_cohort_funnel": fn2_cohort_funnel,
+        "a20_abc_analysis": a20_abc_analysis,
     }
 
 
@@ -6863,4 +6997,6 @@ def oracle_sql() -> dict[str, str]:
         "e8_sq_topk": E8_SQL,
         "dc1_dataset_card": DC1_SQL,
         "uq1_user_similarity": UQ1_SQL,
+        "fn2_cohort_funnel": FN2_SQL,
+        "a20_abc_analysis": A20_SQL,
     }
