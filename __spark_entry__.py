@@ -6618,6 +6618,57 @@ ORDER BY revenue DESC, p_brand
 """
 
 
+def tr1_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.triangle_count) over the
+    portable md5 LSH candidate-pair graph: per-doc triangle
+    participation + the global total (id −1). Wedge join + closing-edge
+    semi-join, Σ deg² bounded; oracle re-derives the identical pair set
+    (d7 CTEs) and counts with the same oriented three-way join."""
+    from etl_oms_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from etl_oms_spark.operators.graph import triangle_count
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), hash_method="md5")
+    pairs = lsh_candidate_pairs(sigs, hash_method="md5")
+    return triangle_count(pairs).orderBy("id")
+
+
+TR1_SQL = (
+    "WITH "
+    + _build_d7_sql()
+    + ","
+    + """
+pairs AS ({_final}),
+e AS (
+    SELECT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+    FROM pairs WHERE id_a <> id_b
+    GROUP BY 1, 2
+),
+tri AS (
+    SELECT ab.u AS a, ab.v AS b, bc.v AS c
+    FROM e ab
+    JOIN e bc ON ab.v = bc.u
+    WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.u = ab.u AND ac.v = bc.v)
+),
+per_node AS (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    GROUP BY id
+)
+SELECT id, n_triangles FROM per_node
+UNION ALL
+SELECT -1 AS id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
+ORDER BY id
+""".format(_final=_D7_FINAL.strip())
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6820,6 +6871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uq1_user_similarity": uq1_user_similarity,
         "fn2_cohort_funnel": fn2_cohort_funnel,
         "a20_abc_analysis": a20_abc_analysis,
+        "tr1_triangles": tr1_triangles,
     }
 
 
@@ -6999,4 +7051,5 @@ def oracle_sql() -> dict[str, str]:
         "uq1_user_similarity": UQ1_SQL,
         "fn2_cohort_funnel": FN2_SQL,
         "a20_abc_analysis": A20_SQL,
+        "tr1_triangles": TR1_SQL,
     }

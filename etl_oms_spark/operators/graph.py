@@ -141,3 +141,49 @@ def transitive_minhash_dedup(
     clusters = dedup_clusters(sims)
     victims = clusters.filter(F.col("doc_id") != F.col("canonical_id")).select(id_col)
     return df.join(victims, id_col, "left_anti")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Global triangle count plus per-node participation over an
+    undirected edge list — the density diagnostic for duplicate-pair
+    graphs (template clusters are near-cliques: triangles explode;
+    chains of drifting near-dups have none).
+
+    The classic distributed lowering: orient every edge low→high (kills
+    duplicate counting), join edges(a<b) with edges(b<c) to enumerate
+    open wedges, then semi-join the closing edge (a<c). Cost is
+    Σ deg(v)²/2 wedges — the standard bound; for power-law graphs cap the
+    wedge explosion upstream with the same max-degree pruning cc2's hub
+    report informs. Returns one row per node in ≥1 triangle plus the
+    total under node id -1.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    total = tri.agg(
+        F.lit(-1).cast(per_node.schema["id"].dataType).alias("id"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )
+    return per_node.unionAll(total)

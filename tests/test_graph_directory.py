@@ -88,3 +88,20 @@ def test_run_directory_etl_bilan(spark, tmp_path):
         ("Spain", "Monkeypox"),
     }
     assert all(r["_source_file"] for r in rows)
+
+
+def test_triangle_count_hand_case(spark):
+    from etl_oms_spark.operators.graph import triangle_count
+
+    # 4-clique on {1,2,3,4} (4 triangles) + pendant edge 4-5 (none)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {r["id"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got[-1] == 4                      # C(4,3)
+    assert got[1] == got[2] == got[3] == 3   # each node in 3 of 4 triangles
+    assert got[4] == 3
+    assert 5 not in got                      # pendant joins no triangle
+    # duplicate / reversed edges must not inflate counts
+    noisy = spark.createDataFrame(edges + [(2, 1), (1, 2)], "id_a LONG, id_b LONG")
+    got2 = {r["id"]: r["n_triangles"] for r in triangle_count(noisy).collect()}
+    assert got2 == got
