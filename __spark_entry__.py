@@ -6669,6 +6669,78 @@ ORDER BY id
 )
 
 
+def pr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-exact PageRank (operators/graph.pagerank_quantized,
+    3 iterations, d=0.85) over the md5 LSH candidate-pair graph — an
+    ITERATIVE algorithm with an exact oracle: ranks are 1e-9 BIGINTs,
+    contributions integer divisions, damping re-quantized per step, so
+    the DuckDB recursive CTE (list-state per iteration, same integer
+    arithmetic) matches bit-for-bit."""
+    from etl_oms_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from etl_oms_spark.operators.graph import pagerank_quantized
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), hash_method="md5")
+    pairs = lsh_candidate_pairs(sigs, hash_method="md5")
+    return pagerank_quantized(pairs).orderBy("id")
+
+
+PR1_SQL = (
+    "WITH RECURSIVE "
+    + _build_d7_sql()
+    + ","
+    + """
+pairs AS ({_final}),
+bi AS (
+    SELECT id_a AS u, id_b AS v FROM pairs WHERE id_a <> id_b
+    UNION
+    SELECT id_b, id_a FROM pairs WHERE id_a <> id_b
+),
+nodes AS (
+    SELECT id, row_number() OVER (ORDER BY id) AS ix
+    FROM (SELECT DISTINCT u AS id FROM bi)
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+consts AS (
+    SELECT CAST(floor((1.0 - 0.85) * 1e9 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS b,
+           CAST(floor(1e9 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS p0
+    FROM nn
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM bi GROUP BY u),
+eidx AS (
+    SELECT nu.ix AS ui, nv.ix AS vi, deg.d AS du
+    FROM bi JOIN nodes nu ON bi.u = nu.id
+    JOIN nodes nv ON bi.v = nv.id
+    JOIN deg ON deg.u = bi.u
+),
+it AS (
+    SELECT 0 AS iter,
+           (SELECT list((SELECT p0 FROM consts) ORDER BY ix) FROM nodes) AS prs
+    UNION ALL
+    SELECT it.iter + 1,
+           (SELECT list(
+                (SELECT b FROM consts)
+                + COALESCE(s.inc, 0)
+                ORDER BY nodes.ix)
+            FROM nodes LEFT JOIN (
+                SELECT vi,
+                       CAST(floor(0.85 * CAST(SUM(it.prs[ui] // du) AS DOUBLE)
+                                  + 0.5) AS BIGINT) AS inc
+                FROM eidx GROUP BY vi
+            ) s ON s.vi = nodes.ix)
+    FROM it WHERE it.iter < 3
+)
+SELECT nodes.id,
+       f.prs[nodes.ix] AS pr_q,
+       CAST(f.prs[nodes.ix] AS DOUBLE) / 1e9 AS pagerank
+FROM nodes, (SELECT prs FROM it WHERE iter = 3) f
+ORDER BY nodes.id
+""".format(_final=_D7_FINAL.strip())
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6872,6 +6944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn2_cohort_funnel": fn2_cohort_funnel,
         "a20_abc_analysis": a20_abc_analysis,
         "tr1_triangles": tr1_triangles,
+        "pr1_pagerank": pr1_pagerank,
     }
 
 
@@ -7052,4 +7125,5 @@ def oracle_sql() -> dict[str, str]:
         "fn2_cohort_funnel": FN2_SQL,
         "a20_abc_analysis": A20_SQL,
         "tr1_triangles": TR1_SQL,
+        "pr1_pagerank": PR1_SQL,
     }

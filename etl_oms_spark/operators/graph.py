@@ -187,3 +187,77 @@ def triangle_count(
         F.count(F.lit(1)).alias("n_triangles"),
     )
     return per_node.unionAll(total)
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 3,
+    damping: float = 0.85,
+    quant: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank with ORDER-INDEPENDENT arithmetic: ranks
+    live as 1e-9-quantized BIGINTs, per-edge contributions are integer
+    divisions (pr DIV degree), and each damping step re-quantizes with
+    floor(d·S + 0.5) — so partial-aggregation order cannot change a
+    single bit and the result is reproducible by any engine (the same
+    discipline as st3's entropy / dr1's PSI, applied to an iterative
+    algorithm). Undirected: each edge contributes both ways.
+
+    Per iteration: one edges-sized join + one target-keyed sum
+    (map-side combined) + a nodes-sized left join; lineage truncated
+    with localCheckpoint like connected_components. The mass lost to
+    integer division (< degree ranks per node) is deterministic and
+    identical cross-engine — this is a ranking signal, not a
+    probability measure.
+    """
+    bi = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = bi.select(F.col("u").alias("id")).distinct()
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+    totals = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    # (1-d)*q is computed as the two-step double expression on BOTH
+    # engines (literal 0.15e9 differs from (1.0-0.85)*1e9 in the last ULP)
+    base_expr = F.floor(
+        (F.lit(1.0 - damping) * F.lit(float(quant)))
+        / F.col("__n").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    init_expr = F.floor(
+        F.lit(float(quant)) / F.col("__n").cast("double") + F.lit(0.5)
+    ).cast("long")
+    pr = nodes.crossJoin(F.broadcast(totals)).select(
+        "id", init_expr.alias("pr_q")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (
+            bi.join(deg, "u")
+            .join(pr.select(F.col("id").alias("u"), "pr_q"), "u")
+            .select(F.col("v").alias("id"), F.expr("pr_q DIV __deg").alias("__c"))
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(totals))
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    base_expr
+                    + F.floor(
+                        F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0)).cast("double")
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).alias("pr_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(
+        "id", "pr_q", (F.col("pr_q") / F.lit(float(quant))).alias("pagerank")
+    )

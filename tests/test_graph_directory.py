@@ -105,3 +105,19 @@ def test_triangle_count_hand_case(spark):
     noisy = spark.createDataFrame(edges + [(2, 1), (1, 2)], "id_a LONG, id_b LONG")
     got2 = {r["id"]: r["n_triangles"] for r in triangle_count(noisy).collect()}
     assert got2 == got
+
+
+def test_pagerank_quantized_properties(spark):
+    from etl_oms_spark.operators.graph import pagerank_quantized
+
+    # star: center 0 linked to 1..5 -> center outranks leaves; leaves equal
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {r["id"]: r["pr_q"] for r in pagerank_quantized(df).collect()}
+    leaves = {got[i] for i in range(1, 6)}
+    assert len(leaves) == 1          # symmetry -> identical quantized ranks
+    assert got[0] > got[1]
+    # partitioning invariance: quantized arithmetic is order-free
+    got2 = {r["id"]: r["pr_q"]
+            for r in pagerank_quantized(df.repartition(5)).collect()}
+    assert got2 == got
