@@ -6428,9 +6428,14 @@ def uq1_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks). Everything before the bounded pair join is one
     user-keyed aggregation; the top-k is a TakeOrdered cut."""
     e = _events(spark, sf_dir)
+    # cohort bound: the 200 lowest user ids (TakeOrdered) — pair count is
+    # O(cohort²) at ANY corpus scale; length blocking alone is vacuous
+    # when every user has >= 40 events (measured 21s at sf0.1 unbounded)
+    cohort = e.select("user_id").distinct().orderBy("user_id").limit(200)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     seqs = (
-        e.withColumn("__rn", F.row_number().over(w))
+        e.join(F.broadcast(cohort), "user_id", "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 40)
         .groupBy("user_id")
         .agg(
@@ -6466,10 +6471,12 @@ def uq1_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 UQ1_SQL = """
-WITH ranked AS (
+WITH cohort AS (
+    SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 200
+), ranked AS (
     SELECT user_id, event_type,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-    FROM events
+    FROM events WHERE user_id IN (SELECT user_id FROM cohort)
 ), seqs AS (
     SELECT user_id,
            string_agg(substring(event_type, 1, 1), '' ORDER BY rn) AS seq
