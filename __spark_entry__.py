@@ -6748,6 +6748,64 @@ ORDER BY nodes.id
 )
 
 
+def cm1_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for the 20 most frequent
+    tokens (operators/vocab.cms_counts/cms_estimate): 4×1024 md5-derived
+    sketch — depth×width state regardless of vocabulary size, mergeable
+    by addition (the streaming/sharded frequency analogue of hl1's HLL
+    rollup). Because the hashes are portable, even the ESTIMATES get an
+    exact oracle: DuckDB rebuilds the identical sketch and min-probes it.
+    True counts ride along, so the row shows the CMS overestimate bound
+    (est ≥ true) holding."""
+    from etl_oms_spark.operators.text import tokens as _tok
+    from etl_oms_spark.operators.vocab import cms_counts, cms_estimate
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(_tok("text")).alias("term")
+    )
+    sketch = cms_counts(toks, "term")
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "term")
+        .limit(20)
+    )
+    return (
+        cms_estimate(sketch, top.select("term"), "term")
+        .join(top, "term")
+        .select("term", "true_count", "cms_estimate")
+        .orderBy(F.desc("true_count"), "term")
+    )
+
+
+CM1_SQL = f"""
+WITH toks AS (
+    SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term FROM documents
+), probes AS (
+    SELECT term, j AS row,
+           CAST(CAST('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || '|' || term), 1, 15)
+                AS BIGINT) % 1024 AS INT) AS bucket
+    FROM toks, generate_series(0, 3) g(j)
+), sketch AS (
+    SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM probes GROUP BY row, bucket
+), top AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS true_count
+    FROM toks GROUP BY term
+    ORDER BY true_count DESC, term LIMIT 20
+), est AS (
+    SELECT p.term, MIN(s.n) AS cms_estimate
+    FROM (SELECT DISTINCT term, row, bucket FROM probes
+          WHERE term IN (SELECT term FROM top)) p
+    JOIN sketch s ON p.row = s.row AND p.bucket = s.bucket
+    GROUP BY p.term
+)
+SELECT top.term, true_count, cms_estimate
+FROM top JOIN est ON top.term = est.term
+ORDER BY true_count DESC, top.term
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6952,6 +7010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_abc_analysis": a20_abc_analysis,
         "tr1_triangles": tr1_triangles,
         "pr1_pagerank": pr1_pagerank,
+        "cm1_cms_heavyhitters": cm1_cms_heavyhitters,
     }
 
 
@@ -7133,4 +7192,5 @@ def oracle_sql() -> dict[str, str]:
         "a20_abc_analysis": A20_SQL,
         "tr1_triangles": TR1_SQL,
         "pr1_pagerank": PR1_SQL,
+        "cm1_cms_heavyhitters": CM1_SQL,
     }

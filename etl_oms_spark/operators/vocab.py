@@ -234,3 +234,77 @@ def chi2_keywords(
         .filter(F.col("__rk") <= k)
         .select(group_col, "term", "chi2", "df_in", "df_out")
     )
+
+
+def cms_counts(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min-Sketch bucket counts: ``depth`` portable md5-derived hash
+    rows × ``width`` buckets — (row, bucket, n). The sketch is a pure
+    count aggregate (map-side combined, depth rows per input row through
+    the shuffle, depth×width total output regardless of cardinality), so
+    it merges across partitions/batches by addition — the mergeable-
+    frequency analogue of hl1's HLL rollup.
+
+    Because the hash rows are md5-derived (not engine-specific seeds),
+    any engine rebuilds the IDENTICAL sketch — estimates included.
+    """
+    rows = []
+    for j in range(depth):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{j}|"), F.col(col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        rows.append(
+            df.select(
+                F.lit(j).alias("row"), (h % F.lit(width)).cast("int").alias("bucket")
+            )
+        )
+    stacked = rows[0]
+    for r in rows[1:]:
+        stacked = stacked.unionAll(r)
+    return stacked.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for each item: estimate = MIN over hash
+    rows of that item's bucket count (the classic CMS upper bound —
+    overestimates only, never under). The items side recomputes its
+    md5 buckets and joins the depth×width sketch (broadcast)."""
+    probes = None
+    for j in range(depth):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{j}|"), F.col(col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        p = items.select(
+            F.col(col), F.lit(j).alias("row"),
+            (h % F.lit(width)).cast("int").alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(col)
+        .agg(F.min("n").alias("cms_estimate"))
+    )

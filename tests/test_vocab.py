@@ -86,3 +86,34 @@ def test_chi2_keywords_hand_case(spark):
     assert a_terms[0][1] in ("apple",)
     # shared terms (zz/yy appear in both groups evenly) score 0
     assert got[("A", "zz")]["chi2"] == 0.0
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.vocab import cms_counts, cms_estimate
+
+    df = spark.createDataFrame(
+        [(w,) for w in ["a"] * 50 + ["b"] * 20 + list("cdefghij")], "term STRING"
+    )
+    sk = cms_counts(df, "term", depth=4, width=64)
+    items = df.select("term").distinct()
+    est = {r["term"]: r["cms_estimate"]
+           for r in cms_estimate(sk, items, "term", depth=4, width=64).collect()}
+    true = {r["term"]: r["n"]
+            for r in df.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[t] >= true[t] for t in true)  # CMS upper-bound property
+    assert est["a"] >= 50 and est["b"] >= 20
+
+    # mergeability: sketch(full) == sketch(half1) + sketch(half2)
+    words = ["a"] * 50 + ["b"] * 20 + list("cdefghij")
+    h1 = spark.createDataFrame([(w,) for w in words[:40]], "term STRING")
+    h2 = spark.createDataFrame([(w,) for w in words[40:]], "term STRING")
+    merged = (
+        cms_counts(h1, "term", depth=4, width=64)
+        .unionAll(cms_counts(h2, "term", depth=4, width=64))
+        .groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+    )
+    full = {(r["row"], r["bucket"]): r["n"] for r in sk.collect()}
+    got = {(r["row"], r["bucket"]): r["n"] for r in merged.collect()}
+    assert got == full
