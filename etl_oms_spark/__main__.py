@@ -163,6 +163,12 @@ def main(argv: list[str] | None = None) -> int:
         from .plans.training_pipeline import curate_documents, write_curated
 
         docs = spark.read.parquet(args.documents)
+        # bilan via the Observation API: the counts ride the write action
+        # itself — no post-hoc re-read of the output (plans/instrument.py)
+        from .plans.instrument import PipelineMetrics
+
+        stages = PipelineMetrics()
+        docs = stages.observe(docs, "input")
         train, test = curate_documents(
             docs,
             min_tokens=args.min_tokens,
@@ -170,11 +176,14 @@ def main(argv: list[str] | None = None) -> int:
             transitive=args.transitive,
             test_rate=args.test_rate,
         )
+        train = stages.observe(train, "train")
+        test = stages.observe(test, "test")
         write_curated(train, test, args.out)
-        kept = spark.read.parquet(args.out)
-        counts = {r["split"]: r["n"] for r in
-                  kept.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
-        print(f"curated: {counts} (input {docs.count()})")
+        rep = stages.report()
+        print(
+            f"curated: train {rep['train']['rows']}, test {rep['test']['rows']} "
+            f"(input {rep['input']['rows']})"
+        )
     elif args.cmd == "profile":
         from .operators.profile import profile_columns
 
