@@ -6806,6 +6806,151 @@ ORDER BY true_count DESC, top.term
 """
 
 
+def tp3_repair_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 capstone: a second full curation pipeline composed from
+    this round's operators — Gopher gate → corpus block-dedup REPAIR
+    (drop repeated 8-word blocks, keep the document) → 3-gram novelty
+    annotation on the REPAIRED text → portable md5 split — reported per
+    split with exact integers (novelty quantized 1e-9 before summing).
+    Every stage reuses an independently-oracled operator, and the
+    composition gets its own end-to-end exact oracle: the strongest
+    statement that the pieces compose without semantic drift."""
+    from etl_oms_spark.operators.dedup import block_dedup, ngram_novelty
+    from etl_oms_spark.operators.sampling import _md5_bucket
+    from etl_oms_spark.operators.text import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    gated = d.filter(gopher_rules(F.col("text"), min_words=30)["pass"]).select(
+        "doc_id", "text"
+    )
+    rep = block_dedup(gated, block_words=8).filter(F.col("n_kept") >= 1)
+    nov = ngram_novelty(
+        rep.select("doc_id", F.col("kept_text").alias("text")), k=3
+    )
+    j = rep.join(nov, "doc_id")
+    # split as a COLUMN, not train_test_split's two filtered frames: the
+    # two-frame form re-evaluates the whole upstream pipeline once per
+    # side before the union (measured 14.2s at sf0.1; single-pass 7s) —
+    # same membership, identical md5 bucket rule
+    u = j.withColumn(
+        "split",
+        F.when(
+            _md5_bucket(F.col("doc_id"), "split") < F.lit(100_000), "test"
+        ).otherwise("train"),
+    )
+    return (
+        u.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_kept").alias("kept_blocks"),
+            F.sum(
+                F.floor(F.col("novelty") * F.lit(1e9) + F.lit(0.5)).cast("long")
+            ).alias("novelty_q9"),
+        )
+        .orderBy("split")
+    )
+
+
+TP3_SQL = rf"""
+WITH g AS (
+  SELECT doc_id,
+         {_NORM_SQL} AS norm,
+         {_WS} AS n_words,
+         greatest({_WS}, 1) AS sw
+  FROM documents
+),
+passed AS (
+  SELECT g.doc_id
+  FROM g JOIN documents USING (doc_id)
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND (CAST(length(norm) - (n_words - 1) AS DOUBLE) / sw) >= 3.0
+    AND (CAST(length(norm) - (n_words - 1) AS DOUBLE) / sw) <= 10.0
+    AND CAST(len(regexp_extract_all(norm, '#|\.\.\.'))
+             + len(regexp_extract_all(norm, '…')) AS DOUBLE) / sw <= 0.1
+    AND CAST(len(list_filter(string_split(norm, ' '),
+                             t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+          / sw >= 0.8
+    AND len(regexp_extract_all(lower(text),
+            '\b(the|a|an|and|or|of|to|in|is|it)\b')) >= 2
+),
+t AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+    FROM documents WHERE doc_id IN (SELECT doc_id FROM passed)
+),
+base AS (
+    SELECT doc_id, toks,
+           CAST(greatest(ceil(len(toks) / 8.0), 1) AS BIGINT) AS n_blocks
+    FROM t
+),
+blocks AS (
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           array_to_string(list_slice(toks, (i - 1) * 8 + 1, i * 8), ' ') AS block
+    FROM base, LATERAL unnest(range(1, n_blocks + 1)) u(i)
+),
+winners AS (
+    SELECT block, (min(struct_pack(d := doc_id, p := pos))).d AS wd,
+           (min(struct_pack(d := doc_id, p := pos))).p AS wp
+    FROM blocks GROUP BY block
+),
+kept AS (
+    SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(b.block, ' ' ORDER BY b.pos) AS kept_text
+    FROM blocks b JOIN winners w
+      ON b.block = w.block AND b.doc_id = w.wd AND b.pos = w.wp
+    GROUP BY b.doc_id
+),
+repaired AS (
+    SELECT doc_id, n_kept, kept_text FROM kept WHERE n_kept >= 1
+),
+narr AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(lower(trim(kept_text)), '\s+', ' ', 'g'), ' ') AS arr
+    FROM repaired
+),
+ntot AS (
+    SELECT doc_id,
+           CAST(len(list_distinct(list_transform(
+               range(1, greatest(len(arr) - 2, 1) + 1),
+               i -> array_to_string(arr[i:i+2], ' ')))) AS BIGINT) AS n_sh
+    FROM narr
+),
+nsh AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) AS h
+    FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(arr) - 2, 1) + 1),
+                   i -> array_to_string(arr[i:i+2], ' ')))) AS s
+        FROM narr
+    )
+),
+first AS (SELECT h, MIN(doc_id) AS fd FROM nsh GROUP BY h),
+novel AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+          FROM first GROUP BY fd),
+scored AS (
+    SELECT r.doc_id, r.n_kept,
+           CAST(COALESCE(novel.n_novel, 0) AS DOUBLE)
+             / CAST(ntot.n_sh AS DOUBLE) AS novelty,
+           CASE WHEN CAST('0x' || substring(md5('split|'
+                    || CAST(r.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 1000000 < 100000
+                THEN 'test' ELSE 'train' END AS split
+    FROM repaired r
+    JOIN ntot ON r.doc_id = ntot.doc_id
+    LEFT JOIN novel ON r.doc_id = novel.doc_id
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_kept) AS BIGINT) AS kept_blocks,
+       CAST(SUM(CAST(floor(novelty * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+         AS novelty_q9
+FROM scored
+GROUP BY split
+ORDER BY split
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7011,6 +7156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr1_triangles": tr1_triangles,
         "pr1_pagerank": pr1_pagerank,
         "cm1_cms_heavyhitters": cm1_cms_heavyhitters,
+        "tp3_repair_pipeline": tp3_repair_pipeline,
     }
 
 
@@ -7193,4 +7339,5 @@ def oracle_sql() -> dict[str, str]:
         "tr1_triangles": TR1_SQL,
         "pr1_pagerank": PR1_SQL,
         "cm1_cms_heavyhitters": CM1_SQL,
+        "tp3_repair_pipeline": TP3_SQL,
     }

@@ -160,28 +160,37 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         print(f"bilan: {bilan} in {round(time.time() - t0, 2)}s")
     elif args.cmd == "curate":
-        from .plans.training_pipeline import curate_documents, write_curated
+        from .plans.training_pipeline import (
+            curate_documents_with_split,
+            write_curated_single,
+        )
 
         docs = spark.read.parquet(args.documents)
-        # bilan via the Observation API: the counts ride the write action
-        # itself — no post-hoc re-read of the output (plans/instrument.py)
+        # single-frame pipeline (split as a column — one evaluation, not
+        # one per side) with the bilan riding the write action via the
+        # Observation API (plans/instrument.py): zero extra scans
         from .plans.instrument import PipelineMetrics
 
         stages = PipelineMetrics()
         docs = stages.observe(docs, "input")
-        train, test = curate_documents(
+        curated = curate_documents_with_split(
             docs,
             min_tokens=args.min_tokens,
             near_dup_threshold=args.near_dup_threshold,
             transitive=args.transitive,
             test_rate=args.test_rate,
         )
-        train = stages.observe(train, "train")
-        test = stages.observe(test, "test")
-        write_curated(train, test, args.out)
+        curated = stages.observe(
+            curated,
+            "curated",
+            train_rows=F.sum(F.when(F.col("split") == "train", 1).otherwise(0)),
+            test_rows=F.sum(F.when(F.col("split") == "test", 1).otherwise(0)),
+        )
+        write_curated_single(curated, args.out)
         rep = stages.report()
         print(
-            f"curated: train {rep['train']['rows']}, test {rep['test']['rows']} "
+            f"curated: train {rep['curated']['train_rows']}, "
+            f"test {rep['curated']['test_rows']} "
             f"(input {rep['input']['rows']})"
         )
     elif args.cmd == "profile":

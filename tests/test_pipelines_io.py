@@ -216,3 +216,25 @@ def test_write_sorted_parquet_global_order(spark, tmp_path):
             prev_max = vals[-1]
         total += len(vals)
     assert total == 1000
+
+
+def test_curate_single_frame_matches_two_frame(spark):
+    """split-column pipeline must produce identical membership to the
+    two-frame train_test_split form."""
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.plans.training_pipeline import (
+        curate_documents,
+        curate_documents_with_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train, test = curate_documents(docs, min_tokens=10, test_rate=0.2)
+    single = curate_documents_with_split(docs, min_tokens=10, test_rate=0.2)
+    want_train = {r["doc_id"] for r in train.select("doc_id").collect()}
+    want_test = {r["doc_id"] for r in test.select("doc_id").collect()}
+    got_train = {r["doc_id"] for r in
+                 single.filter(F.col("split") == "train").select("doc_id").collect()}
+    got_test = {r["doc_id"] for r in
+                single.filter(F.col("split") == "test").select("doc_id").collect()}
+    assert got_train == want_train and got_test == want_test
