@@ -2660,18 +2660,15 @@ def tp1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup → MinHash near-dedup → annotation → hash-stable split, reported
     as per-(split, predicted-language) counts (rows-only: membership
     depends on engine-side xxhash; determinism pinned by tests)."""
-    from etl_oms_spark.plans.training_pipeline import curate_documents
+    from etl_oms_spark.plans.training_pipeline import curate_documents_with_split
 
     docs = _t(spark, sf_dir, "documents")
-    train, test = curate_documents(docs, min_tokens=20, near_dup_threshold=0.7)
-    return (
-        train.withColumn("split", F.lit("train"))
-        .unionByName(test.withColumn("split", F.lit("test")))
-        .groupBy("split", "lang_pred")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("ws_tokens").alias("total_tokens"),
-        )
+    curated = curate_documents_with_split(
+        docs, min_tokens=20, near_dup_threshold=0.7
+    )
+    return curated.groupBy("split", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
     )
 
 
@@ -3784,20 +3781,15 @@ def tp2_curation_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_pred). Every stage is recomputable in DuckDB, so the END-TO-END
     pipeline membership gets an exact oracle — the strongest parity
     statement the engine makes (tp1 keeps the faster xxhash64 defaults)."""
-    from etl_oms_spark.plans.training_pipeline import curate_documents
+    from etl_oms_spark.plans.training_pipeline import curate_documents_with_split
 
     docs = _t(spark, sf_dir, "documents")
-    train, test = curate_documents(
+    curated = curate_documents_with_split(
         docs, min_tokens=20, near_dup_threshold=0.7, hash_method="md5"
     )
-    return (
-        train.withColumn("split", F.lit("train"))
-        .unionByName(test.withColumn("split", F.lit("test")))
-        .groupBy("split", "lang_pred")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("ws_tokens").alias("total_tokens"),
-        )
+    return curated.groupBy("split", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
     )
 
 
