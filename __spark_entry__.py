@@ -2598,18 +2598,19 @@ def sp1_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible in ANY engine — the DuckDB oracle recomputes the exact
     same buckets (xxhash64 remains the cheap default for in-Spark-only
     splits)."""
-    from etl_oms_spark.operators.sampling import train_test_split
+    from etl_oms_spark.operators.sampling import _md5_bucket
 
     d = _t(spark, sf_dir, "documents")
-    train, test = train_test_split(d, test_rate=0.2, key_col="doc_id", method="md5")
+    # single pass: the two-frame split form scans the corpus once per
+    # side; the bucket-column form is one scan + one conditional agg
+    # (identical membership — same md5 bucket rule)
+    is_test = _md5_bucket(F.col("doc_id"), "split") < F.lit(200_000)
     return (
-        train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_train"))
-        .join(
-            test.groupBy("lang").agg(F.count(F.lit(1)).alias("n_test")),
-            "lang",
-            "full_outer",
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.when(~is_test, 1).otherwise(0)).alias("n_train"),
+            F.sum(F.when(is_test, 1).otherwise(0)).alias("n_test"),
         )
-        .na.fill(0)
     )
 
 
