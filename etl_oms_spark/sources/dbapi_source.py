@@ -1,0 +1,124 @@
+"""Custom Python DataSource (Spark 4 API): partitioned DB-API reads.
+
+The reference reads its dimension tables over a live DB connection
+(`ETL_OMS_OPERATIONNEL.py:229-234`, pandas ``read_sql``) — the S5 seam.
+`read_jdbc_dim` covers the JVM JDBC path but needs a server; this module
+closes the seam natively with Spark 4's Python DataSource API: ANY
+DB-API-2.0 database (DuckDB, SQLite, Postgres via psycopg2, ...) becomes
+a first-class ``spark.read.format(...)`` source with
+
+- **partitioned parallel reads**: an integer column + bounds split the
+  query into range predicates, one DB cursor per Spark task (the same
+  contract as JDBC's partitionColumn/numPartitions);
+- executor-side connections (the driver never funnels rows): each task
+  opens its own connection from a connect() callable resolved by module
+  path, so the object shipped to workers is a string, not a socket.
+
+Registration is per-session: ``register_dbapi_source(spark)`` then
+``spark.read.format("dbapi").options(...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo, hi, last: bool) -> None:
+        self.lo = lo
+        self.hi = hi
+        self.last = last
+
+
+def _resolve(path: str):
+    """Import ``pkg.mod:attr`` → the connect() callable."""
+    mod_name, _, attr = path.partition(":")
+    import importlib
+
+    mod = importlib.import_module(mod_name)
+    fn = mod
+    for part in attr.split("."):
+        fn = getattr(fn, part)
+    return fn
+
+
+class DBApiReader(DataSourceReader):
+    def __init__(self, schema, options) -> None:
+        self.schema = schema
+        self.connect_path = options["connect"]
+        self.connect_arg = options.get("connect_arg")
+        self.query = options["query"]
+        self.part_col = options.get("partition_column")
+        self.n_parts = int(options.get("num_partitions", "4"))
+        self.lower = options.get("lower_bound")
+        self.upper = options.get("upper_bound")
+
+    def partitions(self):
+        if not self.part_col:
+            return [_RangePartition(None, None, True)]
+        lo, hi = int(self.lower), int(self.upper)
+        step = max(1, (hi - lo + 1) // self.n_parts)
+        parts = []
+        start = lo
+        for i in range(self.n_parts):
+            end = hi if i == self.n_parts - 1 else start + step - 1
+            parts.append(_RangePartition(start, end, i == self.n_parts - 1))
+            start = end + 1
+            if start > hi:
+                break
+        return parts
+
+    def read(self, partition):
+        connect = _resolve(self.connect_path)
+        conn = connect(self.connect_arg) if self.connect_arg else connect()
+        try:
+            cur = conn.cursor() if hasattr(conn, "cursor") else conn
+            sql = f"SELECT * FROM ({self.query}) __q"
+            if self.part_col and partition.lo is not None:
+                # last partition takes an open upper edge so bound
+                # estimation errors can't drop rows
+                upper_pred = (
+                    f"{self.part_col} >= {partition.lo}"
+                    if partition.last and partition.hi is None
+                    else f"{self.part_col} BETWEEN {partition.lo} AND {partition.hi}"
+                )
+                sql += f" WHERE {upper_pred}"
+            cur.execute(sql)
+            while True:
+                rows = cur.fetchmany(10_000)
+                if not rows:
+                    break
+                yield from (tuple(r) for r in rows)
+        finally:
+            conn.close()
+
+
+class DBApiDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "dbapi"
+
+    def schema(self) -> str:
+        # user-declared schema is required: DB-API has no portable
+        # schema discovery that Spark's planner can consume lazily
+        raise NotImplementedError(
+            "pass .schema(...) explicitly when reading format('dbapi')"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return DBApiReader(schema, self.options)
+
+
+def register_dbapi_source(spark) -> None:
+    """Register the source for this session (idempotent)."""
+    spark.dataSource.register(DBApiDataSource)
+
+
+def duckdb_readonly(path: str):
+    """Connect helper for file-backed DuckDB: read_only so N executor
+    tasks can open the same file concurrently (DuckDB's write mode takes
+    an exclusive lock). Use as ``connect='etl_oms_spark.sources.
+    dbapi_source:duckdb_readonly'`` with ``connect_arg=<db path>``."""
+    import duckdb
+
+    return duckdb.connect(path, read_only=True)

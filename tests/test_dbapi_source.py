@@ -1,0 +1,62 @@
+"""Custom Python DataSource: partitioned DB-API reads (Spark 4 API)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+
+def test_dbapi_source_partitioned_read(spark, tmp_path):
+    from etl_oms_spark.sources.dbapi_source import register_dbapi_source
+
+    db = str(tmp_path / "dim.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE dim AS SELECT i AS id, 'name_' || i AS name,"
+        " CAST(i * 1.5 AS DOUBLE) AS score FROM range(0, 1000) t(i)"
+    )
+    con.close()
+
+    register_dbapi_source(spark)
+    df = (
+        spark.read.format("dbapi")
+        .schema("id BIGINT, name STRING, score DOUBLE")
+        .option("connect", "etl_oms_spark.sources.dbapi_source:duckdb_readonly")
+        .option("connect_arg", db)
+        .option("query", "SELECT id, name, score FROM dim")
+        .option("partition_column", "id")
+        .option("num_partitions", "4")
+        .option("lower_bound", "0")
+        .option("upper_bound", "999")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    got = df.orderBy("id").limit(3).collect()
+    assert [r["name"] for r in got] == ["name_0", "name_1", "name_2"]
+    assert got[1]["score"] == 1.5
+    # no dupes / no drops across partition edges
+    assert df.select("id").distinct().count() == 1000
+    # broadcast-join the dim against a fact, the reference's S5 use
+    fact = spark.range(500).select((F.col("id") % 1000).alias("id"))
+    joined = fact.join(F.broadcast(df), "id", "left")
+    assert joined.filter(F.col("name").isNull()).count() == 0
+
+
+def test_dbapi_source_unpartitioned(spark, tmp_path):
+    from etl_oms_spark.sources.dbapi_source import register_dbapi_source
+
+    db = str(tmp_path / "d2.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT 1 AS a UNION ALL SELECT 2")
+    con.close()
+    register_dbapi_source(spark)
+    df = (
+        spark.read.format("dbapi")
+        .schema("a INT")
+        .option("connect", "etl_oms_spark.sources.dbapi_source:duckdb_readonly")
+        .option("connect_arg", db)
+        .option("query", "SELECT a FROM t")
+        .load()
+    )
+    assert sorted(r["a"] for r in df.collect()) == [1, 2]
