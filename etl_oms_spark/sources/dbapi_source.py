@@ -23,8 +23,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -202,3 +204,94 @@ class DBApiStreamDataSource(DataSource):
 
 def register_dbapi_stream_source(spark) -> None:
     spark.dataSource.register(DBApiStreamDataSource)
+
+
+class _WroteRows(WriterCommitMessage):
+    def __init__(self, n: int) -> None:
+        self.n = n
+
+
+class DBApiWriter(DataSourceWriter):
+    """Executor-parallel INSERT loader: each partition opens its own
+    connection and executemany-batches its rows into ``table`` — the
+    parallel staging load (S8) as a native ``df.write.format('dbapi')``.
+    Server databases (Postgres, MySQL) take the partitions concurrently;
+    single-writer embedded files (DuckDB, SQLite) serialize via the
+    lock-retry loop, correct either way. Commit messages carry row
+    counts; the driver logs the total (no distributed transaction is
+    pretended — make loads idempotent with staging + MERGE, see
+    upsert_via_dbapi)."""
+
+    def __init__(self, schema, options) -> None:
+        self.connect_path = options["connect"]
+        self.connect_arg = options.get("connect_arg")
+        self.table = options["table"]
+        self.n_cols = len(schema.fields)
+        self.retries = int(options.get("lock_retries", "20"))
+
+    def write(self, rows):
+        import time as _time
+
+        buf = [tuple(r) for r in rows]
+        if not buf:
+            return _WroteRows(0)
+        placeholders = ",".join(["?"] * self.n_cols)
+        connect = _resolve(self.connect_path)
+        last_exc = None
+        for attempt in range(self.retries):
+            try:
+                conn = connect(self.connect_arg) if self.connect_arg else connect()
+                try:
+                    cur = conn.cursor() if hasattr(conn, "cursor") else conn
+                    cur.executemany(
+                        f"INSERT INTO {self.table} VALUES ({placeholders})", buf
+                    )
+                    if hasattr(conn, "commit"):
+                        conn.commit()
+                    return _WroteRows(len(buf))
+                finally:
+                    conn.close()
+            except Exception as exc:  # noqa: BLE001 - single-writer lock
+                last_exc = exc
+                _time.sleep(0.1 * (attempt + 1))
+        raise last_exc
+
+    def commit(self, messages):
+        total = sum(m.n for m in messages if m is not None)
+        import logging
+
+        logging.getLogger(__name__).info("dbapi write committed %d rows", total)
+
+    def abort(self, messages):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dbapi write aborted; partial partitions may persist — load into "
+            "a staging table and MERGE for idempotence"
+        )
+
+
+class DBApiWriteDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "dbapi_write"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise NotImplementedError(
+                "mode('overwrite') unsupported: truncate the target "
+                "explicitly or load a staging table + MERGE"
+            )
+        return DBApiWriter(schema, self.options)
+
+
+def register_dbapi_write_source(spark) -> None:
+    spark.dataSource.register(DBApiWriteDataSource)
+
+
+def duckdb_writable(path: str):
+    """Connect helper for file-backed DuckDB in write mode (single writer
+    at a time — DBApiWriter's retry loop serializes partitions)."""
+    import duckdb
+
+    return duckdb.connect(path)

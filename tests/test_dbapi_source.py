@@ -113,3 +113,27 @@ def test_dbapi_stream_source_incremental(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r["seq"]: r["payload"] for r in rows} == {1: "a", 2: "b", 3: "c"}
     assert len(rows) == 3  # no duplicates: offsets advanced
+
+
+def test_dbapi_write_source_parallel_partitions(spark, tmp_path):
+    from etl_oms_spark.sources.dbapi_source import register_dbapi_write_source
+
+    db = str(tmp_path / "sink.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE sink(id BIGINT, v VARCHAR)")
+    con.close()
+
+    register_dbapi_write_source(spark)
+    df = spark.range(200).selectExpr("id", "concat('v', id) AS v").repartition(4)
+    (
+        df.write.format("dbapi_write")
+        .option("connect", "etl_oms_spark.sources.dbapi_source:duckdb_writable")
+        .option("connect_arg", db)
+        .option("table", "sink")
+        .mode("append")
+        .save()
+    )
+    con = duckdb.connect(db)
+    n, distinct = con.execute("SELECT COUNT(*), COUNT(DISTINCT id) FROM sink").fetchone()
+    con.close()
+    assert n == 200 and distinct == 200
