@@ -7,11 +7,16 @@ grouped by origin:
 - text analysis (token counts, language-ID, quality, fingerprints)
 - similarity (quantized cosine/dot, LSH buckets)
 - dedup building blocks (shingles, hamming distance)
+- physical layout (Morton interleave/decode)
+- quality gates (Gopher rules)
 
     from etl_oms_spark.functions import tolerant_timestamp, language_id
 """
 
 from ..operators.dedup import hamming_distance, shingles
+from ..operators.layout import morton_decode, morton_interleave
+from ..operators.similarity import sq_encode
+from ..operators.text import gopher_rules
 from ..operators.llm import ask_column
 from ..operators.similarity import (
     cosine_quantized,
@@ -53,6 +58,10 @@ __all__ = [
     "lsh_bucket",
     "map_lookup",
     "marker_hits",
+    "morton_decode",
+    "morton_interleave",
+    "sq_encode",
+    "gopher_rules",
     "norm2_quantized",
     "normalize_column_name",
     "normalize_text",
