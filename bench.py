@@ -67,6 +67,8 @@ HEADLINE = [
     "x1_chi2_keywords",
     "e8_sq_topk",
     "dc1_dataset_card",
+    "tp3_repair_pipeline",
+    "tr1_triangles",
 ]
 
 
