@@ -69,6 +69,7 @@ HEADLINE = [
     "dc1_dataset_card",
     "tp3_repair_pipeline",
     "tr1_triangles",
+    "dq2_profile_approx",
 ]
 
 
