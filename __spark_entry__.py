@@ -6944,6 +6944,24 @@ ORDER BY split
 """
 
 
+E10_SQL = E1_SQL + " ORDER BY query_id, vec_id"
+
+
+def e10_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized brute-force cosine top-5
+    (operators/similarity.cosine_topk_arrow): numpy int64 matmul per
+    Arrow batch + per-batch partial top-k. Quantization and the cosine
+    expression are bit-identical to the column-algebra form (e1), so the
+    two PHYSICAL paths share one oracle — E1's SQL verifies both."""
+    from etl_oms_spark.operators.similarity import cosine_topk_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_arrow(emb, query, k=5).orderBy("query_id", "vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7150,6 +7168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr1_pagerank": pr1_pagerank,
         "cm1_cms_heavyhitters": cm1_cms_heavyhitters,
         "tp3_repair_pipeline": tp3_repair_pipeline,
+        "e10_cosine_topk_arrow": e10_cosine_topk_arrow,
     }
 
 
@@ -7333,4 +7352,5 @@ def oracle_sql() -> dict[str, str]:
         "pr1_pagerank": PR1_SQL,
         "cm1_cms_heavyhitters": CM1_SQL,
         "tp3_repair_pipeline": TP3_SQL,
+        "e10_cosine_topk_arrow": E10_SQL,
     }

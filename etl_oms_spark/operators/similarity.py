@@ -701,3 +701,68 @@ def ivfpq_topk(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def cosine_topk_arrow(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`cosine_topk`: the higher-order
+    array folds of the column form run interpreted (outside codegen);
+    this path hands each Arrow batch to numpy — one int64 matmul scores
+    a whole batch against ALL queries at once, then a per-batch partial
+    top-k cuts the emitted rows to ≤ k per query per batch before the
+    final exact top-k window.
+
+    Bit-parity: vectors are quantized with the SAME half-away-from-zero
+    integer rule and the cosine is the same ``dot / (sqrt(na)·sqrt(nb))``
+    expression on exact int64 sums, so results are IDENTICAL to the
+    column form and the two physical paths share one oracle (E1's SQL).
+    The query matrix rides the closure (driver-side k×dim numpy array —
+    the broadcast-small contract), the corpus streams once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = query.select(query_id_col, vec_col).collect()
+    q_ids = [r[query_id_col] for r in q_rows]
+    qv = np.stack([np.asarray(r[vec_col], dtype="float64") for r in q_rows]) * QUANT
+    qm = (np.sign(qv) * np.floor(np.abs(qv) + 0.5)).astype("int64")
+    qnorm = np.sqrt((qm * qm).sum(axis=1).astype("float64"))
+
+    schema = f"{query_id_col} long, {id_col} long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype("float64") * QUANT
+            m = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+            na = np.sqrt((m * m).sum(axis=1).astype("float64"))
+            dots = m @ qm.T  # exact int64
+            cos = dots.astype("float64") / (na[:, None] * qnorm[None, :])
+            ids = pdf[id_col].to_numpy()
+            out = []
+            for qi, qid in enumerate(q_ids):
+                col = cos[:, qi]
+                take = min(k, len(col))
+                top = np.argpartition(-col, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qid,
+                            id_col: ids[top],
+                            "cosine": col[top],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partials = ensure_parallelism(df, id_col).select(id_col, vec_col).mapInPandas(
+        score, schema
+    )
+    return _topk(partials, k, id_col, query_id_col)

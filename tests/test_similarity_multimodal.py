@@ -337,3 +337,20 @@ def test_ivfpq_composition(spark, sf_dir):
     assert {(0, 0), (1, 1)} <= got
     exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()}
     assert len(exact & got) >= 3
+
+
+def test_cosine_topk_arrow_bit_parity_with_column_form(spark, sf_dir):
+    """The Arrow/numpy physical path must return EXACTLY the column-
+    algebra path's rows and cosines (shared quantization + expression)."""
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = {(r["query_id"], r["vec_id"]): r["cosine"]
+         for r in cosine_topk(emb, q, k=7).collect()}
+    b = {(r["query_id"], r["vec_id"]): r["cosine"]
+         for r in cosine_topk_arrow(emb, q, k=7).collect()}
+    assert a == b  # exact equality, including the doubles
