@@ -6962,6 +6962,63 @@ def e10_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_arrow(emb, query, k=5).orderBy("query_id", "vec_id")
 
 
+def cal1_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension joined to fact activity: one
+    sequence+explode builds the date spine (no driver loop, no data
+    scan for the spine itself), enriched with dow/week/month/quarter
+    attributes, left-joined to per-day order counts — the canonical
+    warehouse date dim with zero-activity days preserved. Spine
+    generation is O(days) rows from a single literal row."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.to_date(F.min("o_orderdate")).alias("lo"),
+        F.to_date(F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    ).select(
+        "day",
+        (F.dayofweek("day") - F.lit(1)).alias("dow"),
+        F.weekofyear("day").alias("iso_week"),
+        F.month("day").alias("month"),
+        F.quarter("day").alias("quarter"),
+        (F.dayofweek("day").isin(1, 7)).alias("is_weekend"),
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .withColumn("n_orders", F.coalesce(F.col("n_orders"), F.lit(0)))
+        .orderBy("day")
+    )
+
+
+CAL1_SQL = """
+WITH bounds AS (
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+           CAST(MAX(o_orderdate) AS DATE) AS hi
+    FROM orders
+), spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+), daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT spine.day,
+       CAST(dayofweek(spine.day) AS INT) AS dow,
+       CAST(weekofyear(spine.day) AS INT) AS iso_week,
+       CAST(month(spine.day) AS INT) AS month,
+       CAST(quarter(spine.day) AS INT) AS quarter,
+       dayofweek(spine.day) IN (0, 6) AS is_weekend,
+       COALESCE(daily.n_orders, 0) AS n_orders
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+ORDER BY spine.day
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7169,6 +7226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm1_cms_heavyhitters": cm1_cms_heavyhitters,
         "tp3_repair_pipeline": tp3_repair_pipeline,
         "e10_cosine_topk_arrow": e10_cosine_topk_arrow,
+        "cal1_calendar_dim": cal1_calendar_dim,
     }
 
 
@@ -7353,4 +7411,5 @@ def oracle_sql() -> dict[str, str]:
         "cm1_cms_heavyhitters": CM1_SQL,
         "tp3_repair_pipeline": TP3_SQL,
         "e10_cosine_topk_arrow": E10_SQL,
+        "cal1_calendar_dim": CAL1_SQL,
     }
