@@ -7019,6 +7019,86 @@ ORDER BY spine.day
 """
 
 
+def lp1_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation
+    (operators/graph.label_propagation): every 5th document seeds its
+    language label; 3 rounds of deterministic majority voting spread
+    labels across the md5 LSH near-dup graph — the weak-supervision
+    auto-labeling pass (label the cluster from its labeled members).
+    Exact oracle: same list-state recursive CTE technique as pr1, same
+    min-struct tie-breaks."""
+    from etl_oms_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from etl_oms_spark.operators.graph import label_propagation
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, hash_method="md5")
+    pairs = lsh_candidate_pairs(sigs, hash_method="md5")
+    seeds = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label")
+    )
+    return (
+        label_propagation(pairs, seeds)
+        .select(F.col("id").alias("doc_id"), "label")
+        .orderBy("doc_id")
+    )
+
+
+LP1_SQL = (
+    "WITH RECURSIVE "
+    + _build_d7_sql()
+    + ","
+    + """
+pairs AS ({_final}),
+bi AS (
+    SELECT id_a AS u, id_b AS v FROM pairs WHERE id_a <> id_b
+    UNION
+    SELECT id_b, id_a FROM pairs WHERE id_a <> id_b
+),
+nodes AS (
+    SELECT id, row_number() OVER (ORDER BY id) AS ix
+    FROM (SELECT DISTINCT u AS id FROM bi)
+),
+seeds AS (
+    SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0
+),
+eidx AS (
+    SELECT nu.ix AS ui, nv.ix AS vi
+    FROM bi JOIN nodes nu ON bi.u = nu.id
+    JOIN nodes nv ON bi.v = nv.id
+),
+state AS (
+    SELECT 0 AS iter,
+           (SELECT list(s.lang ORDER BY nodes.ix)
+            FROM nodes LEFT JOIN seeds s ON nodes.id = s.doc_id) AS lbls
+    UNION ALL
+    SELECT state.iter + 1,
+           (SELECT list(COALESCE(sd.lang, mv.maj, state.lbls[nodes.ix])
+                        ORDER BY nodes.ix)
+            FROM nodes
+            LEFT JOIN seeds sd ON nodes.id = sd.doc_id
+            LEFT JOIN (
+                SELECT ui, (min(struct_pack(neg := -n, l := lbl))).l AS maj
+                FROM (
+                    SELECT e.ui, state.lbls[e.vi] AS lbl,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM eidx e
+                    WHERE state.lbls[e.vi] IS NOT NULL
+                    GROUP BY e.ui, state.lbls[e.vi]
+                )
+                GROUP BY ui
+            ) mv ON mv.ui = nodes.ix)
+    FROM state WHERE state.iter < 3
+)
+SELECT nodes.id AS doc_id, f.lbls[nodes.ix] AS label
+FROM nodes, (SELECT lbls FROM state WHERE iter = 3) f
+ORDER BY doc_id
+""".format(_final=_D7_FINAL.strip())
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7227,6 +7307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp3_repair_pipeline": tp3_repair_pipeline,
         "e10_cosine_topk_arrow": e10_cosine_topk_arrow,
         "cal1_calendar_dim": cal1_calendar_dim,
+        "lp1_label_propagation": lp1_label_propagation,
     }
 
 
@@ -7412,4 +7493,5 @@ def oracle_sql() -> dict[str, str]:
         "tp3_repair_pipeline": TP3_SQL,
         "e10_cosine_topk_arrow": E10_SQL,
         "cal1_calendar_dim": CAL1_SQL,
+        "lp1_label_propagation": LP1_SQL,
     }

@@ -261,3 +261,66 @@ def pagerank_quantized(
     return pr.select(
         "id", "pr_q", (F.col("pr_q") / F.lit(float(quant))).alias("pagerank")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_col: str = "id",
+    label_col: str = "label",
+    iterations: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation (weak supervision / label
+    spreading): seed nodes keep their labels; every other node takes the
+    MAJORITY label among its labeled neighbors each round, ties broken
+    toward the lexicographically smallest label — fully deterministic,
+    so the iterative result gets an exact oracle (the same list-state
+    recursive-CTE technique as pagerank_quantized).
+
+    Per iteration: one edges-sized join + a (node, label)-keyed count
+    (map-side combined) + a min-struct argmax — no windows, no driver
+    state; lineage truncated per round. Unlabeled nodes with no labeled
+    neighbor stay NULL and may label in a later round (frontier
+    expansion ≈ BFS from the seed set).
+    """
+    bi = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = bi.select(F.col("u").alias(id_col)).distinct()
+    seed = seeds.select(F.col(id_col), F.col(label_col).alias("__seed"))
+    labels = nodes.join(seed, id_col, "left").select(
+        id_col, F.col("__seed").alias("__lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        votes = (
+            bi.join(
+                labels.select(F.col(id_col).alias("v"), "__lbl"), "v"
+            )
+            .filter(F.col("__lbl").isNotNull())
+            .groupBy(F.col("u").alias(id_col), "__lbl")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct((-F.col("__n")).alias("neg"), F.col("__lbl").alias("l"))
+                )["l"].alias("__maj")
+            )
+        )
+        labels = (
+            labels.join(votes, id_col, "left")
+            .join(seed, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(
+                    F.col("__seed"), F.col("__maj"), F.col("__lbl")
+                ).alias("__lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col(id_col), F.col("__lbl").alias(label_col))

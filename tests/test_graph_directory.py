@@ -121,3 +121,22 @@ def test_pagerank_quantized_properties(spark):
     got2 = {r["id"]: r["pr_q"]
             for r in pagerank_quantized(df.repartition(5)).collect()}
     assert got2 == got
+
+
+def test_label_propagation_spreads_and_pins_seeds(spark):
+    from etl_oms_spark.operators.graph import label_propagation
+
+    # chain 1-2-3-4-5; seed 1='a', 5='b'. After 3 rounds: 2 takes a,
+    # 4 takes b, 3 sees both -> tie -> lexicographically smallest 'a'.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a LONG, id_b LONG"
+    )
+    seeds = spark.createDataFrame([(1, "a"), (5, "b")], "id LONG, label STRING")
+    got = {r["id"]: r["label"] for r in label_propagation(edges, seeds).collect()}
+    assert got[1] == "a" and got[5] == "b"      # seeds pinned
+    assert got[2] == "a" and got[4] == "b"      # frontier expansion
+    assert got[3] == "a"                        # deterministic tie-break
+    # partitioning invariance
+    got2 = {r["id"]: r["label"]
+            for r in label_propagation(edges.repartition(3), seeds).collect()}
+    assert got2 == got
