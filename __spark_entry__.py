@@ -7075,7 +7075,7 @@ state AS (
             FROM nodes LEFT JOIN seeds s ON nodes.id = s.doc_id) AS lbls
     UNION ALL
     SELECT state.iter + 1,
-           (SELECT list(COALESCE(sd.lang, mv.maj, state.lbls[nodes.ix])
+           (SELECT list(COALESCE(sd.lang, state.lbls[nodes.ix], mv.maj)
                         ORDER BY nodes.ix)
             FROM nodes
             LEFT JOIN seeds sd ON nodes.id = sd.doc_id

@@ -318,7 +318,7 @@ def label_propagation(
             .select(
                 id_col,
                 F.coalesce(
-                    F.col("__seed"), F.col("__maj"), F.col("__lbl")
+                    F.col("__seed"), F.col("__lbl"), F.col("__maj")
                 ).alias("__lbl"),
             )
             .localCheckpoint(eager=True)
