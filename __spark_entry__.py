@@ -7099,6 +7099,73 @@ ORDER BY doc_id
 )
 
 
+def knn1_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label transfer: the 20 lowest-id vectors act as unlabeled
+    probes; each takes the majority label of its top-5 cosine neighbors
+    among the REST of the corpus (exact quantized cosine, min-struct
+    majority with ties toward the smaller label) — nearest-neighbor
+    auto-labeling, the instance-level complement of lp1's graph
+    propagation. Probes broadcast; the corpus streams once; the vote is
+    a probes×k-bounded aggregate."""
+    from etl_oms_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    top = cosine_topk(corpus, probes, k=5)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    return (
+        top.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("votes")).alias("neg"), F.col("label").alias("l")
+                )
+            )["l"].alias("knn_label")
+        )
+        .orderBy("query_id")
+    )
+
+
+KNN1_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20
+), pairs AS (
+    SELECT q.query_id, e.vec_id, e.label,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='q.qe')}) AS dot,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='e.embedding')}) AS na,
+           SUM({_QE.format(v='q.qe')} * {_QE.format(v='q.qe')}) AS nb
+    FROM embeddings e, q, range(1, 65) t(i)
+    WHERE e.vec_id >= 20
+    GROUP BY q.query_id, e.vec_id, e.label
+), scored AS (
+    SELECT query_id, vec_id, label,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+    FROM pairs
+), top AS (
+    SELECT query_id, label
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+), votes AS (
+    SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+    FROM top GROUP BY query_id, label
+)
+SELECT query_id,
+       (min(struct_pack(neg := -votes, l := label))).l AS knn_label
+FROM votes
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7308,6 +7375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e10_cosine_topk_arrow": e10_cosine_topk_arrow,
         "cal1_calendar_dim": cal1_calendar_dim,
         "lp1_label_propagation": lp1_label_propagation,
+        "knn1_label_transfer": knn1_label_transfer,
     }
 
 
@@ -7494,4 +7562,5 @@ def oracle_sql() -> dict[str, str]:
         "e10_cosine_topk_arrow": E10_SQL,
         "cal1_calendar_dim": CAL1_SQL,
         "lp1_label_propagation": LP1_SQL,
+        "knn1_label_transfer": KNN1_SQL,
     }
