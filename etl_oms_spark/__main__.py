@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
     p_cur.add_argument("--test-rate", type=float, default=0.05)
     p_cur.add_argument("--transitive", action="store_true",
                        help="transitive closure over near-dup pairs (iterative)")
+    p_cur.add_argument("--config", default=None,
+                       help="JSON file with pipeline knobs (min_tokens, "
+                            "near_dup_threshold, test_rate, transitive, "
+                            "lang_rates, hash_method); CLI flags override")
 
     p_prof = sub.add_parser(
         "profile", help="data-quality survey: per-column nulls/distincts/min-max"
@@ -173,13 +177,27 @@ def main(argv: list[str] | None = None) -> int:
 
         stages = PipelineMetrics()
         docs = stages.observe(docs, "input")
-        curated = curate_documents_with_split(
-            docs,
-            min_tokens=args.min_tokens,
-            near_dup_threshold=args.near_dup_threshold,
-            transitive=args.transitive,
-            test_rate=args.test_rate,
-        )
+        knobs = {
+            "min_tokens": args.min_tokens,
+            "near_dup_threshold": args.near_dup_threshold,
+            "transitive": args.transitive,
+            "test_rate": args.test_rate,
+        }
+        if args.config:
+            # declarative pipeline spec: file sets the defaults, explicit
+            # CLI flags (non-default values) still win
+            import json as _json
+
+            with open(args.config) as fh:
+                cfg = _json.load(fh)
+            defaults = {"min_tokens": 10, "near_dup_threshold": 0.8,
+                        "transitive": False, "test_rate": 0.05}
+            for k, v in cfg.items():
+                if k in defaults and knobs.get(k) == defaults[k]:
+                    knobs[k] = v
+                elif k in ("lang_rates", "hash_method"):
+                    knobs[k] = v
+        curated = curate_documents_with_split(docs, **knobs)
         curated = stages.observe(
             curated,
             "curated",

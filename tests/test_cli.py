@@ -187,3 +187,22 @@ def test_cli_export_and_ingest(spark, tmp_path):
     assert main(["ingest", "--directory", str(ind), "--ledger", ledger,
                  "--out", tgt]) == 0
     assert spark.read.parquet(tgt).count() == 1
+
+
+def test_cli_curate_config_file(spark, tmp_path):
+    import json
+
+    from etl_oms_spark.__main__ import main
+
+    cfg = tmp_path / "pipeline.json"
+    cfg.write_text(json.dumps({
+        "min_tokens": 5, "near_dup_threshold": 0.9, "test_rate": 0.5,
+    }))
+    out = str(tmp_path / "curated_cfg")
+    assert main([
+        "curate", "--documents", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out, "--config", str(cfg),
+    ]) == 0
+    curated = spark.read.parquet(out)
+    splits = {r["split"] for r in curated.select("split").distinct().collect()}
+    assert splits == {"train", "test"}  # 50% test rate -> both populated
