@@ -244,3 +244,36 @@ def refresh_aggregate(
         return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(agg_path)
+
+
+def vacuum_table(path: str) -> dict:
+    """Remove job debris from a parquet merge-table directory: Spark's
+    ``_temporary`` staging dirs (left by aborted/killed writes) and empty
+    partition directories (left when a partition's last rows were
+    deleted). Committed data files are NEVER touched — the cleaner only
+    deletes names matching the staging pattern or directories with no
+    files under them. Returns {"temp_dirs": n, "empty_dirs": n}.
+
+    The lakehouse-less analogue of VACUUM: safe to run any time because
+    dynamic partition overwrite only publishes complete partitions, so
+    anything matching the debris patterns is by construction unreadable
+    by Spark's committed-file protocol.
+    """
+    import os
+    import shutil
+
+    stats = {"temp_dirs": 0, "empty_dirs": 0}
+    if not os.path.isdir(path):
+        return stats
+    for root, dirs, _files in os.walk(path, topdown=True):
+        for d in list(dirs):
+            if d == "_temporary" or d.startswith(".spark-staging"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                dirs.remove(d)
+                stats["temp_dirs"] += 1
+    # bottom-up pass for empties (a partition dir whose files were removed)
+    for root, dirs, files in os.walk(path, topdown=False):
+        if root != path and not dirs and not files:
+            os.rmdir(root)
+            stats["empty_dirs"] += 1
+    return stats

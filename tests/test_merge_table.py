@@ -158,3 +158,24 @@ def test_cdc_merge_empties_whole_partition(spark, tmp_path):
     # idempotent: re-applying the emptying batch is a no-op
     cdc_merge_into_parquet(spark, target, batch2, ["id"], "part")
     assert {r["id"] for r in spark.read.parquet(target).collect()} == {1}
+
+
+def test_vacuum_table_removes_debris_keeps_data(spark, tmp_path):
+    import os
+
+    from etl_oms_spark.sources.merge_table import vacuum_table
+
+    path = str(tmp_path / "t")
+    spark.range(10).selectExpr("id", "id % 2 AS p").write.partitionBy(
+        "p"
+    ).parquet(path)
+    # simulate an aborted write + an emptied partition
+    os.makedirs(os.path.join(path, "_temporary", "0"), exist_ok=True)
+    os.makedirs(os.path.join(path, "p=9"), exist_ok=True)
+
+    stats = vacuum_table(path)
+    assert stats["temp_dirs"] == 1 and stats["empty_dirs"] >= 1
+    assert not os.path.exists(os.path.join(path, "_temporary"))
+    assert not os.path.exists(os.path.join(path, "p=9"))
+    # committed data intact
+    assert spark.read.parquet(path).count() == 10
