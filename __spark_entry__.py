@@ -7166,6 +7166,62 @@ ORDER BY query_id
 """
 
 
+def lt1_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency percentiles (p25/p50/p90 in
+    seconds) over converting users: fn1's per-user funnel fold feeds the
+    two-phase exact histogram percentile lowering — the funnel metric
+    that actually drives UX decisions, with the same no-group-buffering
+    scale posture as a16. Integer-second latencies make the percentiles
+    bit-exact cross-engine."""
+    from etl_oms_spark.operators.quantiles import group_percentiles
+    from etl_oms_spark.operators.stateful import funnel
+
+    f = funnel(_events(spark, sf_dir), ["view", "click", "purchase"]).filter(
+        F.col("stage") >= 3
+    )
+    lat = f.select(
+        F.lit("all").alias("cohort"),
+        (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")).alias(
+            "latency_s"
+        ),
+    )
+    return group_percentiles(
+        lat, ["cohort"], "latency_s", [0.25, 0.5, 0.9],
+        names=["p25", "p50", "p90"], mode="hist", count_col="n_converted",
+    ).orderBy("cohort")
+
+
+LT1_SQL = """
+WITH ev AS (
+    SELECT user_id, ts, event_type FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (SELECT user_id, MIN(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT ev.user_id, MIN(ev.ts) AS t_click
+      FROM ev JOIN v ON ev.user_id = v.user_id
+      WHERE ev.event_type = 'click' AND ev.ts > v.t_view
+      GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, MIN(ev.ts) AS t_purchase
+      FROM ev JOIN c ON ev.user_id = c.user_id
+      WHERE ev.event_type = 'purchase' AND ev.ts > c.t_click
+      GROUP BY ev.user_id),
+lat AS (
+    SELECT 'all' AS cohort,
+           (epoch_us(p.t_purchase) // 1000000) - (epoch_us(v.t_view) // 1000000) AS latency_s
+    FROM p JOIN v ON p.user_id = v.user_id
+)
+SELECT cohort,
+       quantile_cont(latency_s, 0.25) AS p25,
+       quantile_cont(latency_s, 0.5) AS p50,
+       quantile_cont(latency_s, 0.9) AS p90,
+       CAST(COUNT(*) AS BIGINT) AS n_converted
+FROM lat
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7376,6 +7432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cal1_calendar_dim": cal1_calendar_dim,
         "lp1_label_propagation": lp1_label_propagation,
         "knn1_label_transfer": knn1_label_transfer,
+        "lt1_conversion_latency": lt1_conversion_latency,
     }
 
 
@@ -7563,4 +7620,5 @@ def oracle_sql() -> dict[str, str]:
         "cal1_calendar_dim": CAL1_SQL,
         "lp1_label_propagation": LP1_SQL,
         "knn1_label_transfer": KNN1_SQL,
+        "lt1_conversion_latency": LT1_SQL,
     }
