@@ -7222,6 +7222,120 @@ ORDER BY cohort
 """
 
 
+def rc1_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table amount reconciliation (the classic finance DQ check):
+    per order, |o_totalprice − Σ line extendedprice| in exact cents;
+    returns the 50 largest discrepancies plus summary counts under a
+    sentinel row (orderkey −1: n_orders, n_mismatched beyond 1 unit).
+    One fact-fact join on the order key; all arithmetic on exact
+    integers, so both engines flag identical orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    line_sum = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("line_cents")
+    )
+    j = (
+        o.select("o_orderkey", _cents(F.col("o_totalprice")).alias("hdr_cents"))
+        .join(line_sum, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.abs(
+                F.col("hdr_cents") - F.coalesce(F.col("line_cents"), F.lit(0))
+            ).alias("diff_cents"),
+        )
+    )
+    top = (
+        j.orderBy(F.desc("diff_cents"), "o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "diff_cents")
+    )
+    summary = j.agg(
+        F.lit(-1).cast("long").alias("o_orderkey"),
+        F.sum(F.when(F.col("diff_cents") > 100, 1).otherwise(0)).alias(
+            "diff_cents"
+        ),
+    )
+    return top.unionAll(summary).orderBy("o_orderkey")
+
+
+RC1_SQL = """
+WITH line_sum AS (
+    SELECT l_orderkey AS o_orderkey,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS line_cents
+    FROM lineitem GROUP BY 1
+), j AS (
+    SELECT o.o_orderkey,
+           abs(CAST(round(o_totalprice * 100) AS BIGINT)
+               - COALESCE(line_cents, 0)) AS diff_cents
+    FROM orders o LEFT JOIN line_sum USING (o_orderkey)
+), top AS (
+    SELECT o_orderkey, diff_cents FROM j
+    ORDER BY diff_cents DESC, o_orderkey LIMIT 50
+), summary AS (
+    SELECT CAST(-1 AS BIGINT) AS o_orderkey,
+           CAST(SUM(CASE WHEN diff_cents > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS diff_cents
+    FROM j
+)
+SELECT * FROM top UNION ALL SELECT * FROM summary
+ORDER BY o_orderkey
+"""
+
+
+def rr1_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer reorder behavior: per order year, the share of orders
+    followed by another order from the same customer within 30 days —
+    lead() over the customer-keyed order stream (one customer-key
+    shuffle), exact integer counts, years-sized output."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    flagged = o.withColumn("__next", F.lead("o_orderdate").over(w)).select(
+        F.year("o_orderdate").alias("order_year"),
+        F.when(
+            F.col("__next").isNotNull()
+            & (F.datediff(F.col("__next"), F.col("o_orderdate")) <= 30),
+            1,
+        )
+        .otherwise(0)
+        .alias("reordered"),
+    )
+    return (
+        flagged.groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("reordered").alias("n_reordered"),
+            (F.sum("reordered") / F.count(F.lit(1)).cast("double")).alias(
+                "reorder_rate"
+            ),
+        )
+        .orderBy("order_year")
+    )
+
+
+RR1_SQL = """
+WITH flagged AS (
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CASE WHEN lead(o_orderdate) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ) IS NOT NULL
+                AND CAST(CAST(lead(o_orderdate) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ) AS DATE) - CAST(o_orderdate AS DATE) AS INT) <= 30
+                THEN 1 ELSE 0 END AS reordered
+    FROM orders
+)
+SELECT order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(reordered) AS BIGINT) AS n_reordered,
+       CAST(SUM(reordered) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS reorder_rate
+FROM flagged
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7433,6 +7547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp1_label_propagation": lp1_label_propagation,
         "knn1_label_transfer": knn1_label_transfer,
         "lt1_conversion_latency": lt1_conversion_latency,
+        "rc1_order_reconciliation": rc1_order_reconciliation,
+        "rr1_reorder_rate": rr1_reorder_rate,
     }
 
 
@@ -7621,4 +7737,6 @@ def oracle_sql() -> dict[str, str]:
         "lp1_label_propagation": LP1_SQL,
         "knn1_label_transfer": KNN1_SQL,
         "lt1_conversion_latency": LT1_SQL,
+        "rc1_order_reconciliation": RC1_SQL,
+        "rr1_reorder_rate": RR1_SQL,
     }
