@@ -68,3 +68,15 @@ def test_plan_stats_counts(spark, sf_dir):
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     j = df.join(F.broadcast(n), df["l_suppkey"] == n["n_nationkey"])
     assert plan_stats(j)["broadcasts"] >= 1
+
+
+def test_schema_drift_report_accepts_stored_schema_list(spark):
+    """The expected schema can be a stored [(name, type)] list (e.g. from
+    a previous run's dtypes persisted to a registry) — no DataFrame
+    needed on the old side."""
+    from etl_oms_spark.schema import schema_drift_report
+
+    old = [("id", "int"), ("name", "string")]
+    new = spark.createDataFrame([(1, 1.0)], "id INT, name DOUBLE")
+    got = schema_drift_report(old, new)
+    assert got == [("name", "type_changed", "string", "double")]
