@@ -7336,6 +7336,408 @@ ORDER BY order_year
 """
 
 
+_DECOMP = "Café naïve"  # decomposed é / ï — NFC recomposes both
+
+
+def un1_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (curation pre-pass): every third doc gets
+    a decomposed-accent suffix appended, then the Arrow-batched pandas-UDF
+    normalizer recomposes it — byte lengths shrink, ASCII docs pass
+    through unchanged. The one Python-UDF text op (no JVM builtin);
+    DuckDB's nfc_normalize recomputes the exact NFC form, so the oracle
+    checks real normalization work, not identity (operators/text.py:
+    unicode_normalize)."""
+    from etl_oms_spark.operators.text import unicode_normalize
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" " + _DECOMP))
+    ).otherwise(F.col("text"))
+    d = d.withColumn("__raw", raw).withColumn(
+        "__nfc", unicode_normalize(F.col("__raw"))
+    )
+    return d.select(
+        "doc_id",
+        (F.col("__nfc") != F.col("__raw")).alias("nfc_changed"),
+        F.octet_length("__raw").cast("long").alias("n_bytes_raw"),
+        F.octet_length("__nfc").cast("long").alias("n_bytes_nfc"),
+        F.md5("__nfc").alias("nfc_md5"),
+    ).orderBy("doc_id")
+
+
+UN1_SQL = f"""
+WITH raw AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' {_DECOMP}' ELSE text END AS r
+    FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(r) <> r AS nfc_changed,
+       CAST(strlen(r) AS BIGINT) AS n_bytes_raw,
+       CAST(strlen(nfc_normalize(r)) AS BIGINT) AS n_bytes_nfc,
+       md5(nfc_normalize(r)) AS nfc_md5
+FROM raw
+ORDER BY doc_id
+"""
+
+
+def url1_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (the first dedup key of every web crawl):
+    deterministic messy URLs are derived per doc (uppercase scheme/host,
+    www. prefix, trailing slash on even ids, utm_* tracking params, a
+    fragment), then canonicalized — lowercase host, www/fragment/utm
+    stripped, slashes trimmed — plus host/registered-domain/path parts.
+    Pure regexp/array column algebra in the Java∩RE2 subset, zero
+    shuffle; the oracle reruns the identical regexes (operators/text.py:
+    canonicalize_url)."""
+    from etl_oms_spark.operators.text import (
+        canonicalize_url,
+        registered_domain,
+        url_parts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example.COM/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=mix#sec"),
+    )
+    d = d.withColumn("url", url)
+    parts = url_parts("url")
+    host = F.regexp_replace(parts["host"], r"^www\.", "")
+    path = F.regexp_replace(parts["path"], r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return d.select(
+        "doc_id",
+        "url",
+        canonicalize_url("url").alias("canon_url"),
+        host.alias("host"),
+        registered_domain(host).alias("domain"),
+        path.alias("path"),
+    ).orderBy("doc_id")
+
+
+_URL_RE_SQL = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"
+
+URL1_SQL = f"""
+WITH u AS (
+    SELECT doc_id,
+           'HTTPS://WWW.' || upper(source) || '.Example.COM/Docs/' ||
+           CAST(doc_id AS VARCHAR) ||
+           CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+           '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+           '&utm_campaign=mix#sec' AS url
+    FROM documents
+), p AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '{_URL_RE_SQL}', 1)) AS scheme,
+           lower(regexp_extract(url, '{_URL_RE_SQL}', 2)) AS host0,
+           regexp_extract(url, '{_URL_RE_SQL}', 3) AS path0,
+           regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 4), '^\\?', '') AS query0
+    FROM u
+), n AS (
+    SELECT doc_id, url, scheme,
+           regexp_replace(host0, '^www\\.', '') AS host,
+           CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(path0, '/+$', '') END AS path,
+           array_to_string(
+               list_filter(string_split(query0, '&'),
+                           x -> NOT regexp_matches(x, '^utm_') AND x <> ''),
+               '&') AS q
+    FROM p
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path ||
+       CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canon_url,
+       host,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+       path
+FROM n
+ORDER BY doc_id
+"""
+
+
+def d9_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source priority dedup: duplicate groups keyed on the first-8-
+    token prefix fingerprint (23 real multi-doc groups at sf0.01) keep the
+    copy from the most-trusted source — src7 beats src3 beats everything
+    else — with (priority, doc_id) tie-breaks. The "prefer curated over
+    crawled" assembly rule; one fingerprint groupBy shuffle, min-struct
+    argmin, no group materialized (operators/dedup.py:priority_dedup)."""
+    from etl_oms_spark.operators.dedup import priority_dedup
+    from etl_oms_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 8)))
+    return priority_dedup(d, {"src7": 0, "src3": 1}, key=key).orderBy("doc_id")
+
+
+D9_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           md5(array_to_string((string_split({_NORM_SQL}, ' '))[1:8], ' ')) AS fp
+    FROM documents
+), r AS (
+    SELECT *,
+           CASE source WHEN 'src7' THEN 0 WHEN 'src3' THEN 1
+                ELSE 1000000 END AS p
+    FROM t
+)
+SELECT (min(struct_pack(p := p, i := doc_id, s := source))).i AS doc_id,
+       (min(struct_pack(p := p, i := doc_id, s := source))).s AS source,
+       CAST(COUNT(*) AS BIGINT) AS dup_count,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM r
+GROUP BY fp
+ORDER BY doc_id
+"""
+
+
+def tm1_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (mT5/XLM-R alpha sampling):
+    per-language share p^0.3 flattens English dominance; weights are
+    1e-9-quantized BIGINTs before the normalizing sum (zf1's ln policy)
+    and planned counts are pure integer arithmetic (budget·w DIV Σw), so
+    every column is bit-identical across engines. One groupBy(lang) scan;
+    the rest is groups-sized (operators/sampling.py:temperature_mix)."""
+    from etl_oms_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mix(d, budget_docs=400, alpha=0.3, group_col="lang").orderBy(
+        "lang"
+    )
+
+
+TM1_SQL = """
+WITH per AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM per),
+w AS (
+    SELECT lang, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+           CAST(round(pow(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE), 0.3)
+                      * 1000000000) AS BIGINT) AS wq
+    FROM per, tot
+), ws AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum FROM w)
+SELECT lang, n_docs, share,
+       CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) AS mix_frac,
+       (400 * wq) // wsum AS desired_docs,
+       least((400 * wq) // wsum, n_docs) AS planned_docs,
+       CAST(least((400 * wq) // wsum, n_docs) AS DOUBLE)
+           / CAST(n_docs AS DOUBLE) AS keep_rate,
+       (400 * wq) // wsum > n_docs AS upsample
+FROM w, ws
+ORDER BY lang
+"""
+
+
+def hn1_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for probe vectors 0-2, the top-4
+    most-cosine-similar corpus items with a DIFFERENT label — the
+    near-boundary negatives contrastive embedding training needs. Probes
+    broadcast with labels; corpus streams once; label filter runs before
+    the rank window (operators/similarity.py:hard_negatives)."""
+    from etl_oms_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return hard_negatives(emb, probes, k=4).orderBy("query_id", "vec_id")
+
+
+HN1_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+), pairs AS (
+    SELECT q.query_id, e.vec_id, e.label,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='q.qe')}) AS dot,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='e.embedding')}) AS na,
+           SUM({_QE.format(v='q.qe')} * {_QE.format(v='q.qe')}) AS nb
+    FROM embeddings e, q, range(1, 65) t(i)
+    WHERE e.label <> q.qlabel
+    GROUP BY 1, 2, 3
+), scored AS (
+    SELECT query_id, vec_id, label,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+    FROM pairs
+)
+SELECT query_id, vec_id, label, cosine
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 4
+ORDER BY query_id, vec_id
+"""
+
+
+def ir1_retrieval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval evaluation of the exact cosine ranking: probes
+    vec_id < 20 against the rest of the corpus, relevance = shared label;
+    hits@10 / precision / recall / quantized reciprocal rank per probe —
+    the quality gate to run against any ANN variant to price its recall
+    loss. Metrics derive from exact integer ranks
+    (operators/similarity.py:retrieval_report)."""
+    from etl_oms_spark.operators.similarity import retrieval_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return retrieval_report(corpus, probes, k=10).orderBy("query_id")
+
+
+IR1_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+    FROM embeddings WHERE vec_id < 20
+), pairs AS (
+    SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='q.qe')}) AS dot,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='e.embedding')}) AS na,
+           SUM({_QE.format(v='q.qe')} * {_QE.format(v='q.qe')}) AS nb
+    FROM embeddings e, q, range(1, 65) t(i)
+    WHERE e.vec_id >= 20
+    GROUP BY 1, 2, 3, 4
+), ranked AS (
+    SELECT query_id, qlabel, vec_id, label,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+                        vec_id) AS rnk
+    FROM pairs
+), top AS (SELECT * FROM ranked WHERE rnk <= 10),
+nl AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+    FROM embeddings WHERE vec_id >= 20 GROUP BY label
+), agg AS (
+    SELECT query_id, qlabel,
+           CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+           CAST(COALESCE(MIN(CASE WHEN label = qlabel THEN rnk END), 0) AS BIGINT) AS first_hit_rank
+    FROM top GROUP BY query_id, qlabel
+)
+SELECT query_id, qlabel AS label, n_label AS n_relevant, hits_at_k,
+       CAST(hits_at_k AS DOUBLE) / 10.0 AS precision_at_k,
+       CAST(hits_at_k AS DOUBLE) / CAST(n_label AS DOUBLE) AS recall_at_k,
+       first_hit_rank,
+       CASE WHEN first_hit_rank > 0
+            THEN CAST(round(1000000000.0 / first_hit_rank) AS BIGINT)
+            ELSE 0 END AS rr_q,
+       CASE WHEN first_hit_rank > 0
+            THEN CAST(round(1000000000.0 / first_hit_rank) AS BIGINT) / 1000000000.0
+            ELSE 0.0 END AS rr
+FROM agg JOIN nl ON agg.qlabel = nl.label
+ORDER BY query_id
+"""
+
+
+def rrf1_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-25 (ts1's
+    term set) and the dense cosine top-25 for probe vector 0 (doc ids and
+    vec ids share an id space) — score = Σ round(1e9/(60+rank)), exact
+    BIGINTs, Cormack's zero-tuning hybrid. The fused union is 50 rows, so
+    all cost lives in the two upstream rankers
+    (operators/search.py:rrf_fuse)."""
+    from etl_oms_spark.operators.search import bm25_topk, rrf_fuse
+    from etl_oms_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["join", "hash", "window", "spark"], k=25)
+    wlex = Window.orderBy(F.col("score_q").desc(), F.col("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(wlex).alias("rank"))
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = cosine_topk(emb, probe, k=25)
+    wden = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    dense_r = dense.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(wden).alias("rank")
+    )
+    return rrf_fuse([lex_r, dense_r], top=15)
+
+
+RRF1_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+gstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_len
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE term IN {_BM25_TERMS}
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored_bm AS (
+    SELECT tf.doc_id,
+           CAST(floor(
+             ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+             * CAST(tf * 880 * total_len AS DOUBLE)
+             / CAST(tf * 400 * total_len + 120 * total_len
+                    + 360 * dl.dl * n_docs AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS term_q
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN gstats
+),
+bm AS (
+    SELECT doc_id, CAST(SUM(term_q) AS BIGINT) AS score_q
+    FROM scored_bm GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id LIMIT 25
+),
+bmr AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rank
+    FROM bm
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+    SELECT e.vec_id,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='qv.qe')}) AS dot,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='e.embedding')}) AS na,
+           SUM({_QE.format(v='qv.qe')} * {_QE.format(v='qv.qe')}) AS nb
+    FROM embeddings e, qv, range(1, 65) t(i)
+    GROUP BY e.vec_id
+),
+den AS (
+    SELECT vec_id,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+    FROM pairs
+    ORDER BY cosine DESC, vec_id LIMIT 25
+),
+denr AS (
+    SELECT vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+    FROM den
+),
+u AS (
+    SELECT doc_id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c FROM bmr
+    UNION ALL
+    SELECT doc_id, CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS c FROM denr
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+       CAST(SUM(c) AS BIGINT) AS rrf_q,
+       CAST(SUM(c) AS BIGINT) / 1000000000.0 AS rrf_score
+FROM u GROUP BY doc_id
+ORDER BY rrf_q DESC, doc_id LIMIT 15
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7549,6 +7951,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lt1_conversion_latency": lt1_conversion_latency,
         "rc1_order_reconciliation": rc1_order_reconciliation,
         "rr1_reorder_rate": rr1_reorder_rate,
+        "un1_unicode_normalize": un1_unicode_normalize,
+        "url1_canonical_urls": url1_canonical_urls,
+        "d9_priority_dedup": d9_priority_dedup,
+        "tm1_temperature_mix": tm1_temperature_mix,
+        "hn1_hard_negatives": hn1_hard_negatives,
+        "ir1_retrieval_report": ir1_retrieval_report,
+        "rrf1_rank_fusion": rrf1_rank_fusion,
     }
 
 
@@ -7739,4 +8148,11 @@ def oracle_sql() -> dict[str, str]:
         "lt1_conversion_latency": LT1_SQL,
         "rc1_order_reconciliation": RC1_SQL,
         "rr1_reorder_rate": RR1_SQL,
+        "un1_unicode_normalize": UN1_SQL,
+        "url1_canonical_urls": URL1_SQL,
+        "d9_priority_dedup": D9_SQL,
+        "tm1_temperature_mix": TM1_SQL,
+        "hn1_hard_negatives": HN1_SQL,
+        "ir1_retrieval_report": IR1_SQL,
+        "rrf1_rank_fusion": RRF1_SQL,
     }

@@ -663,3 +663,55 @@ def dup_block_rate(
         )
         .withColumn("dup_rate", F.col("n_dup") / F.col("n_blocks").cast("double"))
     )
+
+
+def priority_dedup(
+    df: DataFrame,
+    priority: dict[str, int],
+    key: Column | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_priority: int = 1_000_000,
+) -> DataFrame:
+    """Cross-source dedup that keeps the most-trusted copy: within each
+    duplicate group the winner is the row with the smallest
+    (source priority, id) — the standard "prefer curated over crawled"
+    rule when assembling a corpus from overlapping dumps (the same doc
+    scraped from Wikipedia and CommonCrawl should survive as the
+    Wikipedia copy, regardless of which id is smaller).
+
+    ``key`` defaults to the exact canonical-text fingerprint; any
+    grouping column works (canonical URL, minhash cluster id, ...).
+    One hash-groupBy shuffle on the key; the min-struct argmin is a
+    map-side partial aggregate, so no group ever materializes.
+    Output: one row per group — winner id/source plus ``dup_count`` and
+    ``n_sources`` diagnostics.
+    """
+    from ..transform import map_lookup
+
+    fp = key if key is not None else fingerprint_md5("text")
+    rank = map_lookup(
+        source_col, {k: str(v) for k, v in priority.items()}, str(default_priority)
+    ).cast("int")
+    best = F.min(
+        F.struct(
+            rank.alias("p"),
+            F.col(id_col).alias("i"),
+            F.col(source_col).alias("s"),
+        )
+    )
+    return (
+        df.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(
+            best.alias("__b"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.countDistinct(source_col).alias("n_sources"),
+        )
+        .select(
+            F.col("__b.i").alias(id_col),
+            F.col("__b.s").alias(source_col),
+            F.col("dup_count").cast("long").alias("dup_count"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+        )
+    )

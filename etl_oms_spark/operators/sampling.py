@@ -332,3 +332,53 @@ def weighted_sample_topk(
         .orderBy(F.col("__priority").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget_docs: int,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+    weight_scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Temperature-scaled multinomial mixing (the mT5/XLM-R alpha-sampling
+    recipe): per group g with share p_g = n_g / N, the sampling weight is
+    p_g^alpha — alpha < 1 flattens the distribution so head languages /
+    domains stop drowning out the tail; alpha = 1 is proportional, alpha = 0
+    uniform.
+
+    Exactness across engines: p_g is a double from two exact BIGINTs;
+    pow(p_g, alpha) is quantized per group to ``round(. * weight_scale)``
+    BIGINT *before* the normalizing sum (zf1's ln-quantization policy), so
+    the mix fractions and planned counts are integer arithmetic —
+    ``planned = budget * w DIV sum(w)`` — bit-identical under any
+    aggregation order. One groupBy(group) over the corpus; everything after
+    is groups-sized (a broadcast scalar join).
+    """
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("__n"))
+    share = F.col("n_docs").cast("double") / F.col("__n").cast("double")
+    w_q = F.round(F.pow(share, F.lit(float(alpha))) * F.lit(weight_scale)).cast(
+        "long"
+    )
+    weighted = per.crossJoin(F.broadcast(tot)).withColumn("__w", w_q)
+    wtot = weighted.agg(F.sum("__w").alias("__wsum"))
+    desired = F.expr(f"{int(budget_docs)}L * __w DIV __wsum")
+    planned = F.least(desired, F.col("n_docs").cast("long"))
+    return (
+        weighted.crossJoin(F.broadcast(wtot))
+        .select(
+            group_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            share.alias("share"),
+            (F.col("__w").cast("double") / F.col("__wsum").cast("double")).alias(
+                "mix_frac"
+            ),
+            desired.alias("desired_docs"),
+            planned.alias("planned_docs"),
+            (planned.cast("double") / F.col("n_docs").cast("double")).alias(
+                "keep_rate"
+            ),
+            (desired > F.col("n_docs")).alias("upsample"),
+        )
+    )

@@ -174,3 +174,47 @@ def tfidf_vectors(
             ).cast("long").alias("tfidf_q"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    top: int = 20,
+    rrf_scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings (Cormack et al., SIGIR'09):
+    fused score = Σ_lists 1/(k + rank). The standard zero-tuning hybrid
+    of lexical (BM25) and dense (embedding cosine) retrieval.
+
+    Each input is (id, rank) with ranks from a deterministic order.
+    Contributions are quantized ``round(rrf_scale/(k+rank))`` BIGINTs
+    before the sum — order-independent, bit-identical across engines.
+    Inputs are top-k lists (tiny); the union + groupBy is k·N-bounded, so
+    at corpus scale the cost lives entirely in the upstream rankers.
+    """
+    contrib = [
+        r.select(
+            F.col(id_col),
+            F.round(
+                F.lit(float(rrf_scale)) / (F.lit(k_rrf) + F.col(rank_col))
+            )
+            .cast("long")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = contrib[0]
+    for c in contrib[1:]:
+        u = u.unionByName(c)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum("__c").alias("rrf_q"),
+        )
+        .withColumn("rrf_score", F.col("rrf_q").cast("double") / F.lit(float(rrf_scale)))
+        .orderBy(F.col("rrf_q").desc(), F.col(id_col))
+        .limit(top)
+    )

@@ -766,3 +766,144 @@ def cosine_topk_arrow(
         score, schema
     )
     return _topk(partials, k, id_col, query_id_col)
+
+
+# ---------------------------------------------------------------------------
+# contrastive mining + retrieval evaluation
+
+
+def hard_negatives(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, the top-k most
+    cosine-similar corpus items whose label DIFFERS from the query's —
+    the negatives that sit closest to the decision boundary, the standard
+    selection for embedding-model contrastive training (in-batch randoms
+    are too easy).
+
+    Same physical shape as `cosine_topk`: queries broadcast with their
+    labels, corpus streams once (norms precomputed per vector, not per
+    pair), label-mismatch filter runs before the rank window so positives
+    never enter the top-k state. Ties break on id.
+    """
+    q = F.broadcast(
+        query.select(
+            F.col(query_id_col),
+            F.col(label_col).alias("__qlabel"),
+            F.col(vec_col).alias("__qvec"),
+        ).withColumn("__nb", norm2_quantized(F.col("__qvec")))
+    )
+    left = ensure_parallelism(df, id_col).withColumn(
+        "__na", norm2_quantized(F.col(vec_col))
+    )
+    scored = (
+        left.crossJoin(q)
+        .filter(F.col(label_col) != F.col("__qlabel"))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(label_col),
+            (
+                dot_quantized(F.col(vec_col), F.col("__qvec")).cast("double")
+                / (
+                    F.sqrt(F.col("__na").cast("double"))
+                    * F.sqrt(F.col("__nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    return _topk(scored, k, id_col, query_id_col)
+
+
+def retrieval_report(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    rr_scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Label-based retrieval evaluation of the exact cosine ranking: per
+    query, hits@k / precision@k / recall@k / reciprocal rank, where an
+    item is relevant iff it shares the query's label — the standard
+    offline quality gate for an embedding index (run it on the IVF/LSH
+    variant vs this exact baseline to measure recall loss).
+
+    All metrics derive from exact integers: ranks come from the
+    deterministic (cosine DESC, id) order; the reciprocal rank is
+    quantized ``round(rr_scale / first_hit_rank)`` so downstream mean-RR
+    aggregation stays order-independent. first_hit_rank is 0 when no
+    relevant item lands in the top k. Corpus streams once; the per-label
+    relevant-count side is a labels-sized broadcast.
+    """
+    q = query.select(
+        F.col(query_id_col),
+        F.col(label_col).alias("__qlabel"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    left = ensure_parallelism(df, id_col).withColumn(
+        "__na", norm2_quantized(F.col(vec_col))
+    )
+    scored = left.crossJoin(
+        F.broadcast(q.withColumn("__nb", norm2_quantized(F.col("__qvec"))))
+    ).select(
+        F.col(query_id_col),
+        F.col("__qlabel"),
+        F.col(id_col),
+        F.col(label_col),
+        (
+            dot_quantized(F.col(vec_col), F.col("__qvec")).cast("double")
+            / (
+                F.sqrt(F.col("__na").cast("double"))
+                * F.sqrt(F.col("__nb").cast("double"))
+            )
+        ).alias("cosine"),
+    )
+    topk = _topk(scored, k, id_col, query_id_col)
+    rel = F.col(label_col) == F.col("__qlabel")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    ranked = topk.withColumn("__rank", F.row_number().over(w))
+    per_label = F.broadcast(
+        df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n_label"))
+    )
+    agg = ranked.groupBy(query_id_col, "__qlabel").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).cast("long").alias("hits_at_k"),
+        F.coalesce(
+            F.min(F.when(rel, F.col("__rank"))), F.lit(0)
+        ).cast("long").alias("first_hit_rank"),
+    )
+    return (
+        agg.join(per_label, agg["__qlabel"] == per_label[label_col])
+        .select(
+            F.col(query_id_col),
+            F.col("__qlabel").alias(label_col),
+            F.col("__n_label").cast("long").alias("n_relevant"),
+            F.col("hits_at_k"),
+            (F.col("hits_at_k").cast("double") / F.lit(float(k))).alias(
+                "precision_at_k"
+            ),
+            (
+                F.col("hits_at_k").cast("double")
+                / F.col("__n_label").cast("double")
+            ).alias("recall_at_k"),
+            F.col("first_hit_rank"),
+            F.when(F.col("first_hit_rank") > 0,
+                   F.round(F.lit(float(rr_scale)) / F.col("first_hit_rank"))
+                   .cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("rr_q"),
+        )
+        .withColumn("rr", F.col("rr_q").cast("double") / F.lit(float(rr_scale)))
+    )

@@ -10,6 +10,7 @@ primitives; each scales linearly with no shuffle.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 - resolves pandas_udf type hints (unicode_normalize)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -336,3 +337,94 @@ def redact_pii(
     for pat in patterns.values():
         cleaned = F.regexp_replace(cleaned, pat, marker)
     return df.withColumn("n_redactions", n.cast("long")).withColumn(text_col, cleaned)
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (curation pre-pass)
+
+def unicode_normalize(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC/NFKC/NFD/NFKD).
+
+    The one text op that genuinely needs Python (the JVM SQL surface has
+    no normalization builtin), so it runs as an Arrow-batched pandas UDF —
+    vectorized transfer, zero shuffle, linear scan. Web corpora mix
+    composed and decomposed forms (é vs e+U+0301); every hash-keyed
+    operator downstream (dedup fingerprints, shingles, splits) silently
+    treats them as distinct documents unless this pass runs first.
+    DuckDB's ``nfc_normalize`` recomputes the NFC form exactly, so the
+    query keeps an exact oracle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: x if x is None else unicodedata.normalize(form, x)
+        )
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-corpus curation)
+
+#: scheme://host path ?query #fragment — RE2∩Java subset (no lookarounds)
+#: so the DuckDB oracle runs the identical pattern.
+URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def url_parts(col: Column | str) -> dict[str, Column]:
+    """Split a URL column into scheme/host/path/query/fragment columns —
+    pure ``regexp_extract`` (codegen, zero shuffle). Non-matching rows
+    yield empty strings (both engines' regexp_extract default)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "scheme": F.lower(F.regexp_extract(c, URL_RE, 1)),
+        "host": F.lower(F.regexp_extract(c, URL_RE, 2)),
+        "path": F.regexp_extract(c, URL_RE, 3),
+        "query": F.regexp_replace(F.regexp_extract(c, URL_RE, 4), r"^\?", ""),
+        "fragment": F.regexp_replace(F.regexp_extract(c, URL_RE, 5), r"^#", ""),
+    }
+
+
+def registered_domain(host: Column) -> Column:
+    """Last two dot-labels of the host — the dedup/blocking key for
+    per-site caps and URL-level dedup (public-suffix-list accuracy is out
+    of scope; two labels is the standard approximation)."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def canonicalize_url(col: Column | str, drop_param_prefix: str = "utm_") -> Column:
+    """Canonical URL form for URL-keyed dedup (the first dedup pass of
+    every web-crawl pipeline — cheaper than any content hash):
+
+    - scheme and host lowercased; leading ``www.`` stripped
+    - fragment dropped; tracking params (``utm_*``) dropped
+    - trailing slashes trimmed (bare root becomes ``/``)
+
+    Pure column algebra (regexp + split/filter/array_join), zero shuffle,
+    whole-stage codegen; the DuckDB twin recomputes it with the same
+    regexes and list functions.
+    """
+    p = url_parts(col)
+    host = F.regexp_replace(p["host"], r"^www\.", "")
+    path = F.regexp_replace(p["path"], r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    kept = F.filter(
+        F.split(p["query"], "&"),
+        lambda kv: (~kv.rlike("^" + drop_param_prefix)) & (kv != ""),
+    )
+    q = F.array_join(kept, "&")
+    return F.concat(
+        p["scheme"],
+        F.lit("://"),
+        host,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )

@@ -1,0 +1,172 @@
+"""Hand-case tests for the round-3b curation/retrieval operators:
+unicode_normalize, canonicalize_url, priority_dedup, temperature_mix,
+hard_negatives, retrieval_report, rrf_fuse."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_unicode_normalize_composes(spark):
+    from etl_oms_spark.operators.text import unicode_normalize
+
+    decomposed = "Café"  # e + combining acute
+    composed = "Café"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, "plain ascii"), (3, None)], ["id", "t"]
+    )
+    out = {
+        r["id"]: r["n"]
+        for r in df.withColumn("n", unicode_normalize("t")).collect()
+    }
+    assert out[1] == composed and out[1] != decomposed
+    assert out[2] == "plain ascii"
+    assert out[3] is None
+
+
+def test_unicode_normalize_rejects_bad_form():
+    from etl_oms_spark.operators.text import unicode_normalize
+
+    with pytest.raises(ValueError, match="normalization form"):
+        unicode_normalize("t", form="NFX")
+
+
+def test_canonicalize_url_hand_cases(spark):
+    from etl_oms_spark.operators.text import canonicalize_url, registered_domain, url_parts
+
+    rows = [
+        (1, "HTTPS://WWW.Ex.COM/a/b/?utm_source=x&id=3#f"),
+        (2, "HTTP://HOST.org?id=1"),
+        (3, "https://sub.site.co.uk/p?utm_a=1&utm_b=2"),
+        (4, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "u"])
+    host = F.regexp_replace(url_parts("u")["host"], r"^www\.", "")
+    out = {
+        r["id"]: (r["c"], r["d"])
+        for r in df.select(
+            "id",
+            canonicalize_url("u").alias("c"),
+            registered_domain(host).alias("d"),
+        ).collect()
+    }
+    assert out[1] == ("https://ex.com/a/b?id=3", "ex.com")
+    assert out[2] == ("http://host.org/?id=1", "host.org")
+    # two-label approximation: co.uk (documented; no public-suffix list)
+    assert out[3] == ("https://sub.site.co.uk/p", "co.uk")
+    assert out[4] == ("://" + "/", "")  # non-URL: empty parts, root path
+
+
+def test_priority_dedup_prefers_trusted_source(spark):
+    from etl_oms_spark.operators.dedup import priority_dedup
+
+    rows = [
+        (1, "web", "same text"),
+        (2, "wiki", "same  TEXT"),  # same canonical form, later id
+        (3, "web", "unique text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in priority_dedup(df, {"wiki": 0, "web": 1}).collect()
+    }
+    assert set(out) == {2, 3}  # wiki copy wins despite larger id
+    assert out[2]["dup_count"] == 2 and out[2]["n_sources"] == 2
+    assert out[3]["dup_count"] == 1 and out[3]["source"] == "web"
+
+
+def test_temperature_mix_flattens_and_integer_math(spark):
+    from etl_oms_spark.operators.sampling import temperature_mix
+
+    rows = [("en", i) for i in range(90)] + [("de", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["lang", "x"])
+    out = {
+        r["lang"]: r
+        for r in temperature_mix(
+            df, budget_docs=10, alpha=0.5, group_col="lang"
+        ).collect()
+    }
+    # sqrt weights: round(sqrt(.9)*1e9)=948683298, round(sqrt(.1)*1e9)=316227766
+    assert out["en"]["desired_docs"] == 10 * 948683298 // 1264911064 == 7
+    assert out["de"]["desired_docs"] == 10 * 316227766 // 1264911064 == 2
+    assert out["en"]["planned_docs"] == 7 and not out["en"]["upsample"]
+    # alpha=1 is proportional: desired == budget * share
+    prop = {
+        r["lang"]: r["desired_docs"]
+        for r in temperature_mix(
+            df, budget_docs=10, alpha=1.0, group_col="lang"
+        ).collect()
+    }
+    assert prop == {"en": 9, "de": 1}
+    # alpha=0 is uniform
+    uni = {
+        r["lang"]: r["desired_docs"]
+        for r in temperature_mix(
+            df, budget_docs=10, alpha=0.0, group_col="lang"
+        ).collect()
+    }
+    assert uni == {"en": 5, "de": 5}
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from etl_oms_spark.operators.similarity import hard_negatives
+
+    corpus = spark.createDataFrame(
+        [
+            (0, _vec(1, 0), 0),
+            (1, _vec(0.99, 0.1), 0),   # same label — must never appear
+            (2, _vec(0.9, 0.2), 1),    # closest different-label
+            (3, _vec(0.0, 1.0), 1),    # far
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    probes = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = hard_negatives(corpus, probes, k=2).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids == [2, 3]
+    assert all(r["label"] == 1 for r in out)
+
+
+def test_retrieval_report_metrics(spark):
+    from etl_oms_spark.operators.similarity import retrieval_report
+
+    corpus = spark.createDataFrame(
+        [
+            (10, _vec(0.9, 0.1), 7),   # relevant, rank 1
+            (11, _vec(0.5, 0.5), 3),   # irrelevant, rank 2
+            (12, _vec(0.1, 0.9), 7),   # relevant, rank 3
+            (13, _vec(-1, 0.0), 3),    # irrelevant, rank 4
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    probes = spark.createDataFrame(
+        [(0, _vec(1, 0), 7)], ["query_id", "embedding", "label"]
+    )
+    r = retrieval_report(corpus, probes, k=3).collect()[0]
+    assert r["n_relevant"] == 2
+    assert r["hits_at_k"] == 2
+    assert r["recall_at_k"] == 1.0
+    assert r["precision_at_k"] == pytest.approx(2 / 3)
+    assert r["first_hit_rank"] == 1 and r["rr"] == 1.0
+
+
+def test_rrf_fuse_quantized_sums(spark):
+    from etl_oms_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rank"])
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], top=10).collect()}
+    c1 = round(1e9 / 61)
+    c2 = round(1e9 / 62)
+    assert out[2]["rrf_q"] == c1 + c2 and out[2]["n_lists"] == 2
+    assert out[1]["rrf_q"] == c1 and out[3]["rrf_q"] == c2
+    # doc 2 fused to the top
+    ordered = sorted(out.values(), key=lambda r: (-r["rrf_q"], r["doc_id"]))
+    assert ordered[0]["doc_id"] == 2
