@@ -7738,6 +7738,176 @@ ORDER BY rrf_q DESC, doc_id LIMIT 15
 """
 
 
+def qsel1_classifier_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCLM/FineWeb-Edu-style selection: keep the top 20% of each source
+    by hashed-linear classifier margin. Threshold finding is histogram
+    two-phase (per-(source, margin) counts → NDV-sized descending cumsum →
+    k-th-largest nearest-rank threshold → broadcast filter), so NO window
+    ever partitions by doc — the pp2 lesson applied to score selection.
+    Boundary ties all kept (threshold semantics)
+    (operators/classifier.py:select_top_fraction)."""
+    from etl_oms_spark.operators.classifier import (
+        select_top_fraction,
+        synthetic_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return select_top_fraction(
+        docs, synthetic_weights(spark, 1024), frac=0.2
+    ).orderBy("doc_id")
+
+
+QSEL1_SQL = f"""
+WITH w AS (
+    SELECT bucket,
+           (CAST('0x' || substring(md5('w|' || CAST(bucket AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 21 - 10) * 1000000 AS w_q
+    FROM (SELECT unnest(range(0, 1024)) AS bucket)
+),
+tok AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+    FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5('qc' || '|' || term), 1, 15) AS BIGINT)
+             % 1024 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, term
+),
+feats2 AS (
+    SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf
+    FROM feats GROUP BY doc_id, bucket
+),
+scored AS (
+    SELECT d.doc_id, d.source,
+           COALESCE(s.margin_q, 0) AS margin_q
+    FROM documents d
+    LEFT JOIN (
+        SELECT doc_id, CAST(SUM(tf * w_q) AS BIGINT) AS margin_q
+        FROM feats2 JOIN w USING (bucket) GROUP BY doc_id
+    ) s ON d.doc_id = s.doc_id
+),
+hist AS (
+    SELECT source, margin_q, CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored GROUP BY source, margin_q
+),
+cum AS (
+    SELECT source, margin_q,
+           SUM(n) OVER (PARTITION BY source ORDER BY margin_q DESC) AS cnt_ge
+    FROM hist
+),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM scored GROUP BY source),
+thr AS (
+    SELECT cum.source, MAX(margin_q) AS t
+    FROM cum JOIN tot USING (source)
+    WHERE cnt_ge >= CAST(ceil(0.2 * n_docs) AS BIGINT)
+    GROUP BY cum.source
+)
+SELECT s.doc_id, s.source, s.margin_q
+FROM scored s JOIN thr ON s.source = thr.source
+WHERE s.margin_q >= thr.t
+ORDER BY s.doc_id
+"""
+
+
+def cx2_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit at the embedding level: e6's portable
+    near-dup pairs labeled with sp1's md5 split membership — a pair whose
+    ends land in different splits is semantic leakage (the eval example
+    has a near-copy in train). Pure composition: the pair build is the
+    only corpus-scale work; split labels hash from the ids, no extra
+    join."""
+    from etl_oms_spark.operators.sampling import _md5_bucket
+    from etl_oms_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.35, num_planes=4, hash_method="md5", dim=64
+    )
+
+    def split(c: Column) -> Column:
+        return F.when(
+            _md5_bucket(c, "split") < 200_000, F.lit("test")
+        ).otherwise(F.lit("train"))
+
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cosine",
+        split(F.col("id_a")).alias("split_a"),
+        split(F.col("id_b")).alias("split_b"),
+        (split(F.col("id_a")) != split(F.col("id_b"))).alias("leaks"),
+    ).orderBy("id_a", "id_b")
+
+
+_SPLIT_SQL = (
+    "CASE WHEN CAST('0x' || substring(md5('split|' || CAST({c} AS VARCHAR)), 1, 15)"
+    " AS BIGINT) % 1000000 < 200000 THEN 'test' ELSE 'train' END"
+)
+
+CX2_SQL = f"""
+WITH {_bucket_cte_sql(4)},
+v AS (
+    SELECT b.vec_id, e.embedding, b.bk
+    FROM bucket b JOIN embeddings e ON b.vec_id = e.vec_id
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           SUM({_QE.format(v='a.embedding')} * {_QE.format(v='b.embedding')}) AS dot,
+           SUM({_QE.format(v='a.embedding')} * {_QE.format(v='a.embedding')}) AS na,
+           SUM({_QE.format(v='b.embedding')} * {_QE.format(v='b.embedding')}) AS nb
+    FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id < b.vec_id, range(1, 65) t(i)
+    GROUP BY 1, 2
+), near AS (
+    SELECT id_a, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+    FROM pairs
+    WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
+)
+SELECT id_a, id_b, cosine,
+       {_SPLIT_SQL.format(c='id_a')} AS split_a,
+       {_SPLIT_SQL.format(c='id_b')} AS split_b,
+       {_SPLIT_SQL.format(c='id_a')} <> {_SPLIT_SQL.format(c='id_b')} AS leaks
+FROM near
+ORDER BY id_a, id_b
+"""
+
+
+def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs 250+ arrive as the new batch and
+    dedup against the fingerprint ledger of docs 0-249 (12 real
+    boundary-straddling groups at sf0.01), then within themselves —
+    prefix-8 fingerprints as in d9. The ledger side never shuffles: batch
+    fingerprints broadcast into a semi probe, hits broadcast back into
+    the anti-join (operators/dedup.py:incremental_dedup)."""
+    from etl_oms_spark.operators.dedup import corpus_fingerprints, incremental_dedup
+    from etl_oms_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 8)))
+    ledger = corpus_fingerprints(d.filter(F.col("doc_id") < 250), key=key)
+    batch = d.filter(F.col("doc_id") >= 250)
+    return incremental_dedup(batch, ledger, key=key).orderBy("doc_id")
+
+
+D10_SQL = f"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(array_to_string((string_split({_NORM_SQL}, ' '))[1:8], ' ')) AS fp
+    FROM documents
+),
+ledger AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+batch AS (SELECT * FROM fp WHERE doc_id >= 250),
+fresh AS (
+    SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM ledger)
+)
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM fresh
+GROUP BY fp
+ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -7958,6 +8128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hn1_hard_negatives": hn1_hard_negatives,
         "ir1_retrieval_report": ir1_retrieval_report,
         "rrf1_rank_fusion": rrf1_rank_fusion,
+        "qsel1_classifier_topfrac": qsel1_classifier_topfrac,
+        "cx2_split_leakage": cx2_split_leakage,
+        "d10_incremental_dedup": d10_incremental_dedup,
     }
 
 
@@ -8155,4 +8328,7 @@ def oracle_sql() -> dict[str, str]:
         "hn1_hard_negatives": HN1_SQL,
         "ir1_retrieval_report": IR1_SQL,
         "rrf1_rank_fusion": RRF1_SQL,
+        "qsel1_classifier_topfrac": QSEL1_SQL,
+        "cx2_split_leakage": CX2_SQL,
+        "d10_incremental_dedup": D10_SQL,
     }

@@ -120,3 +120,52 @@ def classifier_filter(
         .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
+
+
+def select_top_fraction(
+    df: DataFrame,
+    weights: DataFrame,
+    frac: float = 0.2,
+    group_col: str = "source",
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``frac`` of each group by classifier margin — the
+    DCLM / FineWeb-Edu selection step ("train on the top 20% by quality
+    score, balanced per source").
+
+    Scale-safe threshold finding (NO per-group ranking window over docs):
+    (1) histogram the integer margins per (group, margin_q) — a
+    distinct-values-sized aggregate; (2) a descending cumulative count
+    over that histogram (window partitions are NDV(margin)-sized, not
+    corpus-sized); (3) the per-group threshold is the k-th largest margin
+    (nearest-rank, k = ceil(frac·n)); (4) broadcast thresholds back and
+    filter ``margin_q >= T``. Boundary ties are all kept (threshold
+    semantics — what score-based curation actually ships — so a group can
+    exceed k by its tie count).
+    """
+    from pyspark.sql import Window
+
+    scored = linear_scores(
+        df, weights, n_buckets, text_col=text_col, id_col=id_col
+    ).select(id_col, "margin_q")
+    keyed = df.select(id_col, group_col).join(scored, id_col)
+    hist = keyed.groupBy(group_col, "margin_q").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("margin_q").desc())
+    cum = hist.withColumn("__cnt_ge", F.sum("__n").over(w))
+    tot = keyed.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_docs"))
+    k = F.ceil(F.lit(float(frac)) * F.col("__n_docs")).cast("long")
+    thr = (
+        cum.join(F.broadcast(tot), group_col)
+        .filter(F.col("__cnt_ge") >= k)
+        .groupBy(group_col)
+        .agg(F.max("margin_q").alias("__thr"))
+    )
+    return (
+        keyed.join(F.broadcast(thr), group_col)
+        .filter(F.col("margin_q") >= F.col("__thr"))
+        .select(id_col, group_col, "margin_q")
+    )

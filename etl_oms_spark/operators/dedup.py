@@ -715,3 +715,50 @@ def priority_dedup(
             F.col("n_sources").cast("long").alias("n_sources"),
         )
     )
+
+
+def corpus_fingerprints(
+    df: DataFrame, key: Column | None = None, text_col: str = "text"
+) -> DataFrame:
+    """Distinct fingerprint ledger of a corpus — the state an incremental
+    ingest pipeline persists between batches (one column ``fp``)."""
+    fp = key if key is not None else fingerprint_md5(text_col)
+    return df.select(fp.alias("fp")).distinct()
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    ledger: DataFrame,
+    key: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a new batch against an existing corpus ledger, then within
+    itself — the daily-ingest shape: "drop everything we've already got,
+    then collapse the batch's own duplicates".
+
+    Scale posture is the whole point: the LEDGER is the 100 TB side and
+    must never shuffle. The batch's distinct fingerprints broadcast into
+    a left-semi probe of the ledger (one ledger scan, zero ledger
+    movement); the resulting hit set is batch-bounded and broadcasts back
+    into the batch anti-join. The final keep-first-occurrence groupBy
+    shuffles only the batch. Output matches ``exact_dedup``:
+    (id, dup_count) — dup_count counts copies WITHIN the batch; ledger
+    hits are dropped entirely.
+    """
+    fp = key if key is not None else fingerprint_md5(text_col)
+    b = batch.withColumn("__fp", fp)
+    hits = ledger.join(
+        F.broadcast(b.select("__fp").distinct()),
+        ledger["fp"] == F.col("__fp"),
+        "left_semi",
+    )
+    fresh = b.join(F.broadcast(hits), b["__fp"] == hits["fp"], "left_anti")
+    return (
+        fresh.groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__fp")
+    )

@@ -170,3 +170,46 @@ def test_rrf_fuse_quantized_sums(spark):
     # doc 2 fused to the top
     ordered = sorted(out.values(), key=lambda r: (-r["rrf_q"], r["doc_id"]))
     assert ordered[0]["doc_id"] == 2
+
+
+def test_select_top_fraction_threshold_and_ties(spark):
+    from etl_oms_spark.operators.classifier import select_top_fraction
+
+    # margins are deterministic given the weight table; build our own
+    # weights so the margins are controlled: one bucket, weight 1e6 —
+    # margin_q = n_tokens * 1e6, so selection == longest 20% of docs.
+    weights = spark.createDataFrame([(b, 1_000_000) for b in range(16)], ["bucket", "w_q"])
+    rows = [(i, "s", "w " * (i + 1)) for i in range(10)]  # 1..10 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kept = select_top_fraction(df, weights, frac=0.2, n_buckets=16).collect()
+    # k = ceil(0.2*10) = 2 → threshold = 2nd largest margin → docs 8, 9
+    assert sorted(r["doc_id"] for r in kept) == [8, 9]
+    # tie case: all equal margins → everything is at the threshold → all kept
+    df2 = spark.createDataFrame(
+        [(i, "s", "same text here") for i in range(5)],
+        ["doc_id", "source", "text"],
+    )
+    kept2 = select_top_fraction(df2, weights, frac=0.2, n_buckets=16).collect()
+    assert len(kept2) == 5
+
+
+def test_incremental_dedup_ledger_and_batch(spark):
+    from etl_oms_spark.operators.dedup import corpus_fingerprints, incremental_dedup
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),  # canonical dup of ledger doc 1 → dropped
+            (11, "epsilon zeta"),  # fresh
+            (12, "epsilon  ZETA"), # dup of 11 within batch → collapsed
+            (13, "eta theta"),     # fresh
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["dup_count"]
+        for r in incremental_dedup(batch, corpus_fingerprints(old)).collect()
+    }
+    assert out == {11: 2, 13: 1}
