@@ -156,6 +156,10 @@ def select_top_fraction(
     )
     w = Window.partitionBy(group_col).orderBy(F.col("margin_q").desc())
     cum = hist.withColumn("__cnt_ge", F.sum("__n").over(w))
+    # NOTE (100 TB): `keyed` is folded three times (hist, tot, final
+    # filter) — every fold is scan → broadcast-join → map-side-reduced
+    # agg with no corpus shuffle, but at scale persist `keyed` (three
+    # narrow columns) so the folds share one materialization.
     tot = keyed.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_docs"))
     k = F.ceil(F.lit(float(frac)) * F.col("__n_docs")).cast("long")
     thr = (
