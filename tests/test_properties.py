@@ -234,3 +234,72 @@ def test_morton_python_model_roundtrip(x, y):
     ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
     assert (rx, ry) == (x, y)
     assert z < 1 << 32
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) for a full grid of messy URLs —
+    canonical form is a fixed point."""
+    from etl_oms_spark.operators.text import canonicalize_url
+
+    urls = []
+    for scheme in ("http", "HTTPS", "ftp"):
+        for host in ("WWW.Site.COM", "a.b.org", "www.x.co.uk", "HOST"):
+            for path in ("", "/a/B/docs", "/p1"):
+                for slash in ("", "/"):
+                    for q in ("", "?id=1&utm_source=x", "?utm_c=2", "?q=Y&"):
+                        for frag in ("", "#frag"):
+                            urls.append(
+                                (f"{scheme}://{host}{path}{slash}{q}{frag}",)
+                            )
+    df = spark.createDataFrame(urls, ["u"])
+    bad = df.select(
+        "u",
+        canonicalize_url("u").alias("c1"),
+        canonicalize_url(canonicalize_url("u")).alias("c2"),
+    ).filter("c1 <> c2")
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_temperature_mix_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.sampling import temperature_mix
+
+    rows = (
+        [("a", i) for i in range(97)]
+        + [("b", i) for i in range(2)]
+        + [("c", i) for i in range(1)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x"])
+    for alpha in (0.0, 0.3, 0.7, 1.0):
+        out = temperature_mix(df, budget_docs=50, alpha=alpha, group_col="g").collect()
+        # planned never exceeds availability or (summed) the budget
+        assert all(r["planned_docs"] <= r["n_docs"] for r in out)
+        assert sum(r["desired_docs"] for r in out) <= 50
+        # mix fractions sum to ~1 and each is within (0, 1]
+        s = sum(r["mix_frac"] for r in out)
+        assert abs(s - 1.0) < 1e-12
+    # flattening is monotone: lower alpha → smaller head fraction
+    heads = {}
+    for alpha in (0.0, 0.5, 1.0):
+        out = temperature_mix(df, budget_docs=50, alpha=alpha, group_col="g").collect()
+        heads[alpha] = next(r["mix_frac"] for r in out if r["g"] == "a")
+    assert heads[0.0] <= heads[0.5] <= heads[1.0]
+
+
+def test_priority_dedup_partition_invariance(spark):
+    """Winners don't depend on the physical partitioning (argmin is an
+    order-independent aggregate)."""
+    from etl_oms_spark.operators.dedup import priority_dedup
+
+    rows = [
+        (i, f"s{i % 3}", f"text {i % 5}") for i in range(30)
+    ]  # 5 dup groups × 6 copies
+    df1 = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    df8 = df1.repartition(8)
+    pri = {"s2": 0, "s0": 1, "s1": 2}
+    a = sorted(map(tuple, priority_dedup(df1, pri).collect()))
+    b = sorted(map(tuple, priority_dedup(df8, pri).collect()))
+    assert a == b
+    # every winner carries the highest-priority source present in its group
+    assert all(r[1] == "s2" for r in a)  # s2 present in every mod-5 group
