@@ -70,6 +70,12 @@ HEADLINE = [
     "tp3_repair_pipeline",
     "tr1_triangles",
     "dq2_profile_approx",
+    # round-3b curation/retrieval operators
+    "qsel1_classifier_topfrac",
+    "cx2_split_leakage",
+    "rrf1_rank_fusion",
+    "un1_unicode_normalize",
+    "d10_incremental_dedup",
 ]
 
 

@@ -379,3 +379,52 @@ def test_streaming_sessionize(spark, tmp_path):
         assert (rows[0]["session_end"] - rows[0]["session_start"]).seconds == 15 * 60
     finally:
         q.stop()
+
+
+def test_foreach_batch_incremental_dedup_stream(spark, tmp_path):
+    """Streaming corpus ingest: content dedup against the persistent
+    fingerprint ledger across micro-batches — within-batch dups collapse,
+    cross-batch dups drop, and the ledger accumulates."""
+    import json
+
+    from etl_oms_spark.streaming.events import foreach_batch_incremental_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+
+    def write_batch(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    write_batch("b1.json", [
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "ALPHA   beta"},   # dup of 1 within batch
+        {"doc_id": 3, "text": "gamma delta"},
+    ])
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+
+    def run():
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_incremental_dedup(corpus, ledger, spark)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert ids == [1, 3]
+    assert spark.read.parquet(ledger).count() == 2
+
+    write_batch("b2.json", [
+        {"doc_id": 10, "text": "alpha  BETA"},   # dup of ledgered doc 1
+        {"doc_id": 11, "text": "epsilon zeta"},  # fresh
+    ])
+    run()
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert ids == [1, 3, 11]
+    assert spark.read.parquet(ledger).count() == 3
