@@ -7916,6 +7916,126 @@ ORDER BY doc_id
 """
 
 
+def mm1_media_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal retrieval end-to-end: synthesize media payloads, run the
+    Arrow-batched fake feature extractor (byte-histogram — the mapInPandas
+    contract a real vision model drops into), then exact quantized-cosine
+    top-5 for two probe images over the corpus. The fake features are
+    bit-reproducible in SQL (ASCII byte histogram + the 13 header bytes,
+    float32-rounded exactly as Arrow does), so the whole
+    decode→featurize→ANN composition gets an EXACT oracle — the
+    multimodal twin of e1 (operators/multimodal.py:extract_features)."""
+    from etl_oms_spark.operators.multimodal import extract_features, with_media_column
+    from etl_oms_spark.operators.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = extract_features(with_media_column(d)).select("doc_id", "features")
+    probes = feats.filter(F.col("doc_id").isin(0, 1)).select(
+        F.col("doc_id").alias("query_id"), "features"
+    )
+    return cosine_topk(
+        feats, probes, k=5, id_col="doc_id", vec_col="features"
+    ).orderBy("query_id", "doc_id")
+
+
+# float32 feature recomputed in SQL: count/total in double, rounded to
+# REAL (Arrow's float cast), widened back — then the standard 1e6
+# quantization. ASCII corpus ⇒ substring(text,i,1) is the i-th byte.
+_MMQ = "CAST(round(CAST(CAST(f.{v} AS REAL) AS DOUBLE) * 1000000) AS BIGINT)"
+
+MM1_SQL = """
+WITH chars AS (
+    SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) AS b
+    FROM documents, LATERAL unnest(range(1, strlen(text) + 1)) u(i)
+), hdr AS (
+    SELECT doc_id,
+           unnest([70, 65, 75, 69, 0, 0, 0, CAST(strlen(text) % 256 AS BIGINT),
+                   0, 0, 0, 32, 3]) AS b
+    FROM documents
+), allb AS (
+    SELECT doc_id, b FROM chars UNION ALL SELECT doc_id, b FROM hdr
+), hist AS (
+    SELECT doc_id, b % 16 AS k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM allb GROUP BY doc_id, b % 16
+), total AS (
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS t FROM hist GROUP BY doc_id
+), feat AS (
+    SELECT h.doc_id, h.k,
+           CAST(round(CAST(CAST(CAST(h.n AS DOUBLE) / CAST(tt.t AS DOUBLE)
+                AS REAL) AS DOUBLE) * 1000000) AS BIGINT) AS q
+    FROM hist h JOIN total tt ON h.doc_id = tt.doc_id
+), norms AS (
+    SELECT doc_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM feat GROUP BY doc_id
+), probes AS (
+    SELECT doc_id AS query_id, k, q FROM feat WHERE doc_id IN (0, 1)
+), dots AS (
+    SELECT p.query_id, f.doc_id, CAST(SUM(f.q * p.q) AS BIGINT) AS dot
+    FROM feat f JOIN probes p ON f.k = p.k
+    GROUP BY p.query_id, f.doc_id
+), scored AS (
+    SELECT d.query_id, d.doc_id,
+           CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots d
+    JOIN norms na ON d.doc_id = na.doc_id
+    JOIN norms nb ON d.query_id = nb.doc_id
+)
+SELECT query_id, doc_id, cosine
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+    FROM scored
+) WHERE rn <= 5
+ORDER BY query_id, doc_id
+"""
+
+
+#: C4-style blocklist — deterministic tokens present in the synthetic
+#: corpus so the gate does real work at every scale.
+_BLOCKLIST = ["slow", "big"]
+
+
+def t12_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filtering: per-source counts of docs containing
+    any blocklisted token vs clean docs — `array_intersect` on the
+    token array, pure JVM column algebra, zero shuffle before the
+    groups-sized aggregate (the badword pass every public web-corpus
+    recipe runs; swap the literal list for a broadcast table at real
+    blocklist sizes)."""
+    from etl_oms_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    hit = F.size(
+        F.array_intersect(
+            tokens("text"), F.array(*[F.lit(w) for w in _BLOCKLIST])
+        )
+    ) > 0
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_blocked"),
+            F.sum(F.when(~hit, 1).otherwise(0)).cast("long").alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+T12_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           len(list_intersect(list_distinct(string_split({_NORM_SQL}, ' ')),
+                              ['slow', 'big'])) > 0 AS hit
+    FROM documents
+)
+SELECT source,
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8139,6 +8259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qsel1_classifier_topfrac": qsel1_classifier_topfrac,
         "cx2_split_leakage": cx2_split_leakage,
         "d10_incremental_dedup": d10_incremental_dedup,
+        "mm1_media_similarity": mm1_media_similarity,
+        "t12_blocklist_gate": t12_blocklist_gate,
     }
 
 
@@ -8339,4 +8461,6 @@ def oracle_sql() -> dict[str, str]:
         "qsel1_classifier_topfrac": QSEL1_SQL,
         "cx2_split_leakage": CX2_SQL,
         "d10_incremental_dedup": D10_SQL,
+        "mm1_media_similarity": MM1_SQL,
+        "t12_blocklist_gate": T12_SQL,
     }
