@@ -8036,6 +8036,39 @@ ORDER BY source
 """
 
 
+def u4_llm_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 through the driver contract: batch LLM annotation of documents
+    via `ask_column` (Arrow-batched pandas UDF, per-worker client
+    singleton — the exact plumbing a real model rides). The echo backend
+    is a deterministic template over the prompt, so the oracle recomputes
+    the completion in SQL — verifying batching, the factory, and the
+    prompt template end-to-end (operators/llm.py; reference
+    llm_client.py:6-41)."""
+    from etl_oms_spark.operators.llm import ask_column
+
+    d = _t(spark, sf_dir, "documents")
+    prompt = F.concat(F.lit("Summarize: "), F.col("text"))
+    return d.select(
+        "doc_id",
+        ask_column(prompt).alias("answer"),
+    ).orderBy("doc_id")
+
+
+U4_SQL = """
+WITH p AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim('Summarize: ' || text), '\\s+', ' ', 'g'),
+                        ' ') AS w
+    FROM documents
+)
+SELECT doc_id,
+       'echo(' || CAST(len(w) AS VARCHAR) || '): ' ||
+       array_to_string(w[1:3], ' ') AS answer
+FROM p
+ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8261,6 +8294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_incremental_dedup": d10_incremental_dedup,
         "mm1_media_similarity": mm1_media_similarity,
         "t12_blocklist_gate": t12_blocklist_gate,
+        "u4_llm_annotate": u4_llm_annotate,
     }
 
 
@@ -8463,4 +8497,5 @@ def oracle_sql() -> dict[str, str]:
         "d10_incremental_dedup": D10_SQL,
         "mm1_media_similarity": MM1_SQL,
         "t12_blocklist_gate": T12_SQL,
+        "u4_llm_annotate": U4_SQL,
     }
