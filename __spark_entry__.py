@@ -8069,6 +8069,51 @@ ORDER BY doc_id
 """
 
 
+def ck1_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint for migration/replication
+    audits: per-row canonical rendering (dates ISO, money as exact
+    cents) → md5 → 30-bit residue, summed with count — any engine/
+    partitioning computes the identical pair, so two copies of a table
+    compare with one number each (the cheap first check before tc1's
+    row-level diff). One scan, map-side-combined aggregate, no shuffle
+    beyond the 1-row merge; residues keep the BIGINT sum overflow-safe
+    past 10^12 rows."""
+    o = _t(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long") % F.lit(
+        1_000_000_000
+    )
+    return spark.createDataFrame([("orders",)], ["table_name"]).crossJoin(
+        o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).alias("checksum"),
+        )
+    )
+
+
+CK1_SQL = """
+SELECT 'orders' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(
+           CAST('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || '|' ||
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+           ), 1, 15) AS BIGINT) % 1000000000
+       ) AS BIGINT) AS checksum
+FROM orders
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8295,6 +8340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm1_media_similarity": mm1_media_similarity,
         "t12_blocklist_gate": t12_blocklist_gate,
         "u4_llm_annotate": u4_llm_annotate,
+        "ck1_table_checksum": ck1_table_checksum,
     }
 
 
@@ -8498,4 +8544,5 @@ def oracle_sql() -> dict[str, str]:
         "mm1_media_similarity": MM1_SQL,
         "t12_blocklist_gate": T12_SQL,
         "u4_llm_annotate": U4_SQL,
+        "ck1_table_checksum": CK1_SQL,
     }
