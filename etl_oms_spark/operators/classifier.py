@@ -147,6 +147,8 @@ def select_top_fraction(
     """
     from pyspark.sql import Window
 
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
     scored = linear_scores(
         df, weights, n_buckets, text_col=text_col, id_col=id_col
     ).select(id_col, "margin_q")

@@ -194,6 +194,8 @@ def rrf_fuse(
     Inputs are top-k lists (tiny); the union + groupBy is k·N-bounded, so
     at corpus scale the cost lives entirely in the upstream rankers.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     contrib = [
         r.select(
             F.col(id_col),

@@ -884,20 +884,27 @@ def retrieval_report(
             F.min(F.when(rel, F.col("__rank"))), F.lit(0)
         ).cast("long").alias("first_hit_rank"),
     )
+    # LEFT join: a probe whose label has no corpus representative must
+    # still report (n_relevant 0, recall 0), not silently vanish
     return (
-        agg.join(per_label, agg["__qlabel"] == per_label[label_col])
+        agg.join(per_label, agg["__qlabel"] == per_label[label_col], "left")
         .select(
             F.col(query_id_col),
             F.col("__qlabel").alias(label_col),
-            F.col("__n_label").cast("long").alias("n_relevant"),
+            F.coalesce(F.col("__n_label"), F.lit(0))
+            .cast("long")
+            .alias("n_relevant"),
             F.col("hits_at_k"),
             (F.col("hits_at_k").cast("double") / F.lit(float(k))).alias(
                 "precision_at_k"
             ),
-            (
+            F.when(
+                F.coalesce(F.col("__n_label"), F.lit(0)) > 0,
                 F.col("hits_at_k").cast("double")
-                / F.col("__n_label").cast("double")
-            ).alias("recall_at_k"),
+                / F.col("__n_label").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall_at_k"),
             F.col("first_hit_rank"),
             F.when(F.col("first_hit_rank") > 0,
                    F.round(F.lit(float(rr_scale)) / F.col("first_hit_rank"))

@@ -213,3 +213,38 @@ def test_incremental_dedup_ledger_and_batch(spark):
         for r in incremental_dedup(batch, corpus_fingerprints(old)).collect()
     }
     assert out == {11: 2, 13: 1}
+
+
+def test_rrf_fuse_rejects_empty():
+    from etl_oms_spark.operators.search import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_select_top_fraction_rejects_bad_frac(spark):
+    from etl_oms_spark.operators.classifier import select_top_fraction
+
+    with pytest.raises(ValueError, match="frac"):
+        select_top_fraction(None, None, frac=0.0)
+    with pytest.raises(ValueError, match="frac"):
+        select_top_fraction(None, None, frac=1.5)
+
+
+def test_retrieval_report_probe_label_absent(spark):
+    """A probe whose label never appears in the corpus still reports —
+    n_relevant 0, recall 0 — instead of silently vanishing."""
+    from etl_oms_spark.operators.similarity import retrieval_report
+
+    corpus = spark.createDataFrame(
+        [(10, _vec(1, 0), 3), (11, _vec(0, 1), 3)],
+        ["vec_id", "embedding", "label"],
+    )
+    probes = spark.createDataFrame(
+        [(0, _vec(1, 0), 99)], ["query_id", "embedding", "label"]
+    )
+    rows = retrieval_report(corpus, probes, k=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_relevant"] == 0 and r["hits_at_k"] == 0
+    assert r["recall_at_k"] == 0.0 and r["rr"] == 0.0
