@@ -26,14 +26,18 @@ from ..operators.similarity import (
 )
 from ..operators.text import (
     bpe_token_count,
+    canonicalize_url,
     fingerprint_md5,
     language_id,
     marker_hits,
     normalize_text,
     quality_features,
     quality_score,
+    registered_domain,
     rolling_hash,
     tokens,
+    unicode_normalize,
+    url_parts,
     whitespace_token_count,
 )
 from ..reconcile import disease_from_name, normalize_column_name
@@ -48,6 +52,7 @@ from ..transform import (
 __all__ = [
     "ask_column",
     "bpe_token_count",
+    "canonicalize_url",
     "cosine_quantized",
     "disease_from_name",
     "dot_quantized",
@@ -67,9 +72,12 @@ __all__ = [
     "normalize_text",
     "quality_features",
     "quality_score",
+    "registered_domain",
     "rolling_hash",
     "shingles",
     "tokens",
+    "unicode_normalize",
+    "url_parts",
     "tolerant_double",
     "tolerant_long",
     "tolerant_timestamp",
