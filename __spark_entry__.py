@@ -8114,6 +8114,57 @@ FROM orders
 """
 
 
+def pk2_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency telemetry over pk1's sharded packing: per shard,
+    sequences produced, docs and tokens packed, and the utilization
+    against the 2048-token budget — the padding-waste number every
+    training pipeline tracks (wasted = 1 - utilization becomes pad
+    tokens). Pure aggregate over the packing output; shards-sized
+    result."""
+    from etl_oms_spark.operators.sampling import (
+        deterministic_shuffle,
+        pack_sequences,
+    )
+    from etl_oms_spark.operators.text import whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count("text").alias("n_tokens")
+    )
+    sharded = deterministic_shuffle(d, num_shards=8)
+    packed = pack_sequences(
+        sharded, "n_tokens", budget=2048, order_col="pos", shard_col="shard"
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (
+                F.sum("n_tokens").cast("double")
+                / ((F.max("seq_id") + 1) * 2048).cast("double")
+            ).alias("utilization"),
+        )
+        .orderBy("shard")
+    )
+
+
+PK2_SQL = f"""
+WITH packed AS (
+{PK1_SQL.replace("SELECT doc_id, shard,", "SELECT doc_id, shard, n_tokens,")}
+)
+SELECT shard,
+       CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE)
+           / CAST((MAX(seq_id) + 1) * 2048 AS DOUBLE) AS utilization
+FROM packed
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8341,6 +8392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_blocklist_gate": t12_blocklist_gate,
         "u4_llm_annotate": u4_llm_annotate,
         "ck1_table_checksum": ck1_table_checksum,
+        "pk2_packing_report": pk2_packing_report,
     }
 
 
@@ -8545,4 +8597,5 @@ def oracle_sql() -> dict[str, str]:
         "t12_blocklist_gate": T12_SQL,
         "u4_llm_annotate": U4_SQL,
         "ck1_table_checksum": CK1_SQL,
+        "pk2_packing_report": PK2_SQL,
     }
