@@ -248,3 +248,15 @@ def test_retrieval_report_probe_label_absent(spark):
     r = rows[0]
     assert r["n_relevant"] == 0 and r["hits_at_k"] == 0
     assert r["recall_at_k"] == 0.0 and r["rr"] == 0.0
+
+
+def test_unicode_normalize_nfkc_folds_compat(spark):
+    from etl_oms_spark.operators.text import unicode_normalize
+
+    df = spark.createDataFrame([(1, "ﬁle ①")], ["id", "t"])  # ligature fi + circled 1
+    out = df.select(
+        unicode_normalize("t", form="NFC").alias("nfc"),
+        unicode_normalize("t", form="NFKC").alias("nfkc"),
+    ).collect()[0]
+    assert out["nfc"] == "ﬁle ①"          # NFC keeps compatibility chars
+    assert out["nfkc"] == "file 1"        # NFKC folds them
