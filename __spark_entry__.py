@@ -8165,6 +8165,85 @@ ORDER BY shard
 """
 
 
+def d11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation self-audit: for every d7 LSH candidate pair, the
+    signature-ESTIMATED Jaccard next to the EXACT 3-shingle Jaccard and
+    the absolute error — the calibration readout that tells an operator
+    whether 64 hashes / 16 bands is tight enough before trusting the
+    estimator at full scale. Exact side is pair-bounded (|candidates| ≪
+    n²): one array_intersect per surviving pair, never an all-pairs
+    join."""
+    from etl_oms_spark.operators.dedup import (
+        estimate_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, hash_method="md5")
+    pairs = lsh_candidate_pairs(sigs, hash_method="md5")
+    est = estimate_jaccard(sigs, pairs)
+    sh = d.select("doc_id", shingles("text", 3).alias("__sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    exact = inter.cast("double") / (
+        F.size("__sa") + F.size("__sb") - inter
+    ).cast("double")
+    return (
+        est.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_D11_AGREE = " + ".join(
+    f"(CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END)" for j in range(64)
+)
+
+D11_SQL = f"""
+WITH {_build_d7_sql()},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+),
+ssize AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT p.id_a, p.id_b, CAST(COUNT(*) AS BIGINT) AS ni
+    FROM pairs p
+    JOIN sh x ON x.doc_id = p.id_a
+    JOIN sh y ON y.doc_id = p.id_b AND x.s = y.s
+    GROUP BY p.id_a, p.id_b
+),
+agree AS (
+    SELECT p.id_a, p.id_b, CAST({_D11_AGREE} AS BIGINT) AS m
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.id_a
+    JOIN sig b ON b.doc_id = p.id_b
+)
+SELECT g.id_a, g.id_b,
+       CAST(g.m AS DOUBLE) / 64.0 AS est_jaccard,
+       CAST(COALESCE(i.ni, 0) AS DOUBLE)
+           / CAST(sa.ns + sb.ns - COALESCE(i.ni, 0) AS DOUBLE) AS exact_jaccard,
+       abs(CAST(g.m AS DOUBLE) / 64.0
+           - CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / CAST(sa.ns + sb.ns - COALESCE(i.ni, 0) AS DOUBLE)) AS abs_err
+FROM agree g
+LEFT JOIN inter i ON g.id_a = i.id_a AND g.id_b = i.id_b
+JOIN ssize sa ON sa.doc_id = g.id_a
+JOIN ssize sb ON sb.doc_id = g.id_b
+ORDER BY g.id_a, g.id_b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8393,6 +8472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u4_llm_annotate": u4_llm_annotate,
         "ck1_table_checksum": ck1_table_checksum,
         "pk2_packing_report": pk2_packing_report,
+        "d11_minhash_calibration": d11_minhash_calibration,
     }
 
 
@@ -8598,4 +8678,5 @@ def oracle_sql() -> dict[str, str]:
         "u4_llm_annotate": U4_SQL,
         "ck1_table_checksum": CK1_SQL,
         "pk2_packing_report": PK2_SQL,
+        "d11_minhash_calibration": D11_SQL,
     }
