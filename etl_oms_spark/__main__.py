@@ -119,6 +119,15 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--out", required=True, help="append-target parquet")
     p_ing.add_argument("--format", default="csv", choices=["csv", "json", "parquet"])
 
+    p_srch = sub.add_parser(
+        "search", help="BM25 full-text search over a parquet document table"
+    )
+    p_srch.add_argument("--table", required=True, help="parquet path (documents)")
+    p_srch.add_argument("--terms", required=True, help="space-separated query terms")
+    p_srch.add_argument("--k", type=int, default=10)
+    p_srch.add_argument("--text-col", default="text")
+    p_srch.add_argument("--id-col", default="doc_id")
+
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -252,6 +261,18 @@ def main(argv: list[str] | None = None) -> int:
         rows.write.mode("append").parquet(args.out)
         record_ingested(spark, files, args.ledger)
         print(f"ingested {len(files)} new file(s) into {args.out}")
+    elif args.cmd == "search":
+        from .operators.search import bm25_topk
+
+        df = spark.read.parquet(args.table)
+        hits = bm25_topk(
+            df,
+            args.terms.split(),
+            k=args.k,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        hits.show(args.k, truncate=False)
     return 0
 
 

@@ -206,3 +206,21 @@ def test_cli_curate_config_file(spark, tmp_path):
     curated = spark.read.parquet(out)
     splits = {r["split"] for r in curated.select("split").distinct().collect()}
     assert splits == {"train", "test"}  # 50% test rate -> both populated
+
+
+def test_cli_search(spark, tmp_path, capsys):
+    from etl_oms_spark.__main__ import main
+
+    src = tmp_path / "docs"
+    rows = [
+        (1, "spark joins the hash table fast"),
+        (2, "window functions over streams"),
+        (3, "nothing relevant here at all"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(str(src))
+    assert main(["search", "--table", str(src), "--terms", "spark hash",
+                 "--k", "2"]) == 0
+    out = capsys.readouterr().out
+    # doc 1 matches both terms and must surface; doc 3 must not
+    assert "1" in out.split("doc_id", 1)[1]
+    assert "score" in out
