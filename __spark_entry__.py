@@ -8244,6 +8244,84 @@ ORDER BY g.id_a, g.id_b
 """
 
 
+def d12_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup — the first (and cheapest) dedup pass of every web
+    crawl, before any content hash: messy recrawl URLs (case/www/utm/
+    fragment variants, two docs per page via doc_id % 250) canonicalize
+    to the same key, and priority_dedup keeps the most-trusted copy.
+    Composes url1's canonicalizer with d9's winner rule; one key shuffle
+    (operators/text.py:canonicalize_url + operators/dedup.py:
+    priority_dedup)."""
+    from etl_oms_spark.operators.dedup import priority_dedup
+    from etl_oms_spark.operators.text import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 250).cast("string")
+    # recrawl variants: odd doc_ids carry tracking params + fragment and
+    # a different host casing; canonical form collapses both to one key
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://site.example/page/"), page),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://WWW.SITE.EXAMPLE/page/"),
+            page,
+            F.lit("/?utm_source=recrawl#top"),
+        )
+    )
+    # scheme differs between the variants (https vs http) — canonical key
+    # is host+path, so strip the scheme from the dedup key
+    key = F.regexp_replace(canonicalize_url(url), r"^[a-z]+://", "")
+    d = d.withColumn("__url", url)
+    return priority_dedup(d, {"src7": 0, "src3": 1}, key=key).orderBy("doc_id")
+
+
+D12_SQL = f"""
+WITH u AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://site.example/page/' || CAST(doc_id % 250 AS VARCHAR)
+                ELSE 'HTTP://WWW.SITE.EXAMPLE/page/' || CAST(doc_id % 250 AS VARCHAR)
+                     || '/?utm_source=recrawl#top' END AS url
+    FROM documents
+), p AS (
+    SELECT doc_id, source,
+           regexp_replace(lower(regexp_extract(url, '{_URL_RE_SQL}', 2)),
+                          '^www\\.', '') ||
+           CASE WHEN regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 3),
+                                    '/+$', '') = '' THEN '/'
+                ELSE regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 3),
+                                    '/+$', '') END ||
+           CASE WHEN array_to_string(
+                    list_filter(string_split(
+                        regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 4),
+                                       '^\\?', ''), '&'),
+                        x -> NOT regexp_matches(x, '^utm_') AND x <> ''),
+                    '&') <> ''
+                THEN '?' || array_to_string(
+                    list_filter(string_split(
+                        regexp_replace(regexp_extract(url, '{_URL_RE_SQL}', 4),
+                                       '^\\?', ''), '&'),
+                        x -> NOT regexp_matches(x, '^utm_') AND x <> ''),
+                    '&')
+                ELSE '' END AS key
+    FROM u
+), r AS (
+    SELECT *,
+           CASE source WHEN 'src7' THEN 0 WHEN 'src3' THEN 1
+                ELSE 1000000 END AS pri
+    FROM p
+)
+SELECT (min(struct_pack(p := pri, i := doc_id, s := source))).i AS doc_id,
+       (min(struct_pack(p := pri, i := doc_id, s := source))).s AS source,
+       CAST(COUNT(*) AS BIGINT) AS dup_count,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM r
+GROUP BY key
+ORDER BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8473,6 +8551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ck1_table_checksum": ck1_table_checksum,
         "pk2_packing_report": pk2_packing_report,
         "d11_minhash_calibration": d11_minhash_calibration,
+        "d12_url_dedup": d12_url_dedup,
     }
 
 
@@ -8679,4 +8758,5 @@ def oracle_sql() -> dict[str, str]:
         "ck1_table_checksum": CK1_SQL,
         "pk2_packing_report": PK2_SQL,
         "d11_minhash_calibration": D11_SQL,
+        "d12_url_dedup": D12_SQL,
     }
