@@ -8322,6 +8322,33 @@ ORDER BY doc_id
 """
 
 
+def f13_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type surface: events.props JSON parsed into a map<string,int>
+    (`from_json` MapType — the schema-on-read form for ragged key sets
+    where a struct would fossilize the schema), then size /
+    element_at / map_contains_key scalarized for the compare harness.
+    Pure column exprs; the oracle reads the same JSON with DuckDB's json
+    functions."""
+    ev = _events(spark, sf_dir)
+    mp = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(mp).cast("int").alias("n_keys"),
+        F.element_at(mp, "k").alias("k_val"),
+        mp.getItem("missing").isNotNull().alias("has_missing"),
+    ).orderBy("event_id")
+
+
+F13_SQL = """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CAST(json_extract(props, '$.k') AS INT) AS k_val,
+       json_extract(props, '$.missing') IS NOT NULL AS has_missing
+FROM events
+ORDER BY event_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8552,6 +8579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk2_packing_report": pk2_packing_report,
         "d11_minhash_calibration": d11_minhash_calibration,
         "d12_url_dedup": d12_url_dedup,
+        "f13_map_funcs": f13_map_funcs,
     }
 
 
@@ -8759,4 +8787,5 @@ def oracle_sql() -> dict[str, str]:
         "pk2_packing_report": PK2_SQL,
         "d11_minhash_calibration": D11_SQL,
         "d12_url_dedup": D12_SQL,
+        "f13_map_funcs": F13_SQL,
     }
