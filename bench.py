@@ -100,6 +100,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold_total = 0.0
     total = 0.0
+    import gc
+
     for name in names:
         runs = []
         for _ in range(2):
@@ -110,6 +112,11 @@ def main() -> None:
         dt = round(min(runs), 3)
         timings[name] = dt
         total += dt
+        # drop dead DataFrame/RDD references (localCheckpoint blocks from
+        # checkpointed plans like tp3) so the ContextCleaner can unpersist
+        # them — otherwise later queries in a 50+-query session inherit
+        # their GC pressure and drift upward
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
