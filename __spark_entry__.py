@@ -8349,6 +8349,64 @@ ORDER BY event_id
 """
 
 
+def tm2_temperature_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute tm1's temperature plan: per-language deterministic
+    md5-bucket sampling at rate planned_docs/n_docs (apply_mix_plan with
+    the doc-count pair) — the plan→apply symmetry mx1→mx2 has, for alpha
+    sampling. Kept set is partitioning-independent and monotone in the
+    rate; the corpus never shuffles (broadcast plan + filter). Reports
+    achieved per-language counts beside the plan's target."""
+    from etl_oms_spark.operators.sampling import apply_mix_plan, temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = temperature_mix(docs, budget_docs=400, alpha=0.3, group_col="lang")
+    kept = apply_mix_plan(
+        docs,
+        plan,
+        source_col="lang",
+        salt="temp",
+        planned_col="planned_docs",
+        total_col="n_docs",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .join(
+            F.broadcast(plan.select("lang", "planned_docs")), "lang"
+        )
+        .orderBy("lang")
+    )
+
+
+TM2_SQL = """
+WITH per AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM per),
+w AS (
+    SELECT lang, n_docs,
+           CAST(round(pow(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE), 0.3)
+                      * 1000000000) AS BIGINT) AS wq
+    FROM per, tot
+), ws AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum FROM w),
+plan AS (
+    SELECT lang, n_docs,
+           least((400 * wq) // wsum, n_docs) AS planned_docs
+    FROM w, ws
+),
+kept AS (
+    SELECT d.lang
+    FROM documents d JOIN plan p ON d.lang = p.lang
+    WHERE CAST('0x' || substring(md5('temp|' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000000
+          < CAST(floor(p.planned_docs * 1000000.0 / p.n_docs) AS BIGINT)
+)
+SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n_kept, p.planned_docs
+FROM kept k JOIN plan p ON k.lang = p.lang
+GROUP BY k.lang, p.planned_docs
+ORDER BY k.lang
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8580,6 +8638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_minhash_calibration": d11_minhash_calibration,
         "d12_url_dedup": d12_url_dedup,
         "f13_map_funcs": f13_map_funcs,
+        "tm2_temperature_apply": tm2_temperature_apply,
     }
 
 
@@ -8788,4 +8847,5 @@ def oracle_sql() -> dict[str, str]:
         "d11_minhash_calibration": D11_SQL,
         "d12_url_dedup": D12_SQL,
         "f13_map_funcs": F13_SQL,
+        "tm2_temperature_apply": TM2_SQL,
     }

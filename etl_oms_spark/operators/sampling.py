@@ -274,6 +274,8 @@ def apply_mix_plan(
     key_col: str = "doc_id",
     salt: str = "mix",
     method: str = "md5",
+    planned_col: str = "planned_tokens",
+    total_col: str = "n_tokens",
 ) -> DataFrame:
     """Materialize a `mix_plan`: deterministically sample each source at
     its planned rate — the execution half of token-budget corpus
@@ -289,9 +291,13 @@ def apply_mix_plan(
 
     One broadcast join against the sources-sized plan + a column-
     expression filter: no shuffle of the corpus at all.
+
+    ``planned_col``/``total_col`` select which exact-integer pair defines
+    the rate — (planned_tokens, n_tokens) for `mix_plan`,
+    (planned_docs, n_docs) for `temperature_mix`.
     """
     rate_micro = F.floor(
-        F.col("planned_tokens") * F.lit(1_000_000) / F.col("n_tokens")
+        F.col(planned_col) * F.lit(1_000_000) / F.col(total_col)
     ).cast("long")
     p = plan.select(source_col, rate_micro.alias("__rate_micro"))
     bucket = _bucket(F.col(key_col), salt, method)
