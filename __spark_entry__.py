@@ -8407,6 +8407,72 @@ ORDER BY k.lang
 """
 
 
+def an1_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection on the daily revenue series: day-of-week
+    baseline (exact integer n/Σ/Σ² per weekday) → z-score as pure integer
+    algebra, z = (n·x − S) / sqrt(n·Q − S²) — no mean/std doubles until
+    the final division, so both engines agree bit-for-bit. Flags |z| > 2
+    days. Weekday is the portable epoch-day mod 7 (engine dayofweek
+    conventions differ). Two aggregates (days-sized, then 7-sized
+    broadcast back); revenue kept in exact k$ units so Σ² stays far
+    inside BIGINT at 100× scale."""
+    o = _t(spark, sf_dir, "orders")
+    # portable exact k$: integer DIV of the exact cent sum
+    daily = o.groupBy("o_orderdate").agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100000 AS BIGINT)"
+        ).alias("rev_k")
+    )
+    dow = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")) % 7
+    ).alias("dow")
+    d = daily.select("o_orderdate", "rev_k", dow)
+    base = d.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_k").alias("s"),
+        F.sum(F.col("rev_k") * F.col("rev_k")).alias("q"),
+    )
+    j = d.join(F.broadcast(base), "dow")
+    z = (F.col("n") * F.col("rev_k") - F.col("s")).cast("double") / F.sqrt(
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+    )
+    return (
+        j.select(
+            "o_orderdate",
+            F.col("dow").cast("int").alias("dow"),
+            "rev_k",
+            F.col("n").cast("long").alias("n_dow"),
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2.0)
+        .orderBy("o_orderdate")
+    )
+
+
+AN1_SQL = """
+WITH daily AS (
+    SELECT o_orderdate,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+                AS BIGINT) AS rev_k
+    FROM orders GROUP BY o_orderdate
+), d AS (
+    SELECT o_orderdate, rev_k,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+    FROM daily
+), base AS (
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rev_k) AS BIGINT) AS s,
+           CAST(SUM(rev_k * rev_k) AS BIGINT) AS q
+    FROM d GROUP BY dow
+)
+SELECT o_orderdate, CAST(d.dow AS INT) AS dow, rev_k, n AS n_dow,
+       CAST(n * rev_k - s AS DOUBLE) / sqrt(CAST(n * q - s * s AS DOUBLE)) AS zscore
+FROM d JOIN base ON d.dow = base.dow
+WHERE abs(CAST(n * rev_k - s AS DOUBLE) / sqrt(CAST(n * q - s * s AS DOUBLE))) > 2.0
+ORDER BY o_orderdate
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8639,6 +8705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_url_dedup": d12_url_dedup,
         "f13_map_funcs": f13_map_funcs,
         "tm2_temperature_apply": tm2_temperature_apply,
+        "an1_revenue_anomalies": an1_revenue_anomalies,
     }
 
 
@@ -8848,4 +8915,5 @@ def oracle_sql() -> dict[str, str]:
         "d12_url_dedup": D12_SQL,
         "f13_map_funcs": F13_SQL,
         "tm2_temperature_apply": TM2_SQL,
+        "an1_revenue_anomalies": AN1_SQL,
     }
