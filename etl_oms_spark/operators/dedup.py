@@ -259,8 +259,19 @@ def simhash(
         token_hash = F.xxhash64(F.col("__tok"))
     else:
         raise ValueError(f"unknown hash_method {hash_method!r}")
+    # NULL text folds to '' so the doc keeps a fingerprint instead of
+    # silently vanishing from the dedup surface (explode drops NULL
+    # arrays) — same policy as block_dedup's NULL guard
     exploded = ensure_parallelism(df, id_col).select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+        F.col(id_col),
+        F.explode(
+            tokens(
+                F.coalesce(
+                    F.col(text_col) if isinstance(text_col, str) else text_col,
+                    F.lit(""),
+                )
+            )
+        ).alias("__tok"),
     ).select(F.col(id_col), token_hash.alias("__h"))
     counted = exploded.groupBy(id_col, "__h").agg(F.count(F.lit(1)).alias("__n"))
     # the per-bit aggregates and the fingerprint assembly are built as SQL

@@ -38,10 +38,12 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def whitespace_token_count(col: Column | str) -> Column:
+    # NULL text counts 0, not size(NULL)=-1 — a negative count silently
+    # corrupts every downstream token budget (mix plans, packing, gates)
     c = normalize_text(col)
-    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
-        F.size(F.split(c, " "))
-    )
+    return F.when(
+        F.coalesce(F.length(c), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(c, " ")))
 
 
 def bpe_token_count(col: Column | str) -> Column:
