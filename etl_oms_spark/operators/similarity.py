@@ -92,7 +92,11 @@ def _topk(scored: DataFrame, k: int, id_col: str, query_id_col: str) -> DataFram
 
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        scored.withColumn("__rank", F.row_number().over(w))
+        # a NULL cosine (NULL/empty/zero-norm vector) must not consume a
+        # result slot — desc ordering puts NULLs last, but they still
+        # surface whenever fewer than k real matches exist
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )

@@ -107,3 +107,23 @@ def test_search_and_classifier_on_degenerate(spark, degenerate):
     assert scores.count() == 5  # every doc scored, empty docs score bias
     bm = bm25_scores(degenerate, ["normal"])
     assert bm.count() >= 0  # no crash on null-text corpus
+
+
+def test_cosine_topk_skips_corrupt_vectors(spark):
+    """NULL / empty / zero-norm vectors never consume top-k slots."""
+    from etl_oms_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, None),
+        (2, []),
+        (3, [0.5, 0.5]),
+        (4, [0.0, 0.0]),  # zero norm → NULL cosine
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    probes = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, probes, k=5).collect()
+    assert sorted(r["vec_id"] for r in out) == [0, 3]
+    assert all(r["cosine"] is not None for r in out)
