@@ -31,6 +31,12 @@ def _md5_bucket(key: Column, salt: str) -> Column:
     AS BIGINT) % 1000000``. 15 hex chars = 60 bits, ANSI-overflow-safe.
     Costs a string md5 instead of a native hash — prefer ``xxhash64``
     when cross-engine reproducibility isn't required.
+
+    NULL keys all hash to the same bucket (concat_ws skips NULLs → the
+    salt alone decides), so NULL-keyed rows CO-MOVE into one split/
+    sample side — deterministic, but a corpus with many NULL ids will
+    skew membership rates. Enforce key not-null upstream (validate.py)
+    when that matters.
     """
     hex60 = F.substring(F.md5(F.concat_ws("|", F.lit(salt), key.cast("string"))), 1, 15)
     return F.conv(hex60, 16, 10).cast("long") % _BUCKETS

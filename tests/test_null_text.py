@@ -127,3 +127,15 @@ def test_cosine_topk_skips_corrupt_vectors(spark):
     out = cosine_topk(emb, probes, k=5).collect()
     assert sorted(r["vec_id"] for r in out) == [0, 3]
     assert all(r["cosine"] is not None for r in out)
+
+
+def test_null_keys_comove_in_hash_splits(spark):
+    """Documented behavior: NULL keys share one md5 bucket (the salt
+    alone decides), so they co-move to a single split side."""
+    from etl_oms_spark.operators.sampling import _md5_bucket
+
+    d = spark.createDataFrame([(None,), (None,), (5,)], "doc_id LONG")
+    buckets = [
+        r["b"] for r in d.select(_md5_bucket(F.col("doc_id"), "s").alias("b")).collect()
+    ]
+    assert buckets[0] == buckets[1]  # both NULLs identical
