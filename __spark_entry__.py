@@ -8473,6 +8473,83 @@ ORDER BY o_orderdate
 """
 
 
+def rfm1_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days to a fixed reference
+    date), frequency (order count), monetary (exact cents) per customer,
+    each quintile-scored with `grouped_ntile` — the scale-safe ntile
+    lowering (distributed rank + NTile arithmetic, NO customers-wide
+    window partition). Segment = concatenated R/F/M scores, the classic
+    warehouse marketing analytic. Deterministic quintiles: every order
+    column is exact and ties break on custkey
+    (operators/quantiles.py:grouped_ntile)."""
+    from etl_oms_spark.operators.quantiles import grouped_ntile
+
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("2002-01-01"), F.max("o_orderdate"))
+        .cast("long")
+        .alias("r_days"),
+        F.count(F.lit(1)).cast("long").alias("f_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("m_cents"),
+    ).withColumn("__g", F.lit(1))
+    scored = grouped_ntile(
+        rfm, ["__g"], [F.col("r_days").asc(), F.col("o_custkey").asc()], 5,
+        bucket_col="__r_inv",
+    )
+    scored = scored.withColumn("r_score", (F.lit(6) - F.col("__r_inv")).cast("int"))
+    scored = grouped_ntile(
+        scored, ["__g"],
+        [F.col("f_orders").desc(), F.col("o_custkey").asc()], 5,
+        bucket_col="__f_inv",
+    ).withColumn("f_score", (F.lit(6) - F.col("__f_inv")).cast("int"))
+    scored = grouped_ntile(
+        scored, ["__g"],
+        [F.col("m_cents").desc(), F.col("o_custkey").asc()], 5,
+        bucket_col="__m_inv",
+    ).withColumn("m_score", (F.lit(6) - F.col("__m_inv")).cast("int"))
+    return scored.select(
+        "o_custkey",
+        "r_days",
+        "f_orders",
+        "m_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    ).orderBy("o_custkey")
+
+
+RFM1_SQL = """
+WITH rfm AS (
+    SELECT o_custkey,
+           CAST(DATE '2002-01-01' - CAST(MAX(o_orderdate) AS DATE) AS BIGINT)
+               AS r_days,
+           CAST(COUNT(*) AS BIGINT) AS f_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT *,
+           CAST(6 - NTILE(5) OVER (ORDER BY r_days ASC, o_custkey ASC) AS INT)
+               AS r_score,
+           CAST(6 - NTILE(5) OVER (ORDER BY f_orders DESC, o_custkey ASC) AS INT)
+               AS f_score,
+           CAST(6 - NTILE(5) OVER (ORDER BY m_cents DESC, o_custkey ASC) AS INT)
+               AS m_score
+    FROM rfm
+)
+SELECT o_custkey, r_days, f_orders, m_cents, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+           || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+ORDER BY o_custkey
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8706,6 +8783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f13_map_funcs": f13_map_funcs,
         "tm2_temperature_apply": tm2_temperature_apply,
         "an1_revenue_anomalies": an1_revenue_anomalies,
+        "rfm1_customer_segments": rfm1_customer_segments,
     }
 
 
@@ -8916,4 +8994,5 @@ def oracle_sql() -> dict[str, str]:
         "f13_map_funcs": F13_SQL,
         "tm2_temperature_apply": TM2_SQL,
         "an1_revenue_anomalies": AN1_SQL,
+        "rfm1_customer_segments": RFM1_SQL,
     }
