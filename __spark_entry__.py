@@ -8550,6 +8550,98 @@ ORDER BY o_custkey
 """
 
 
+def fi2_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over fi1's frequent pairs: confidence
+    supp(ab)/supp(a) and lift conf/P(b) per directed rule a→b — the
+    Apriori readout on top of the co-occurrence counts. Item supports
+    are one extra items-keyed aggregate (broadcast back — parts-NDV
+    sized); the basket total is a scalar. All ratios derive from exact
+    BIGINT counts, so both engines agree bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders_tot = items.select("l_orderkey").distinct().count()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    supp = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    # both directions of every frequent pair
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    sa = supp.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    sb = supp.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_b")
+    )
+    conf = F.col("n_ab").cast("double") / F.col("n_a").cast("double")
+    lift = (
+        F.col("n_ab").cast("double") * F.lit(float(n_orders_tot))
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.col("n_a"),
+            F.col("n_b"),
+            conf.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+FI2_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM items
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), supp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM items GROUP BY 1
+), rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pairs
+  UNION ALL
+  SELECT part_b AS antecedent, part_a AS consequent, n_ab FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.n_ab,
+       sa.n_item AS n_a, sb.n_item AS n_b,
+       CAST(r.n_ab AS DOUBLE) / CAST(sa.n_item AS DOUBLE) AS confidence,
+       CAST(r.n_ab AS DOUBLE) * CAST(tot.n AS DOUBLE)
+           / (CAST(sa.n_item AS DOUBLE) * CAST(sb.n_item AS DOUBLE)) AS lift
+FROM rules r
+JOIN supp sa ON r.antecedent = sa.l_partkey
+JOIN supp sb ON r.consequent = sb.l_partkey
+CROSS JOIN tot
+ORDER BY r.antecedent, r.consequent
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8784,6 +8876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tm2_temperature_apply": tm2_temperature_apply,
         "an1_revenue_anomalies": an1_revenue_anomalies,
         "rfm1_customer_segments": rfm1_customer_segments,
+        "fi2_association_rules": fi2_association_rules,
     }
 
 
@@ -8995,4 +9088,5 @@ def oracle_sql() -> dict[str, str]:
         "tm2_temperature_apply": TM2_SQL,
         "an1_revenue_anomalies": AN1_SQL,
         "rfm1_customer_segments": RFM1_SQL,
+        "fi2_association_rules": FI2_SQL,
     }
