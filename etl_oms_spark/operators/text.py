@@ -414,13 +414,16 @@ def canonicalize_url(col: Column | str, drop_param_prefix: str = "utm_") -> Colu
     whole-stage codegen; the DuckDB twin recomputes it with the same
     regexes and list functions.
     """
+    import re as _re
+
     p = url_parts(col)
     host = F.regexp_replace(p["host"], r"^www\.", "")
     path = F.regexp_replace(p["path"], r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     kept = F.filter(
         F.split(p["query"], "&"),
-        lambda kv: (~kv.rlike("^" + drop_param_prefix)) & (kv != ""),
+        lambda kv: (~kv.rlike("^" + _re.escape(drop_param_prefix)))
+        & (kv != ""),
     )
     q = F.array_join(kept, "&")
     return F.concat(
