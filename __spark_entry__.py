@@ -8642,6 +8642,193 @@ ORDER BY r.antecedent, r.consequent
 """
 
 
+def tp4_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3b capstone: a pretraining-release pipeline composed
+    entirely from this batch's operators — Gopher gate + blocklist →
+    URL-keyed recrawl dedup (canonical key winner) → classifier top-50%
+    per source (histogram-threshold selection) → temperature-scaled
+    language mix (alpha 0.3, 200-doc budget) applied via md5 buckets —
+    reported per language with exact token totals. Every stage is an
+    independently-oracled operator; the composition carries its own
+    end-to-end exact oracle, the strongest no-semantic-drift statement.
+    Plan: linear gates, one URL-key shuffle, the three top-fraction
+    folds, a groups-sized mix plan — the corpus is never windowed."""
+    from etl_oms_spark.operators.classifier import (
+        select_top_fraction,
+        synthetic_weights,
+    )
+    from etl_oms_spark.operators.sampling import apply_mix_plan, temperature_mix
+    from etl_oms_spark.operators.text import (
+        canonicalize_url,
+        gopher_rules,
+        tokens,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    blockhit = (
+        F.size(
+            F.array_intersect(
+                tokens("text"), F.array(*[F.lit(w) for w in _BLOCKLIST])
+            )
+        )
+        > 0
+    )
+    gated = d.filter(gopher_rules(F.col("text"), min_words=30)["pass"] & ~blockhit)
+    page = (F.col("doc_id") % 250).cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://site.example/page/"), page),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTP://WWW.SITE.EXAMPLE/page/"),
+            page,
+            F.lit("/?utm_source=recrawl#top"),
+        )
+    )
+    key = F.regexp_replace(canonicalize_url(url), r"^[a-z]+://", "")
+    win = (
+        gated.withColumn("__k", key)
+        .groupBy("__k")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    u = gated.join(F.broadcast(win), "doc_id", "left_semi")
+    sel = select_top_fraction(u, synthetic_weights(spark, 1024), frac=0.5)
+    surv = u.join(sel.select("doc_id"), "doc_id", "left_semi")
+    plan = temperature_mix(surv, budget_docs=200, alpha=0.3, group_col="lang")
+    kept = apply_mix_plan(
+        surv,
+        plan,
+        source_col="lang",
+        salt="rel",
+        planned_col="planned_docs",
+        total_col="n_docs",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(whitespace_token_count("text").cast("long"))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TP4_SQL = rf"""
+WITH g AS (
+  SELECT doc_id,
+         {_NORM_SQL} AS norm,
+         {_WS} AS n_words,
+         greatest({_WS}, 1) AS sw
+  FROM documents
+),
+passed AS (
+  SELECT g.doc_id
+  FROM g JOIN documents USING (doc_id)
+  WHERE n_words >= 30 AND n_words <= 100000
+    AND (CAST(length(norm) - (n_words - 1) AS DOUBLE) / sw) >= 3.0
+    AND (CAST(length(norm) - (n_words - 1) AS DOUBLE) / sw) <= 10.0
+    AND CAST(len(regexp_extract_all(norm, '#|\.\.\.'))
+             + len(regexp_extract_all(norm, '…')) AS DOUBLE) / sw <= 0.1
+    AND CAST(len(list_filter(string_split(norm, ' '),
+                             t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+          / sw >= 0.8
+    AND len(regexp_extract_all(lower(text),
+            '\b(the|a|an|and|or|of|to|in|is|it)\b')) >= 2
+    AND len(list_intersect(list_distinct(string_split(norm, ' ')),
+                           ['slow', 'big'])) = 0
+),
+u0 AS (
+  -- both recrawl variants canonicalize to the same scheme-less key
+  -- (the canonicalizer itself is oracled in url1/d12)
+  SELECT d.doc_id, d.source, d.lang,
+         'site.example/page/' || CAST(d.doc_id % 250 AS VARCHAR) AS key
+  FROM documents d JOIN passed USING (doc_id)
+),
+win AS (SELECT key, MIN(doc_id) AS doc_id FROM u0 GROUP BY key),
+u AS (SELECT u0.* FROM u0 JOIN win ON u0.doc_id = win.doc_id),
+w AS (
+    SELECT bucket,
+           (CAST('0x' || substring(md5('w|' || CAST(bucket AS VARCHAR)), 1, 15)
+                 AS BIGINT) % 21 - 10) * 1000000 AS w_q
+    FROM (SELECT unnest(range(0, 1024)) AS bucket)
+),
+tok AS (
+    SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+    FROM documents WHERE doc_id IN (SELECT doc_id FROM u)
+),
+feats AS (
+    SELECT doc_id,
+           CAST('0x' || substring(md5('qc' || '|' || term), 1, 15) AS BIGINT)
+             % 1024 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok GROUP BY doc_id, term
+),
+feats2 AS (
+    SELECT doc_id, bucket, CAST(SUM(tf) AS BIGINT) AS tf
+    FROM feats GROUP BY doc_id, bucket
+),
+scored AS (
+    SELECT u.doc_id, u.source, u.lang, COALESCE(s.margin_q, 0) AS margin_q
+    FROM u
+    LEFT JOIN (
+        SELECT doc_id, CAST(SUM(tf * w_q) AS BIGINT) AS margin_q
+        FROM feats2 JOIN w USING (bucket) GROUP BY doc_id
+    ) s ON u.doc_id = s.doc_id
+),
+hist AS (
+    SELECT source, margin_q, CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored GROUP BY source, margin_q
+),
+cum AS (
+    SELECT source, margin_q,
+           SUM(n) OVER (PARTITION BY source ORDER BY margin_q DESC) AS cnt_ge
+    FROM hist
+),
+tots AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM scored GROUP BY source),
+thr AS (
+    SELECT cum.source, MAX(margin_q) AS t
+    FROM cum JOIN tots USING (source)
+    WHERE cnt_ge >= CAST(ceil(0.5 * n_docs) AS BIGINT)
+    GROUP BY cum.source
+),
+surv AS (
+    SELECT s.doc_id, s.lang
+    FROM scored s JOIN thr ON s.source = thr.source
+    WHERE s.margin_q >= thr.t
+),
+per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM surv GROUP BY lang),
+tot2 AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM per),
+tw AS (
+    SELECT lang, n_docs,
+           CAST(round(pow(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE), 0.3)
+                      * 1000000000) AS BIGINT) AS wq
+    FROM per, tot2
+),
+tws AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum FROM tw),
+plan AS (
+    SELECT lang, n_docs,
+           least((200 * wq) // wsum, n_docs) AS planned_docs
+    FROM tw, tws
+),
+kept AS (
+    SELECT s.doc_id, s.lang
+    FROM surv s JOIN plan p ON s.lang = p.lang
+    WHERE CAST('0x' || substring(md5('rel|' || CAST(s.doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000000
+          < CAST(floor(p.planned_docs * 1000000.0 / p.n_docs) AS BIGINT)
+)
+SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(g.n_words) AS BIGINT) AS total_tokens
+FROM kept k JOIN g ON k.doc_id = g.doc_id
+GROUP BY k.lang
+ORDER BY k.lang
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -8877,6 +9064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "an1_revenue_anomalies": an1_revenue_anomalies,
         "rfm1_customer_segments": rfm1_customer_segments,
         "fi2_association_rules": fi2_association_rules,
+        "tp4_release_pipeline": tp4_release_pipeline,
     }
 
 
@@ -9089,4 +9277,5 @@ def oracle_sql() -> dict[str, str]:
         "an1_revenue_anomalies": AN1_SQL,
         "rfm1_customer_segments": RFM1_SQL,
         "fi2_association_rules": FI2_SQL,
+        "tp4_release_pipeline": TP4_SQL,
     }
