@@ -76,6 +76,8 @@ HEADLINE = [
     "rrf1_rank_fusion",
     "un1_unicode_normalize",
     "d10_incremental_dedup",
+    "tp4_release_pipeline",
+    "rfm1_customer_segments",
 ]
 
 
