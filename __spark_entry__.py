@@ -8693,9 +8693,18 @@ def tp4_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    u = gated.join(F.broadcast(win), "doc_id", "left_semi")
+    # u and surv each feed branches that diverge BEFORE their first
+    # exchange (classifier explode, histogram fold, final semi, mix
+    # plan) — exactly the shape where a lazy localCheckpoint pays (the
+    # tp3 rule, SCALING.md): measured 9.1s → 2.5s warm at sf0.1,
+    # identical output
+    u = gated.join(F.broadcast(win), "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     sel = select_top_fraction(u, synthetic_weights(spark, 1024), frac=0.5)
-    surv = u.join(sel.select("doc_id"), "doc_id", "left_semi")
+    surv = u.join(sel.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     plan = temperature_mix(surv, budget_docs=200, alpha=0.3, group_col="lang")
     kept = apply_mix_plan(
         surv,
