@@ -7930,9 +7930,13 @@ def mm1_media_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     feats = extract_features(with_media_column(d)).select("doc_id", "features")
-    probes = feats.filter(F.col("doc_id").isin(0, 1)).select(
-        F.col("doc_id").alias("query_id"), "features"
-    )
+    # featurize the two probe docs on their own pruned branch — deriving
+    # probes from `feats` would re-run the corpus-wide mapInPandas pass
+    # just to keep 2 rows (the featurizer is exchange-free, so nothing
+    # reuses it; SCALING.md's ReusedExchange rule)
+    probes = extract_features(
+        with_media_column(d.filter(F.col("doc_id").isin(0, 1)))
+    ).select(F.col("doc_id").alias("query_id"), "features")
     return cosine_topk(
         feats, probes, k=5, id_col="doc_id", vec_col="features"
     ).orderBy("query_id", "doc_id")
