@@ -8842,6 +8842,55 @@ ORDER BY k.lang
 """
 
 
+def gn1_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini coefficient) across customers: exact
+    integer Lorenz form G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) over
+    customers ranked ascending by exact cent revenue (custkey tiebreak).
+    Ranks come from `with_global_index` — range partition + offset
+    cumsum, NO single-partition global sort — so the one corpus-order
+    dependence stays scalable; every sum is BIGINT until the final
+    division (util.py:with_global_index)."""
+    from etl_oms_spark.util import with_global_index
+
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("m_cents")
+    )
+    idx = with_global_index(per, ["m_cents", "o_custkey"], index_col="__i")
+    agg = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m_cents").alias("s"),
+        F.sum((F.col("__i") + 1) * F.col("m_cents")).alias("ws"),
+    )
+    gini = (
+        (F.lit(2) * F.col("ws") - (F.col("n") + 1) * F.col("s")).cast("double")
+        / (F.col("n") * F.col("s")).cast("double")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s").cast("long").alias("total_cents"),
+        gini.alias("gini"),
+    )
+
+
+GN1_SQL = """
+WITH per AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT m_cents,
+           ROW_NUMBER() OVER (ORDER BY m_cents ASC, o_custkey ASC) AS i
+    FROM per
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(m_cents) AS BIGINT) AS total_cents,
+       CAST(2 * SUM(i * m_cents) - (COUNT(*) + 1) * SUM(m_cents) AS DOUBLE)
+           / CAST(COUNT(*) * SUM(m_cents) AS DOUBLE) AS gini
+FROM ranked
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9078,6 +9127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm1_customer_segments": rfm1_customer_segments,
         "fi2_association_rules": fi2_association_rules,
         "tp4_release_pipeline": tp4_release_pipeline,
+        "gn1_revenue_gini": gn1_revenue_gini,
     }
 
 
@@ -9291,4 +9341,5 @@ def oracle_sql() -> dict[str, str]:
         "rfm1_customer_segments": RFM1_SQL,
         "fi2_association_rules": FI2_SQL,
         "tp4_release_pipeline": TP4_SQL,
+        "gn1_revenue_gini": GN1_SQL,
     }
