@@ -8891,6 +8891,62 @@ FROM ranked
 """
 
 
+def ln1_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve: customer revenue deciles (ascending,
+    `grouped_ntile` — scale-safe rank, no global window) with each
+    decile's exact revenue share — the curve behind gn1's Gini scalar
+    ("the top decile holds X% of revenue"). All BIGINT sums; one double
+    division per decile against the scalar total."""
+    from etl_oms_spark.operators.quantiles import grouped_ntile
+
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("m_cents")
+    ).withColumn("__g", F.lit(1))
+    dec = grouped_ntile(
+        per, ["__g"], [F.col("m_cents").asc(), F.col("o_custkey").asc()], 10,
+        bucket_col="decile",
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("m_cents").cast("long").alias("decile_cents"),
+    )
+    tot = agg.agg(F.sum("decile_cents").alias("__t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "decile_cents",
+            (
+                F.col("decile_cents").cast("double") / F.col("__t").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+LN1_SQL = """
+WITH per AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+    FROM orders GROUP BY o_custkey
+), dec AS (
+    SELECT m_cents,
+           NTILE(10) OVER (ORDER BY m_cents ASC, o_custkey ASC) AS decile
+    FROM per
+), agg AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(m_cents) AS BIGINT) AS decile_cents
+    FROM dec GROUP BY decile
+), tot AS (SELECT CAST(SUM(decile_cents) AS BIGINT) AS t FROM agg)
+SELECT CAST(decile AS INT) AS decile, n_customers, decile_cents,
+       CAST(decile_cents AS DOUBLE) / CAST(t AS DOUBLE) AS revenue_share
+FROM agg, tot
+ORDER BY decile
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9128,6 +9184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fi2_association_rules": fi2_association_rules,
         "tp4_release_pipeline": tp4_release_pipeline,
         "gn1_revenue_gini": gn1_revenue_gini,
+        "ln1_lorenz_deciles": ln1_lorenz_deciles,
     }
 
 
@@ -9342,4 +9399,5 @@ def oracle_sql() -> dict[str, str]:
         "fi2_association_rules": FI2_SQL,
         "tp4_release_pipeline": TP4_SQL,
         "gn1_revenue_gini": GN1_SQL,
+        "ln1_lorenz_deciles": LN1_SQL,
     }

@@ -81,11 +81,16 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     # PLAIN session on purpose — mirrors the driver's environment (incl.
-    # Spark 4's ANSI-on default) rather than our tuned get_spark()
+    # Spark 4's ANSI-on default) rather than our tuned get_spark().
+    # CHECK_SHUFFLE overrides the parallelism for whole-surface
+    # partitioning-invariance sweeps (results must not depend on it).
+    import os
+
+    shuffle = os.environ.get("CHECK_SHUFFLE", "8")
     spark = (
         SparkSession.builder.appName("check")
         .master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", shuffle)
         .getOrCreate()
     )
     print("ansi =", spark.conf.get("spark.sql.ansi.enabled"))
