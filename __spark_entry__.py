@@ -8947,6 +8947,83 @@ ORDER BY decile
 """
 
 
+def cl2_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling: top-3 TF-IDF terms per k-means embedding cluster
+    (cluster tf × corpus idf — the SemDeDup-diagnostics step that makes
+    cluster ids human-readable). Links the embedding and text pillars
+    through the shared id space; per-(cluster, term) aggregate is
+    NDV-bounded, the rank window is clusters×terms-sized, and the
+    quantized ln keeps the oracle exact (clustering + search
+    composition)."""
+    from etl_oms_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from etl_oms_spark.operators.search import tfidf_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    assigned = kmeans_assign(emb, kmeans_fit(emb, k=8, n_iter=2)).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    v = tfidf_vectors(docs)
+    n_docs = docs.count()
+    ct = (
+        v.join(assigned, "doc_id")
+        .groupBy("cluster", "term")
+        .agg(F.sum("tf").cast("long").alias("ctf"), F.max("df").alias("df"))
+    )
+    score = F.floor(
+        F.col("ctf")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = ct.select(
+        F.col("cluster").cast("int").alias("cluster"), "term", score.alias("score_q")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("score_q").desc(), F.col("term"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 3)
+        .drop("__r")
+        .orderBy("cluster", "term")
+    )
+
+
+CL2_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(8, 2)},
+toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+ct AS (
+    SELECT f.cluster, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS ctf,
+           MAX(d.df) AS df
+    FROM tf
+    JOIN final_assign f ON tf.doc_id = f.vec_id
+    JOIN dfreq d ON tf.term = d.term
+    GROUP BY f.cluster, tf.term
+),
+scored AS (
+    SELECT CAST(cluster AS INT) AS cluster, term,
+           CAST(floor(ctf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000 + 0.5)
+                AS BIGINT) AS score_q
+    FROM ct CROSS JOIN n
+)
+SELECT cluster, term, score_q
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster ORDER BY score_q DESC, term) AS rn
+    FROM scored
+) WHERE rn <= 3
+ORDER BY cluster, term
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9185,6 +9262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tp4_release_pipeline": tp4_release_pipeline,
         "gn1_revenue_gini": gn1_revenue_gini,
         "ln1_lorenz_deciles": ln1_lorenz_deciles,
+        "cl2_cluster_keywords": cl2_cluster_keywords,
     }
 
 
@@ -9400,4 +9478,5 @@ def oracle_sql() -> dict[str, str]:
         "tp4_release_pipeline": TP4_SQL,
         "gn1_revenue_gini": GN1_SQL,
         "ln1_lorenz_deciles": LN1_SQL,
+        "cl2_cluster_keywords": CL2_SQL,
     }
