@@ -9024,6 +9024,56 @@ ORDER BY cluster, term
 """
 
 
+def br1_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session bounce-rate by weekday: single-event sessions / all
+    sessions over the gap-sessionized stream, plus exact events-per-
+    session — the product-analytics readout on top of ev_sessionize's
+    machinery. Weekday is the portable epoch-day mod 7; ratios derive
+    from exact BIGINT counts; the aggregate is 7 rows."""
+    from etl_oms_spark.operators.stateful import sessionize
+
+    s = sessionize(_events(spark, sf_dir), gap="10 minutes")
+    dow = (
+        F.datediff(F.to_date("session_start"), F.lit("1970-01-01")) % 7
+    ).alias("dow")
+    return (
+        s.select(dow, "n_events")
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounced"),
+            (
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("bounce_rate"),
+            (
+                F.sum("n_events").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("events_per_session"),
+        )
+        .orderBy("dow")
+    )
+
+
+BR1_SQL = f"""
+WITH sessions AS ({EV_SESSION_SQL})
+SELECT CAST(CAST(CAST(session_start AS DATE) - DATE '1970-01-01' AS BIGINT) % 7
+            AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounced,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+       CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS events_per_session
+FROM sessions
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9263,6 +9313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gn1_revenue_gini": gn1_revenue_gini,
         "ln1_lorenz_deciles": ln1_lorenz_deciles,
         "cl2_cluster_keywords": cl2_cluster_keywords,
+        "br1_bounce_rate": br1_bounce_rate,
     }
 
 
@@ -9479,4 +9530,5 @@ def oracle_sql() -> dict[str, str]:
         "gn1_revenue_gini": GN1_SQL,
         "ln1_lorenz_deciles": LN1_SQL,
         "cl2_cluster_keywords": CL2_SQL,
+        "br1_bounce_rate": BR1_SQL,
     }
