@@ -2382,14 +2382,18 @@ _WS = (
     f"CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
     f"ELSE len(string_split({_NORM_SQL}, ' ')) END"
 )
-T2_SQL = f"""
-SELECT doc_id,
-       least(CAST({_WS} AS DOUBLE) / 100.0, 1.0) * 0.4
+#: the quality-score formula as a SQL expression — shared by t2 and the
+#: dr2 drift monitor so both recompute the identical per-row double
+_QUALITY_EXPR_SQL = f"""least(CAST({_WS} AS DOUBLE) / 100.0, 1.0) * 0.4
        + least(CAST(len(regexp_extract_all(lower(text),
              '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS DOUBLE)
            / greatest({_WS}, 1) * 5.0, 1.0) * 0.4
        + (1.0 - least(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-           / greatest(length(text), 1) * 10.0, 1.0)) * 0.2
+           / greatest(length(text), 1) * 10.0, 1.0)) * 0.2"""
+
+T2_SQL = f"""
+SELECT doc_id,
+       {_QUALITY_EXPR_SQL}
        AS quality
 FROM documents
 """
@@ -9074,6 +9078,53 @@ ORDER BY 1
 """
 
 
+def dr2_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score drift: PSI of one source's quality distribution vs
+    the rest of the corpus — the monitoring compose that answers "did
+    this crawl drop's quality shift from the baseline we curated
+    against?". Scores quantized to exact 1e-6 micros feed dr1's
+    bucketed-PSI machinery (1e-9-quantized contributions, bit-stable
+    totals) (operators/validate.psi_drift × operators/text.quality_score)."""
+    from etl_oms_spark.operators.text import quality_score
+    from etl_oms_spark.operators.validate import psi_drift
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "q_micro", F.round(quality_score("text") * F.lit(1_000_000)).cast("long")
+    )
+    return psi_drift(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "q_micro",
+    ).orderBy("bucket")
+
+
+DR2_SQL = f"""
+WITH q AS (
+  SELECT source,
+         CAST(round(({_QUALITY_EXPR_SQL}) * 1000000) AS BIGINT) AS v
+  FROM documents
+),
+tagged AS (
+  SELECT v, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS side FROM q
+),
+b AS (SELECT min(v) AS lo, max(v) - min(v) + 1 AS span FROM tagged),
+counts AS (
+  SELECT CAST(floor((v - lo) * 10 / span) AS INT) AS bucket,
+         count(*) FILTER (WHERE side = 0) AS n_base,
+         count(*) FILTER (WHERE side = 1) AS n_cur
+  FROM tagged, b GROUP BY 1
+),
+t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM counts)
+SELECT bucket, CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(floor(
+         ((n_cur + 1) / (tc + 10) - (n_base + 1) / (tb + 10))
+         * ln(((n_cur + 1) / (tc + 10)) / ((n_base + 1) / (tb + 10)))
+         * 1000000000 + 0.5) AS BIGINT) AS psi_q9
+FROM counts, t
+ORDER BY bucket
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9314,6 +9365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ln1_lorenz_deciles": ln1_lorenz_deciles,
         "cl2_cluster_keywords": cl2_cluster_keywords,
         "br1_bounce_rate": br1_bounce_rate,
+        "dr2_quality_drift": dr2_quality_drift,
     }
 
 
@@ -9531,4 +9583,5 @@ def oracle_sql() -> dict[str, str]:
         "ln1_lorenz_deciles": LN1_SQL,
         "cl2_cluster_keywords": CL2_SQL,
         "br1_bounce_rate": BR1_SQL,
+        "dr2_quality_drift": DR2_SQL,
     }
