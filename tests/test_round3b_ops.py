@@ -260,3 +260,39 @@ def test_unicode_normalize_nfkc_folds_compat(spark):
     ).collect()[0]
     assert out["nfc"] == "ﬁle ①"          # NFC keeps compatibility chars
     assert out["nfkc"] == "file 1"        # NFKC folds them
+
+
+def test_rfm_scores_monotone_in_value(spark, sf_dir):
+    """Customers with strictly higher monetary totals never get a lower
+    m_score (quintiles are monotone in the ranked value)."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["rfm1_customer_segments"](spark, sf_dir).collect()
+    by_m = sorted(rows, key=lambda r: r["m_cents"])
+    scores = [r["m_score"] for r in by_m]
+    assert scores == sorted(scores)
+    assert set(scores) <= {1, 2, 3, 4, 5}
+
+
+def test_gini_and_lorenz_consistency(spark, sf_dir):
+    import __spark_entry__ as m
+
+    g = m.queries()["gn1_revenue_gini"](spark, sf_dir).collect()[0]
+    assert 0.0 <= g["gini"] < 1.0
+    dec = m.queries()["ln1_lorenz_deciles"](spark, sf_dir).collect()
+    shares = [r["revenue_share"] for r in sorted(dec, key=lambda r: r["decile"])]
+    assert abs(sum(shares) - 1.0) < 1e-12
+    # Lorenz: ascending deciles have non-decreasing shares
+    assert shares == sorted(shares)
+    # decile totals reconcile with the Gini query's total
+    assert sum(r["decile_cents"] for r in dec) == g["total_cents"]
+
+
+def test_bounce_rate_bounds(spark, sf_dir):
+    import __spark_entry__ as m
+
+    rows = m.queries()["br1_bounce_rate"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+        assert r["events_per_session"] >= 1.0
+        assert r["n_bounced"] <= r["n_sessions"]

@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Full verification battery — the round-closing practice in one command:
+#   pytest, then full oracle sweeps at sf0.001 / sf0.01 / sf0.1, plus the
+#   whole-surface partitioning-invariance pass (CHECK_SHUFFLE=3).
+# Usage: bash tools/sweep.sh [outdir=/tmp/sweep]
+# Exits non-zero on the first failing stage; logs land in $outdir.
+set -u
+OUT="${1:-/tmp/sweep}"
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() {
+  local name="$1"; shift
+  echo "=== $name"
+  if ! "$@" > "$OUT/$name.log" 2>&1; then
+    echo "FAILED: $name (see $OUT/$name.log)"; exit 1
+  fi
+  tail -1 "$OUT/$name.log"
+}
+
+run pytest python -m pytest tests/ -x -q
+run sf0001 python tools/check.py /root/testdata/sf0.001
+run sf001  python tools/check.py /root/testdata/sf0.01
+run inv    env CHECK_SHUFFLE=3 python tools/check.py /root/testdata/sf0.01
+run sf01   python tools/check.py /root/testdata/sf0.1
+for f in sf0001 sf001 inv sf01; do
+  if grep -q FAIL "$OUT/$f.log"; then echo "FAILURES in $f"; exit 1; fi
+done
+echo "BATTERY GREEN"
