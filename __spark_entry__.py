@@ -9125,6 +9125,55 @@ ORDER BY bucket
 """
 
 
+def iet1_interpurchase_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-time distribution: per-user gaps between consecutive
+    purchase events (exact integer seconds via one user-keyed lag window)
+    fed into the equal-width histogram machinery — the arrival-process
+    readout behind retention/CLV modeling. Integer bucket edges stay
+    bit-exact cross-engine (transform.fixed_width_histogram)."""
+    from etl_oms_spark.transform import fixed_width_histogram
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("__prev")
+            ).cast("long").alias("gap_s")
+        )
+    )
+    return fixed_width_histogram(gaps, "gap_s", n_buckets=12)
+
+
+IET1_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), g AS (
+  -- floor each epoch separately (Spark's unix_timestamp floors per
+  -- timestamp; trunc-of-difference would diverge on sub-second parts)
+  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+              - floor(epoch(CAST(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) AS TIMESTAMP))) AS BIGINT) AS gap_s
+  FROM p
+  QUALIFY LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+),
+b AS (SELECT min(gap_s) AS lo, max(gap_s) - min(gap_s) + 1 AS span FROM g)
+SELECT CAST(floor((gap_s - lo) * 12 / span) AS INT) AS bucket,
+       CAST(lo + floor(floor((gap_s - lo) * 12 / span) * span / 12) AS BIGINT)
+         AS bucket_lo,
+       CAST(lo + floor((floor((gap_s - lo) * 12 / span) + 1) * span / 12) - 1
+            AS BIGINT) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM g, b
+GROUP BY bucket, bucket_lo, bucket_hi
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9366,6 +9415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cl2_cluster_keywords": cl2_cluster_keywords,
         "br1_bounce_rate": br1_bounce_rate,
         "dr2_quality_drift": dr2_quality_drift,
+        "iet1_interpurchase_histogram": iet1_interpurchase_histogram,
     }
 
 
@@ -9584,4 +9634,5 @@ def oracle_sql() -> dict[str, str]:
         "cl2_cluster_keywords": CL2_SQL,
         "br1_bounce_rate": BR1_SQL,
         "dr2_quality_drift": DR2_SQL,
+        "iet1_interpurchase_histogram": IET1_SQL,
     }
