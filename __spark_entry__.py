@@ -9174,6 +9174,66 @@ GROUP BY bucket, bucket_lo, bucket_hi
 """
 
 
+def hh1_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier concentration per part type: revenue
+    shares within each type, HHI = Σ share² with every contribution
+    quantized to 1e-12 BEFORE the sum (the zf1/st3 policy — double
+    addition is order-dependent, quantized BIGINT addition is not).
+    Two key-bounded aggregates; the share join is types-sized broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    per = (
+        li.join(F.broadcast(p.select("p_partkey", "p_type")),
+                li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(rev).cast("long").alias("s_cents"))
+    )
+    tot = per.groupBy("p_type").agg(
+        F.sum("s_cents").alias("t_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("s_cents").cast("double") / F.col("t_cents").cast("double")
+    contrib = F.floor(share * share * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return (
+        per.join(F.broadcast(tot), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.first("n_suppliers").alias("n_suppliers"),
+            F.sum(contrib).alias("hhi_q12"),
+        )
+        .withColumn("hhi", F.col("hhi_q12").cast("double") / F.lit(1e12))
+        .orderBy("p_type")
+    )
+
+
+HH1_SQL = """
+WITH per AS (
+  SELECT p_type, l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS s_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, l_suppkey
+), tot AS (
+  SELECT p_type, CAST(SUM(s_cents) AS BIGINT) AS t_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM per GROUP BY p_type
+)
+SELECT per.p_type, tot.n_suppliers,
+       CAST(SUM(CAST(floor(
+           (CAST(s_cents AS DOUBLE) / CAST(t_cents AS DOUBLE))
+           * (CAST(s_cents AS DOUBLE) / CAST(t_cents AS DOUBLE))
+           * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS hhi_q12,
+       CAST(SUM(CAST(floor(
+           (CAST(s_cents AS DOUBLE) / CAST(t_cents AS DOUBLE))
+           * (CAST(s_cents AS DOUBLE) / CAST(t_cents AS DOUBLE))
+           * 1e12 + 0.5) AS BIGINT)) AS BIGINT) / 1e12 AS hhi
+FROM per JOIN tot ON per.p_type = tot.p_type
+GROUP BY per.p_type, tot.n_suppliers
+ORDER BY per.p_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9416,6 +9476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "br1_bounce_rate": br1_bounce_rate,
         "dr2_quality_drift": dr2_quality_drift,
         "iet1_interpurchase_histogram": iet1_interpurchase_histogram,
+        "hh1_supplier_concentration": hh1_supplier_concentration,
     }
 
 
@@ -9635,4 +9696,5 @@ def oracle_sql() -> dict[str, str]:
         "br1_bounce_rate": BR1_SQL,
         "dr2_quality_drift": DR2_SQL,
         "iet1_interpurchase_histogram": IET1_SQL,
+        "hh1_supplier_concentration": HH1_SQL,
     }
