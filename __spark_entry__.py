@@ -9234,6 +9234,106 @@ ORDER BY per.p_type
 """
 
 
+def yoy1_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: exact-cent monthly totals,
+    lag-12 self-comparison over the months-sized series (the window
+    partitions a ~tens-of-rows frame, never the corpus), growth as one
+    double division of BIGINTs. The standard finance readout beside
+    qa1's month-over-month momentum."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("rev_cents"))
+    w = Window.orderBy("yr", "mo")
+    out = monthly.withColumn("__prev", F.lag("rev_cents", 12).over(w))
+    return (
+        out.filter(F.col("__prev").isNotNull())
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            F.col("mo").cast("int").alias("mo"),
+            "rev_cents",
+            F.col("__prev").alias("rev_cents_prior_year"),
+            (
+                (F.col("rev_cents") - F.col("__prev")).cast("double")
+                / F.col("__prev").cast("double")
+            ).alias("yoy_growth"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+YOY1_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2
+), lagged AS (
+  SELECT yr, mo, rev_cents,
+         LAG(rev_cents, 12) OVER (ORDER BY yr, mo) AS prev
+  FROM monthly
+)
+SELECT yr, mo, rev_cents, prev AS rev_cents_prior_year,
+       CAST(rev_cents - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS yoy_growth
+FROM lagged WHERE prev IS NOT NULL
+ORDER BY yr, mo
+"""
+
+
+def d13_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup telemetry: per source, how many docs are redundant copies
+    (non-winners) under the prefix-8 fingerprint rule — the "which feed
+    is mostly recycled content" report that prioritizes crawl budget.
+    One fingerprint groupBy for winners + a sources-sized aggregate."""
+    from etl_oms_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 8)))
+    keyed = d.select("doc_id", "source", key.alias("__fp"))
+    winners = keyed.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    flagged = keyed.join(
+        F.broadcast(winners.select("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id").withColumn("__w", F.lit(1))
+    return (
+        keyed.join(flagged.select("doc_id", "__w"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("__w").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_redundant"),
+            (
+                F.sum(F.when(F.col("__w").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+D13_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5(array_to_string((string_split({_NORM_SQL}, ' '))[1:8], ' ')) AS fp
+  FROM documents
+), winners AS (
+  SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY fp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN k.doc_id IN (SELECT doc_id FROM winners)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_redundant,
+       CAST(SUM(CASE WHEN k.doc_id IN (SELECT doc_id FROM winners)
+                     THEN 0 ELSE 1 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM keyed k
+GROUP BY source
+ORDER BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9477,6 +9577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dr2_quality_drift": dr2_quality_drift,
         "iet1_interpurchase_histogram": iet1_interpurchase_histogram,
         "hh1_supplier_concentration": hh1_supplier_concentration,
+        "yoy1_revenue_growth": yoy1_revenue_growth,
+        "d13_dup_rate_by_source": d13_dup_rate_by_source,
     }
 
 
@@ -9697,4 +9799,6 @@ def oracle_sql() -> dict[str, str]:
         "dr2_quality_drift": DR2_SQL,
         "iet1_interpurchase_histogram": IET1_SQL,
         "hh1_supplier_concentration": HH1_SQL,
+        "yoy1_revenue_growth": YOY1_SQL,
+        "d13_dup_rate_by_source": D13_SQL,
     }
