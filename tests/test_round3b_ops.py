@@ -296,3 +296,23 @@ def test_bounce_rate_bounds(spark, sf_dir):
         assert 0.0 <= r["bounce_rate"] <= 1.0
         assert r["events_per_session"] >= 1.0
         assert r["n_bounced"] <= r["n_sessions"]
+
+
+def test_golden_pins_sf0001(spark, sf_dir):
+    """Value pins at sf0.001 — bit-exact regression tripwires for three
+    determinism-critical paths: the global-index Gini, the md5 table
+    checksum, and the tp4 capstone composition. Any change to rounding,
+    hashing, ordering, or stage semantics trips these before the oracle
+    sweep even runs."""
+    import __spark_entry__ as m
+
+    g = m.queries()["gn1_revenue_gini"](spark, sf_dir).collect()[0]
+    assert g["n_customers"] == 150
+    assert g["total_cents"] == 37444679161
+    assert g["gini"] == 0.21540745833445119  # bit-exact (integer-derived)
+
+    ck = m.queries()["ck1_table_checksum"](spark, sf_dir).collect()[0]
+    assert (ck["n_rows"], ck["checksum"]) == (1500, 745308504495)
+
+    tp4 = sorted(map(tuple, m.queries()["tp4_release_pipeline"](spark, sf_dir).collect()))
+    assert tp4 == [("de", 2, 103), ("en", 2, 128), ("zh", 2, 72)]
