@@ -2378,8 +2378,11 @@ def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
+# NULL-text guard mirrors operators/text.whitespace_token_count: both
+# engines must yield 0 (not NULL) for NULL text or oracles diverge the
+# moment a documents table carries NULL rows
 _WS = (
-    f"CASE WHEN length({_NORM_SQL}) = 0 THEN 0 "
+    f"CASE WHEN coalesce(length({_NORM_SQL}), 0) = 0 THEN 0 "
     f"ELSE len(string_split({_NORM_SQL}, ' ')) END"
 )
 #: the quality-score formula as a SQL expression — shared by t2 and the
@@ -8084,8 +8087,10 @@ def ck1_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning computes the identical pair, so two copies of a table
     compare with one number each (the cheap first check before tc1's
     row-level diff). One scan, map-side-combined aggregate, no shuffle
-    beyond the 1-row merge; residues keep the BIGINT sum overflow-safe
-    past 10^12 rows."""
+    beyond the 1-row merge. Residues are 20-bit (< 2^20), so the BIGINT
+    sum stays exact to 2^63/2^20 ≈ 8.8·10^12 rows — genuinely past the
+    10^12-row mark; the 30-bit residue this replaced was only safe to
+    ~9·10^9 rows."""
     o = _t(spark, sf_dir, "orders")
     row = F.concat_ws(
         "|",
@@ -8096,7 +8101,7 @@ def ck1_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
     )
     h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long") % F.lit(
-        1_000_000_000
+        1_048_576
     )
     return spark.createDataFrame([("orders",)], ["table_name"]).crossJoin(
         o.agg(
@@ -8116,7 +8121,7 @@ SELECT 'orders' AS table_name,
                o_orderstatus || '|' ||
                strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || '|' ||
                CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
-           ), 1, 15) AS BIGINT) % 1000000000
+           ), 1, 15) AS BIGINT) % 1048576
        ) AS BIGINT) AS checksum
 FROM orders
 """
@@ -8852,8 +8857,11 @@ def gn1_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers ranked ascending by exact cent revenue (custkey tiebreak).
     Ranks come from `with_global_index` — range partition + offset
     cumsum, NO single-partition global sort — so the one corpus-order
-    dependence stays scalable; every sum is BIGINT until the final
-    division (util.py:with_global_index)."""
+    dependence stays scalable. The rank-weighted sum Σ(i·xᵢ) runs in
+    DECIMAL(38,0) (matching the DuckDB oracle's HUGEINT): with per-rank
+    terms bounded by n·max(m_cents), an int64 sum overflows near
+    n≈3·10⁵ customers at $1M lifetime revenue, while the decimal sum is
+    safe to n≈10¹⁴ — only the final division goes double."""
     from etl_oms_spark.util import with_global_index
 
     o = _t(spark, sf_dir, "orders")
@@ -8864,11 +8872,17 @@ def gn1_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = idx.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("m_cents").alias("s"),
-        F.sum((F.col("__i") + 1) * F.col("m_cents")).alias("ws"),
+        F.sum(
+            (F.col("__i") + 1).cast("decimal(18,0)")
+            * F.col("m_cents").cast("decimal(18,0)")
+        ).alias("ws"),
     )
-    gini = (
-        (F.lit(2) * F.col("ws") - (F.col("n") + 1) * F.col("s")).cast("double")
-        / (F.col("n") * F.col("s")).cast("double")
+    num = (
+        F.col("ws") * F.lit(2)
+        - (F.col("n") + 1).cast("decimal(20,0)") * F.col("s").cast("decimal(20,0)")
+    )
+    gini = num.cast("double") / (
+        F.col("n").cast("double") * F.col("s").cast("double")
     )
     return agg.select(
         F.col("n").cast("long").alias("n_customers"),
@@ -9341,16 +9355,103 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS check covers the FIRST 50
-    # entries. Rounds 1+2 verified the core-ETL block and the LLM-pipeline
-    # suite (97 distinct queries green across CORRECTNESS_r01∪r02, zero
-    # failures). Round 3 front-loads the 48 queries added late in round 2
-    # that have never had a driver row (d8_block_dedup ..
-    # cs1_centroid_similarity — all pass local exact oracles via
-    # tools/check.py), plus 2 green core entries (q1, star_fact_rollup)
-    # as cross-round continuity anchors. Everything after position 50 has
-    # a green row in r01 or r02.
+    # entries. Rounds 1-3 verified 147 distinct queries green across
+    # CORRECTNESS_r01∪r02∪r03 with zero standing failures. Round 4
+    # front-loads the round-3/3b additions that have never had a driver
+    # row (the 3b batch un1..d13, the early round-3 block qn1..em1, and
+    # 9 capstone-grade round-3 entries tp3/tr1/pr1/e8/e10/dc1/cc2/x1/
+    # a20 — all pass local exact oracles at sf0.001/0.01/0.1 via
+    # tools/check.py), plus 2 green anchors (q1, star_fact_rollup).
+    # Position 51+ leads with the 31-query round-5 rotation queue, then
+    # the entries already green in r01/r02/r03.
+
     return {
-        # -- round-2 additions, first driver check (48 queries) --
+        # -- round-3/3b additions, first driver check (48 queries) --
+        "un1_unicode_normalize": un1_unicode_normalize,
+        "url1_canonical_urls": url1_canonical_urls,
+        "d9_priority_dedup": d9_priority_dedup,
+        "tm1_temperature_mix": tm1_temperature_mix,
+        "tm2_temperature_apply": tm2_temperature_apply,
+        "hn1_hard_negatives": hn1_hard_negatives,
+        "ir1_retrieval_report": ir1_retrieval_report,
+        "rrf1_rank_fusion": rrf1_rank_fusion,
+        "qsel1_classifier_topfrac": qsel1_classifier_topfrac,
+        "cx2_split_leakage": cx2_split_leakage,
+        "d10_incremental_dedup": d10_incremental_dedup,
+        "mm1_media_similarity": mm1_media_similarity,
+        "t12_blocklist_gate": t12_blocklist_gate,
+        "u4_llm_annotate": u4_llm_annotate,
+        "ck1_table_checksum": ck1_table_checksum,
+        "pk2_packing_report": pk2_packing_report,
+        "d11_minhash_calibration": d11_minhash_calibration,
+        "d12_url_dedup": d12_url_dedup,
+        "f13_map_funcs": f13_map_funcs,
+        "an1_revenue_anomalies": an1_revenue_anomalies,
+        "rfm1_customer_segments": rfm1_customer_segments,
+        "fi2_association_rules": fi2_association_rules,
+        "tp4_release_pipeline": tp4_release_pipeline,
+        "gn1_revenue_gini": gn1_revenue_gini,
+        "ln1_lorenz_deciles": ln1_lorenz_deciles,
+        "cl2_cluster_keywords": cl2_cluster_keywords,
+        "br1_bounce_rate": br1_bounce_rate,
+        "dr2_quality_drift": dr2_quality_drift,
+        "iet1_interpurchase_histogram": iet1_interpurchase_histogram,
+        "hh1_supplier_concentration": hh1_supplier_concentration,
+        "yoy1_revenue_growth": yoy1_revenue_growth,
+        "d13_dup_rate_by_source": d13_dup_rate_by_source,
+        "qn1_percent_rank": qn1_percent_rank,
+        "t10_gopher_gate": t10_gopher_gate,
+        "fi1_frequent_pairs": fi1_frequent_pairs,
+        "pf1_top_values": pf1_top_values,
+        "tc1_table_diff": tc1_table_diff,
+        "tj4_asof_tolerance": tj4_asof_tolerance,
+        "em1_embedding_covariance": em1_embedding_covariance,
+        "tp3_repair_pipeline": tp3_repair_pipeline,
+        "tr1_triangles": tr1_triangles,
+        "pr1_pagerank": pr1_pagerank,
+        "e8_sq_topk": e8_sq_topk,
+        "e10_cosine_topk_arrow": e10_cosine_topk_arrow,
+        "dc1_dataset_card": dc1_dataset_card,
+        "cc2_dup_hubs": cc2_dup_hubs,
+        "x1_chi2_keywords": x1_chi2_keywords,
+        "a20_abc_analysis": a20_abc_analysis,
+        # -- continuity anchors (green r01/r03; re-checked every round) --
+        "q1_pricing_summary": q1_pricing_summary,
+        "star_fact_rollup": star_fact_rollup,
+        # ---- position 51+: round-5 rotation queue (31, never
+        #      driver-checked; front-load next round) ----
+        "ga1_activity_islands": ga1_activity_islands,
+        "mk1_event_transitions": mk1_event_transitions,
+        "tw1_time_weighted_avg": tw1_time_weighted_avg,
+        "zo1_zorder_key": zo1_zorder_key,
+        "cp1_compaction_plan": cp1_compaction_plan,
+        "nv1_ngram_novelty": nv1_ngram_novelty,
+        "pc1_pca_projection": pc1_pca_projection,
+        "so1_set_ops": so1_set_ops,
+        "hl1_sketch_rollup": hl1_sketch_rollup,
+        "hl2_exact_rollup": hl2_exact_rollup,
+        "h2_time_heatmap": h2_time_heatmap,
+        "ps1_supply_relation": ps1_supply_relation,
+        "qa1_revenue_momentum": qa1_revenue_momentum,
+        "t11_dup_block_rate": t11_dup_block_rate,
+        "zf1_zipf_slope": zf1_zipf_slope,
+        "a17_trimmed_mean": a17_trimmed_mean,
+        "a18_hierarchy_share": a18_hierarchy_share,
+        "o4_topk_with_ties": o4_topk_with_ties,
+        "a19_group_mode": a19_group_mode,
+        "im1_mode_impute": im1_mode_impute,
+        "e9_pq_topk": e9_pq_topk,
+        "dq2_profile_approx": dq2_profile_approx,
+        "uq1_user_similarity": uq1_user_similarity,
+        "fn2_cohort_funnel": fn2_cohort_funnel,
+        "cm1_cms_heavyhitters": cm1_cms_heavyhitters,
+        "cal1_calendar_dim": cal1_calendar_dim,
+        "lp1_label_propagation": lp1_label_propagation,
+        "knn1_label_transfer": knn1_label_transfer,
+        "lt1_conversion_latency": lt1_conversion_latency,
+        "rc1_order_reconciliation": rc1_order_reconciliation,
+        "rr1_reorder_rate": rr1_reorder_rate,
+        # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
         "fn1_funnel": fn1_funnel,
@@ -9399,18 +9500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_intra_dedup": t9_intra_dedup,
         "r4_pivot_multi": r4_pivot_multi,
         "cs1_centroid_similarity": cs1_centroid_similarity,
-        # -- continuity anchors (green r01; re-checked every round) --
-        "q1_pricing_summary": q1_pricing_summary,
-        "star_fact_rollup": star_fact_rollup,
-        # ---- position 51+: new round-3 queries first (front-load in
-        #      round 4), then entries green in CORRECTNESS_r01 or _r02 ----
-        "qn1_percent_rank": qn1_percent_rank,
-        "t10_gopher_gate": t10_gopher_gate,
-        "fi1_frequent_pairs": fi1_frequent_pairs,
-        "pf1_top_values": pf1_top_values,
-        "tc1_table_diff": tc1_table_diff,
-        "tj4_asof_tolerance": tj4_asof_tolerance,
-        "em1_embedding_covariance": em1_embedding_covariance,
         "q16_supplier_part_count": q16_supplier_part_count,
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -9506,79 +9595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
-        # -- round-3 additions (driver rotation next round) --
-        "ga1_activity_islands": ga1_activity_islands,
-        "mk1_event_transitions": mk1_event_transitions,
-        "tw1_time_weighted_avg": tw1_time_weighted_avg,
-        "zo1_zorder_key": zo1_zorder_key,
-        "cp1_compaction_plan": cp1_compaction_plan,
-        "nv1_ngram_novelty": nv1_ngram_novelty,
-        "x1_chi2_keywords": x1_chi2_keywords,
-        "pc1_pca_projection": pc1_pca_projection,
-        "so1_set_ops": so1_set_ops,
-        "hl1_sketch_rollup": hl1_sketch_rollup,
-        "hl2_exact_rollup": hl2_exact_rollup,
-        "h2_time_heatmap": h2_time_heatmap,
-        "ps1_supply_relation": ps1_supply_relation,
-        "qa1_revenue_momentum": qa1_revenue_momentum,
-        "t11_dup_block_rate": t11_dup_block_rate,
-        "zf1_zipf_slope": zf1_zipf_slope,
-        "a17_trimmed_mean": a17_trimmed_mean,
-        "cc2_dup_hubs": cc2_dup_hubs,
-        "a18_hierarchy_share": a18_hierarchy_share,
-        "o4_topk_with_ties": o4_topk_with_ties,
-        "a19_group_mode": a19_group_mode,
-        "im1_mode_impute": im1_mode_impute,
-        "e8_sq_topk": e8_sq_topk,
-        "e9_pq_topk": e9_pq_topk,
-        "dc1_dataset_card": dc1_dataset_card,
-        "dq2_profile_approx": dq2_profile_approx,
-        "uq1_user_similarity": uq1_user_similarity,
-        "fn2_cohort_funnel": fn2_cohort_funnel,
-        "a20_abc_analysis": a20_abc_analysis,
-        "tr1_triangles": tr1_triangles,
-        "pr1_pagerank": pr1_pagerank,
-        "cm1_cms_heavyhitters": cm1_cms_heavyhitters,
-        "tp3_repair_pipeline": tp3_repair_pipeline,
-        "e10_cosine_topk_arrow": e10_cosine_topk_arrow,
-        "cal1_calendar_dim": cal1_calendar_dim,
-        "lp1_label_propagation": lp1_label_propagation,
-        "knn1_label_transfer": knn1_label_transfer,
-        "lt1_conversion_latency": lt1_conversion_latency,
-        "rc1_order_reconciliation": rc1_order_reconciliation,
-        "rr1_reorder_rate": rr1_reorder_rate,
-        "un1_unicode_normalize": un1_unicode_normalize,
-        "url1_canonical_urls": url1_canonical_urls,
-        "d9_priority_dedup": d9_priority_dedup,
-        "tm1_temperature_mix": tm1_temperature_mix,
-        "hn1_hard_negatives": hn1_hard_negatives,
-        "ir1_retrieval_report": ir1_retrieval_report,
-        "rrf1_rank_fusion": rrf1_rank_fusion,
-        "qsel1_classifier_topfrac": qsel1_classifier_topfrac,
-        "cx2_split_leakage": cx2_split_leakage,
-        "d10_incremental_dedup": d10_incremental_dedup,
-        "mm1_media_similarity": mm1_media_similarity,
-        "t12_blocklist_gate": t12_blocklist_gate,
-        "u4_llm_annotate": u4_llm_annotate,
-        "ck1_table_checksum": ck1_table_checksum,
-        "pk2_packing_report": pk2_packing_report,
-        "d11_minhash_calibration": d11_minhash_calibration,
-        "d12_url_dedup": d12_url_dedup,
-        "f13_map_funcs": f13_map_funcs,
-        "tm2_temperature_apply": tm2_temperature_apply,
-        "an1_revenue_anomalies": an1_revenue_anomalies,
-        "rfm1_customer_segments": rfm1_customer_segments,
-        "fi2_association_rules": fi2_association_rules,
-        "tp4_release_pipeline": tp4_release_pipeline,
-        "gn1_revenue_gini": gn1_revenue_gini,
-        "ln1_lorenz_deciles": ln1_lorenz_deciles,
-        "cl2_cluster_keywords": cl2_cluster_keywords,
-        "br1_bounce_rate": br1_bounce_rate,
-        "dr2_quality_drift": dr2_quality_drift,
-        "iet1_interpurchase_histogram": iet1_interpurchase_histogram,
-        "hh1_supplier_concentration": hh1_supplier_concentration,
-        "yoy1_revenue_growth": yoy1_revenue_growth,
-        "d13_dup_rate_by_source": d13_dup_rate_by_source,
     }
 
 

@@ -290,14 +290,38 @@ def foreach_batch_incremental_dedup(
     State is the parquet ledger, not executor memory — unbounded corpus
     history at bounded stream state, which dropDuplicatesWithinWatermark
     (time-bounded keys) cannot give.
+
+    Exactly-once content-wise under foreachBatch's at-least-once replay,
+    by construction of the commit protocol: both sinks are partitioned by
+    ``ingest_batch_id`` and each batch OVERWRITES only its own partition
+    (dynamic partitionOverwriteMode), corpus first, ledger last. A crash
+    between the two writes replays the batch, which recomputes the same
+    survivors against the unchanged prior ledger (its own half-written
+    ledger partition is excluded from the read) and overwrites both
+    partitions with identical content. Only a missing ledger path is
+    treated as "first batch"; any other read failure aborts the batch
+    rather than silently skipping dedup against history.
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from ..operators.dedup import incremental_dedup
     from ..operators.text import fingerprint_md5
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         try:
-            ledger = spark.read.parquet(ledger_path)
-        except Exception:  # noqa: BLE001 - first batch, ledger absent
+            # exclude this batch's own partition: a replayed batch must
+            # not dedup against fingerprints from its crashed prior attempt
+            ledger = (
+                spark.read.parquet(ledger_path)
+                .filter(F.col("ingest_batch_id") != F.lit(batch_id))
+                .select("fp")
+            )
+        except AnalysisException as e:
+            # first batch: ledger not created yet. Anything else
+            # (permissions, corruption, IO) must fail the batch instead
+            # of silently bypassing dedup against all history.
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             ledger = None
         if ledger is None:
             winners_ids = (
@@ -311,9 +335,21 @@ def foreach_batch_incremental_dedup(
                 batch_df, ledger, text_col=text_col, id_col=id_col
             ).select(id_col)
         survivors = batch_df.join(winners_ids, id_col, "left_semi")
-        survivors.write.mode("append").parquet(corpus_path)
-        survivors.select(fingerprint_md5(text_col).alias("fp")).distinct().write.mode(
-            "append"
-        ).parquet(ledger_path)
+        (
+            survivors.withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(corpus_path)
+        )
+        (
+            survivors.select(fingerprint_md5(text_col).alias("fp"))
+            .distinct()
+            .withColumn("ingest_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch_id")
+            .parquet(ledger_path)
+        )
 
     return apply

@@ -428,3 +428,54 @@ def test_foreach_batch_incremental_dedup_stream(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert ids == [1, 3, 11]
     assert spark.read.parquet(ledger).count() == 3
+
+
+def test_incremental_dedup_replay_idempotent(spark, tmp_path):
+    """foreachBatch replay (at-least-once): re-running a batch with the
+    same batch_id — the crash-between-the-two-writes window — must leave
+    corpus and ledger byte-identical, because each batch overwrites only
+    its own ingest_batch_id partition and the ledger commits last."""
+    from etl_oms_spark.streaming.events import foreach_batch_incremental_dedup
+
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    fn = foreach_batch_incremental_dedup(corpus, ledger, spark)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA   beta"), (3, "gamma delta")],
+        "doc_id LONG, text STRING",
+    )
+    fn(b1, 0)
+    fn(b1, 0)  # replay of batch 0 after both writes committed
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [1, 3]
+    assert spark.read.parquet(ledger).count() == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha  BETA"), (11, "epsilon zeta")], "doc_id LONG, text STRING"
+    )
+    fn(b2, 1)
+    fn(b2, 1)  # replay of batch 1: cross-batch dup 10 stays dropped
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3, 11]
+    assert spark.read.parquet(ledger).count() == 3
+
+
+def test_incremental_dedup_ledger_read_error_aborts(spark, tmp_path):
+    """A ledger path that exists but cannot be read as parquet (corruption,
+    partial state) must ABORT the batch — not be treated as 'first batch',
+    which would silently skip dedup against all history."""
+    import pytest
+
+    from etl_oms_spark.streaming.events import foreach_batch_incremental_dedup
+
+    corpus = str(tmp_path / "corpus")
+    ledger = tmp_path / "ledger"
+    ledger.mkdir()
+    (ledger / "part-0.parquet").write_bytes(b"this is not parquet")
+    fn = foreach_batch_incremental_dedup(corpus, str(ledger), spark)
+    b = spark.createDataFrame([(1, "alpha")], "doc_id LONG, text STRING")
+    with pytest.raises(Exception):
+        fn(b, 0)
+    import os
+
+    assert not os.path.exists(corpus)  # nothing was appended past the error
