@@ -96,9 +96,13 @@ def main() -> None:
     # warm the JVM/session once so q1 doesn't pay session startup
     qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # two runs per query, report steady-state (min): run 1 pays one-time
-    # whole-stage-codegen/JIT compilation, which at real scale is amortized
-    # over the data; cold totals are reported alongside for transparency
+    # 1 cold + 3 warm runs per query; report the MEDIAN of the warm runs.
+    # The cold run pays one-time whole-stage-codegen/JIT compilation
+    # (amortized over the data at real scale) and is totalled separately;
+    # the median — not min — is robust against co-tenant host noise in
+    # BOTH directions, so round-over-round bench diffs reflect plan
+    # changes, not load spikes (r3 verdict: single-shot timings produced
+    # 10 phantom sub-second regressions under loadavg ~9).
     timings: dict[str, float] = {}
     cold_total = 0.0
     total = 0.0
@@ -106,12 +110,12 @@ def main() -> None:
 
     for name in names:
         runs = []
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         cold_total += runs[0]
-        dt = round(min(runs), 3)
+        dt = round(sorted(runs[1:])[1], 3)  # median of the 3 warm runs
         timings[name] = dt
         total += dt
         # drop dead DataFrame/RDD references (localCheckpoint blocks from
@@ -129,6 +133,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_total_sec": round(cold_total, 3),
+                # host contention context for the reader of round-over-round
+                # diffs (the numbers move with co-tenant load, the plans don't)
+                "loadavg_1m": round(os.getloadavg()[0], 2),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -147,6 +147,7 @@ def triangle_count(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    reuse_edges: bool = True,
 ) -> DataFrame:
     """Global triangle count plus per-node participation over an
     undirected edge list — the density diagnostic for duplicate-pair
@@ -160,6 +161,15 @@ def triangle_count(
     wedge explosion upstream with the same max-degree pruning cc2's hub
     report informs. Returns one row per node in ≥1 triangle plus the
     total under node id -1.
+
+    Plan shape: the oriented edge list feeds THREE branches (ab/bc/ac)
+    whose projections diverge before their first exchange and shuffle on
+    different keys, so ReusedExchange cannot dedup them — without reuse
+    the upstream edge build (for LSH graphs: the whole shingle/minhash/
+    band pipeline) runs three times. ``reuse_edges`` applies the measured
+    SCALING.md rule and localCheckpoints the edge list once. The global
+    total derives from Σ per-node participation ÷ 3 (each triangle
+    contributes exactly 3), so the wedge join runs once, not twice.
     """
     e = (
         edges.select(
@@ -169,6 +179,8 @@ def triangle_count(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    if reuse_edges:
+        e = e.localCheckpoint(eager=False)
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -182,9 +194,11 @@ def triangle_count(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    total = tri.agg(
+    total = per_node.agg(
         F.lit(-1).cast(per_node.schema["id"].dataType).alias("id"),
-        F.count(F.lit(1)).alias("n_triangles"),
+        F.expr("coalesce(sum(n_triangles), CAST(0 AS BIGINT)) div 3").alias(
+            "n_triangles"
+        ),
     )
     return per_node.unionAll(total)
 

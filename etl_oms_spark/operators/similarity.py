@@ -252,19 +252,36 @@ def embedding_near_dup_pairs(
         bucket = lsh_bucket_portable(F.col(vec_col), dim, num_planes)
     else:
         bucket = lsh_bucket(F.col(vec_col), num_planes)
+    # norms precomputed PER VECTOR (the _cosine_scored trick): the
+    # higher-order folds run interpreted, so folding each vector once
+    # instead of once per candidate pair cuts the fold work 3× — the
+    # dominant cost of the bucket self-join. Cosine stays bit-identical:
+    # same exact-integer operands, same sqrt(na)·sqrt(nb) form.
     bucketed = ensure_parallelism(df, id_col).select(
-        F.col(id_col), F.col(vec_col), bucket.alias("__bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        bucket.alias("__bucket"),
+        norm2_quantized(F.col(vec_col)).alias("__n2"),
     )
     a = bucketed.select(
-        F.col("__bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        F.col("__bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n2").alias("__na"),
     )
     b = bucketed.select(
-        F.col("__bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        F.col("__bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n2").alias("__nb"),
+    )
+    cos = dot_quantized(F.col("__va"), F.col("__vb")).cast("double") / (
+        F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))
     )
     return (
         a.join(b, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_quantized(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
