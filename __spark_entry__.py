@@ -9348,6 +9348,94 @@ ORDER BY source
 """
 
 
+def stp1_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming capstone — tp4's Structured-Streaming analogue, run end
+    to end: documents arrive as three availableNow waves (ascending
+    doc_id ranges — the daily-drop simulation), each micro-batch dedups
+    against the persistent fingerprint ledger via
+    streaming.events.foreach_batch_incremental_dedup (per-batch dynamic
+    partition overwrite, ledger commits last — replay-idempotent), and
+    the surviving corpus rolls up per source (docs kept, whitespace
+    tokens). Because waves ascend by doc_id, the first wave containing a
+    fingerprint also holds its global min doc_id, so the streaming
+    winner set provably equals batch exact-dedup's (d1) and the whole
+    pipeline has an exact batch-twin oracle. The sources-sized result is
+    materialized eagerly so the temp corpus/ledger/checkpoint are
+    removed before returning."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from etl_oms_spark.operators.text import whitespace_token_count
+    from etl_oms_spark.streaming.events import foreach_batch_incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [0, max_id // 3 + 1, 2 * max_id // 3 + 1, max_id + 1]
+
+    tmp = tempfile.mkdtemp(prefix="stp1_")
+    try:
+        src = os.path.join(tmp, "src")
+        corpus = os.path.join(tmp, "corpus")
+        ledger = os.path.join(tmp, "ledger")
+        os.makedirs(src)
+        stream = spark.readStream.schema(d.schema).parquet(src)
+        for k in range(3):
+            wave_dir = os.path.join(tmp, f"wave{k}")
+            (
+                d.filter(
+                    (F.col("doc_id") >= cuts[k]) & (F.col("doc_id") < cuts[k + 1])
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(wave_dir)
+            )
+            part = _glob.glob(os.path.join(wave_dir, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src, f"wave{k}.parquet"))
+            q = (
+                stream.writeStream.foreachBatch(
+                    foreach_batch_incremental_dedup(corpus, ledger, spark)
+                )
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = (
+            spark.read.parquet(corpus)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(whitespace_token_count("text"))
+                .cast("long")
+                .alias("total_tokens"),
+            )
+            .orderBy("source")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "source string, n_docs long, total_tokens long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STP1_SQL = f"""
+WITH w AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY {_NORM_SQL}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({_WS}) AS BIGINT) AS total_tokens
+FROM documents JOIN w USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9451,6 +9539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lt1_conversion_latency": lt1_conversion_latency,
         "rc1_order_reconciliation": rc1_order_reconciliation,
         "rr1_reorder_rate": rr1_reorder_rate,
+        # -- round-4 additions (rotation queue behind the r05 batch) --
+        "stp1_streaming_ingest": stp1_streaming_ingest,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -9817,4 +9907,5 @@ def oracle_sql() -> dict[str, str]:
         "hh1_supplier_concentration": HH1_SQL,
         "yoy1_revenue_growth": YOY1_SQL,
         "d13_dup_rate_by_source": D13_SQL,
+        "stp1_streaming_ingest": STP1_SQL,
     }

@@ -479,3 +479,15 @@ def test_incremental_dedup_ledger_read_error_aborts(spark, tmp_path):
     import os
 
     assert not os.path.exists(corpus)  # nothing was appended past the error
+
+
+def test_stp1_streaming_ingest_deterministic(spark):
+    """The streaming capstone is replay-deterministic end to end: two
+    full pipeline executions (fresh temp corpus/ledger/checkpoint each)
+    produce identical per-source rollups."""
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, m.queries()["stp1_streaming_ingest"](spark, sf).collect()))
+    b = sorted(map(tuple, m.queries()["stp1_streaming_ingest"](spark, sf).collect()))
+    assert a == b and len(a) > 0
