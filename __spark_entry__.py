@@ -7832,7 +7832,10 @@ def cx2_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends land in different splits is semantic leakage (the eval example
     has a near-copy in train). Pure composition: the pair build is the
     only corpus-scale work; split labels hash from the ids, no extra
-    join."""
+    join. num_planes=4 is pinned for oracle determinism at test scale —
+    at corpus scale pass `suggest_num_planes(n)` instead (fixed planes
+    = fixed bucket count = quadratic candidates; measured 41× at a 10×
+    scale-up, restored to ~linear by the rule — SCALING.md round-4)."""
     from etl_oms_spark.operators.sampling import _md5_bucket
     from etl_oms_spark.operators.similarity import embedding_near_dup_pairs
 

@@ -135,6 +135,22 @@ def _hyperplane_component(plane: int, dim_index: Column) -> Column:
     return (F.pmod(h, F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0)) - F.lit(0.5)
 
 
+def suggest_num_planes(n_vectors: int, target_bucket_size: int = 256) -> int:
+    """Scale rule for sign-bit LSH: planes must GROW with the corpus or
+    the bucket count stays constant and candidate pairs grow
+    quadratically (measured: fixed planes=4 made the cx2 pair build 33×
+    super-linear on a 10× scale-up — SCALING.md). ``ceil(log2(n /
+    target))`` keeps expected bucket occupancy ≈ target, so per-bucket
+    self-join work is bounded and total candidates scale ~linearly.
+    Recall falls as planes rise; compensate with band OR-ing (multiple
+    independent bucket keys) exactly as minhash banding does."""
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_bucket_size)))
+
+
 def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
     """Sign-bit bucket key: bit p = sign of <vec, hyperplane_p>."""
     bucket = F.lit(0).cast("long")

@@ -38,6 +38,17 @@ def write_json(df: DataFrame, path: str, single_file: bool = False, mode: str = 
     out.write.mode(mode).json(path)
 
 
+def write_json_records(df: DataFrame, path: str) -> None:
+    """S7 byte-parity mode: ONE JSON array file, byte-identical to the
+    reference's ``to_json(orient="records", date_format="iso")``
+    (ETL_OMS.py:95, ETL_OMS_FINAL.py:107 — the ``Statistique.json``
+    layout), produced by Arrow-collecting to the driver and letting
+    pandas serialize. A driver-side funnel by design: use it for the
+    dim-sized/bilan outputs the reference writes this way; the
+    distributed path stays ``write_json`` (JSON-lines, splittable)."""
+    df.toPandas().to_json(path, orient="records", date_format="iso")
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -238,3 +238,32 @@ def test_curate_single_frame_matches_two_frame(spark):
     got_test = {r["doc_id"] for r in
                 single.filter(F.col("split") == "test").select("doc_id").collect()}
     assert got_train == want_train and got_test == want_test
+
+
+def test_write_json_records_byte_parity(spark, tmp_path):
+    """write_json_records must produce the reference's exact byte layout:
+    one JSON array, compact separators, ISO dates
+    (to_json(orient='records', date_format='iso'))."""
+    import datetime
+
+    import pandas as pd
+
+    from etl_oms_spark.sources.writers import write_json_records
+
+    df = spark.createDataFrame(
+        [(1, "France", datetime.date(2020, 1, 5), 3.5),
+         (2, "Germany", datetime.date(2020, 1, 6), None)],
+        "id int, pays string, date date, taux double",
+    )
+    out = str(tmp_path / "stat.json")
+    write_json_records(df, out)
+    expected = str(tmp_path / "expected.json")
+    pd.DataFrame(
+        {"id": pd.array([1, 2], dtype="int32"),
+         "pays": ["France", "Germany"],
+         "date": pd.to_datetime(["2020-01-05", "2020-01-06"]),
+         "taux": [3.5, None]}
+    ).to_json(expected, orient="records", date_format="iso")
+    got = open(out, "rb").read()
+    assert got == open(expected, "rb").read()
+    assert got.startswith(b"[{") and got.endswith(b"}]")  # one array, not lines

@@ -354,3 +354,16 @@ def test_cosine_topk_arrow_bit_parity_with_column_form(spark, sf_dir):
     b = {(r["query_id"], r["vec_id"]): r["cosine"]
          for r in cosine_topk_arrow(emb, q, k=7).collect()}
     assert a == b  # exact equality, including the doubles
+
+
+def test_suggest_num_planes_scale_rule():
+    from etl_oms_spark.operators.similarity import suggest_num_planes
+
+    assert suggest_num_planes(100) == 1           # fits one bucket
+    assert suggest_num_planes(2_000) == 3         # 2000/256 -> 8 buckets
+    assert suggest_num_planes(20_000) == 7        # 10x data -> +3-4 planes
+    assert suggest_num_planes(20_000_000) == 17   # keeps occupancy ~256
+    # occupancy bound: n / 2^planes <= target
+    for n in (1_000, 50_000, 10**7):
+        p = suggest_num_planes(n)
+        assert n / (2 ** p) <= 256
