@@ -9439,6 +9439,254 @@ ORDER BY source
 """
 
 
+def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution capstone — the full ER pipeline in one plan:
+    three deterministic 'source systems' emit dirty copies of every
+    customer (CRM exact; web lowercased; legacy '#'→' ', only for
+    custkey%3==0), records block on (nation, segment, exact cents),
+    match within blocks on Levenshtein ≤ 2, matched pairs close
+    transitively (operators/graph.connected_components — the same
+    iterative min-label CC cc1 uses), and each entity reports its
+    record/source counts plus the golden name (the record whose id IS
+    the component label — min custkey's CRM copy). Cost shape: blocking
+    keeps the pair join at Σ block² (never all-pairs), CC is
+    O(log diameter) rounds, and the golden join is entity-sized."""
+    from etl_oms_spark.operators.graph import connected_components
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        _cents(F.col("c_acctbal")).cast("long").alias("acct_cents"),
+    )
+
+    def src(rank: int, name_expr, frame):
+        return frame.select(
+            (F.col("c_custkey") * 10 + rank).alias("record_id"),
+            name_expr.alias("name"),
+            "c_nationkey",
+            "c_mktsegment",
+            "acct_cents",
+            F.lit(rank).alias("src_rank"),
+        )
+
+    rec = (
+        src(1, F.col("c_name"), base)
+        .unionAll(src(2, F.lower(F.col("c_name")), base))
+        .unionAll(
+            src(
+                3,
+                F.regexp_replace(F.col("c_name"), "#", " "),
+                base.filter(F.col("c_custkey") % 3 == 0),
+            )
+        )
+    )
+    a = rec.select(
+        F.col("record_id").alias("u"),
+        F.col("name").alias("__na"),
+        "c_nationkey",
+        "c_mktsegment",
+        "acct_cents",
+    )
+    b = rec.select(
+        F.col("record_id").alias("v"),
+        F.col("name").alias("__nb"),
+        "c_nationkey",
+        "c_mktsegment",
+        "acct_cents",
+    )
+    pairs = (
+        a.join(b, ["c_nationkey", "c_mktsegment", "acct_cents"])
+        .filter(F.col("u") < F.col("v"))
+        .filter(F.levenshtein(F.col("__na"), F.col("__nb")) <= 2)
+        .select("u", "v")
+    )
+    comp = connected_components(pairs, src="u", dst="v")
+    labeled = rec.join(comp, rec["record_id"] == comp["id"], "left").select(
+        "record_id",
+        "name",
+        "src_rank",
+        F.coalesce(F.col("component"), F.col("record_id")).alias("entity_id"),
+    )
+    ent = labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.countDistinct("src_rank").cast("long").alias("n_sources"),
+    )
+    golden = labeled.select(F.col("record_id").alias("entity_id"),
+                            F.col("name").alias("golden_name"))
+    return ent.join(golden, "entity_id").orderBy("entity_id")
+
+
+ER1_SQL = """
+WITH RECURSIVE base AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+    FROM customer
+), rec AS (
+    SELECT c_custkey*10 + 1 AS record_id, c_name AS name,
+           c_nationkey, c_mktsegment, acct_cents, 1 AS src_rank FROM base
+    UNION ALL
+    SELECT c_custkey*10 + 2, lower(c_name),
+           c_nationkey, c_mktsegment, acct_cents, 2 FROM base
+    UNION ALL
+    SELECT c_custkey*10 + 3, replace(c_name, '#', ' '),
+           c_nationkey, c_mktsegment, acct_cents, 3
+    FROM base WHERE c_custkey % 3 = 0
+), pairs AS (
+    SELECT a.record_id AS u, b.record_id AS v
+    FROM rec a JOIN rec b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.acct_cents = b.acct_cents
+     AND a.record_id < b.record_id
+    WHERE levenshtein(a.name, b.name) <= 2
+), edges AS (
+    SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+), reach AS (
+    SELECT record_id AS id, record_id AS r FROM rec
+    UNION
+    SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.v
+), comp AS (
+    SELECT id, MIN(r) AS component FROM reach GROUP BY id
+), ent AS (
+    SELECT comp.component AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(DISTINCT rec.src_rank) AS BIGINT) AS n_sources
+    FROM rec JOIN comp ON rec.record_id = comp.id
+    GROUP BY comp.component
+)
+SELECT ent.entity_id, ent.n_records, ent.n_sources, g.name AS golden_name
+FROM ent JOIN rec g ON g.record_id = ent.entity_id
+ORDER BY ent.entity_id
+"""
+
+
+def ivm1_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-(source, lang)
+    doc/token rollup is kept current by MERGING the persisted state with
+    the delta batch's partial aggregate
+    (operators/rollup.merge_rollup_state) — the 100 TB base corpus is
+    NEVER rescanned; only the keys-sized state and the delta move. Here
+    state = docs < 250 (the 'yesterday' MV), delta = docs ≥ 250, and the
+    oracle is the full recompute over all documents — equality IS the
+    algebraic-maintenance proof (count/sum are the mergeable
+    aggregates; avg/ratios derive from them at read time)."""
+    from etl_oms_spark.operators.rollup import merge_rollup_state
+    from etl_oms_spark.operators.text import whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", whitespace_token_count("text").alias("tok")
+    )
+
+    def agg(frame):
+        return frame.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+        )
+
+    state = agg(d.filter(F.col("doc_id") < 250))
+    delta = agg(d.filter(F.col("doc_id") >= 250))
+    return merge_rollup_state(
+        state, delta, ["source", "lang"], ["n_docs", "total_tokens"]
+    ).orderBy("source", "lang")
+
+
+IVM1_SQL = f"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({_WS}) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
+def kc1_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the recurring co-purchase graph (operators/graph.
+    k_core): parts are connected when they co-occur in ≥2 distinct
+    orders (fi1\'s order-confined pair build, Σ items-per-order²
+    bounded), then iterative peeling strips every part not embedded in
+    a co-purchase CYCLE — leaves and chains drop, the self-reinforcing
+    cross-sell core remains, each part reported with its in-core
+    degree. The oracle unrolls the parallel peel as chained
+    MATERIALIZED CTEs; its final WHERE deg ≥ k guard turns any
+    truncated unroll into a visible row mismatch, never a silent wrong
+    answer (measured parallel peel depth ≤ 5 at all three scales;
+    unroll is 10)."""
+    from etl_oms_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    return k_core(edges, k=2, src="u", dst="v").select(
+        F.col("id").alias("l_partkey"), "core_degree"
+    ).orderBy("l_partkey")
+
+
+def _kcore_peel_sql(rounds: int = 10, k: int = 2) -> str:
+    # AS MATERIALIZED is load-bearing: each e{r} references its
+    # predecessor twice, so inlined CTEs would re-expand the whole d7
+    # pair build exponentially (observed as DuckDB exhausting file
+    # handles re-opening the parquet)
+    parts = [
+        "e0 AS MATERIALIZED (SELECT least(id_a, id_b) AS u, "
+        "greatest(id_a, id_b) AS v "
+        "FROM pairs WHERE id_a <> id_b GROUP BY 1, 2)"
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM ("
+            f"SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}"
+            f") GROUP BY id)"
+        )
+        parts.append(f"k{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE deg >= {k})")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT u, v FROM {prev} "
+            f"WHERE u IN (SELECT id FROM k{r}) AND v IN (SELECT id FROM k{r}))"
+        )
+        prev = f"e{r}"
+    parts.append(
+        f"dfinal AS MATERIALIZED (SELECT id, COUNT(*) AS deg FROM ("
+        f"SELECT u AS id FROM {prev} UNION ALL SELECT v FROM {prev}"
+        f") GROUP BY id)"
+    )
+    return ",\n".join(parts)
+
+
+KC1_SQL = (
+    """WITH items AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS MATERIALIZED (
+    SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+"""
+    + _kcore_peel_sql()
+    + """
+SELECT id AS l_partkey, CAST(deg AS BIGINT) AS core_degree
+FROM dfinal
+WHERE deg >= 2
+ORDER BY l_partkey
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9544,6 +9792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rr1_reorder_rate": rr1_reorder_rate,
         # -- round-4 additions (rotation queue behind the r05 batch) --
         "stp1_streaming_ingest": stp1_streaming_ingest,
+        "er1_entity_resolution": er1_entity_resolution,
+        "ivm1_incremental_rollup": ivm1_incremental_rollup,
+        "kc1_kcore": kc1_kcore,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -9911,4 +10162,7 @@ def oracle_sql() -> dict[str, str]:
         "yoy1_revenue_growth": YOY1_SQL,
         "d13_dup_rate_by_source": D13_SQL,
         "stp1_streaming_ingest": STP1_SQL,
+        "er1_entity_resolution": ER1_SQL,
+        "ivm1_incremental_rollup": IVM1_SQL,
+        "kc1_kcore": KC1_SQL,
     }

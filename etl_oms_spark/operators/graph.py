@@ -359,3 +359,56 @@ def build_neardup_graph(
     sigs = minhash_signatures(df, text_col, id_col, hash_method=hash_method)
     pairs = lsh_candidate_pairs(sigs, id_col, hash_method=hash_method)
     return pairs.persist() if persist else pairs
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every node with
+    undirected degree < k, recompute degrees on the surviving subgraph,
+    repeat to fixpoint. Returns (id, core_degree) for the nodes of the
+    k-core, with their degree INSIDE the core — the "dense template
+    cluster" extractor for duplicate-pair graphs (a k-core survives even
+    after its weakest members are peeled; triangle counts flag density,
+    k-cores delimit it).
+
+    Scale shape: each round is one degree aggregate plus two semi-joins
+    of the edge list against the (node-sized, broadcast) survivor set,
+    with the shrinking edge list localCheckpointed per round exactly as
+    connected_components does — no round ever joins edges×edges.
+    Peeling converges in O(max degeneracy ordering depth) rounds; real
+    dup graphs (near-cliques + chains) converge in a handful.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        deg = (
+            e.select(F.col("u").alias("id"))
+            .unionAll(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        ).localCheckpoint(eager=False)
+        n_nodes = deg.count()
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        n_keep = keep.count()
+        if n_keep == n_nodes:  # fixpoint (also terminates on empty graph)
+            return deg.filter(F.col("deg") >= k).select(
+                "id", F.col("deg").cast("long").alias("core_degree")
+            )
+        e = (
+            e.join(F.broadcast(keep.withColumnRenamed("id", "u")), "u", "left_semi")
+            .join(F.broadcast(keep.withColumnRenamed("id", "v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(f"k_core did not converge in {max_iterations} rounds")

@@ -186,3 +186,41 @@ def retention_matrix(
         .groupBy("cohort_period", "period_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def merge_rollup_state(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental materialized-view maintenance for mergeable
+    aggregates: combine the persisted rollup ``state`` with a ``delta``
+    batch's partial aggregate by full-outer-joining on the group keys
+    and summing counters (absent side counts 0). COUNT and SUM merge
+    directly; AVG/ratios/stddev derive at read time from merged
+    (count, sum, sum-of-squares) columns — the classic algebraic-MV
+    decomposition.
+
+    Scale posture: the base corpus is NEVER rescanned — only the
+    keys-sized state and the delta batch move. Both sides arrive
+    pre-aggregated (map-side combined), so the full-outer join touches
+    |distinct keys| rows, not corpus rows; at warehouse scale the state
+    side is usually broadcastable outright.
+    """
+    s = state.select(
+        *keys, *[F.col(c).alias(f"__s_{c}") for c in sum_cols]
+    )
+    d = delta.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in sum_cols]
+    )
+    return s.join(d, keys, "full_outer").select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(f"__s_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in sum_cols
+        ],
+    )
