@@ -9687,6 +9687,313 @@ ORDER BY l_partkey
 )
 
 
+def pa1_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 session paths ("view>click>purchase"): gap-and-island
+    sessionization (ev_sessionize's rule, 10-min gap), each session's
+    event types concatenated in (ts, event_id) order via
+    array_sort(collect_list(struct)) — fully deterministic, no
+    collect_list-order dependence — then one paths-sized count.
+    Shuffles: one user-keyed window, one (user, session) agg, one path
+    count; top-k is TakeOrdered, never a global sort."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # micro-precision gap: unix_timestamp() truncates to seconds and
+    # mis-classifies boundaries like a 600.4s gap vs the INTERVAL oracle
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 600_000_000), 1
+    ).otherwise(0)
+    sid = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    paths = (
+        ev.withColumn("__sid", sid)
+        .groupBy("user_id", "__sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(25)
+    )
+
+
+PA1_SQL = """
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 10 MINUTE OR
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), numbered AS (
+    SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+    FROM marked
+), paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM numbered
+    GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 25
+"""
+
+
+def hw1_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of monthly revenue, 3 months ahead
+    (α=β=0.5 — dyadic rationals, so the double recurrence is bit-exact
+    in any engine evaluating the same sequential order): level/trend
+    fold over the months-sized exact-cents series via F.aggregate with
+    a struct accumulator — the iterative-recurrence pattern WITHOUT a
+    driver loop; the oracle replays the identical recurrence in a
+    recursive CTE. Corpus work is one month rollup; the fold runs on a
+    months-sized array in one task."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("cents"))
+    )
+    series = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("month", "cents"))).alias("s")
+    ).select(
+        F.transform("s", lambda x: x["cents"].cast("double")).alias("y"),
+        F.element_at(F.transform("s", lambda x: x["month"]), -1).alias(
+            "last_month"
+        ),
+    )
+    # init: l=y1, b=y2-y1; fold t=2..n (Holt's linear method)
+    state = F.aggregate(
+        F.slice(F.col("y"), 2, F.greatest(F.size("y") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("y", 1).alias("l"),
+            (F.element_at("y", 2) - F.element_at("y", 1)).alias("b"),
+        ),
+        lambda acc, yt: F.struct(
+            (yt * 0.5 + (acc["l"] + acc["b"]) * 0.5).alias("l"),
+            (
+                ((yt * 0.5 + (acc["l"] + acc["b"]) * 0.5) - acc["l"]) * 0.5
+                + acc["b"] * 0.5
+            ).alias("b"),
+        ),
+    )
+    folded = series.select(state.alias("st"), "last_month")
+    h = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("h")
+    return folded.select(h, "st", "last_month").select(
+        F.col("h").cast("int").alias("h"),
+        F.add_months("last_month", F.col("h")).alias("forecast_month"),
+        (F.col("st.l") + F.col("h") * F.col("st.b")).alias("forecast_cents"),
+    )
+
+
+HW1_SQL = """
+WITH RECURSIVE monthly AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), numbered AS (
+    SELECT CAST(cents AS DOUBLE) AS y, month,
+           ROW_NUMBER() OVER (ORDER BY month) AS t,
+           COUNT(*) OVER () AS n
+    FROM monthly
+), holt AS (
+    SELECT 1 AS t,
+           (SELECT y FROM numbered WHERE t = 1) AS l,
+           (SELECT y FROM numbered WHERE t = 2)
+             - (SELECT y FROM numbered WHERE t = 1) AS b
+    UNION ALL
+    SELECT nx.t,
+           nx.y * 0.5 + (holt.l + holt.b) * 0.5,
+           ((nx.y * 0.5 + (holt.l + holt.b) * 0.5) - holt.l) * 0.5
+             + holt.b * 0.5
+    FROM holt JOIN numbered nx ON nx.t = holt.t + 1
+), final AS (
+    SELECT l, b FROM holt ORDER BY t DESC LIMIT 1
+), lastm AS (
+    SELECT MAX(month) AS last_month FROM monthly
+)
+SELECT CAST(h.h AS INT) AS h,
+       CAST(lastm.last_month + h.h * INTERVAL 1 MONTH AS DATE) AS forecast_month,
+       final.l + h.h * final.b AS forecast_cents
+FROM final, lastm, (SELECT 1 AS h UNION ALL SELECT 2 UNION ALL SELECT 3) h
+"""
+
+
+def je1_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pre-flight audit for orders⋈lineitem: exact
+    output size Σ_k cnt_o(k)·cnt_l(k) from the two key histograms (the
+    skew diagnosis BEFORE paying the join — sk2's sibling for the
+    bilateral case), plus the 5 hottest keys by contribution. Both
+    histograms are map-side-combined; the histogram join touches
+    |distinct keys| rows, never the fact tables."""
+    o = _t(spark, sf_dir, "orders").groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    contrib = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("n_o") * F.col("n_l")).cast("long").alias("out_rows"),
+        )
+    )
+    top = contrib.orderBy(F.col("out_rows").desc(), "key").limit(5)
+    total = contrib.agg(
+        F.lit(-1).cast("long").alias("key"),
+        F.sum("out_rows").cast("long").alias("out_rows"),
+    )
+    return top.unionAll(total).orderBy("key")
+
+
+JE1_SQL = """
+WITH o AS (SELECT o_orderkey AS key, COUNT(*) AS n_o FROM orders GROUP BY 1),
+l AS (SELECT l_orderkey AS key, COUNT(*) AS n_l FROM lineitem GROUP BY 1),
+contrib AS (
+    SELECT o.key, CAST(o.n_o * l.n_l AS BIGINT) AS out_rows
+    FROM o JOIN l ON o.key = l.key
+), top AS (
+    SELECT key, out_rows FROM contrib ORDER BY out_rows DESC, key LIMIT 5
+)
+SELECT * FROM (
+    SELECT CAST(key AS BIGINT) AS key, out_rows FROM top
+    UNION ALL
+    SELECT -1, CAST(SUM(out_rows) AS BIGINT) FROM contrib
+)
+ORDER BY key
+"""
+
+
+def at1_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase attributes to
+    the user's latest preceding non-purchase event within 30 minutes
+    (deterministic (ts, event_id) ordering; outside-window or no-touch
+    purchases fall to 'direct'), rolled up to conversions + exact-cents
+    revenue per channel. One user-keyed ROWS window carries the last
+    touch — no purchase×touch join ever materializes."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type") != "purchase"
+    t_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    t_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    attributed = (
+        ev.withColumn("__tts", t_ts)
+        .withColumn("__ttype", t_type)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("__tts").isNotNull()
+                & (
+                    F.unix_timestamp("ts") - F.unix_timestamp("__tts")
+                    <= 1800
+                ),
+                F.col("__ttype"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            _cents(F.col("value")).alias("cents"),
+        )
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("conversions"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+AT1_SQL = """
+WITH purch AS (
+    SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), touch AS (
+    SELECT event_id, user_id, ts, event_type FROM events
+    WHERE event_type <> 'purchase'
+), latest AS (
+    SELECT p.event_id AS pid, p.ts AS pts, p.value, t.ts AS tts,
+           t.event_type AS ttype,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.event_id ORDER BY t.ts DESC, t.event_id DESC
+           ) AS rn
+    FROM purch p JOIN touch t
+      ON p.user_id = t.user_id
+     AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+), chosen AS (
+    SELECT p.event_id, p.value,
+           CASE WHEN l.tts IS NOT NULL
+                     AND date_diff('second', l.tts, p.ts) <= 1800
+                THEN l.ttype ELSE 'direct' END AS channel
+    FROM purch p
+    LEFT JOIN latest l ON l.pid = p.event_id AND l.rn = 1
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS conversions,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS revenue
+FROM chosen
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+def ka1_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over customer quasi-identifiers (nation,
+    market segment, account balance rounded to $1000): every QI group
+    with fewer than k=5 members is a re-identification risk — the
+    privacy gate a dataset release runs BEFORE the content-level PII
+    redaction (t8). One corpus aggregate; output is violations-sized."""
+    c = _t(spark, sf_dir, "customer")
+    bal_bucket = (
+        F.floor(_cents(F.col("c_acctbal")) / F.lit(100_000)).cast("long")
+    )
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            bal_bucket.alias("bal_k"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_k")
+    )
+
+
+KA1_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000) AS BIGINT)
+           AS bal_k,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < 5
+ORDER BY c_nationkey, c_mktsegment, bal_k
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -9795,6 +10102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er1_entity_resolution": er1_entity_resolution,
         "ivm1_incremental_rollup": ivm1_incremental_rollup,
         "kc1_kcore": kc1_kcore,
+        "pa1_top_paths": pa1_top_paths,
+        "hw1_holt_forecast": hw1_holt_forecast,
+        "je1_join_explosion": je1_join_explosion,
+        "at1_last_touch": at1_last_touch,
+        "ka1_k_anonymity": ka1_k_anonymity,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -10165,4 +10477,9 @@ def oracle_sql() -> dict[str, str]:
         "er1_entity_resolution": ER1_SQL,
         "ivm1_incremental_rollup": IVM1_SQL,
         "kc1_kcore": KC1_SQL,
+        "pa1_top_paths": PA1_SQL,
+        "hw1_holt_forecast": HW1_SQL,
+        "je1_join_explosion": JE1_SQL,
+        "at1_last_touch": AT1_SQL,
+        "ka1_k_anonymity": KA1_SQL,
     }
