@@ -9994,6 +9994,63 @@ ORDER BY c_nationkey, c_mktsegment, bal_k
 """
 
 
+def csd1_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the release-report summary
+    of the dedup landscape ("how much of the corpus is 2-copies vs
+    template farms"): cc1's transitive closure rolled to per-size
+    cluster counts, member docs, and redundant docs (size−1 per
+    cluster, what dedup would remove). Clusters-sized aggregate on top
+    of the one corpus-scale pair build."""
+    from etl_oms_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from etl_oms_spark.operators.graph import connected_components
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), hash_method="md5")
+    pairs = lsh_candidate_pairs(sigs, hash_method="md5")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("redundant_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+CSD1_SQL = (
+    "WITH RECURSIVE "
+    + _build_d7_sql()
+    + ","
+    + """
+pairs AS ({_final}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach AS (
+    SELECT id, id AS r FROM nodes
+    UNION
+    SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON reach.id = e.v
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz - 1) AS BIGINT) AS redundant_docs
+FROM sizes
+GROUP BY sz
+ORDER BY cluster_size
+""".format(_final=_D7_FINAL.strip())
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10107,6 +10164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "je1_join_explosion": je1_join_explosion,
         "at1_last_touch": at1_last_touch,
         "ka1_k_anonymity": ka1_k_anonymity,
+        "csd1_cluster_size_histogram": csd1_cluster_size_histogram,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -10482,4 +10540,5 @@ def oracle_sql() -> dict[str, str]:
         "je1_join_explosion": JE1_SQL,
         "at1_last_touch": AT1_SQL,
         "ka1_k_anonymity": KA1_SQL,
+        "csd1_cluster_size_histogram": CSD1_SQL,
     }

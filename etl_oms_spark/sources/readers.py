@@ -47,6 +47,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """ORC scan (Spark-native columnar alternative to parquet — same
+    predicate pushdown / column pruning / partition pruning behavior;
+    ``merge_schema`` reconciles files written under evolving schemas)."""
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).orc(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md layout)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

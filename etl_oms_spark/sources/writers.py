@@ -38,6 +38,20 @@ def write_json(df: DataFrame, path: str, single_file: bool = False, mode: str = 
     out.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — the parquet twin for ORC-standardized warehouses; same
+    partition-pruning story as ``write_parquet``."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_json_records(df: DataFrame, path: str) -> None:
     """S7 byte-parity mode: ONE JSON array file, byte-identical to the
     reference's ``to_json(orient="records", date_format="iso")``

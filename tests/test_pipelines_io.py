@@ -267,3 +267,33 @@ def test_write_json_records_byte_parity(spark, tmp_path):
     got = open(out, "rb").read()
     assert got == open(expected, "rb").read()
     assert got.startswith(b"[{") and got.endswith(b"}]")  # one array, not lines
+
+
+def test_orc_roundtrip_with_schema_evolution(spark, tmp_path):
+    """ORC roundtrip incl. mergeSchema across evolving file schemas and
+    partition pruning on the partitioned layout."""
+    from etl_oms_spark.sources.readers import read_orc
+    from etl_oms_spark.sources.writers import write_orc
+
+    p = str(tmp_path / "orc1")
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.0)], "id long, tag string, v double"
+    )
+    write_orc(df, p, partition_by=["tag"])
+    back = read_orc(spark, p)
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    }
+
+    # second write adds a column; mergeSchema reconciles
+    p2 = str(tmp_path / "orc2")
+    write_orc(df.select("id", "v"), p2, mode="overwrite")
+    write_orc(
+        spark.createDataFrame([(3, 4.0, "x")], "id long, v double, extra string"),
+        p2,
+        mode="append",
+    )
+    merged = read_orc(spark, p2, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "extra"}
+    assert merged.count() == 3
+    assert merged.filter("extra IS NOT NULL").count() == 1

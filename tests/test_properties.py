@@ -303,3 +303,52 @@ def test_priority_dedup_partition_invariance(spark):
     assert a == b
     # every winner carries the highest-priority source present in its group
     assert all(r[1] == "s2" for r in a)  # s2 present in every mod-5 group
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=0, max_value=10**9),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=25, deadline=None)
+def test_merge_rollup_state_equals_full_recompute(rows, split):
+    """Algebraic-MV law: agg(base) ⊕ agg(delta) == agg(base ∪ delta) for
+    any split point — the property ivm1's oracle checks at one split,
+    hypothesis checks at arbitrary ones (driver-side model, exact)."""
+    base, delta = rows[:split], rows[split:]
+
+    def agg(part):
+        out: dict[str, list[int]] = {}
+        for k, n, s in part:
+            acc = out.setdefault(k, [0, 0])
+            acc[0] += n
+            acc[1] += s
+        return out
+
+    merged = agg(base)
+    for k, (n, s) in agg(delta).items():
+        acc = merged.setdefault(k, [0, 0])
+        acc[0] += n
+        acc[1] += s
+    assert merged == agg(rows)
+
+
+@given(st.integers(min_value=1, max_value=10**12), st.integers(min_value=1, max_value=4096))
+@settings(max_examples=200)
+def test_suggest_num_planes_occupancy_bound(n, target):
+    from etl_oms_spark.operators.similarity import suggest_num_planes
+
+    p = suggest_num_planes(n, target)
+    assert 1 <= p <= 63
+    # expected occupancy never exceeds the target (up to the k=1 floor)
+    assert n <= target or n / (2**p) <= target
+    # and one fewer plane would overshoot (tightness), except at the floor
+    if n > 2 * target:
+        assert n / (2 ** (p - 1)) > target
