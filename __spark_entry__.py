@@ -10051,6 +10051,50 @@ ORDER BY cluster_size
 )
 
 
+def bf1_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination (operators/dedup.
+    bloom_decontamination): the benchmark's 5-shingle set is packed into
+    a 2¹⁷-bit Bloom bitmap (one small-side aggregation, broadcast as
+    packed 64-bit words), the corpus' exploded shingles are pruned
+    JVM-side against it, and only the surviving candidates pay the exact
+    confirm join — the execution strategy for held-out suites too large
+    to broadcast raw. EXACT despite the sketch: Bloom filters have no
+    false negatives and false positives die in the confirm join, so the
+    oracle is the plain shingle-overlap SQL with matched-shingle counts.
+    Benchmark slice = every 89th doc; k=3 shingles here (vs cx1's k=5)
+    load the filter densely — production decontamination uses longer
+    shingles, the plumbing is identical."""
+    from etl_oms_spark.operators.dedup import bloom_decontamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 89 == 0)
+    corpus = d.filter(F.col("doc_id") % 89 != 0)
+    return bloom_decontamination(corpus, bench, k=3).orderBy("doc_id")
+
+
+BF1_SQL = r"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS arr
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(arr) - 2, 1) + 1),
+               i -> array_to_string(arr[i:i+2], ' ')))) AS sh
+    FROM norm
+), b AS (
+    SELECT DISTINCT sh FROM sh WHERE doc_id % 89 = 0
+)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched_shingles
+FROM sh s JOIN b USING (sh)
+WHERE s.doc_id % 89 <> 0
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10165,6 +10209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "at1_last_touch": at1_last_touch,
         "ka1_k_anonymity": ka1_k_anonymity,
         "csd1_cluster_size_histogram": csd1_cluster_size_histogram,
+        "bf1_bloom_decontamination": bf1_bloom_decontamination,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -10541,4 +10586,5 @@ def oracle_sql() -> dict[str, str]:
         "at1_last_touch": AT1_SQL,
         "ka1_k_anonymity": KA1_SQL,
         "csd1_cluster_size_histogram": CSD1_SQL,
+        "bf1_bloom_decontamination": BF1_SQL,
     }

@@ -512,6 +512,105 @@ def contamination_ids(
     )
 
 
+def suggest_bloom_bits(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: bits m = -n·ln(p)/ln(2)², hashes k = m/n·ln(2),
+    with m rounded up to a whole number of 64-bit words. Returns
+    ``(num_bits, num_hashes)``."""
+    import math
+
+    n = max(int(n_items), 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    h = max(1, round(m / n * math.log(2)))
+    return m, h
+
+
+def _bloom_positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """The ``num_hashes`` deterministic bit positions of a value: seeded
+    xxhash64 (JVM, no UDF) reduced mod ``num_bits``. Purely internal — the
+    final answer never depends on these (no false negatives + exact confirm
+    join), so the fast non-portable hash is safe here even under an exact
+    oracle."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(j)), F.lit(num_bits)).cast("long")
+        for j in range(num_hashes)
+    ]
+
+
+def bloom_decontamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination with a Bloom-filter prefilter: returns
+    ``(id_col, n_matched_shingles)`` for every corpus document sharing at
+    least one word ``k``-shingle with the benchmark — EXACTLY, independent
+    of the Bloom parameters, because Bloom filters have no false negatives
+    and the surviving candidates are confirmed by an exact equi-join.
+
+    Why this exists next to `contamination_ids`: the raw broadcast of the
+    benchmark shingle SET stops working when the held-out suite is large
+    (10⁸-10⁹ distinct shingles at frontier-eval scale — tens of GB as
+    strings), but the same set as a Bloom bitmap is a few hundred MB at 1%
+    fpp. The bitmap is built with one aggregation on the (small) benchmark
+    side, collected as packed 64-bit words, and applied JVM-side as literal
+    array lookups — so the 100 TB corpus stream is pruned to ~fpp of its
+    exploded shingles BEFORE the distinct/confirm join ever shuffles.
+    The confirm join then runs on candidates only; at test scale AQE
+    broadcasts the benchmark side, at 100 TB it degrades gracefully to a
+    shuffle join whose left side the Bloom already decimated.
+
+    Reference parity: the decontamination semantics (shared k-shingle ⇒
+    contaminated) match `contamination_ids`; this is its
+    large-benchmark execution strategy.
+    """
+    bench_sh = benchmark.select(
+        F.explode(shingles(text_col, k)).alias("sh")
+    ).distinct()
+
+    # build the bitmap: k bit positions per shingle -> OR-packed 64-bit words
+    pos = F.explode(F.array(*_bloom_positions(F.col("sh"), num_bits, num_hashes)))
+    words = (
+        bench_sh.select(pos.alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            (F.col("pos") % 64).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (num_bits // 64)
+    for r in words:
+        bitmap[int(r["word"])] = int(r["bits"])
+    bloom = F.array(*[F.lit(w) for w in bitmap])
+
+    doc_sh = (
+        ensure_parallelism(df, id_col)
+        .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+        .withColumn("_bloom", bloom)
+    )
+    for j, p in enumerate(_bloom_positions(F.col("sh"), num_bits, num_hashes)):
+        doc_sh = doc_sh.withColumn(f"_p{j}", p)
+    # (word >> bit) & 1 per hash; SQL-level shiftright takes a column shift
+    might_contain = " AND ".join(
+        f"(shiftright(element_at(_bloom, cast(_p{j} / 64 as int) + 1), "
+        f"cast(_p{j} % 64 as int)) & 1) = 1"
+        for j in range(num_hashes)
+    )
+    candidates = doc_sh.filter(F.expr(might_contain)).select(id_col, "sh")
+
+    return (
+        candidates.join(bench_sh, "sh")  # exact confirm: kills false positives
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched_shingles"))
+    )
+
+
 def intra_doc_block_dedup(
     df: DataFrame,
     text_col: str = "text",
