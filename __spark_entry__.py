@@ -10095,6 +10095,60 @@ ORDER BY s.doc_id
 """
 
 
+def ss1_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-substring spans (operators/dedup.
+    repeated_substring_spans) — the span-level dedup of Lee et al. 2022:
+    every 8-token window occurring verbatim in ≥2 distinct docs, with
+    overlapping/adjacent windows merged into maximal (doc_id, span_start,
+    span_len) spans. Distributed suffix-array stand-in: token-position
+    explode carries only the 32-byte md5 of each window, qualifying keys
+    come from one distinct-doc count, occurrences semi-join back, and the
+    island merge is a doc-keyed window — two O(total tokens) key shuffles
+    plus one id shuffle, never doc×doc."""
+    from etl_oms_spark.operators.dedup import repeated_substring_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_substring_spans(d, min_len_tokens=8, min_docs=2).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+SS1_SQL = r"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS arr
+    FROM documents
+), w1 AS (
+    SELECT doc_id, arr, unnest(range(1, len(arr) - 6)) AS pos
+    FROM norm WHERE len(arr) >= 8
+), win AS (
+    SELECT doc_id, pos, md5(array_to_string(arr[pos:pos+7], ' ')) AS wkey
+    FROM w1
+), q AS (
+    SELECT wkey FROM win GROUP BY wkey HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+    SELECT DISTINCT doc_id, pos FROM win WHERE wkey IN (SELECT wkey FROM q)
+), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+), isl2 AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+FROM isl2
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10210,6 +10264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ka1_k_anonymity": ka1_k_anonymity,
         "csd1_cluster_size_histogram": csd1_cluster_size_histogram,
         "bf1_bloom_decontamination": bf1_bloom_decontamination,
+        "ss1_repeated_substrings": ss1_repeated_substrings,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -10587,4 +10642,5 @@ def oracle_sql() -> dict[str, str]:
         "ka1_k_anonymity": KA1_SQL,
         "csd1_cluster_size_histogram": CSD1_SQL,
         "bf1_bloom_decontamination": BF1_SQL,
+        "ss1_repeated_substrings": SS1_SQL,
     }

@@ -872,3 +872,85 @@ def incremental_dedup(
         )
         .drop("__fp")
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document EXACT-substring detection, the span-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every ``min_len_tokens``-token window that occurs verbatim in
+    at least ``min_docs`` distinct documents is located, and overlapping /
+    adjacent qualifying windows are merged into maximal spans per document.
+    Returns ``(id_col, span_start, span_len)`` with 1-based token offsets —
+    the spans a substring-dedup pass would cut (vs the doc-level drop of
+    `minhash_dedup`).
+
+    Distributed suffix-array stand-in: the corpus explodes to one row per
+    token position carrying only the md5 of its window text (32 bytes, not
+    the window itself), window keys are counted by DISTINCT doc, and the
+    occurrence stream is left-semi joined back against the qualifying keys
+    — two key-hashed shuffles of O(total tokens) rows, never doc×doc.
+    Span merging is a doc-keyed window (islands by running window reach:
+    a new span starts when the gap since the previous qualifying position
+    exceeds the window length), so the final shuffle is id-keyed only.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    base = (
+        ensure_parallelism(df, id_col)
+        .select(F.col(id_col), toks.alias("__toks"))
+        .filter(n >= min_len_tokens)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(min_len_tokens - 1))
+            ).alias("pos"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(
+                F.concat_ws(" ", F.slice("__toks", F.col("pos"), min_len_tokens))
+            ).alias("wkey"),
+        )
+    )
+    qualifying = (
+        base.groupBy("wkey")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("wkey")
+    )
+    hits = base.join(qualifying, "wkey", "left_semi").select(id_col, "pos").distinct()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        hits.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new_span",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > min_len_tokens),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__island", F.sum("__new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + min_len_tokens).cast("long").alias(
+                "span_len"
+            ),
+        )
+        .drop("__island")
+    )
+    return spans

@@ -314,3 +314,65 @@ def test_dup_block_rate_hand_case(spark):
     # s2: blocks [blk, uniq_b, uniq_b] -> all three are duplicated somewhere
     assert got["s2"]["n_blocks"] == 3 and got["s2"]["n_dup"] == 3
     assert got["s2"]["dup_rate"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact-substring spans (Lee et al. 2022 style)
+
+
+def _spans(df, **kw):
+    from etl_oms_spark.operators.dedup import repeated_substring_spans
+
+    rows = repeated_substring_spans(df, **kw).collect()
+    return sorted((r["doc_id"], r["span_start"], r["span_len"]) for r in rows)
+
+
+def test_repeated_substring_spans_merges_overlapping_windows(spark):
+    shared = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix " + shared + " suffix words here"),
+            (2, shared + " and other trailing content goes here"),
+            (3, "completely different text with no repeats at all whatsoever"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    # the 10 shared tokens hold three 8-token windows per doc; they merge
+    # into ONE maximal span each: doc 1 at offset 2 (after "prefix"),
+    # doc 2 at offset 1, both exactly 10 tokens long
+    assert _spans(df, min_len_tokens=8, min_docs=2) == [(1, 2, 10), (2, 1, 10)]
+
+
+def test_repeated_substring_spans_within_doc_repeats_do_not_qualify(spark):
+    blk = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, blk + " filler " + blk), (2, "nothing in common with that one ok")],
+        "doc_id long, text string",
+    )
+    # the 8-token block repeats only INSIDE doc 1 -> count(distinct doc)=1
+    assert _spans(df, min_len_tokens=8, min_docs=2) == []
+
+
+def test_repeated_substring_spans_distinct_gaps_stay_separate(spark):
+    a = "one two three four five six seven eight"
+    b = "alpha beta gamma delta epsilon zeta eta theta"
+    gap = "x y z w v u t s r q p o n m"  # > 8 tokens between the two hits
+    df = spark.createDataFrame(
+        [(1, a + " " + gap + " " + b), (2, a + " unrelated tail " + b)],
+        "doc_id long, text string",
+    )
+    got = _spans(df, min_len_tokens=8, min_docs=2)
+    # doc 1: spans at 1 (len 8) and 23 (len 8); doc 2: 1 and 11
+    assert got == [(1, 1, 8), (1, 23, 8), (2, 1, 8), (2, 11, 8)]
+
+
+def test_repeated_substring_spans_min_docs_threshold(spark):
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "another doc entirely unlike the others yes")],
+        "doc_id long, text string",
+    )
+    assert len(_spans(df, min_len_tokens=8, min_docs=2)) == 2
+    assert _spans(df, min_len_tokens=8, min_docs=3) == []
