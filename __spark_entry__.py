@@ -10149,6 +10149,85 @@ ORDER BY doc_id, span_start
 """
 
 
+def bfs1_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/graph.bfs_hops): minimum hop distance
+    from the seed parts (every 97th p_partkey — a "recall set" of
+    products) to everything reachable within 4 hops on the recurring
+    co-purchase graph (kc1's edge rule: co-occurrence in ≥2 distinct
+    orders). Level-synchronous Pregel-style expansion: the symmetrized
+    edge list is hash-partitioned once and reused every round, only the
+    frontier moves; lineage localCheckpointed per round. The oracle
+    unrolls the 4 supersteps as MATERIALIZED CTEs — a truncated unroll
+    would surface as a row mismatch, never a silent wrong answer."""
+    from etl_oms_spark.operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 97 == 0)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    return (
+        bfs_hops(edges, seeds, max_hops=4)
+        .select(F.col("id").alias("l_partkey"), "hops")
+        .orderBy("l_partkey")
+    )
+
+
+def _bfs_unroll_sql(max_hops: int = 4) -> str:
+    parts = [
+        "f0 AS MATERIALIZED (SELECT p_partkey AS id FROM part "
+        "WHERE p_partkey % 97 = 0)",
+        "v0 AS MATERIALIZED (SELECT id, 0 AS hops FROM f0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS MATERIALIZED (SELECT DISTINCT e.b AS id "
+            f"FROM e JOIN f{h-1} ON e.a = f{h-1}.id "
+            f"WHERE e.b NOT IN (SELECT id FROM v{h-1}))"
+        )
+        parts.append(
+            f"v{h} AS MATERIALIZED (SELECT * FROM v{h-1} "
+            f"UNION ALL SELECT id, {h} FROM f{h})"
+        )
+    return ",\n".join(parts)
+
+
+BFS1_SQL = (
+    """WITH items AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS MATERIALIZED (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+e AS MATERIALIZED (
+    SELECT u AS a, v AS b FROM pairs UNION SELECT v, u FROM pairs
+),
+"""
+    + _bfs_unroll_sql(4)
+    + """
+SELECT id AS l_partkey, CAST(hops AS BIGINT) AS hops
+FROM v4
+ORDER BY l_partkey
+"""
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10265,6 +10344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csd1_cluster_size_histogram": csd1_cluster_size_histogram,
         "bf1_bloom_decontamination": bf1_bloom_decontamination,
         "ss1_repeated_substrings": ss1_repeated_substrings,
+        "bfs1_copurchase_hops": bfs1_copurchase_hops,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -10643,4 +10723,5 @@ def oracle_sql() -> dict[str, str]:
         "csd1_cluster_size_histogram": CSD1_SQL,
         "bf1_bloom_decontamination": BF1_SQL,
         "ss1_repeated_substrings": SS1_SQL,
+        "bfs1_copurchase_hops": BFS1_SQL,
     }

@@ -412,3 +412,55 @@ def k_core(
             .localCheckpoint(eager=False)
         )
     raise RuntimeError(f"k_core did not converge in {max_iterations} rounds")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from ANY source node to every
+    node reachable within ``max_hops`` on the UNDIRECTED graph. Returns
+    ``(id, hops)`` — sources themselves at hops 0. The level-synchronous
+    frontier expansion every distributed graph engine uses (Pregel
+    supersteps): each round is one frontier⋈edges equi-join, one distinct,
+    one anti-join against the visited set.
+
+    Scale shape: the edge list is symmetrized, hash-partitioned on the
+    join side ONCE and localCheckpointed, so every round's frontier join
+    reuses that partitioning instead of reshuffling the (big) edge list;
+    only the (small) frontier and visited sets move per round. Lineage is
+    truncated per round exactly as `connected_components` does — the
+    iterative-Spark trap is plan growth, not data.
+
+    ``sources`` must have a single column named ``id``.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition("a")
+        .localCheckpoint(eager=False)
+    )
+    frontier = sources.select("id").distinct().localCheckpoint(eager=False)
+    visited = frontier.withColumn("hops", F.lit(0).cast("long")).localCheckpoint(
+        eager=False
+    )
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(
+            nxt.withColumn("hops", F.lit(h).cast("long"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

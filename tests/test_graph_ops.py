@@ -27,3 +27,44 @@ def test_k_core_cascading_peel(spark):
         [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
     )
     assert k_core(edges, k=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS
+
+
+def _bfs(spark, edges, seeds, max_hops=4):
+    from etl_oms_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(edges, "u long, v long")
+    s = spark.createDataFrame([(x,) for x in seeds], "id long")
+    return {
+        r["id"]: r["hops"] for r in bfs_hops(e, s, max_hops=max_hops).collect()
+    }
+
+
+def test_bfs_chain_distances(spark):
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1])
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    # seeds at both ends of a 5-chain: middle node is 2 from either end
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1, 5])
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_bfs_max_hops_truncates(spark):
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1], max_hops=2)
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_unreachable_excluded_isolated_seed_at_zero(spark):
+    # component {1,2} seeded; {3,4} unreachable; 99 is an isolated seed
+    got = _bfs(spark, [(1, 2), (3, 4)], [1, 99])
+    assert got == {1: 0, 2: 1, 99: 0}
+
+
+def test_bfs_undirected_follows_reverse_edges(spark):
+    got = _bfs(spark, [(2, 1), (3, 2)], [1])
+    assert got == {1: 0, 2: 1, 3: 2}
