@@ -10228,6 +10228,80 @@ ORDER BY l_partkey
 )
 
 
+def lr1_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend by closed-form OLS: monthly exact-cent
+    revenue y over month index x, slope/intercept from the normal
+    equations on exact integer sums (n, Σx, Σy, Σxy, Σx²) — the portable
+    bit-reproducible form of regr_slope/regr_intercept, same discipline
+    as st2's Pearson. Two shuffles: one (nation, month) cent rollup, one
+    nations-sized stats agg; the regression itself is arithmetic on five
+    BIGINTs per group. Overflow bound: x ≤ ~84 months, so n·Σxy stays
+    under 2^63 while per-nation-month revenue stays under ~10^12 cents —
+    orders of magnitude past sf1000."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    x = (F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", x.cast("long").alias("x"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("y"))
+    )
+    stats = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = F.col("sy").cast("double") / F.col("n_months") - slope * (
+        F.col("sx").cast("double") / F.col("n_months")
+    )
+    return stats.select(
+        "n_name",
+        "n_months",
+        slope.alias("slope_cents_per_month"),
+        intercept.alias("intercept_cents"),
+    ).orderBy("n_name")
+
+
+LR1_SQL = """
+WITH monthly AS (
+  SELECT n_name,
+         CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS x,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), stats AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM monthly GROUP BY n_name
+), sl AS (
+  SELECT n_name, n_months, sx, sy,
+         CAST(n_months * sxy - sx * sy AS DOUBLE)
+         / CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope
+  FROM stats
+)
+SELECT n_name, n_months,
+       slope AS slope_cents_per_month,
+       CAST(sy AS DOUBLE) / n_months - slope * (CAST(sx AS DOUBLE) / n_months)
+           AS intercept_cents
+FROM sl
+ORDER BY n_name
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10345,6 +10419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bf1_bloom_decontamination": bf1_bloom_decontamination,
         "ss1_repeated_substrings": ss1_repeated_substrings,
         "bfs1_copurchase_hops": bfs1_copurchase_hops,
+        "lr1_revenue_trend": lr1_revenue_trend,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -10724,4 +10799,5 @@ def oracle_sql() -> dict[str, str]:
         "bf1_bloom_decontamination": BF1_SQL,
         "ss1_repeated_substrings": SS1_SQL,
         "bfs1_copurchase_hops": BFS1_SQL,
+        "lr1_revenue_trend": LR1_SQL,
     }

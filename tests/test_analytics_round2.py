@@ -145,3 +145,38 @@ def test_fk_orphans_null_semantics(spark):
     parent = spark.createDataFrame([(10,), (None,)], "pid INT")
     orph = fk_orphans(child, parent, "parent_id", "pid")
     assert [r["id"] for r in orph.collect()] == [3]
+
+
+def test_lr1_slope_matches_numpy_polyfit(spark):
+    """lr1's closed-form OLS from integer sums must agree with numpy's
+    least squares on the same monthly series (independent method)."""
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["lr1_revenue_trend"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 25  # every nation has a trend line
+    # rebuild one nation's series straight from the tables and polyfit it
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    name = rows[0]["n_name"]
+    x = (F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate") - 1
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .filter(F.col("n_name") == name)
+        .groupBy(x.alias("x"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("y"))
+        .collect()
+    )
+    xs = np.array([r["x"] for r in monthly], dtype=float)
+    ys = np.array([r["y"] for r in monthly], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    got = rows[0]
+    assert abs(got["slope_cents_per_month"] - slope) < abs(slope) * 1e-9 + 1e-6
+    assert abs(got["intercept_cents"] - intercept) < abs(intercept) * 1e-9 + 1e-3
