@@ -10302,6 +10302,79 @@ ORDER BY n_name
 """
 
 
+def sj1_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream JOIN capstone (streaming/joins.click_purchase_pairs):
+    clicks and purchases — two watermarked streams split from one events
+    file source — inner-joined on user with a 30-minute event-time window,
+    run END TO END through Structured Streaming (availableNow, parquet
+    sink, state-store-backed join), then rolled up to per-user pair /
+    attributed-purchase counts. The raw-timestamp range condition bounds
+    the join state; the second-floor predicate makes the emitted pairs
+    exactly equal to the batch interval join, so the whole streaming run
+    has an exact SQL oracle. Watermark late-drop semantics are pinned
+    separately in tests/test_streaming.py (multi-wave replay)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_oms_spark.streaming.joins import click_purchase_pairs
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="sj1_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "pairs")
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            click_purchase_pairs(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.count_distinct("purchase_id").cast("long").alias("n_purchases"),
+            )
+            .orderBy("user_id")
+        )
+        result = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+SJ1_SQL = """
+WITH c AS (
+    SELECT user_id, event_id AS click_id, ts AS cts
+    FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, event_id AS pid, ts AS pts
+    FROM events WHERE event_type = 'purchase'
+), pairs AS (
+    SELECT p.user_id, p.pid, c.click_id
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND date_diff('second', c.cts, p.pts) BETWEEN 0 AND 1800
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT pid) AS BIGINT) AS n_purchases
+FROM pairs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10420,6 +10493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ss1_repeated_substrings": ss1_repeated_substrings,
         "bfs1_copurchase_hops": bfs1_copurchase_hops,
         "lr1_revenue_trend": lr1_revenue_trend,
+        "sj1_stream_stream_join": sj1_stream_stream_join,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -10800,4 +10874,5 @@ def oracle_sql() -> dict[str, str]:
         "ss1_repeated_substrings": SS1_SQL,
         "bfs1_copurchase_hops": BFS1_SQL,
         "lr1_revenue_trend": LR1_SQL,
+        "sj1_stream_stream_join": SJ1_SQL,
     }

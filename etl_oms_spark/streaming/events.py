@@ -107,13 +107,20 @@ def foreach_batch_upsert(
     from ..merge import merge_dataframes
     from ..sources.merge_table import merge_into_parquet
 
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if partition_col is not None:
             merge_into_parquet(spark, target_path, batch_df, keys, partition_col)
             return
         try:
             existing = spark.read.parquet(target_path)
-        except Exception:  # noqa: BLE001 - first batch, target absent
+        except AnalysisException as e:
+            # only a missing target means "first batch"; any other read
+            # failure (permissions, corruption, IO) must abort the batch
+            # instead of silently replacing the table with this batch
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             existing = None
         if existing is not None:
             merged = merge_dataframes(existing, batch_df, keys)

@@ -491,3 +491,56 @@ def test_stp1_streaming_ingest_deterministic(spark):
     a = sorted(map(tuple, m.queries()["stp1_streaming_ingest"](spark, sf).collect()))
     b = sorted(map(tuple, m.queries()["stp1_streaming_ingest"](spark, sf).collect()))
     assert a == b and len(a) > 0
+
+
+def test_click_purchase_pairs_stream_equals_batch(spark, tmp_path):
+    """The sj1 capstone's core invariant: the watermarked stream-stream
+    backward interval join emits EXACTLY the batch interval join's pairs
+    (second-floor window, sub-second timestamps included)."""
+    from etl_oms_spark.streaming.joins import click_purchase_pairs
+
+    rows = [
+        # purchase at 00:30:00; clicks at 00:00:00 (edge, 1800 s), 00:29:59,
+        # 00:30:00.4 (after purchase but same floor-second -> diff 0, kept),
+        # and 01:30:00 (outside)
+        {"event_id": 1, "ts": "2024-01-01T00:30:00Z", "user_id": 1,
+         "event_type": "purchase", "value": 10.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:29:59Z", "user_id": 1,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T00:30:00.400Z", "user_id": 1,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T01:30:00Z", "user_id": 1,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+        # other user: no cross-user pairs
+        {"event_id": 6, "ts": "2024-01-01T00:29:00Z", "user_id": 2,
+         "event_type": "click", "value": 0.0, "props": "{}"},
+    ]
+    src = tmp_path / "sj_src"
+    src.mkdir()
+    _write_events_json(src / "b1.json", rows)
+    from etl_oms_spark.streaming.events import EVENT_SCHEMA
+
+    batch = spark.read.schema(EVENT_SCHEMA).json(str(src))
+    want = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in click_purchase_pairs(batch).collect()
+    )
+    assert want == [(1, 2), (1, 3), (1, 4)]
+
+    out = tmp_path / "sj_out"
+    q = (
+        click_purchase_pairs(stream_events(spark, str(src)))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "sj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    assert got == want
