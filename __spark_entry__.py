@@ -10375,6 +10375,45 @@ ORDER BY user_id
 """
 
 
+def pj1_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard join ≥ 0.9 (operators/
+    dedup.prefix_filtered_jaccard_pairs): tokens ordered by ascending
+    document frequency, each doc indexed only on its |S|−⌊t·|S|⌋+1
+    rarest tokens (the prefix theorem guarantees no false negatives),
+    candidates verified exactly by array_intersect. Same answer as d2's
+    inverted-index join with NO df cap — the frequent-token n² blowup is
+    eliminated by construction instead of approximation, which is the
+    set-similarity join that survives 100 TB. Exact uncapped SQL
+    oracle."""
+    from etl_oms_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    return prefix_filtered_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+PJ1_SQL = f"""
+WITH raw_toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM documents
+), toks AS (
+    SELECT doc_id, tok FROM raw_toks WHERE tok <> ''
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+FROM common
+JOIN cnt x ON id_a = x.doc_id
+JOIN cnt y ON id_b = y.doc_id
+WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10494,6 +10533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs1_copurchase_hops": bfs1_copurchase_hops,
         "lr1_revenue_trend": lr1_revenue_trend,
         "sj1_stream_stream_join": sj1_stream_stream_join,
+        "pj1_prefix_jaccard": pj1_prefix_jaccard,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -10875,4 +10915,5 @@ def oracle_sql() -> dict[str, str]:
         "bfs1_copurchase_hops": BFS1_SQL,
         "lr1_revenue_trend": LR1_SQL,
         "sj1_stream_stream_join": SJ1_SQL,
+        "pj1_prefix_jaccard": PJ1_SQL,
     }

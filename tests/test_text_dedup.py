@@ -376,3 +376,50 @@ def test_repeated_substring_spans_min_docs_threshold(spark):
     )
     assert len(_spans(df, min_len_tokens=8, min_docs=2)) == 2
     assert _spans(df, min_len_tokens=8, min_docs=3) == []
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filtered exact Jaccard join
+
+
+def test_prefix_filtered_jaccard_equals_uncapped_exact(spark):
+    """Prefix filtering is an optimization, never an approximation: on a
+    corpus slice the pair set and every jaccard value must equal the
+    plain uncapped inverted-index join."""
+    from etl_oms_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for thr in (0.6, 0.9):
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in prefix_filtered_jaccard_pairs(d, threshold=thr).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in ngram_jaccard_pairs(
+                d, threshold=thr, k=1, max_df=None
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+
+def test_prefix_filtered_jaccard_hand_case(spark):
+    from etl_oms_spark.operators.dedup import prefix_filtered_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d f"),   # |∩|=4, |∪|=6 → 2/3
+            (3, "a b c d e"),   # identical to 1 → 1.0
+            (4, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in prefix_filtered_jaccard_pairs(df, threshold=0.6).collect()
+    }
+    assert got == {(1, 2): round(2 / 3, 6), (1, 3): 1.0, (2, 3): round(2 / 3, 6)}
