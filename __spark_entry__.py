@@ -10414,6 +10414,71 @@ ORDER BY id_a, id_b
 """
 
 
+def sc2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against SCD2 history (operators/scd.
+    scd2_pit_join): every purchase picks up the activity state the user
+    was in when it happened — the version table built by sc1's rule from
+    the NON-purchase event log, probed with half-open
+    [valid_from, valid_to) validity. Purchases before a user's first
+    tracked event keep NULL state (left join), surfaced as 'none'. The
+    join is key-equi with the range predicate as a filter — each probe
+    meets only its user's short version chain."""
+    from etl_oms_spark.operators.scd import scd2_history, scd2_pit_join
+
+    ev = _events(spark, sf_dir)
+    hist = scd2_history(
+        ev.filter(F.col("event_type") != "purchase"), "user_id",
+        ["event_type"], "ts",
+    ).withColumnRenamed("event_type", "state")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return (
+        scd2_pit_join(hist, probes, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("state"), F.lit("none")).alias("state_at_purchase"),
+            _cents(F.col("value")).alias("value_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SC2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+             AS prev_type
+  FROM events WHERE event_type <> 'purchase'
+),
+episodes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+hist AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, state
+         ) AS valid_to
+  FROM episodes
+),
+purch AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       COALESCE(h.state, 'none') AS state_at_purchase,
+       CAST(round(p.value * 100) AS BIGINT) AS value_cents
+FROM purch p
+LEFT JOIN hist h
+  ON p.user_id = h.user_id
+ AND p.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+ORDER BY p.event_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10534,6 +10599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lr1_revenue_trend": lr1_revenue_trend,
         "sj1_stream_stream_join": sj1_stream_stream_join,
         "pj1_prefix_jaccard": pj1_prefix_jaccard,
+        "sc2_pit_join": sc2_pit_join,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -10916,4 +10982,5 @@ def oracle_sql() -> dict[str, str]:
         "lr1_revenue_trend": LR1_SQL,
         "sj1_stream_stream_join": SJ1_SQL,
         "pj1_prefix_jaccard": PJ1_SQL,
+        "sc2_pit_join": SC2_SQL,
     }

@@ -110,3 +110,41 @@ def scd2_apply(
         "is_current", F.col("valid_to").isNull()
     )
     return hist.select(*out.columns).unionByName(out)
+
+
+def scd2_pit_join(
+    history: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    probe_ts: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: each probe row picks up the SCD2 version that
+    was valid at its timestamp — ``valid_from <= probe_ts < valid_to``
+    (half-open; the open-ended current version matches everything from
+    its ``valid_from`` on). Probes before a key's first version keep NULL
+    attributes under the default left join — the "state unknown yet"
+    answer, not a dropped row.
+
+    Execution shape: an equi-join on the key with the range predicate as
+    a post-join filter — Spark hash/sort-merge joins on the key, so the
+    cost is key-partitioned and each probe meets only its own key's
+    (short) version chain, never the whole history. Returns all probe
+    columns plus the history's attribute columns, `valid_from`, and
+    `valid_to`.
+    """
+    h = history.alias("__h")
+    p = probes.alias("__p")
+    ts = F.col(f"__p.{probe_ts}")
+    cond = (
+        (F.col(f"__h.{key_col}") == F.col(f"__p.{key_col}"))
+        & (ts >= F.col("__h.valid_from"))
+        & (F.col("__h.valid_to").isNull() | (ts < F.col("__h.valid_to")))
+    )
+    hist_cols = [
+        c for c in history.columns if c not in (key_col, "is_current")
+    ]
+    return p.join(h, cond, how).select(
+        *[F.col(f"__p.{c}") for c in probes.columns],
+        *[F.col(f"__h.{c}") for c in hist_cols],
+    )

@@ -151,3 +151,39 @@ def test_profile_columns_awkward_names(spark):
 
     approx = {r["col_name"]: r for r in profile_columns(df, approx=True).collect()}
     assert approx["my col"]["n_distinct"] == 3
+
+
+def test_scd2_pit_join_boundaries(spark):
+    """Half-open [valid_from, valid_to) semantics at the edges: a probe
+    exactly AT a boundary belongs to the newer version; probes before
+    the first version keep NULL state; at most one match per probe."""
+    import datetime as dt
+
+    from etl_oms_spark.operators.scd import scd2_pit_join
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", t("2024-01-01T00:00:00"), t("2024-01-10T00:00:00"), False),
+            (1, "gold", t("2024-01-10T00:00:00"), None, True),
+        ],
+        "user_id long, state string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, 1, t("2023-12-31T23:59:59")),  # before any version
+            (101, 1, t("2024-01-01T00:00:00")),  # at first valid_from
+            (102, 1, t("2024-01-09T23:59:59")),  # inside bronze
+            (103, 1, t("2024-01-10T00:00:00")),  # boundary -> gold
+            (104, 1, t("2025-06-01T00:00:00")),  # open-ended current
+            (105, 2, t("2024-01-05T00:00:00")),  # unknown user
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = scd2_pit_join(hist, probes, "user_id")
+    got = {r["event_id"]: r["state"] for r in out.collect()}
+    assert got == {
+        100: None, 101: "bronze", 102: "bronze",
+        103: "gold", 104: "gold", 105: None,
+    }
+    assert out.count() == 6  # left join, exactly one row per probe
