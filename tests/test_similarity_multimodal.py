@@ -367,3 +367,31 @@ def test_suggest_num_planes_scale_rule():
     for n in (1_000, 50_000, 10**7):
         p = suggest_num_planes(n)
         assert n / (2 ** p) <= 256
+
+
+def test_extract_features_arrow_bit_parity(spark):
+    """mapInArrow twin must be BIT-identical to the mapInPandas path,
+    including NULL and empty payloads."""
+    from etl_oms_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        make_fake_payload,
+    )
+
+    rows = [
+        (1, make_fake_payload(4, 4)),
+        (2, make_fake_payload(2, 8, channels=1)),
+        (3, b""),
+        (4, None),
+        (5, bytes(range(256))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    a = {r["doc_id"]: r["features"] for r in extract_features(df).collect()}
+    b = {r["doc_id"]: r["features"] for r in extract_features_arrow(df).collect()}
+    assert set(a) == set(b) == {1, 2, 3, 4, 5}
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])  # exact float32 equality
+    # empty/NULL payloads give the all-zero vector
+    assert a[3] == [0.0] * 16 and a[4] == [0.0] * 16
+    # uniform byte coverage gives the uniform histogram
+    assert b[5] == [1.0 / 16] * 16
