@@ -78,6 +78,15 @@ HEADLINE = [
     "d10_incremental_dedup",
     "tp4_release_pipeline",
     "rfm1_customer_segments",
+    # round-4 operators (appended — earlier subsets stay 1:1 comparable)
+    "er1_entity_resolution",
+    "kc1_kcore",
+    "pa1_top_paths",
+    "bfs1_copurchase_hops",
+    "bf1_bloom_decontamination",
+    "ss1_repeated_substrings",
+    "pj1_prefix_jaccard",
+    "sj1_stream_stream_join",
 ]
 
 
