@@ -10479,6 +10479,101 @@ ORDER BY p.event_id
 """
 
 
+def pm1_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 collocations by pointwise mutual information: consecutive
+    token pairs occurring ≥5 times, PMI = ln((c_xy/N_bi)/((c_x/N_uni)·
+    (c_y/N_uni))) over exact corpus counts, quantized to 1e-6 (the ln-
+    quantization discipline of ts1/x1). The lexical-statistics extractor
+    (phrase mining / tokenizer-merge candidates) beside v2's BPE merge
+    rank. Shuffles: one bigram count, one unigram count, two key joins;
+    scalars broadcast; top-k is a TakeOrdered over the deterministic
+    (pmi, w1, w2) total order."""
+    from etl_oms_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    base = d.select(t.alias("t")).filter(F.size("t") >= 2)
+    bi = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t)-1), "
+                "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni = d.select(F.explode(t).alias("w")).filter(F.col("w") != "")
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nu = ucnt.agg(F.sum("c").cast("long").alias("nu"))
+    nb = bi.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    pairs = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    joined = (
+        pairs.join(
+            ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1"
+        )
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.log(
+        (F.col("c_xy").cast("double") / F.col("nb").cast("double"))
+        / (
+            (F.col("c1").cast("double") / F.col("nu").cast("double"))
+            * (F.col("c2").cast("double") / F.col("nu").cast("double"))
+        )
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.floor(pmi * 1e6 + F.lit(0.5)).cast("long").alias("pmi_q6"),
+        )
+        .orderBy(F.desc("pmi_q6"), "w1", "w2")
+        .limit(25)
+    )
+
+
+PM1_SQL = f"""
+WITH norm AS (
+    SELECT regexp_split_to_array({_NORM_SQL}, ' ') AS arr FROM documents
+), base AS (
+    SELECT arr FROM norm WHERE len(arr) >= 2
+), bi AS (
+    SELECT unnest(list_transform(range(1, len(arr)),
+                  i -> arr[i] || ' ' || arr[i+1])) AS bg
+    FROM base
+), uni AS (
+    SELECT unnest(arr) AS w FROM norm
+), uni2 AS (
+    SELECT w FROM uni WHERE w <> ''
+), ucnt AS (
+    SELECT w, COUNT(*) AS c FROM uni2 GROUP BY w
+), tot AS (
+    SELECT (SELECT COUNT(*) FROM uni2) AS nu,
+           (SELECT COUNT(*) FROM bi) AS nb
+), pairs AS (
+    SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+           COUNT(*) AS cxy
+    FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT w1, w2, CAST(cxy AS BIGINT) AS c_xy,
+       CAST(floor(
+           ln((CAST(cxy AS DOUBLE) / CAST(nb AS DOUBLE))
+              / ((CAST(c1.c AS DOUBLE) / CAST(nu AS DOUBLE))
+                 * (CAST(c2.c AS DOUBLE) / CAST(nu AS DOUBLE))))
+           * 1000000 + 0.5) AS BIGINT) AS pmi_q6
+FROM pairs
+JOIN ucnt c1 ON pairs.w1 = c1.w
+JOIN ucnt c2 ON pairs.w2 = c2.w, tot
+ORDER BY pmi_q6 DESC, w1, w2
+LIMIT 25
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10600,6 +10695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sj1_stream_stream_join": sj1_stream_stream_join,
         "pj1_prefix_jaccard": pj1_prefix_jaccard,
         "sc2_pit_join": sc2_pit_join,
+        "pm1_pmi_collocations": pm1_pmi_collocations,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -10983,4 +11079,5 @@ def oracle_sql() -> dict[str, str]:
         "sj1_stream_stream_join": SJ1_SQL,
         "pj1_prefix_jaccard": PJ1_SQL,
         "sc2_pit_join": SC2_SQL,
+        "pm1_pmi_collocations": PM1_SQL,
     }
