@@ -10574,6 +10574,84 @@ LIMIT 25
 """
 
 
+def ss2_span_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair half of ss1 (operators/dedup.strip_spans): every
+    cross-document repeated 8-token span is CUT from every document —
+    the aggressive substring-level boilerplate-removal policy (C4-style
+    strip-everywhere; the keep-one-canonical-copy variant is a winner
+    filter on the span table before the cut). Returns each affected
+    doc's kept text and removed-token count. Span surgery is all JVM
+    higher-order functions over the per-doc span array — no corpus
+    token explode, one id-keyed shuffle past the ss1 span build."""
+    from etl_oms_spark.operators.dedup import (
+        repeated_substring_spans,
+        strip_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(d, min_len_tokens=8, min_docs=2)
+    return strip_spans(d, spans).orderBy("doc_id")
+
+
+SS2_SQL = r"""
+WITH norm AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS arr
+    FROM documents
+), w1 AS (
+    SELECT doc_id, arr, unnest(range(1, len(arr) - 6)) AS pos
+    FROM norm WHERE len(arr) >= 8
+), win AS (
+    SELECT doc_id, pos, md5(array_to_string(arr[pos:pos+7], ' ')) AS wkey
+    FROM w1
+), q AS (
+    SELECT wkey FROM win GROUP BY wkey HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+    SELECT DISTINCT doc_id, pos FROM win WHERE wkey IN (SELECT wkey FROM q)
+), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+), isl2 AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(pos) AS lo, MAX(pos) + 7 AS hi
+    FROM isl2 GROUP BY doc_id, island
+), sd AS (
+    SELECT DISTINCT doc_id FROM spans
+), tokpos AS (
+    SELECT n.doc_id, unnest(n.arr) AS tok,
+           unnest(range(1, len(n.arr) + 1)) AS pos
+    FROM norm n JOIN sd USING (doc_id)
+), kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM tokpos t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.lo AND s.hi
+    )
+), tot AS (
+    SELECT doc_id, COUNT(*) AS n FROM tokpos GROUP BY doc_id
+), keptagg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+           COUNT(*) AS nk
+    FROM kept GROUP BY doc_id
+)
+SELECT sd.doc_id,
+       COALESCE(k.kept_text, '') AS kept_text,
+       CAST(t.n - COALESCE(k.nk, 0) AS BIGINT) AS n_tokens_removed
+FROM sd
+JOIN tot t USING (doc_id)
+LEFT JOIN keptagg k USING (doc_id)
+ORDER BY sd.doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10696,6 +10774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pj1_prefix_jaccard": pj1_prefix_jaccard,
         "sc2_pit_join": sc2_pit_join,
         "pm1_pmi_collocations": pm1_pmi_collocations,
+        "ss2_span_repair": ss2_span_repair,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -11080,4 +11159,5 @@ def oracle_sql() -> dict[str, str]:
         "pj1_prefix_jaccard": PJ1_SQL,
         "sc2_pit_join": SC2_SQL,
         "pm1_pmi_collocations": PM1_SQL,
+        "ss2_span_repair": SS2_SQL,
     }

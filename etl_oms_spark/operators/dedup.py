@@ -1037,3 +1037,51 @@ def prefix_filtered_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span surgery — the REPAIR half of `repeated_substring_spans`
+    (Lee et al. cut duplicated substrings instead of dropping whole
+    docs): remove the token ranges listed in ``spans`` (``span_start``,
+    ``span_len``, 1-based token offsets on the NORMALIZED text) from each
+    document, returning ``(id, kept_text, n_tokens_removed)`` for every
+    document that had at least one span. Which occurrences to cut is the
+    caller's policy (pass the span table through a winner filter first to
+    keep one canonical copy corpus-wide).
+
+    All JVM higher-order functions: spans collect to one array per doc
+    (an id-keyed agg), the doc's tokens are position-zipped and filtered
+    with an exists() over that array, then rejoined with a space — no
+    UDF, no explode of the corpus tokens, one id-keyed shuffle.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("lo"),
+                (F.col("span_start") + F.col("span_len") - 1).alias("hi"),
+            )
+        ).alias("__spans")
+    )
+    toks = tokens(text_col)
+    kept = F.filter(
+        F.arrays_zip(toks, F.sequence(F.lit(1), F.size(toks))),
+        lambda x: ~F.exists(
+            F.col("__spans"),
+            lambda s: (x["1"] >= s["lo"]) & (x["1"] <= s["hi"]),
+        ),
+    )
+    return (
+        df.join(sp, id_col)  # inner: only docs with spans
+        .select(
+            id_col,
+            F.concat_ws(" ", F.transform(kept, lambda x: x["0"])).alias(
+                "kept_text"
+            ),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        )
+    )

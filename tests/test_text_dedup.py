@@ -423,3 +423,55 @@ def test_prefix_filtered_jaccard_hand_case(spark):
         for r in prefix_filtered_jaccard_pairs(df, threshold=0.6).collect()
     }
     assert got == {(1, 2): round(2 / 3, 6), (1, 3): 1.0, (2, 3): round(2 / 3, 6)}
+
+
+def test_strip_spans_surgery(spark):
+    from etl_oms_spark.operators.dedup import strip_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 3, 4), (3, 1, 4)],  # doc 3 fully covered
+        "doc_id long, span_start long, span_len long",
+    )
+    got = {
+        r["doc_id"]: (r["kept_text"], r["n_tokens_removed"])
+        for r in strip_spans(docs, spans).collect()
+    }
+    # doc 2 had no spans -> absent; doc 3 fully removed -> empty text
+    assert got == {1: ("a b g h", 4), 3: ("", 4)}
+
+
+def test_detect_then_repair_roundtrip_removes_all_cross_doc_repeats(spark):
+    """After one detect->cut pass over ALL occurrences, no 8-token window
+    is shared across documents anymore (the policy's fixpoint-in-one-pass
+    property on the strip-everywhere variant)."""
+    from etl_oms_spark.operators.dedup import (
+        repeated_substring_spans,
+        strip_spans,
+    )
+    from pyspark.sql import functions as F
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro " + shared + " outro one two"),
+            (2, shared + " tail words here now ok"),
+            (3, "fully distinct text without any repeated runs at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_substring_spans(docs, min_len_tokens=8, min_docs=2)
+    repaired = strip_spans(docs, spans)
+    # rebuild a corpus: repaired docs replace originals
+    rebuilt = (
+        docs.join(repaired, "doc_id", "left_anti")
+        .select("doc_id", "text")
+        .unionByName(
+            repaired.select("doc_id", F.col("kept_text").alias("text"))
+        )
+    )
+    again = repeated_substring_spans(rebuilt, min_len_tokens=8, min_docs=2)
+    assert again.count() == 0
