@@ -10652,6 +10652,159 @@ ORDER BY sd.doc_id
 """
 
 
+def tp5_decontaminated_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth curation capstone — the EVAL-SAFE release, composing this
+    round's operators end to end in one lazy plan chain: (1) Bloom-
+    prefiltered decontamination drops every corpus doc sharing a
+    5-shingle with the held-out slice (doc_id%89 — bf1's gate, exact
+    despite the sketch); (2) cross-document repeated 8-token spans are
+    detected and CUT from the survivors (ss1→ss2, strip-everywhere);
+    (3) exact dedup re-keys on the REPAIRED text (md5 of the normalized
+    coalesce(kept, original), min-id winner — repairing first means
+    boilerplate-only differences no longer block exact dedup, the reason
+    span repair precedes it in real curation stacks); (4) per-source
+    release report: survivors, post-repair token budget, repaired-doc
+    count. Exact end-to-end DuckDB oracle."""
+    from etl_oms_spark.operators.dedup import (
+        bloom_decontamination,
+        repeated_substring_spans,
+        strip_spans,
+    )
+    from etl_oms_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 89 == 0)
+    corpus = d.filter(F.col("doc_id") % 89 != 0)
+    contaminated = bloom_decontamination(corpus, bench, k=5).select("doc_id")
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    spans = repeated_substring_spans(clean, min_len_tokens=8, min_docs=2)
+    repaired = strip_spans(clean, spans).select("doc_id", "kept_text")
+    final = (
+        clean.join(repaired, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(
+                F.col("kept_text"), F.coalesce(normalize_text("text"), F.lit(""))
+            ).alias("fin"),
+            F.col("kept_text").isNotNull().alias("was_repaired"),
+        )
+        .withColumn("fp", F.md5("fin"))
+    )
+    winners = final.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = final.join(winners, ["fp", "doc_id"])
+    n_tokens = F.when(F.length("fin") == 0, F.lit(0)).otherwise(
+        F.size(F.split("fin", " "))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(n_tokens).cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("was_repaired"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_repaired"),
+        )
+        .orderBy("source")
+    )
+
+
+TP5_SQL = r"""
+WITH norm0 AS (
+    SELECT doc_id, source,
+           regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS arr
+    FROM documents WHERE doc_id % 89 <> 0
+), bnorm AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS arr
+    FROM documents WHERE doc_id % 89 = 0
+), bsh AS (
+    SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(arr) - 4, 1) + 1),
+               i -> array_to_string(arr[i:i+4], ' ')))) AS sh
+    FROM bnorm
+), csh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(arr) - 4, 1) + 1),
+               i -> array_to_string(arr[i:i+4], ' ')))) AS sh
+    FROM norm0
+), contaminated AS (
+    SELECT DISTINCT doc_id FROM csh WHERE sh IN (SELECT sh FROM bsh)
+), clean AS (
+    SELECT * FROM norm0
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), w1 AS (
+    SELECT doc_id, arr, unnest(range(1, len(arr) - 6)) AS pos
+    FROM clean WHERE len(arr) >= 8
+), win AS (
+    SELECT doc_id, pos, md5(array_to_string(arr[pos:pos+7], ' ')) AS wkey
+    FROM w1
+), q AS (
+    SELECT wkey FROM win GROUP BY wkey HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+    SELECT DISTINCT doc_id, pos FROM win WHERE wkey IN (SELECT wkey FROM q)
+), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+), isl2 AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, MIN(pos) AS lo, MAX(pos) + 7 AS hi
+    FROM isl2 GROUP BY doc_id, island
+), sd AS (
+    SELECT DISTINCT doc_id FROM spans
+), tokpos AS (
+    SELECT n.doc_id, unnest(n.arr) AS tok,
+           unnest(range(1, len(n.arr) + 1)) AS pos
+    FROM clean n JOIN sd USING (doc_id)
+), kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM tokpos t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.lo AND s.hi
+    )
+), keptagg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text
+    FROM kept GROUP BY doc_id
+), final AS (
+    SELECT c.doc_id, c.source,
+           CASE WHEN sd.doc_id IS NOT NULL
+                THEN COALESCE(k.kept_text, '')
+                ELSE COALESCE(array_to_string(c.arr, ' '), '') END AS fin,
+           sd.doc_id IS NOT NULL AS was_repaired
+    FROM clean c
+    LEFT JOIN sd ON c.doc_id = sd.doc_id
+    LEFT JOIN keptagg k ON c.doc_id = k.doc_id
+), keyed AS (
+    SELECT doc_id, source, fin, was_repaired, md5(fin) AS fp FROM final
+), winners AS (
+    SELECT fp, MIN(doc_id) AS doc_id FROM keyed GROUP BY fp
+), kept2 AS (
+    SELECT k.* FROM keyed k JOIN winners w
+      ON k.fp = w.fp AND k.doc_id = w.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN length(fin) = 0 THEN 0
+                     ELSE len(string_split(fin, ' ')) END) AS BIGINT)
+           AS total_tokens,
+       CAST(SUM(CASE WHEN was_repaired THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repaired
+FROM kept2
+GROUP BY source
+ORDER BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10775,6 +10928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sc2_pit_join": sc2_pit_join,
         "pm1_pmi_collocations": pm1_pmi_collocations,
         "ss2_span_repair": ss2_span_repair,
+        "tp5_decontaminated_release": tp5_decontaminated_release,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -11160,4 +11314,5 @@ def oracle_sql() -> dict[str, str]:
         "sc2_pit_join": SC2_SQL,
         "pm1_pmi_collocations": PM1_SQL,
         "ss2_span_repair": SS2_SQL,
+        "tp5_decontaminated_release": TP5_SQL,
     }

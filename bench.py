@@ -87,6 +87,8 @@ HEADLINE = [
     "ss1_repeated_substrings",
     "pj1_prefix_jaccard",
     "sj1_stream_stream_join",
+    "ss2_span_repair",
+    "tp5_decontaminated_release",
 ]
 
 

@@ -317,3 +317,24 @@ def test_golden_pins_sf0001(spark, sf_dir):
 
     tp4 = sorted(map(tuple, m.queries()["tp4_release_pipeline"](spark, sf_dir).collect()))
     assert tp4 == [("de", 2, 103), ("en", 2, 128), ("zh", 2, 72)]
+
+
+def test_golden_pin_tp5_sf0001(spark, sf_dir):
+    """tp5 capstone value pin at sf0.001: decontaminate → span-repair →
+    exact-dedup-on-repaired-text → per-source release report. Trips on
+    any change to shingle/window semantics, island merge, span surgery,
+    fingerprint normalization, or the winner rule."""
+    import __spark_entry__ as m
+
+    rows = sorted(
+        map(tuple, m.queries()["tp5_decontaminated_release"](spark, sf_dir).collect())
+    )
+    assert rows[:4] == [
+        ("src0", 21, 1268, 0),
+        ("src1", 24, 1351, 0),
+        ("src10", 21, 1132, 0),
+        ("src11", 22, 1216, 0),
+    ]
+    assert ("src5", 22, 1095, 1) in rows and ("src8", 23, 1475, 1) in rows
+    assert len(rows) == 20
+    assert sum(r[1] for r in rows) == 453  # survivors after decontam+dedup
