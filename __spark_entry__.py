@@ -10805,6 +10805,44 @@ ORDER BY source
 """
 
 
+def pn1_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization — the privacy-engineering release
+    step beside ka1's k-anonymity audit and t8's PII redaction: user ids
+    are replaced by a keyed SHA-256 token (16-hex prefix of
+    sha2('pepper|'||id); rotate the pepper to unlink releases), and the
+    output carries ONLY the pseudonym with per-user activity counts —
+    joinable across releases under the same pepper, unlinkable without
+    it. One key-hashed aggregation; the hash is a JVM builtin on the
+    scan side, so pseudonymization adds zero shuffle."""
+    ev = _events(spark, sf_dir)
+    pseud = F.substring(
+        F.sha2(
+            F.concat(F.lit("pepper|"), F.col("user_id").cast("string")), 256
+        ),
+        1,
+        16,
+    )
+    return (
+        ev.groupBy(pseud.alias("pseudonym"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("event_type").cast("long").alias("n_event_types"),
+        )
+        .orderBy("pseudonym")
+    )
+
+
+PN1_SQL = """
+SELECT substring(sha256('pepper|' || CAST(user_id AS VARCHAR)), 1, 16)
+           AS pseudonym,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+FROM events
+GROUP BY 1
+ORDER BY pseudonym
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10929,6 +10967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pm1_pmi_collocations": pm1_pmi_collocations,
         "ss2_span_repair": ss2_span_repair,
         "tp5_decontaminated_release": tp5_decontaminated_release,
+        "pn1_pseudonymize": pn1_pseudonymize,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -11315,4 +11354,5 @@ def oracle_sql() -> dict[str, str]:
         "pm1_pmi_collocations": PM1_SQL,
         "ss2_span_repair": SS2_SQL,
         "tp5_decontaminated_release": TP5_SQL,
+        "pn1_pseudonymize": PN1_SQL,
     }
