@@ -10676,7 +10676,13 @@ def tp5_decontaminated_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 89 == 0)
     corpus = d.filter(F.col("doc_id") % 89 != 0)
     contaminated = bloom_decontamination(corpus, bench, k=5).select("doc_id")
-    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    # `clean` feeds three branches that diverge before their first
+    # exchange (span build / strip join / final join) — exactly the shape
+    # where the measured localCheckpoint rule pays (SCALING.md; here
+    # 5.8s → 3.5s warm at sf0.1, same 1.7× the tp3/tp4 capstones saw)
+    clean = corpus.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     spans = repeated_substring_spans(clean, min_len_tokens=8, min_docs=2)
     repaired = strip_spans(clean, spans).select("doc_id", "kept_text")
     final = (
