@@ -183,3 +183,41 @@ def test_repeated_substring_spans_matches_bruteforce_on_random_corpora(spark):
             ).collect()
         }
         assert got == want, (seed, got ^ want)
+
+
+def test_strip_spans_matches_bruteforce_on_random_corpora(spark):
+    from etl_oms_spark.operators.dedup import (
+        repeated_substring_spans,
+        strip_spans,
+    )
+
+    vocab = [f"w{j}" for j in range(6)]
+    L = 4
+    for seed in (13, 101):
+        rng = random.Random(seed)
+        docs = _rand_docs(rng, 14, vocab, 14, dup_prob=0.45)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        spans = repeated_substring_spans(df, min_len_tokens=L, min_docs=2)
+        span_rows = [
+            (r["doc_id"], r["span_start"], r["span_len"])
+            for r in spans.collect()
+        ]
+        want = {}
+        by_doc = {}
+        for i, lo, ln in span_rows:
+            by_doc.setdefault(i, []).append((lo, lo + ln - 1))
+        for i, txt in docs:
+            if i not in by_doc:
+                continue
+            toks = _norm_tokens(txt)
+            kept = [
+                t
+                for p, t in enumerate(toks, start=1)
+                if not any(lo <= p <= hi for lo, hi in by_doc[i])
+            ]
+            want[i] = (" ".join(kept), len(toks) - len(kept))
+        got = {
+            r["doc_id"]: (r["kept_text"], r["n_tokens_removed"])
+            for r in strip_spans(df, spans).collect()
+        }
+        assert got == want, (seed, got, want)
