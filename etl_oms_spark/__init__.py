@@ -24,7 +24,8 @@ Module map
 - sources.readers   CSV/JSON/parquet/directory scans, JDBC dim reads
 - sources.writers   CSV/JSON/parquet sinks, JDBC staging+upsert sink
 - operators.dedup        exact / minhash-LSH / simhash / n-gram-jaccard /
-                         containment dedup
+                         containment dedup; PPJoin prefix-filter join,
+                         bloom decontamination, substring spans + repair
 - operators.similarity   cosine top-k, LSH ANN, IVF ANN, embedding near-dup
 - operators.text         language-ID, quality score/filter, token counts,
                          fingerprints
@@ -33,12 +34,14 @@ Module map
 - operators.stateful     sessionization, grouped-map EMA
 - operators.temporal     as-of join, range join
 - operators.rollup       hierarchical continuous time rollups
-- operators.graph        connected components, transitive dedup closure
+- operators.graph        connected components, transitive dedup closure,
+                         k-core peeling, multi-source BFS
 - operators.sampling     hash-stable sampling / train-test splits
 - sources.merge_table    partition-pruned parquet MERGE + compaction
 - streaming.events       windows/watermarks, dedup-within-watermark,
                          stream-static enrichment, foreachBatch merge,
                          applyInPandasWithState profiles
+- streaming.joins        stream-stream interval join (batch-twin exact)
 - catalog                temp-view registration + SQL surface
 - util                   parallelism guard, salted join, plan introspection
 - plans.pipelines        EP1/EP2/EP3-equivalent reference pipelines
