@@ -10849,6 +10849,156 @@ ORDER BY pseudonym
 """
 
 
+def _quality_label_hist(spark: SparkSession, sf_dir: str):
+    """Shared score histogram for the classifier-eval queries: documents
+    quantized to 1e-6 quality-score bins (t2's exact-parity expression),
+    labeled en / non-en, rolled to per-bin positive/negative counts. The
+    whole corpus collapses to a score-DOMAIN-sized table (≤1e6+2 bins),
+    so the downstream rank/CDF windows run over bounded data — the a13
+    lesson: histogram first, window over the histogram, never over the
+    corpus."""
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return (
+        d.select(sq.alias("sq"), pos.alias("pos"))
+        .groupBy("sq")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
+        )
+    )
+
+
+_QHIST_SQL = f"""
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) AS sq,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_neg
+    FROM documents
+    GROUP BY 1
+"""
+
+
+def auc1_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the quality score as an en-vs-rest classifier —
+    the Mann-Whitney rank form with tie handling, computed ENTIRELY from
+    the score histogram: U·2 = Σ_bins n_pos·(2·cum_neg_below + n_neg),
+    AUC = U2/(2·n_pos·n_neg). All-integer until the final division, so
+    bit-reproducible; int64-safe while n_pos·n_neg < 2^62 (~4.6e9 docs
+    per class — past sf1000). The corpus never sorts: the cumulative
+    window runs over the ≤1e6-bin histogram."""
+    hist = _quality_label_hist(spark, sf_dir)
+    w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, -1)
+    cum_below = F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    scored = hist.select(
+        "sq",
+        "n_pos",
+        "n_neg",
+        (F.col("n_pos") * (2 * cum_below + F.col("n_neg"))).alias("u2_part"),
+    )
+    return scored.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum("u2_part").cast("long").alias("u2"),
+        (
+            F.sum("u2_part").cast("double")
+            / (2.0 * F.sum("n_pos").cast("double") * F.sum("n_neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+AUC1_SQL = f"""
+WITH hist AS (
+{_QHIST_SQL}
+), cum AS (
+    SELECT sq, n_pos, n_neg,
+           COALESCE(SUM(n_neg) OVER (
+               ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_below
+    FROM hist
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(n_pos * (2 * cum_below + n_neg)) AS BIGINT) AS u2,
+       CAST(SUM(n_pos * (2 * cum_below + n_neg)) AS DOUBLE)
+           / (2.0 * CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE))
+           AS auc
+FROM cum
+"""
+
+
+def ks1_score_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample statistic between the en and non-en
+    quality-score distributions — the classic distribution-shift test
+    beside dr1's PSI: KS = max over bins of |CDF_pos − CDF_neg|,
+    computed as the integer max of |cum_pos·n_neg_tot − cum_neg·n_pos_tot|
+    over the score histogram, divided once at the end. Same bounded-
+    domain window and int64 bound as auc1."""
+    hist = _quality_label_hist(spark, sf_dir)
+    w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "sq",
+        F.sum("n_pos").over(w).alias("cp"),
+        F.sum("n_neg").over(w).alias("cn"),
+    )
+    tot = hist.agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum("n_neg").cast("long").alias("nn"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(F.col("cp") * F.col("nn") - F.col("cn") * F.col("np"))
+            )
+            .cast("long")
+            .alias("ks_num"),
+            F.first("np").alias("n_pos"),
+            F.first("nn").alias("n_neg"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "ks_num",
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+            ).alias("ks"),
+        )
+    )
+
+
+KS1_SQL = f"""
+WITH hist AS (
+{_QHIST_SQL}
+), cum AS (
+    SELECT sq,
+           SUM(n_pos) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cp,
+           SUM(n_neg) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cn
+    FROM hist
+), tot AS (
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS np, CAST(SUM(n_neg) AS BIGINT) AS nn
+    FROM hist
+)
+SELECT np AS n_pos, nn AS n_neg,
+       CAST(MAX(ABS(cp * nn - cn * np)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(cp * nn - cn * np)) AS DOUBLE)
+           / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS ks
+FROM cum, tot
+GROUP BY np, nn
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -10974,6 +11124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ss2_span_repair": ss2_span_repair,
         "tp5_decontaminated_release": tp5_decontaminated_release,
         "pn1_pseudonymize": pn1_pseudonymize,
+        "auc1_quality_auc": auc1_quality_auc,
+        "ks1_score_ks": ks1_score_ks,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -11361,4 +11513,6 @@ def oracle_sql() -> dict[str, str]:
         "ss2_span_repair": SS2_SQL,
         "tp5_decontaminated_release": TP5_SQL,
         "pn1_pseudonymize": PN1_SQL,
+        "auc1_quality_auc": AUC1_SQL,
+        "ks1_score_ks": KS1_SQL,
     }

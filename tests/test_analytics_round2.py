@@ -180,3 +180,45 @@ def test_lr1_slope_matches_numpy_polyfit(spark):
     got = rows[0]
     assert abs(got["slope_cents_per_month"] - slope) < abs(slope) * 1e-9 + 1e-6
     assert abs(got["intercept_cents"] - intercept) < abs(intercept) * 1e-9 + 1e-3
+
+
+def test_auc_and_ks_match_numpy_reference(spark):
+    """auc1/ks1's histogram-rank forms vs direct numpy computations on
+    the same quantized scores (independent method, tie handling incl.)."""
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+    from etl_oms_spark.operators.text import quality_score
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = d.select(
+        F.coalesce(
+            F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+            F.lit(-1),
+        ).alias("sq"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    ).collect()
+    s = np.array([r["sq"] for r in rows], dtype=np.int64)
+    y = np.array([r["pos"] for r in rows], dtype=np.int64)
+    pos, neg = s[y == 1], s[y == 0]
+    # brute-force pairwise AUC with half-credit ties
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc_ref = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    # brute-force KS over the union of thresholds
+    thr = np.unique(s)
+    cdf_p = (pos[:, None] <= thr[None, :]).mean(axis=0)
+    cdf_n = (neg[:, None] <= thr[None, :]).mean(axis=0)
+    ks_ref = np.abs(cdf_p - cdf_n).max()
+
+    a = entry_mod.queries()["auc1_quality_auc"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    k = entry_mod.queries()["ks1_score_ks"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert a["n_pos"] == len(pos) and a["n_neg"] == len(neg)
+    assert abs(a["auc"] - auc_ref) < 1e-12
+    assert abs(k["ks"] - ks_ref) < 1e-12
+    assert 0.0 <= a["auc"] <= 1.0 and 0.0 <= k["ks"] <= 1.0
