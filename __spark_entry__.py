@@ -10999,6 +10999,57 @@ GROUP BY np, nn
 """
 
 
+def rb1_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability diagram for the quality score as an
+    en-vs-rest classifier (completes the eval trio with auc1/ks1): ten
+    equal-width score bins, each with observed positive rate vs mean
+    predicted score — mean kept exact by summing the 1e-6-quantized
+    scores as integers and dividing once. One corpus groupBy to a
+    10-row table."""
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    bin_ = F.least(F.greatest((sq / 100000).cast("long"), F.lit(0)), F.lit(9))
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return (
+        d.select(bin_.alias("bin"), sq.alias("sq"), pos.alias("pos"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("frac_pos"),
+            (
+                F.sum("sq").cast("double")
+                / (F.count(F.lit(1)).cast("double") * 1e6)
+            ).alias("mean_score"),
+        )
+        .orderBy("bin")
+    )
+
+
+RB1_SQL = f"""
+WITH scored AS (
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), 0) AS sq,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM documents
+)
+SELECT least(greatest(CAST(sq // 100000 AS BIGINT), 0), 9) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS frac_pos,
+       CAST(SUM(sq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+           AS mean_score
+FROM scored
+GROUP BY 1
+ORDER BY bin
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -11126,6 +11177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pn1_pseudonymize": pn1_pseudonymize,
         "auc1_quality_auc": auc1_quality_auc,
         "ks1_score_ks": ks1_score_ks,
+        "rb1_reliability_bins": rb1_reliability_bins,
         # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
@@ -11515,4 +11567,5 @@ def oracle_sql() -> dict[str, str]:
         "pn1_pseudonymize": PN1_SQL,
         "auc1_quality_auc": AUC1_SQL,
         "ks1_score_ks": KS1_SQL,
+        "rb1_reliability_bins": RB1_SQL,
     }
