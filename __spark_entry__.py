@@ -10665,40 +10665,16 @@ def tp5_decontaminated_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     span repair precedes it in real curation stacks); (4) per-source
     release report: survivors, post-repair token budget, repaired-doc
     count. Exact end-to-end DuckDB oracle."""
-    from etl_oms_spark.operators.dedup import (
-        bloom_decontamination,
-        repeated_substring_spans,
-        strip_spans,
-    )
-    from etl_oms_spark.operators.text import normalize_text
+    from etl_oms_spark.plans.training_pipeline import eval_safe_release
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 89 == 0)
     corpus = d.filter(F.col("doc_id") % 89 != 0)
-    contaminated = bloom_decontamination(corpus, bench, k=5).select("doc_id")
-    # `clean` feeds three branches that diverge before their first
-    # exchange (span build / strip join / final join) — exactly the shape
-    # where the measured localCheckpoint rule pays (SCALING.md; here
-    # 5.8s → 3.5s warm at sf0.1, same 1.7× the tp3/tp4 capstones saw)
-    clean = corpus.join(contaminated, "doc_id", "left_anti").localCheckpoint(
-        eager=False
-    )
-    spans = repeated_substring_spans(clean, min_len_tokens=8, min_docs=2)
-    repaired = strip_spans(clean, spans).select("doc_id", "kept_text")
-    final = (
-        clean.join(repaired, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.coalesce(
-                F.col("kept_text"), F.coalesce(normalize_text("text"), F.lit(""))
-            ).alias("fin"),
-            F.col("kept_text").isNotNull().alias("was_repaired"),
-        )
-        .withColumn("fp", F.md5("fin"))
-    )
-    winners = final.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = final.join(winners, ["fp", "doc_id"])
+    # the composition lives in plans.training_pipeline.eval_safe_release
+    # (also exposed as the `decontaminate` CLI subcommand); the shared
+    # `clean` subtree is localCheckpointed there — measured 5.8s → 3.5s
+    # warm at sf0.1, the same 1.7× the tp3/tp4 capstones saw
+    kept = eval_safe_release(corpus, bench, shingle_k=5, span_tokens=8)
     n_tokens = F.when(F.length("fin") == 0, F.lit(0)).otherwise(
         F.size(F.split("fin", " "))
     )

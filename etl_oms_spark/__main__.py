@@ -119,6 +119,21 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--out", required=True, help="append-target parquet")
     p_ing.add_argument("--format", default="csv", choices=["csv", "json", "parquet"])
 
+    p_dec = sub.add_parser(
+        "decontaminate",
+        help="eval-safe release: bloom decontamination vs a benchmark set"
+        " -> repeated-span repair -> exact dedup on repaired text",
+    )
+    p_dec.add_argument("--documents", required=True, help="corpus parquet (doc_id+text)")
+    p_dec.add_argument("--benchmark", required=True, help="held-out set parquet (text)")
+    p_dec.add_argument("--out", required=True, help="cleaned-corpus parquet target")
+    p_dec.add_argument("--shingle-k", type=int, default=5)
+    p_dec.add_argument("--span-tokens", type=int, default=8)
+    p_dec.add_argument("--no-repair", action="store_true",
+                       help="skip cross-document span repair")
+    p_dec.add_argument("--no-dedup", action="store_true",
+                       help="skip exact dedup on the repaired text")
+
     p_srch = sub.add_parser(
         "search", help="BM25 full-text search over a parquet document table"
     )
@@ -261,6 +276,27 @@ def main(argv: list[str] | None = None) -> int:
         rows.write.mode("append").parquet(args.out)
         record_ingested(spark, files, args.ledger)
         print(f"ingested {len(files)} new file(s) into {args.out}")
+    elif args.cmd == "decontaminate":
+        from .plans.training_pipeline import eval_safe_release
+
+        docs = spark.read.parquet(args.documents)
+        bench = spark.read.parquet(args.benchmark)
+        released = eval_safe_release(
+            docs,
+            bench,
+            shingle_k=args.shingle_k,
+            repair=not args.no_repair,
+            dedup=not args.no_dedup,
+            span_tokens=args.span_tokens,
+        ).cache()
+        released.write.mode("overwrite").parquet(args.out)
+        n_in = docs.count()
+        n_out = released.count()
+        n_rep = released.filter(F.col("was_repaired")).count()
+        print(
+            f"released {n_out}/{n_in} docs ({n_rep} span-repaired) -> {args.out}"
+        )
+        released.unpersist()
     elif args.cmd == "search":
         from .operators.search import bm25_topk
 

@@ -121,3 +121,66 @@ def write_curated_single(
     evaluation of the pipeline, same split/lang layout."""
     partition_cols = partition_cols or ["split", "lang_pred"]
     curated.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def eval_safe_release(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_k: int = 5,
+    repair: bool = True,
+    dedup: bool = True,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The tp5 composition as a reusable pipeline: Bloom-prefiltered
+    decontamination against ``benchmark`` → (optional) cross-document
+    repeated-span repair → (optional) exact dedup re-keyed on the
+    REPAIRED text. Returns one row per surviving document:
+    ``(id, all original non-text columns…, fin, was_repaired)`` where
+    ``fin`` is the normalized release text.
+
+    Why repair precedes dedup: after span surgery, documents that
+    differed only by shared boilerplate become byte-identical, so exact
+    dedup catches them — the ordering real curation stacks use.
+    The shared ``clean`` subtree is localCheckpointed (measured 1.7× at
+    sf0.1, SCALING.md round-4b).
+    """
+    from ..operators.dedup import (
+        bloom_decontamination,
+        repeated_substring_spans,
+        strip_spans,
+    )
+    from ..operators.text import normalize_text
+
+    contaminated = bloom_decontamination(
+        docs, benchmark, text_col=text_col, id_col=id_col, k=shingle_k
+    ).select(id_col)
+    clean = docs.join(contaminated, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+    if repair:
+        spans = repeated_substring_spans(
+            clean, text_col=text_col, id_col=id_col,
+            min_len_tokens=span_tokens, min_docs=2,
+        )
+        repaired = strip_spans(
+            clean, spans, text_col=text_col, id_col=id_col
+        ).select(id_col, "kept_text")
+        base = clean.join(repaired, id_col, "left")
+    else:
+        base = clean.withColumn("kept_text", F.lit(None).cast("string"))
+    passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
+    final = base.select(
+        id_col,
+        *passthrough,
+        F.coalesce(
+            F.col("kept_text"), F.coalesce(normalize_text(text_col), F.lit(""))
+        ).alias("fin"),
+        F.col("kept_text").isNotNull().alias("was_repaired"),
+    )
+    if not dedup:
+        return final
+    keyed = final.withColumn("fp", F.md5("fin"))
+    winners = keyed.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["fp", id_col]).drop("fp")

@@ -224,3 +224,46 @@ def test_cli_search(spark, tmp_path, capsys):
     # doc 1 matches both terms and must surface; doc 3 must not
     assert "1" in out.split("doc_id", 1)[1]
     assert "score" in out
+
+
+def test_cli_decontaminate(spark, tmp_path, capsys):
+    import __main__  # noqa: F401 (ensure no module-name clash)
+    from etl_oms_spark.__main__ import main
+
+    shared = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "src0", "some unique corpus document with plenty of words here"),
+            (2, "src0", shared + " trailing content after the benchmark run"),
+            (3, "src1", "another clean document that should survive intact ok"),
+            (4, "src1", "another clean document that should survive intact ok"),
+            (5, "src1", "prefix words " + shared + " and a suffix"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, shared)], "doc_id long, text string"
+    )
+    dpath, bpath, out = (
+        str(tmp_path / "docs"),
+        str(tmp_path / "bench"),
+        str(tmp_path / "released"),
+    )
+    docs.write.parquet(dpath)
+    bench.write.parquet(bpath)
+    rc = main(
+        [
+            "--master", "local[2]",
+            "decontaminate",
+            "--documents", dpath,
+            "--benchmark", bpath,
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in got.collect()}
+    # docs 2 and 5 share 5-shingles with the benchmark -> decontaminated;
+    # doc 4 is an exact dup of 3 -> deduped; 1 and 3 survive
+    assert ids == {1, 3}
+    assert "released 2/5 docs" in capsys.readouterr().out
