@@ -544,3 +544,74 @@ def test_click_purchase_pairs_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     )
     assert got == want
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas: per-user ValueState totals
+    accumulate WITHIN a run and ACROSS restarts (checkpoint-durable
+    state) — the state-v2 successor of the applyInPandasWithState
+    profile operator, pinned end-to-end on the RocksDB provider.
+
+    The TWS state-API client speaks protobuf to the JVM state server;
+    protobuf is not installed in this sandbox, so the end-to-end run is
+    import-gated exactly like the PIL/transformers seams (the live-
+    tested in-sandbox twin is applyInPandasWithState above)."""
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state client needs protobuf (not in sandbox)",
+    )
+
+    from etl_oms_spark.streaming.stateful_v2 import user_running_totals_stream
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_conf, None)
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "tws_ckpt")
+    try:
+        spark.conf.set(
+            provider_conf,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        _write_events_json(src / "w1.json", [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+             "event_type": "click", "value": 2.5, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T00:01:00Z", "user_id": 1,
+             "event_type": "view", "value": 1.5, "props": "{}"},
+            {"event_id": 3, "ts": "2024-01-01T00:02:00Z", "user_id": 2,
+             "event_type": "click", "value": 4.0, "props": "{}"}])
+
+        def run_wave(qname):
+            q = (
+                user_running_totals_stream(stream_events(spark, str(src)))
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                r["user_id"]: (r["n_events"], r["value_sum"])
+                for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            }
+
+        got1 = run_wave("tws_w1")
+        assert got1 == {1: (2, 4.0), 2: (1, 4.0)}
+
+        # restart with one more file: user 1's totals must CONTINUE
+        _write_events_json(src / "w2.json", [
+            {"event_id": 4, "ts": "2024-01-01T01:00:00Z", "user_id": 1,
+             "event_type": "purchase", "value": 10.0, "props": "{}"}])
+        got2 = run_wave("tws_w2")
+        assert got2[1] == (3, 14.0)  # 2+1 events, 4.0+10.0 across restarts
+        assert 2 not in got2  # untouched keys don't re-emit in Update mode
+    finally:
+        if old is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old)
