@@ -15,6 +15,7 @@ engines evaluate the same IEEE expression on the same input bits.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -11026,6 +11027,380 @@ ORDER BY bin
 """
 
 
+def ap1_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step interpolation — the right eval metric when positives are rare,
+    completing auc1/ks1/rb1): AP = (1/P)·Σ_thresholds n_pos_at(t) ·
+    precision_at(t), thresholds descending over DISTINCT scores. Like
+    auc1, the corpus collapses to the ≤1e6-bin score histogram first and
+    every cumulative window runs over the bounded domain, never the
+    corpus. Precision ratios are integer-quantized at 1e-9 BEFORE the
+    weighted sum — `(tp·10⁹) div cum` is exact floor division on both
+    engines — so the result is bit-reproducible; the 1e-9 floor biases
+    each ratio down by <1e-9, and ap_q9_sum stays int64-safe while
+    n_pos_total < 9·10⁹."""
+    hist = _quality_label_hist(spark, sf_dir)
+    w = Window.orderBy(F.desc("sq")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "sq",
+        "n_pos",
+        F.sum("n_pos").over(w).alias("tp"),
+        F.sum(F.col("n_pos") + F.col("n_neg")).over(w).alias("cum"),
+    )
+    # exact floor((tp*1e9)/cum) via decimal remainder: subtract the exact
+    # remainder first so the decimal division hits an integer (no
+    # HALF_UP-then-floor edge case), matching DuckDB's HUGEINT `//`
+    a = F.col("tp").cast("decimal(28,0)") * F.lit(1000000000).cast("decimal(10,0)")
+    b = F.col("cum").cast("decimal(28,0)")
+    ratio_q = ((a - a % b) / b).cast("long")
+    term = F.col("n_pos") * ratio_q
+    return (
+        cum.select("n_pos", term.alias("term"))
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_pos"),
+            F.sum("term").cast("long").alias("ap_q9_sum"),
+            (
+                F.sum("term").cast("double")
+                / (F.sum("n_pos").cast("double") * 1e9)
+            ).alias("ap"),
+        )
+    )
+
+
+AP1_SQL = f"""
+WITH hist AS (
+{_QHIST_SQL}
+), cum AS (
+    SELECT sq, n_pos,
+           SUM(n_pos) OVER (ORDER BY sq DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS tp,
+           SUM(n_pos + n_neg) OVER (ORDER BY sq DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cum
+    FROM hist
+), terms AS (
+    SELECT n_pos,
+           n_pos * ((CAST(tp AS HUGEINT) * 1000000000) // cum) AS term
+    FROM cum
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(term) AS BIGINT) AS ap_q9_sum,
+       CAST(SUM(term) AS DOUBLE)
+           / (CAST(SUM(n_pos) AS DOUBLE) * 1000000000.0) AS ap
+FROM terms
+"""
+
+
+def sw1_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (down-weight duplicates instead of dropping —
+    the SoftDeDup recipe): every document in an exact-duplicate cluster
+    of size c gets sampling weight 1/c, so each distinct text contributes
+    exactly one unit of effective data while all copies stay available.
+    Reported per source: raw docs, duplicated docs, and the effective
+    corpus size Σ 1/c — kept exact-reproducible by integer floor
+    `10⁹ div c` per doc before the sum. Plan: one shuffle to count the
+    cluster (window over the md5 fingerprint — docs never carry the text
+    through the shuffle twice), one groupBy(source); both key-bounded at
+    100 TB."""
+    from etl_oms_spark.operators.text import fingerprint_md5
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", fingerprint_md5("text").alias("fp")
+    )
+    c = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    per_doc = d.select("source", c.alias("c")).select(
+        "source",
+        "c",
+        F.expr("1000000000 div c").alias("wq"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("wq").cast("long").alias("eff_q9_sum"),
+            (F.sum("wq").cast("double") / 1e9).alias("eff_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+SW1_SQL = f"""
+WITH fp AS (
+    SELECT source, md5({_NORM_SQL}) AS fp FROM documents
+), sized AS (
+    SELECT source, COUNT(*) OVER (PARTITION BY fp) AS c FROM fp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(1000000000 // c) AS BIGINT) AS eff_q9_sum,
+       CAST(SUM(1000000000 // c) AS DOUBLE) / 1000000000.0 AS eff_docs
+FROM sized
+GROUP BY source
+ORDER BY source
+"""
+
+
+def ld1_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit beside ka1's k-anonymity: within each
+    quasi-identifier group (nation, market segment, $1000 balance
+    bucket), how many DISTINCT sensitive values (exact balance cents)
+    appear? A group can be k-anonymous yet leak the sensitive attribute
+    when all members share one value (l=1, homogeneity attack). Output
+    is the l-histogram: groups and customers at each diversity level —
+    two bounded aggregates, no corpus blowup."""
+    c = _t(spark, sf_dir, "customer")
+    bal_bucket = (
+        F.floor(_cents(F.col("c_acctbal")) / F.lit(100_000)).cast("long")
+    )
+    groups = c.groupBy(
+        "c_nationkey", "c_mktsegment", bal_bucket.alias("bal_k")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(_cents(F.col("c_acctbal"))).cast("long").alias("l"),
+    )
+    return (
+        groups.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_customers"),
+        )
+        .orderBy("l")
+    )
+
+
+LD1_SQL = """
+WITH groups AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000)
+                AS BIGINT) AS bal_k,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT))
+                AS BIGINT) AS l
+    FROM customer
+    GROUP BY 1, 2, 3
+)
+SELECT l,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(group_size) AS BIGINT) AS n_customers
+FROM groups
+GROUP BY l
+ORDER BY l
+"""
+
+
+#: Benford first-digit probabilities log10(1+1/d), materialized ONCE in
+#: Python and embedded as identical double literals in both engines (repr
+#: round-trips exactly), so neither engine computes its own log10
+_BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def bd1_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law fraud/quality audit over order totals: the observed
+    first-significant-digit distribution vs log10(1+1/d), with the
+    per-digit χ² contribution (obs − n·p)²/(n·p) — the classic screen
+    for fabricated or truncated monetary data, run as one 9-row
+    aggregate. First digits come from the decimal string of the exact
+    cent integer (no float log10 boundary risk); expected probabilities
+    are shared Python-computed literals; the χ² term is one deterministic
+    IEEE expression per digit, quantized at 1e-6."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        _cents(F.col("o_totalprice")).cast("string"), 1, 1
+    ).cast("int")
+    obs = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    p = F.lit(None).cast("double")
+    for d in range(1, 10):
+        p = F.when(F.col("digit") == d, F.lit(_BENFORD_P[d])).otherwise(p)
+    nobs = F.col("n_obs").cast("double")
+    exp = F.col("n").cast("double") * p
+    term = (nobs - exp) * (nobs - exp) / exp
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            p.alias("benford_p"),
+            F.floor(term * 1e6 + F.lit(0.5)).cast("long").alias("chi2_q6"),
+        )
+        .orderBy("digit")
+    )
+
+
+BD1_SQL = f"""
+WITH obs AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM orders GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+withp AS (
+    SELECT digit, n_obs, n,
+           CASE digit {' '.join(f'WHEN {d} THEN {_BENFORD_P[d]!r}' for d in range(1, 10))}
+           END AS p
+    FROM obs, tot
+)
+SELECT digit, n_obs, p AS benford_p,
+       CAST(floor((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                  * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                  / (CAST(n AS DOUBLE) * p) * 1000000 + 0.5) AS BIGINT)
+           AS chi2_q6
+FROM withp
+ORDER BY digit
+"""
+
+
+def js1_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the data-mixing diagnostic behind tm1/mx1 ("which
+    sources are near-duplicates of each other, which add diversity"):
+    JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, over a shared
+    deterministic vocabulary (top-1000 tokens by global count, token
+    tiebreak). Distributions use exact integer counts; each per-token
+    contribution is one deterministic IEEE expression quantized at 1e-6
+    (the ln discipline of ts1/x1/pm1), then integer-summed. Scale shape:
+    the corpus collapses to (source × vocab) counts in one explode +
+    groupBy — everything downstream is pairs×vocab-sized, never
+    corpus-sized, and every join side below the corpus scan is
+    broadcast."""
+    from etl_oms_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("gc"))
+        .orderBy(F.desc("gc"), "tok")
+        .limit(1000)
+        .select("tok")
+    )
+    cnts = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tots = cnts.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    a = tots.select(F.col("source").alias("source_a"), F.col("t").alias("t1"))
+    b = tots.select(F.col("source").alias("source_b"), F.col("t").alias("t2"))
+    pairs = a.crossJoin(b).filter(F.col("source_a") < F.col("source_b"))
+    grid = (
+        pairs.crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(
+                cnts.select(
+                    F.col("source").alias("source_a"),
+                    "tok",
+                    F.col("c").alias("c1"),
+                )
+            ),
+            ["source_a", "tok"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                cnts.select(
+                    F.col("source").alias("source_b"),
+                    "tok",
+                    F.col("c").alias("c2"),
+                )
+            ),
+            ["source_b", "tok"],
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            "t1",
+            "t2",
+        )
+        .filter(F.col("c1") + F.col("c2") > 0)
+    )
+    p = F.col("c1").cast("double") / F.col("t1").cast("double")
+    q = F.col("c2").cast("double") / F.col("t2").cast("double")
+    m = (p + q) / F.lit(2.0)
+    contrib = (
+        F.when(F.col("c1") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(F.col("c2") > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return (
+        grid.select(
+            "source_a",
+            "source_b",
+            F.floor(contrib * 1e6 + F.lit(0.5)).cast("long").alias("tq"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("tq").cast("long").alias("jsd_q6_sum"),
+            (F.sum("tq").cast("double") / 1e6).alias("jsd"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+JS1_SQL = f"""
+WITH toks AS (
+    SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM documents
+), toks2 AS (
+    SELECT source, tok FROM toks WHERE tok <> ''
+), vocab AS (
+    SELECT tok FROM toks2 GROUP BY tok
+    ORDER BY COUNT(*) DESC, tok LIMIT 1000
+), cnts AS (
+    SELECT source, t.tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks2 t JOIN vocab v ON t.tok = v.tok
+    GROUP BY source, t.tok
+), tots AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnts GROUP BY source
+), pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b, a.t AS t1, b.t AS t2
+    FROM tots a, tots b WHERE a.source < b.source
+), grid AS (
+    SELECT p.source_a, p.source_b,
+           COALESCE(ca.c, 0) AS c1, COALESCE(cb.c, 0) AS c2, p.t1, p.t2
+    FROM pairs p CROSS JOIN vocab v
+    LEFT JOIN cnts ca ON ca.source = p.source_a AND ca.tok = v.tok
+    LEFT JOIN cnts cb ON cb.source = p.source_b AND cb.tok = v.tok
+    WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0
+), terms AS (
+    SELECT source_a, source_b,
+           CAST(floor((
+               CASE WHEN c1 > 0 THEN 0.5 * (CAST(c1 AS DOUBLE) / t1)
+                    * ln((CAST(c1 AS DOUBLE) / t1)
+                         / ((CAST(c1 AS DOUBLE) / t1
+                             + CAST(c2 AS DOUBLE) / t2) / 2.0))
+                    ELSE 0.0 END
+             + CASE WHEN c2 > 0 THEN 0.5 * (CAST(c2 AS DOUBLE) / t2)
+                    * ln((CAST(c2 AS DOUBLE) / t2)
+                         / ((CAST(c1 AS DOUBLE) / t1
+                             + CAST(c2 AS DOUBLE) / t2) / 2.0))
+                    ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT) AS tq
+    FROM grid
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(tq) AS BIGINT) AS jsd_q6_sum,
+       CAST(SUM(tq) AS DOUBLE) / 1000000.0 AS jsd
+FROM terms
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -11298,6 +11673,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
+        # -- round-4 continuation: eval/curation analytics (r06 queue) --
+        "ap1_average_precision": ap1_average_precision,
+        "sw1_soft_dedup_weights": sw1_soft_dedup_weights,
+        "ld1_l_diversity": ld1_l_diversity,
+        "bd1_benford_audit": bd1_benford_audit,
+        "js1_source_divergence": js1_source_divergence,
     }
 
 
@@ -11353,6 +11734,11 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": Q11_SQL,
         "q12_late_priority": Q12_SQL,
         "q15_top_supplier": Q15_SQL,
+        "ap1_average_precision": AP1_SQL,
+        "sw1_soft_dedup_weights": SW1_SQL,
+        "ld1_l_diversity": LD1_SQL,
+        "bd1_benford_audit": BD1_SQL,
+        "js1_source_divergence": JS1_SQL,
         "q16_supplier_part_count": Q16_SQL,
         "q20_potential_promotion": Q20_SQL,
         "q21_waiting_suppliers": Q21_SQL,
