@@ -11401,6 +11401,247 @@ ORDER BY source_a, source_b
 """
 
 
+def en1_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy, rolled to a
+    per-source histogram of 0.1-nat bands — the gibberish/boilerplate
+    screen beside t2's quality score (natural text sits ~2.8-3.2 nats;
+    base64 blobs and repeated padding fall far outside). Per-doc
+    H = −Σ_ch (c/n)·ln(c/n) from exact character counts; each term is
+    quantized at 1e-6 and integer-summed, and the band is integer floor
+    division of the quantized sum, so the histogram is bit-reproducible.
+    Shuffles are doc-keyed only (groupBy(doc,ch), one doc-partitioned
+    window) — bounded by document size at any corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    from etl_oms_spark.operators.text import normalize_text
+
+    chars = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(normalize_text("text"), F.lit("."), 0)
+        ).alias("ch"),
+    )
+    cnt = chars.groupBy("doc_id", "source", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term_q = F.floor(-(p * F.log(p)) * 1e6 + F.lit(0.5)).cast("long")
+    per_doc = (
+        cnt.withColumn("n", n)
+        .select("doc_id", "source", term_q.alias("tq"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("tq").cast("long").alias("hq"))
+    )
+    return (
+        per_doc.groupBy(
+            "source", F.expr("hq div 100000").alias("ent_band")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("source", "ent_band")
+    )
+
+
+EN1_SQL = f"""
+WITH chars AS (
+    SELECT doc_id, source,
+           unnest(regexp_extract_all({_NORM_SQL}, '.')) AS ch
+    FROM documents
+), cnt AS (
+    SELECT doc_id, source, ch, CAST(COUNT(*) AS BIGINT) AS c
+    FROM chars GROUP BY 1, 2, 3
+), sized AS (
+    SELECT doc_id, source, c,
+           SUM(c) OVER (PARTITION BY doc_id) AS n
+    FROM cnt
+), per_doc AS (
+    SELECT doc_id, source,
+           CAST(SUM(CAST(floor(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS hq
+    FROM sized GROUP BY 1, 2
+)
+SELECT source, hq // 100000 AS ent_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per_doc
+GROUP BY 1, 2
+ORDER BY source, ent_band
+"""
+
+
+def fl1_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease bands per source: 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words) with regex sentence/syllable
+    heuristics ([.!?]+ runs; [aeiouy]+ vowel groups), all counts exact
+    integers and the score one deterministic IEEE expression — banded by
+    10 points (clamped to [−100, 120]) with the exact 1e-6-quantized
+    mean per band. Pure JVM regexp_count in one corpus aggregate; the
+    readability gate a curation pipeline runs beside gopher rules (t10)."""
+    d = _t(spark, sf_dir, "documents")
+    from etl_oms_spark.operators.text import whitespace_token_count
+
+    w = whitespace_token_count("text").cast("long")
+    s = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    syl = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")),
+        F.lit(1),
+    ).cast("long")
+    base = d.select("source", w.alias("w"), s.alias("s"), syl.alias("syl")).filter(
+        F.col("w") > 0
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("s").cast("double"))
+        - F.lit(84.6) * (F.col("syl").cast("double") / F.col("w").cast("double"))
+    )
+    band = F.least(
+        F.greatest(F.floor(score / 10).cast("long"), F.lit(-10)), F.lit(12)
+    )
+    sq = F.floor(score * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        base.select("source", band.alias("fk_band"), sq.alias("sq"))
+        .groupBy("source", "fk_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.sum("sq").cast("double")
+                / (F.count(F.lit(1)).cast("double") * 1e6)
+            ).alias("mean_score"),
+        )
+        .orderBy("source", "fk_band")
+    )
+
+
+FL1_SQL = f"""
+WITH base AS (
+    SELECT source,
+           CAST({_WS} AS BIGINT) AS w,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS s,
+           CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                AS BIGINT) AS syl
+    FROM documents
+), scored AS (
+    SELECT source,
+           206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                   - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) AS score
+    FROM base WHERE w > 0
+)
+SELECT source,
+       least(greatest(CAST(floor(score / 10) AS BIGINT), -10), 12) AS fk_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_score
+FROM scored
+GROUP BY 1, 2
+ORDER BY source, fk_band
+"""
+
+
+def zipf1_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency distribution: OLS slope of
+    ln(count) against ln(rank) for the top-1000 tokens — natural corpora
+    sit near slope −1; template farms and synthetic spam bend the curve.
+    ln values are 1e-6-quantized integers, the five OLS sums are exact
+    (int64 per-term, DECIMAL(38,0)/HUGEINT at the n·Σxy combine), and
+    only the final slope/intercept/r² divisions go double — lr1's
+    normal-equations discipline applied to corpus statistics. The rank
+    window runs over the 1000-row token domain, never the corpus."""
+    from etl_oms_spark.operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    top = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(1000)
+    )
+    r = F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+    xy = top.select(
+        F.floor(F.log(r.cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    stats = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    den = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    deny = dec("n") * dec("syy") - dec("sy") * dec("sy")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") / F.col("n").cast("double") / 1e6
+        - slope * (F.col("sx").cast("double") / F.col("n").cast("double") / 1e6)
+    )
+    r2 = (
+        num.cast("double")
+        * num.cast("double")
+        / (den.cast("double") * deny.cast("double"))
+    )
+    return stats.select(
+        "n",
+        slope.alias("zipf_slope"),
+        intercept.alias("ln_intercept"),
+        r2.alias("r2"),
+    )
+
+
+ZIPF1_SQL = f"""
+WITH toks AS (
+    SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM documents
+), cnt AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+    WHERE tok <> '' GROUP BY tok
+), top AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+    FROM cnt ORDER BY c DESC, tok LIMIT 1000
+), xy AS (
+    SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+           CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+    FROM top
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM xy
+)
+SELECT n,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                  AS DOUBLE) AS zipf_slope,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+           - (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                   AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                     AS DOUBLE))
+             * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+           AS ln_intercept,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           * CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                  AS DOUBLE)
+           / (CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                   AS DOUBLE)
+              * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                     AS DOUBLE)) AS r2
+FROM stats
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -11679,6 +11920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ld1_l_diversity": ld1_l_diversity,
         "bd1_benford_audit": bd1_benford_audit,
         "js1_source_divergence": js1_source_divergence,
+        "en1_char_entropy": en1_char_entropy,
+        "fl1_readability": fl1_readability,
+        "zipf1_token_zipf": zipf1_token_zipf,
     }
 
 
@@ -11739,6 +11983,9 @@ def oracle_sql() -> dict[str, str]:
         "ld1_l_diversity": LD1_SQL,
         "bd1_benford_audit": BD1_SQL,
         "js1_source_divergence": JS1_SQL,
+        "en1_char_entropy": EN1_SQL,
+        "fl1_readability": FL1_SQL,
+        "zipf1_token_zipf": ZIPF1_SQL,
         "q16_supplier_part_count": Q16_SQL,
         "q20_potential_promotion": Q20_SQL,
         "q21_waiting_suppliers": Q21_SQL,
