@@ -8087,7 +8087,7 @@ ORDER BY doc_id
 def ck1_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive table fingerprint for migration/replication
     audits: per-row canonical rendering (dates ISO, money as exact
-    cents) → md5 → 30-bit residue, summed with count — any engine/
+    cents) → md5 → 20-bit residue, summed with count — any engine/
     partitioning computes the identical pair, so two copies of a table
     compare with one number each (the cheap first check before tc1's
     row-level diff). One scan, map-side-combined aggregate, no shuffle

@@ -89,6 +89,11 @@ HEADLINE = [
     "sj1_stream_stream_join",
     "ss2_span_repair",
     "tp5_decontaminated_release",
+    # round-4 continuation (appended — earlier subsets stay 1:1 comparable)
+    "ap1_average_precision",
+    "js1_source_divergence",
+    "en1_char_entropy",
+    "zipf1_token_zipf",
 ]
 
 
