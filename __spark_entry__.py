@@ -11274,18 +11274,20 @@ def js1_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(tokens("text")).alias("tok")
     ).filter(F.col("tok") != "")
+    # ONE corpus explode+groupBy; vocab and restricted counts both derive
+    # from the (source, tok) rollup, so the corpus is scanned once and
+    # everything downstream is (sources × tokens)-sized
+    full = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
     vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("gc"))
+        full.groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("gc"))
         .orderBy(F.desc("gc"), "tok")
         .limit(1000)
         .select("tok")
     )
-    cnts = (
-        toks.join(F.broadcast(vocab), "tok")
-        .groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    cnts = full.join(F.broadcast(vocab), "tok")
     tots = cnts.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
     a = tots.select(F.col("source").alias("source_a"), F.col("t").alias("t1"))
     b = tots.select(F.col("source").alias("source_b"), F.col("t").alias("t2"))
