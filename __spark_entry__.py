@@ -11644,6 +11644,110 @@ FROM stats
 """
 
 
+def sb1_release_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release scorecard capstone: the one-page corpus health report a
+    dataset release ships with — every number composed from this
+    engine's exact-oracled eval family (duplication from d1's
+    fingerprints, effective size from sw1's soft weights, quality from
+    t2's score, classifier quality from auc1/ap1, lexical shape from
+    zipf1, source diversity from js1) as a long (metric, value) table.
+    Each branch keeps its source query's bounded-shuffle design; the
+    report is 9 scalar rows, so the union is 9 independent small
+    aggregates over one corpus (a real deployment persists the per-doc
+    signal frame once and derives all branches from it — dc1's
+    documented pattern)."""
+    from etl_oms_spark.operators.text import fingerprint_md5, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+
+    def row(name: str, value: Column, src: DataFrame) -> DataFrame:
+        return src.select(F.lit(name).alias("metric"), value.alias("value"))
+
+    fp = d.select(fingerprint_md5("text").alias("fp"))
+    base = fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("fp").cast("long").alias("u"),
+    )
+    n_docs = row("n_docs", F.col("n").cast("double"), base)
+    distinct_texts = row("distinct_texts", F.col("u").cast("double"), base)
+    dup_rate = row(
+        "dup_rate",
+        F.lit(1.0) - F.col("u").cast("double") / F.col("n").cast("double"),
+        base,
+    )
+    eff = sw1_soft_dedup_weights(spark, sf_dir).agg(
+        F.sum("eff_q9_sum").cast("long").alias("eq")
+    )
+    eff_docs = row("eff_docs", F.col("eq").cast("double") / 1e9, eff)
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    mq = d.agg(
+        F.sum(sq).cast("long").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    mean_quality = row(
+        "mean_quality",
+        F.col("s").cast("double") / (F.col("n").cast("double") * 1e6),
+        mq,
+    )
+    auc = row("auc_en", F.col("auc"), auc1_quality_auc(spark, sf_dir))
+    ap = row(
+        "avg_precision", F.col("ap"), ap1_average_precision(spark, sf_dir)
+    )
+    zipf = row(
+        "zipf_slope", F.col("zipf_slope"), zipf1_token_zipf(spark, sf_dir)
+    )
+    jsd = row(
+        "jsd_max",
+        F.col("m"),
+        js1_source_divergence(spark, sf_dir).agg(F.max("jsd").alias("m")),
+    )
+    out = (
+        n_docs.unionAll(distinct_texts)
+        .unionAll(dup_rate)
+        .unionAll(eff_docs)
+        .unionAll(mean_quality)
+        .unionAll(auc)
+        .unionAll(ap)
+        .unionAll(zipf)
+        .unionAll(jsd)
+    )
+    return out.orderBy("metric")
+
+
+SB1_SQL = f"""
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT md5({_NORM_SQL})) AS BIGINT) AS u
+    FROM documents
+)
+SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM base
+UNION ALL
+SELECT 'distinct_texts', CAST(u AS DOUBLE) FROM base
+UNION ALL
+SELECT 'dup_rate', 1.0 - CAST(u AS DOUBLE) / CAST(n AS DOUBLE) FROM base
+UNION ALL
+SELECT 'eff_docs', CAST(SUM(eff_q9_sum) AS DOUBLE) / 1000000000.0
+FROM ({SW1_SQL})
+UNION ALL
+SELECT 'mean_quality',
+       CAST(SUM(COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                AS BIGINT), 0)) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+FROM documents
+UNION ALL
+SELECT 'auc_en', auc FROM ({AUC1_SQL})
+UNION ALL
+SELECT 'avg_precision', ap FROM ({AP1_SQL})
+UNION ALL
+SELECT 'zipf_slope', zipf_slope FROM ({ZIPF1_SQL})
+UNION ALL
+SELECT 'jsd_max', MAX(jsd) FROM ({JS1_SQL})
+ORDER BY metric
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -11925,6 +12029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "en1_char_entropy": en1_char_entropy,
         "fl1_readability": fl1_readability,
         "zipf1_token_zipf": zipf1_token_zipf,
+        "sb1_release_scorecard": sb1_release_scorecard,
     }
 
 
@@ -11988,6 +12093,7 @@ def oracle_sql() -> dict[str, str]:
         "en1_char_entropy": EN1_SQL,
         "fl1_readability": FL1_SQL,
         "zipf1_token_zipf": ZIPF1_SQL,
+        "sb1_release_scorecard": SB1_SQL,
         "q16_supplier_part_count": Q16_SQL,
         "q20_potential_promotion": Q20_SQL,
         "q21_waiting_suppliers": Q21_SQL,

@@ -229,3 +229,21 @@ def test_zipf_slope_matches_bruteforce(spark):
     assert abs(got["zipf_slope"] - slope_ref) < 1e-9
     assert got["zipf_slope"] < 0  # Zipf: frequency falls with rank
     assert 0.0 <= got["r2"] <= 1.0
+
+
+def test_release_scorecard_metric_consistency(spark):
+    rows = {r["metric"]: r["value"] for r in _q("sb1_release_scorecard", spark).collect()}
+    assert set(rows) == {
+        "n_docs", "distinct_texts", "dup_rate", "eff_docs", "mean_quality",
+        "auc_en", "avg_precision", "zipf_slope", "jsd_max",
+    }
+    assert rows["distinct_texts"] <= rows["n_docs"]
+    # soft-dedup effective size equals the distinct count on exact clusters
+    # only up to the 1e-9 floor; it can never exceed either count
+    assert rows["eff_docs"] <= rows["n_docs"]
+    assert abs(rows["eff_docs"] - rows["distinct_texts"]) < 1.0
+    assert 0.0 <= rows["dup_rate"] < 1.0
+    assert 0.0 <= rows["mean_quality"] <= 1.0
+    assert 0.0 <= rows["auc_en"] <= 1.0 and 0.0 < rows["avg_precision"] <= 1.0
+    assert rows["zipf_slope"] < 0.0
+    assert 0.0 <= rows["jsd_max"] <= math.log(2) + 1e-3
