@@ -11748,6 +11748,812 @@ ORDER BY metric
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 third-continuation batch: retrieval eval (NDCG/MRR), privacy
+# (t-closeness), time-series diagnostics (ACF, change-point), corpus growth
+# (Heaps' law), and survival analysis (Nelson-Aalen) — each with an exact
+# DuckDB oracle.
+
+
+def _daily_revk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled daily revenue series shared by acf1/cpd1: exact k$ per
+    calendar day (integer DIV of the exact cent sum — an1's unit trick so
+    squared terms stay far inside the exact range), on the complete
+    min..max date grid with 0 for orderless days, plus the day index
+    ``t``. The grid explode is bounded by the date RANGE (~thousands of
+    rows at any corpus size), never by row count."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.expr(
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100000"
+            " AS BIGINT)"
+        ).alias("rev_k")
+    )
+    bounds = daily.agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
+    grid = bounds.select(
+        "mn",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    return (
+        grid.join(daily, grid["d"] == daily["o_orderdate"], "left")
+        .select(
+            F.col("d").cast("date").alias("d"),
+            F.datediff(F.col("d"), F.col("mn")).cast("long").alias("t"),
+            F.coalesce(F.col("rev_k"), F.lit(0)).cast("long").alias("rev_k"),
+        )
+    )
+
+
+_SERIES_SQL = """daily AS (
+    SELECT o_orderdate,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100000
+                AS BIGINT) AS rev_k
+    FROM orders GROUP BY o_orderdate
+), bounds AS (
+    SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM daily
+), grid AS (
+    SELECT mn, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+    FROM bounds
+), series AS (
+    SELECT CAST(grid.d AS DATE) AS d,
+           CAST(CAST(grid.d AS DATE) - CAST(grid.mn AS DATE) AS BIGINT) AS t,
+           CAST(COALESCE(daily.rev_k, 0) AS BIGINT) AS rev_k
+    FROM grid LEFT JOIN daily ON grid.d = daily.o_orderdate
+)"""
+
+
+def acf1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1..10 — the
+    seasonality diagnostic behind an1's weekday model: with the series
+    centered through exact integers (y_t = n·x_t − S, so no float mean
+    ever exists), ACF_k = Σ y_t·y_{t+k} / Σ y_t². Products run in
+    DECIMAL(38,0) against the oracle's HUGEINT (y up to ~2.4e16 at
+    sf1000 squares past int64; decimal is exact to 1e38), one double
+    division per lag at the end. The lag join is an equi-join on t+k
+    against the bounded daily grid — ~2400 rows regardless of corpus
+    size, with the 10-row lag table broadcast."""
+    ser = _daily_revk(spark, sf_dir).select("t", "rev_k")
+    tot = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev_k").alias("s")
+    )
+    y = ser.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n",
+        (F.col("n") * F.col("rev_k") - F.col("s")).cast("decimal(20,0)").alias("y"),
+    )
+    den = y.agg(F.sum(F.col("y") * F.col("y")).alias("den"))
+    lags = spark.range(1, 11).select(F.col("id").cast("long").alias("lag"))
+    lagged = y.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    num = (
+        y.crossJoin(F.broadcast(lags))
+        .join(lagged, F.col("t") + F.col("lag") == F.col("t2"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("y") * F.col("y2")).alias("num"), F.max("n").alias("n"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").alias("n_days"),
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+ACF1_SQL = f"""
+WITH {_SERIES_SQL},
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_k) AS BIGINT) AS s
+    FROM series
+),
+y AS (
+    SELECT t, n, CAST(n * rev_k - s AS HUGEINT) AS y
+    FROM series CROSS JOIN tot
+),
+den AS (SELECT SUM(y * y) AS den FROM y),
+lags AS (SELECT CAST(range AS BIGINT) + 1 AS lag FROM range(0, 10)),
+num AS (
+    SELECT lag, SUM(a.y * b.y2) AS num, max(a.n) AS n
+    FROM y a CROSS JOIN lags
+    JOIN (SELECT t AS t2, y AS y2 FROM y) b ON a.t + lag = b.t2
+    GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+FROM num CROSS JOIN den
+ORDER BY lag
+"""
+
+
+def cpd1_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection on the daily revenue series: the CUSUM
+    split statistic D = max_t |C_t/S − (t+1)/n| located as the integer
+    argmax of |n·C_t − (t+1)·S| (one scale-free cross-multiplication, no
+    doubles until the final report), with the exact before/after means at
+    the detected split. The cumulative sum runs over the bounded daily
+    grid (date-range rows, not corpus rows); int64-safe while n·S <
+    9.2e18 — ~3.8e15 k$ of lifetime revenue across a ~2400-day window,
+    far past sf100k."""
+    ser = _daily_revk(spark, sf_dir)
+    tot = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev_k").alias("s")
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ser.select("d", "t", F.sum("rev_k").over(w).alias("ct"))
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("t") < F.col("n") - 1)
+        .select(
+            "d",
+            "t",
+            "n",
+            "s",
+            "ct",
+            F.abs(F.col("n") * F.col("ct") - (F.col("t") + 1) * F.col("s")).alias(
+                "stat"
+            ),
+        )
+    )
+    top = cand.orderBy(F.col("stat").desc(), "t").limit(1)
+    return top.select(
+        F.col("d").alias("change_date"),
+        (F.col("t") + 1).cast("long").alias("days_before"),
+        (F.col("n") - F.col("t") - 1).cast("long").alias("days_after"),
+        (F.col("ct").cast("double") / (F.col("t") + 1).cast("double")).alias(
+            "mean_before_k"
+        ),
+        (
+            (F.col("s") - F.col("ct")).cast("double")
+            / (F.col("n") - F.col("t") - 1).cast("double")
+        ).alias("mean_after_k"),
+        (
+            F.col("stat").cast("double")
+            / (F.col("n").cast("double") * F.col("s").cast("double"))
+        ).alias("d_stat"),
+    )
+
+
+CPD1_SQL = f"""
+WITH {_SERIES_SQL},
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_k) AS BIGINT) AS s
+    FROM series
+),
+cum AS (
+    SELECT d, t,
+           CAST(SUM(rev_k) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS ct
+    FROM series
+),
+cand AS (
+    SELECT d, t, n, s, ct, ABS(n * ct - (t + 1) * s) AS stat
+    FROM cum CROSS JOIN tot
+    WHERE t < n - 1
+)
+SELECT d AS change_date,
+       CAST(t + 1 AS BIGINT) AS days_before,
+       CAST(n - t - 1 AS BIGINT) AS days_after,
+       CAST(ct AS DOUBLE) / CAST(t + 1 AS DOUBLE) AS mean_before_k,
+       CAST(s - ct AS DOUBLE) / CAST(n - t - 1 AS DOUBLE) AS mean_after_k,
+       CAST(stat AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS d_stat
+FROM cand
+ORDER BY stat DESC, t
+LIMIT 1
+"""
+
+
+def tcl1_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the privacy trio (ka1 k-anonymity,
+    ld1 l-diversity): per quasi-identifier group (c_nationkey ×
+    c_mktsegment), the ordered Earth Mover's Distance between the group's
+    account-balance-decile distribution and the global one —
+    t = Σ_j |cumP_j·N − cumQ_j·n_g| / ((m−1)·n_g·N), all-integer until
+    the one final division (cross-multiplied CDFs, DECIMAL(38,0) against
+    the oracle's HUGEINT since cum·N reaches ~2e18 at 1.5e9 customers and
+    the 9-band sum exceeds int64). Shuffles: one groupBy at (group, band)
+    cardinality; the cumulative window runs over the 10-band domain per
+    group; the global histogram and total are broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    band = F.least(
+        F.greatest(
+            F.expr(
+                "CAST((CAST(round(c_acctbal * 100) AS BIGINT) + 100000)"
+                " DIV 110000 AS BIGINT)"
+            ),
+            F.lit(0),
+        ),
+        F.lit(9),
+    )
+    b = c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+    counts = b.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    groups = counts.select("c_nationkey", "c_mktsegment").distinct()
+    bands = spark.range(10).select(F.col("id").cast("long").alias("band"))
+    cells = (
+        groups.crossJoin(F.broadcast(bands))
+        .join(counts, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    ghist = b.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("gcnt"))
+    wg = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    globcum = (
+        bands.join(ghist, "band", "left")
+        .select("band", F.coalesce("gcnt", F.lit(0)).alias("gcnt"))
+        .select("band", F.sum("gcnt").over(wg).cast("long").alias("cum_glob"))
+    )
+    ntot = b.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    wp = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "band"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.partitionBy("c_nationkey", "c_mktsegment")
+    cum = (
+        cells.withColumn("cum_g", F.sum("cnt").over(wp).cast("long"))
+        .withColumn("n_g", F.sum("cnt").over(wfull).cast("long"))
+        .join(F.broadcast(globcum), "band")
+        .crossJoin(F.broadcast(ntot))
+    )
+    dterm = F.abs(
+        F.col("cum_g").cast("decimal(20,0)") * F.col("nt").cast("decimal(20,0)")
+        - F.col("cum_glob").cast("decimal(20,0)") * F.col("n_g").cast("decimal(20,0)")
+    )
+    agg = cum.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n_g").alias("n_g"),
+        F.max("nt").alias("nt"),
+        F.sum(dterm).alias("sd"),
+    )
+    t = F.col("sd").cast("double") / (
+        F.lit(9.0) * F.col("n_g").cast("double") * F.col("nt").cast("double")
+    )
+    return agg.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_g",
+        t.alias("t_closeness"),
+        F.when(t > 0.15, 1).otherwise(0).cast("int").alias("breach"),
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+TCL1_SQL = """
+WITH b AS (
+    SELECT c_nationkey, c_mktsegment,
+           least(greatest((CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+                          // 110000, 0), 9) AS band
+    FROM customer
+),
+counts AS (
+    SELECT c_nationkey, c_mktsegment, band, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM b GROUP BY 1, 2, 3
+),
+groups AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM counts),
+bands AS (SELECT CAST(range AS BIGINT) AS band FROM range(0, 10)),
+cells AS (
+    SELECT g.c_nationkey, g.c_mktsegment, bands.band,
+           CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt
+    FROM groups g CROSS JOIN bands
+    LEFT JOIN counts c
+      ON c.c_nationkey = g.c_nationkey
+     AND c.c_mktsegment = g.c_mktsegment
+     AND c.band = bands.band
+),
+globcum AS (
+    SELECT band,
+           CAST(SUM(gcnt) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_glob
+    FROM (
+        SELECT bands.band, COALESCE(g.gcnt, 0) AS gcnt
+        FROM bands LEFT JOIN (
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS gcnt FROM b GROUP BY band
+        ) g USING (band)
+    )
+),
+ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM b),
+cum AS (
+    SELECT c.c_nationkey, c.c_mktsegment, c.band, cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY c.c_nationkey, c.c_mktsegment
+                               ORDER BY c.band ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_g,
+           CAST(SUM(cnt) OVER (PARTITION BY c.c_nationkey, c.c_mktsegment)
+                AS BIGINT) AS n_g,
+           cum_glob, nt
+    FROM cells c JOIN globcum USING (band) CROSS JOIN ntot
+)
+SELECT c_nationkey, c_mktsegment, n_g,
+       CAST(SUM(ABS(CAST(cum_g AS HUGEINT) * nt
+                    - CAST(cum_glob AS HUGEINT) * n_g)) AS DOUBLE)
+           / (9.0 * CAST(n_g AS DOUBLE) * CAST(nt AS DOUBLE)) AS t_closeness,
+       CAST(CASE WHEN CAST(SUM(ABS(CAST(cum_g AS HUGEINT) * nt
+                    - CAST(cum_glob AS HUGEINT) * n_g)) AS DOUBLE)
+           / (9.0 * CAST(n_g AS DOUBLE) * CAST(nt AS DOUBLE)) > 0.15
+           THEN 1 ELSE 0 END AS INT) AS breach
+FROM cum
+GROUP BY c_nationkey, c_mktsegment, n_g, nt
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def hp1_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-token count vs
+    cumulative corpus size at ten decile checkpoints of the doc_id-ordered
+    corpus. Each token collapses to its FIRST document position (one
+    explode + min-groupBy), so "vocabulary at checkpoint j" is a count of
+    tokens with first_pos ≤ cp_j — ten conditional sums via a broadcast
+    ≤-join against the 10-row checkpoint table, NO corpus-sized window or
+    cumulative-distinct anywhere. Document positions come from
+    `with_global_index` (range partition + offsets, no single-task
+    sort)."""
+    from etl_oms_spark.operators.text import tokens, whitespace_token_count
+    from etl_oms_spark.util import with_global_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = with_global_index(d, ["doc_id"], index_col="__i").select(
+        (F.col("__i") + 1).cast("long").alias("pos"), "text"
+    )
+    docs = pos.select(
+        "pos", whitespace_token_count("text").cast("long").alias("dl")
+    )
+    toks = (
+        pos.select("pos", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    fp = toks.groupBy("tok").agg(F.min("pos").alias("fp"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cps = (
+        spark.range(1, 11)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("id").cast("long").alias("decile"),
+            F.expr("CAST((n * id) DIV 10 AS BIGINT)").alias("cp"),
+        )
+    )
+    vocab = (
+        fp.join(F.broadcast(cps), F.col("fp") <= F.col("cp"))
+        .groupBy("decile", "cp")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    tokseen = (
+        docs.join(F.broadcast(cps), F.col("pos") <= F.col("cp"))
+        .groupBy("decile", "cp")
+        .agg(F.sum("dl").cast("long").alias("tokens_seen"))
+    )
+    return (
+        cps.join(vocab, ["decile", "cp"], "left")
+        .join(tokseen, ["decile", "cp"], "left")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("cp").alias("docs_seen"),
+            F.coalesce("tokens_seen", F.lit(0)).cast("long").alias("tokens_seen"),
+            F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+        )
+        .orderBy("decile")
+    )
+
+
+HP1_SQL = f"""
+WITH pos AS (
+    SELECT row_number() OVER (ORDER BY doc_id) AS pos, text FROM documents
+),
+docs AS (SELECT pos, CAST({_WS} AS BIGINT) AS dl FROM pos),
+toks AS (
+    SELECT pos, unnest(string_split({_NORM_SQL}, ' ')) AS tok FROM pos
+),
+fp AS (SELECT tok, min(pos) AS fp FROM toks WHERE tok <> '' GROUP BY tok),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+cps AS (
+    SELECT CAST(range + 1 AS BIGINT) AS decile,
+           CAST((n * (range + 1)) // 10 AS BIGINT) AS cp
+    FROM range(0, 10) CROSS JOIN tot
+),
+vocab AS (
+    SELECT decile, cp, CAST(COUNT(*) AS BIGINT) AS vocab
+    FROM fp JOIN cps ON fp.fp <= cps.cp GROUP BY decile, cp
+),
+tokseen AS (
+    SELECT decile, cp, CAST(SUM(dl) AS BIGINT) AS tokens_seen
+    FROM docs JOIN cps ON docs.pos <= cps.cp GROUP BY decile, cp
+)
+SELECT CAST(cps.decile AS INT) AS decile, cp AS docs_seen,
+       CAST(COALESCE(tokens_seen, 0) AS BIGINT) AS tokens_seen,
+       CAST(COALESCE(vocab, 0) AS BIGINT) AS vocab
+FROM cps LEFT JOIN vocab USING (decile, cp) LEFT JOIN tokseen USING (decile, cp)
+ORDER BY decile
+"""
+
+
+def sv1_survival_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-churn survival analysis — the Nelson-Aalen cumulative
+    hazard over customer lifetimes (first→last order), right-censored at
+    the corpus horizon: a customer whose last order is within 90 days of
+    the global max date is censored at the horizon, otherwise churned at
+    their last order. Per event time t: d events, c censored, n_risk
+    subjects with lifetime ≥ t, hazard d/n_risk as the exact integer
+    (d·1e9) DIV n_risk, cumulated as BIGINTs — no ln/exp, so both engines
+    agree bit-for-bit (int64-safe to d ≈ 9e9 events per day). The subject
+    table is one customer-keyed groupBy; every window runs over the
+    bounded event-time domain (date-range days)."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("fst"), F.max("o_orderdate").alias("lst")
+    )
+    cens = o.agg(F.max("o_orderdate").alias("censor"))
+    j = per.crossJoin(F.broadcast(cens))
+    churned = F.datediff(F.col("censor"), F.col("lst")) > 90
+    subj = j.select(
+        F.when(churned, F.datediff("lst", "fst"))
+        .otherwise(F.datediff("censor", "fst"))
+        .cast("long")
+        .alias("t"),
+        F.when(churned, 1).otherwise(0).alias("e"),
+    )
+    hist = subj.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("e")).cast("long").alias("c"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    cum = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("ntot")
+                - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0))
+            ).cast("long"),
+        )
+    )
+    ev = cum.filter(F.col("d") > 0).withColumn(
+        "hq", F.expr("CAST((d * 1000000000) DIV n_risk AS BIGINT)")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        F.col("t").alias("t_days"),
+        F.col("d").alias("n_event"),
+        F.col("c").alias("n_censored_at_t"),
+        "n_risk",
+        (F.col("hq").cast("double") / F.lit(1000000000.0)).alias("hazard"),
+        (
+            F.sum("hq").over(w_cum).cast("double") / F.lit(1000000000.0)
+        ).alias("cum_hazard"),
+    ).orderBy("t_days")
+
+
+SV1_SQL = """
+WITH per AS (
+    SELECT o_custkey, min(o_orderdate) AS fst, max(o_orderdate) AS lst
+    FROM orders GROUP BY o_custkey
+),
+cens AS (SELECT max(o_orderdate) AS censor FROM orders),
+subj AS (
+    SELECT CASE WHEN CAST(censor AS DATE) - CAST(lst AS DATE) > 90
+                THEN CAST(CAST(lst AS DATE) - CAST(fst AS DATE) AS BIGINT)
+                ELSE CAST(CAST(censor AS DATE) - CAST(fst AS DATE) AS BIGINT)
+           END AS t,
+           CASE WHEN CAST(censor AS DATE) - CAST(lst AS DATE) > 90
+                THEN 1 ELSE 0 END AS e
+    FROM per CROSS JOIN cens
+),
+hist AS (
+    SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+           CAST(COUNT(*) - SUM(e) AS BIGINT) AS c
+    FROM subj GROUP BY t
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM subj),
+cum AS (
+    SELECT t, d, c,
+           CAST(ntot - COALESCE(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+    FROM hist CROSS JOIN tot
+),
+ev AS (
+    SELECT t, d, c, n_risk,
+           CAST((d * 1000000000) // n_risk AS BIGINT) AS hq
+    FROM cum WHERE d > 0
+)
+SELECT t AS t_days, d AS n_event, c AS n_censored_at_t, n_risk,
+       CAST(hq AS DOUBLE) / 1000000000.0 AS hazard,
+       CAST(SUM(hq) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+            CURRENT ROW) AS DOUBLE) / 1000000000.0 AS cum_hazard
+FROM ev
+ORDER BY t_days
+"""
+
+
+#: ndcg1's query terms (present in the synthetic document vocabulary)
+_NDCG_TERMS = ["scan", "merge", "vector", "stream"]
+_NDCG_TERMS_SQL = "('merge', 'scan', 'stream', 'vector')"
+
+
+def ndcg1_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NDCG@20 for the BM25 ranker (completes the retrieval-eval
+    family beside ir1/ap1/rrf1): graded relevance = number of distinct
+    query terms present (1..4), ranking = ts1's exact-integer BM25,
+    gain = (2^rel − 1)/log2(rank+1) with each per-rank term quantized to
+    a 1e-6 integer (the shifted power is an exact integer; the log ratio
+    is one shared IEEE expression) so DCG/IDCG accumulate as BIGINTs.
+    Both rankings are TakeOrdered top-20 cuts; the cumulative windows run
+    over 20 rows."""
+    from etl_oms_spark.operators.search import bm25_scores
+
+    sc = bm25_scores(_t(spark, sf_dir, "documents"), _NDCG_TERMS)
+    top = sc.orderBy(F.col("score_q").desc(), "doc_id").limit(20)
+    w_rank = Window.orderBy(F.col("score_q").desc(), "doc_id")
+    ranked = top.select(
+        "doc_id",
+        F.col("n_hits").alias("rel"),
+        F.row_number().over(w_rank).alias("rnk"),
+    )
+    itop = sc.orderBy(F.col("n_hits").desc(), "doc_id").limit(20)
+    w_ideal = Window.orderBy(F.col("n_hits").desc(), "doc_id")
+    ideal = itop.select(
+        F.col("n_hits").alias("irel"), F.row_number().over(w_ideal).alias("rnk")
+    )
+
+    def gain(rel_col: str) -> Column:
+        return F.floor(
+            F.expr(f"CAST(shiftleft(1, CAST({rel_col} AS INT)) - 1 AS DOUBLE)")
+            * F.log(F.lit(2.0))
+            / F.log((F.col("rnk") + 1).cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+
+    g = ranked.join(ideal, "rnk").select(
+        "rnk", "doc_id", "rel", gain("rel").alias("gain_q"), gain("irel").alias("igain_q")
+    )
+    w_cum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "doc_id",
+        "rel",
+        "gain_q",
+        F.sum("gain_q").over(w_cum).cast("long").alias("dcg_q"),
+        F.sum("igain_q").over(w_cum).cast("long").alias("idcg_q"),
+        (
+            F.sum("gain_q").over(w_cum).cast("double")
+            / F.sum("igain_q").over(w_cum).cast("double")
+        ).alias("ndcg"),
+    ).orderBy("rnk")
+
+
+NDCG1_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+gstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_len
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE term IN {_NDCG_TERMS_SQL}
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+perdoc AS (
+    SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(SUM(CAST(floor(
+             ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+             * CAST(tf * 880 * total_len AS DOUBLE)
+             / CAST(tf * 400 * total_len + 120 * total_len
+                    + 360 * dl.dl * n_docs AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN gstats
+    GROUP BY tf.doc_id
+),
+ranked AS (
+    SELECT doc_id, n_hits AS rel,
+           row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+    FROM perdoc QUALIFY rnk <= 20
+),
+ideal AS (
+    SELECT n_hits AS irel,
+           row_number() OVER (ORDER BY n_hits DESC, doc_id) AS rnk
+    FROM perdoc QUALIFY rnk <= 20
+),
+gains AS (
+    SELECT r.rnk, r.doc_id, r.rel,
+           CAST(floor(CAST((1 << CAST(r.rel AS INT)) - 1 AS DOUBLE) * ln(2.0)
+                / ln(CAST(r.rnk + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS gain_q,
+           CAST(floor(CAST((1 << CAST(i.irel AS INT)) - 1 AS DOUBLE) * ln(2.0)
+                / ln(CAST(i.rnk + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS igain_q
+    FROM ranked r JOIN ideal i USING (rnk)
+)
+SELECT CAST(rnk AS INT) AS rnk, doc_id, rel, gain_q,
+       CAST(SUM(gain_q) OVER w AS BIGINT) AS dcg_q,
+       CAST(SUM(igain_q) OVER w AS BIGINT) AS idcg_q,
+       CAST(SUM(gain_q) OVER w AS DOUBLE)
+           / CAST(SUM(igain_q) OVER w AS DOUBLE) AS ndcg
+FROM gains
+WINDOW w AS (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY rnk
+"""
+
+
+#: mrr1's query set: (qid, terms); a doc is relevant iff it contains ALL terms
+_MRR_QUERIES = [
+    ("q1", ("vector", "merge")),
+    ("q2", ("stream", "filter")),
+    ("q3", ("scan", "sort", "hash")),
+    ("q4", ("big", "small")),
+    ("q5", ("column", "batch")),
+]
+
+
+def mrr1_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query first-relevant rank and reciprocal rank for a 5-query
+    BM25 benchmark — the MRR building block. ONE postings build scores
+    every (query, doc) pair (a term's BM25 contribution is
+    query-independent, so `bm25_term_scores` is shared and re-aggregated
+    per query through a broadcast query-terms join). The first relevant
+    document's rank is computed WITHOUT sorting any ranking: argmax of
+    (score, −doc_id) over the relevant set, then one count of candidates
+    strictly ahead of it — two bounded aggregates per query. Queries with
+    no relevant document report rank NULL / rr 0."""
+    from etl_oms_spark.operators.search import bm25_term_scores
+
+    all_terms = sorted({t for _, ts in _MRR_QUERIES for t in ts})
+    per_term = bm25_term_scores(_t(spark, sf_dir, "documents"), all_terms)
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in _MRR_QUERIES for t in ts], "qid string, term string"
+    )
+    qmeta = spark.createDataFrame(
+        [(q, len(ts)) for q, ts in _MRR_QUERIES], "qid string, n_terms long"
+    )
+    scored = (
+        per_term.join(F.broadcast(qt), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit"),
+            F.sum("term_q").alias("score_q"),
+        )
+    )
+    cand = scored.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    rel = scored.join(F.broadcast(qmeta.select("qid", "n_terms")), "qid").filter(
+        F.col("n_hit") == F.col("n_terms")
+    )
+    best = (
+        rel.groupBy("qid")
+        .agg(
+            F.min(
+                F.struct((-F.col("score_q")).alias("ns"), F.col("doc_id").alias("bd"))
+            ).alias("b")
+        )
+        .select("qid", (-F.col("b.ns")).alias("bs"), F.col("b.bd").alias("bd"))
+    )
+    ahead = (
+        scored.join(F.broadcast(best), "qid")
+        .filter(
+            (F.col("score_q") > F.col("bs"))
+            | ((F.col("score_q") == F.col("bs")) & (F.col("doc_id") < F.col("bd")))
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ahead"))
+    )
+    return (
+        qmeta.join(cand, "qid", "left")
+        .join(best, "qid", "left")
+        .join(ahead, "qid", "left")
+        .select(
+            "qid",
+            "n_terms",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.col("bd").alias("best_doc"),
+            F.when(
+                F.col("bs").isNotNull(),
+                F.coalesce(F.col("n_ahead"), F.lit(0)) + 1,
+            )
+            .cast("long")
+            .alias("first_rel_rank"),
+            F.when(
+                F.col("bs").isNotNull(),
+                F.lit(1.0)
+                / (F.coalesce(F.col("n_ahead"), F.lit(0)) + 1).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+        )
+        .orderBy("qid")
+    )
+
+
+_MRR_QT_SQL = ", ".join(
+    f"('{q}', '{t}')" for q, ts in _MRR_QUERIES for t in ts
+)
+_MRR_QMETA_SQL = ", ".join(f"('{q}', {len(ts)})" for q, ts in _MRR_QUERIES)
+_MRR_TERMS_SQL = (
+    "(" + ", ".join(f"'{t}'" for t in sorted({t for _, ts in _MRR_QUERIES for t in ts})) + ")"
+)
+
+MRR1_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+gstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_len
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE term IN {_MRR_TERMS_SQL}
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+perterm AS (
+    SELECT tf.doc_id, term,
+           CAST(floor(
+             ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+             * CAST(tf * 880 * total_len AS DOUBLE)
+             / CAST(tf * 400 * total_len + 120 * total_len
+                    + 360 * dl.dl * n_docs AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS term_q
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN gstats
+),
+qt(qid, term) AS (VALUES {_MRR_QT_SQL}),
+qmeta(qid, n_terms) AS (VALUES {_MRR_QMETA_SQL}),
+scored AS (
+    SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+           CAST(SUM(term_q) AS BIGINT) AS score_q
+    FROM perterm JOIN qt USING (term)
+    GROUP BY qid, doc_id
+),
+cand AS (
+    SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+    FROM scored GROUP BY qid
+),
+rel AS (
+    SELECT s.* FROM scored s JOIN qmeta USING (qid) WHERE n_hit = n_terms
+),
+best AS (
+    SELECT r.qid, m.bs, min(r.doc_id) AS bd
+    FROM rel r
+    JOIN (SELECT qid, max(score_q) AS bs FROM rel GROUP BY qid) m
+      ON r.qid = m.qid AND r.score_q = m.bs
+    GROUP BY r.qid, m.bs
+),
+ahead AS (
+    SELECT s.qid, CAST(COUNT(*) AS BIGINT) AS n_ahead
+    FROM scored s JOIN best b ON s.qid = b.qid
+    WHERE s.score_q > b.bs OR (s.score_q = b.bs AND s.doc_id < b.bd)
+    GROUP BY s.qid
+)
+SELECT q.qid, CAST(q.n_terms AS BIGINT) AS n_terms,
+       CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       b.bd AS best_doc,
+       CAST(CASE WHEN b.bs IS NOT NULL
+            THEN COALESCE(a.n_ahead, 0) + 1 END AS BIGINT) AS first_rel_rank,
+       CASE WHEN b.bs IS NOT NULL
+            THEN CAST(1 AS DOUBLE) / CAST(COALESCE(a.n_ahead, 0) + 1 AS DOUBLE)
+            ELSE 0.0 END AS rr
+FROM qmeta q
+LEFT JOIN cand c USING (qid)
+LEFT JOIN best b ON q.qid = b.qid
+LEFT JOIN ahead a ON q.qid = a.qid
+ORDER BY qid
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -12030,6 +12836,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fl1_readability": fl1_readability,
         "zipf1_token_zipf": zipf1_token_zipf,
         "sb1_release_scorecard": sb1_release_scorecard,
+        # -- round-4 third continuation (r06 queue) --
+        "ndcg1_retrieval_ndcg": ndcg1_retrieval_ndcg,
+        "mrr1_reciprocal_rank": mrr1_reciprocal_rank,
+        "tcl1_t_closeness": tcl1_t_closeness,
+        "acf1_autocorrelation": acf1_autocorrelation,
+        "cpd1_change_point": cpd1_change_point,
+        "hp1_heaps_law": hp1_heaps_law,
+        "sv1_survival_hazard": sv1_survival_hazard,
     }
 
 
@@ -12285,4 +13099,11 @@ def oracle_sql() -> dict[str, str]:
         "auc1_quality_auc": AUC1_SQL,
         "ks1_score_ks": KS1_SQL,
         "rb1_reliability_bins": RB1_SQL,
+        "ndcg1_retrieval_ndcg": NDCG1_SQL,
+        "mrr1_reciprocal_rank": MRR1_SQL,
+        "tcl1_t_closeness": TCL1_SQL,
+        "acf1_autocorrelation": ACF1_SQL,
+        "cpd1_change_point": CPD1_SQL,
+        "hp1_heaps_law": HP1_SQL,
+        "sv1_survival_hazard": SV1_SQL,
     }

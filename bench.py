@@ -94,6 +94,13 @@ HEADLINE = [
     "js1_source_divergence",
     "en1_char_entropy",
     "zipf1_token_zipf",
+    # round-4 third continuation (appended)
+    "ndcg1_retrieval_ndcg",
+    "mrr1_reciprocal_rank",
+    "tcl1_t_closeness",
+    "acf1_autocorrelation",
+    "hp1_heaps_law",
+    "sv1_survival_hazard",
 ]
 
 

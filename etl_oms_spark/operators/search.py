@@ -57,7 +57,7 @@ def corpus_stats(
     )
 
 
-def bm25_scores(
+def bm25_term_scores(
     df: DataFrame,
     terms: list[str],
     text_col: str = "text",
@@ -65,10 +65,13 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """Per-document BM25 over ``terms``: returns (id, n_hits, score_q,
-    score) where ``score_q`` is the exact 1e-6-quantized integer score
-    (sum of per-term quantized contributions — deterministic under any
-    aggregation order) and ``score = score_q / 1e6``.
+    """Per-(document, term) BM25 contributions: (id, term, tf, term_q)
+    where ``term_q`` is the exact 1e-6-quantized integer contribution of
+    one matched term to the document's score. ``bm25_scores`` sums these
+    per document; multi-query rankers (mrr1) re-aggregate them per
+    (query, document) instead — one postings build serves every query
+    whose terms are in ``terms``, because a term's contribution does not
+    depend on which query asked for it.
 
     idf is the Robertson form ln(1 + (N - df + 0.5)/(df + 0.5)); the tf
     saturation term is computed as an exact rational before one final
@@ -109,9 +112,29 @@ def bm25_scores(
         (idf * num.cast("double") / den.cast("double")) * SCORE_SCALE
         + F.lit(0.5)
     ).cast("long")
-    per_doc = scored.groupBy(id_col).agg(
+    return scored.select(
+        F.col(id_col), "term", F.col("tf").cast("long").alias("tf"),
+        term_q.alias("term_q"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 over ``terms``: returns (id, n_hits, score_q,
+    score) where ``score_q`` is the exact 1e-6-quantized integer score
+    (sum of per-term quantized contributions — deterministic under any
+    aggregation order) and ``score = score_q / 1e6``.
+    """
+    per_term = bm25_term_scores(df, terms, text_col, id_col, k1=k1, b=b)
+    per_doc = per_term.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hits"),
-        F.sum(term_q).alias("score_q"),
+        F.sum("term_q").alias("score_q"),
     )
     return per_doc.select(
         F.col(id_col),
