@@ -6351,6 +6351,150 @@ def e9_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, query, books, k=5).orderBy("query_id", "vec_id")
 
 
+def e11_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e9's EXACT-ORACLE portable twin (the d7-for-d3 pattern): product
+    quantization trained, encoded and ADC-scored entirely in the shared
+    shifted-integer domain (similarity.pq_train_quantized /
+    pq_topk_quantized — 4×8 codebooks, 256-vector id-ordered sample, 2
+    Lloyd iterations, exact half-up integer means, lowest-index
+    tie-breaks). Every distance is an exact BIGINT, so DuckDB replays
+    the identical training fixpoint (per-subspace recursive-CTE Lloyd,
+    e7's machinery), the identical corpus codes, and the identical
+    (dist, id)-tie-broken top-5 — bit-for-bit. e9 itself stays
+    rows-only (its numpy float codebook means are not reproducible in
+    SQL); this twin pins the ALGORITHM with an exact oracle."""
+    from etl_oms_spark.operators.similarity import (
+        pq_topk_quantized,
+        pq_train_quantized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train_quantized(emb, m=4, k=8, sample=256, n_iter=2)
+    query = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_quantized(emb, query, books, k=5).select(
+        "query_id",
+        "vec_id",
+        F.col("adc_dist2").cast("long").alias("adc_dist2"),
+    )
+
+
+def _build_e11_sql(
+    m: int = 4,
+    k: int = 8,
+    sample: int = 256,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 5,
+) -> str:
+    """DuckDB replay of e11: per-subspace recursive-CTE Lloyd over the
+    id-ordered quantized sample (seeds = first k DISTINCT subvectors by
+    first occurrence), then exact-integer codes, query LUTs, and ADC
+    top-``topk`` with (dist, id) ties — mirrors _kmeans_cte_sql's
+    correlated-iteration pattern once per subspace."""
+    sub = dim // m
+    parts = [
+        f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + 1000000) AS qv
+  FROM embeddings
+),
+samp AS (
+  SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {sample}
+)"""
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, s * sub + sub
+        d = _kmeans_dist_sql("t.sv", f"it{s}.cents[g2.cid + 1]")
+        parts.append(
+            f""",
+sub{s} AS (
+  SELECT vec_id, list_slice(qv, {lo}, {hi}) AS sv FROM samp
+),
+seed{s} AS (
+  SELECT list(sv ORDER BY fid) AS cents FROM (
+    SELECT sv, MIN(vec_id) AS fid FROM sub{s}
+    GROUP BY sv ORDER BY fid LIMIT {k})
+),
+it{s} AS (
+  SELECT 0 AS iter, cents FROM seed{s}
+  UNION ALL
+  SELECT it{s}.iter + 1,
+    (SELECT list(COALESCE(nc.newc, it{s}.cents[g.cid + 1]) ORDER BY g.cid)
+     FROM generate_series(0, {k - 1}) g(cid)
+     LEFT JOIN (
+       SELECT cid, list(c ORDER BY j) AS newc
+       FROM (
+         SELECT cid, j, (2 * SUM(sv[j]) + COUNT(*)) // (2 * COUNT(*)) AS c
+         FROM (
+           SELECT vec_id, sv, (min(struct_pack(d := d, c := cid))).c AS cid
+           FROM (
+             SELECT t.vec_id, t.sv, g2.cid, {d} AS d
+             FROM sub{s} t CROSS JOIN generate_series(0, {k - 1}) g2(cid)
+           )
+           GROUP BY vec_id, sv
+         ) a, generate_series(1, {sub}) t(j)
+         GROUP BY cid, j
+       )
+       GROUP BY cid
+     ) nc ON nc.cid = g.cid
+    )
+  FROM it{s} WHERE it{s}.iter < {iters}
+)"""
+        )
+    for s in range(m):
+        lo, hi = s * sub + 1, s * sub + sub
+        dq = _kmeans_dist_sql(
+            f"list_slice(q.qv, {lo}, {hi})", f"f{s}.cents[g.cid + 1]"
+        )
+        parts.append(
+            f""",
+bk{s} AS (SELECT cents FROM it{s} WHERE iter = {iters}),
+code{s} AS (
+  SELECT vec_id, (min(struct_pack(d := d, c := cid))).c AS code
+  FROM (
+    SELECT q.vec_id, g.cid, {dq} AS d
+    FROM q, bk{s} f{s}, generate_series(0, {k - 1}) g(cid)
+  )
+  GROUP BY vec_id
+),
+lut{s} AS (
+  SELECT q.vec_id AS query_id, g.cid, {dq} AS d
+  FROM q, bk{s} f{s}, generate_series(0, {k - 1}) g(cid)
+  WHERE q.vec_id IN (0, 1)
+)"""
+        )
+    join_codes = " ".join(
+        f"JOIN code{s} c{s} ON c{s}.vec_id = c0.vec_id" for s in range(1, m)
+    )
+    join_luts = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = l0.query_id "
+        f"AND l{s}.cid = c{s}.code"
+        for s in range(1, m)
+    )
+    dist_sum = " + ".join(f"l{s}.d" for s in range(m))
+    parts.append(
+        f""",
+scored AS (
+  SELECT l0.query_id, c0.vec_id, {dist_sum} AS adc_dist2
+  FROM code0 c0 {join_codes}
+  JOIN lut0 l0 ON l0.cid = c0.code
+  {join_luts}
+)
+SELECT query_id, vec_id, CAST(adc_dist2 AS BIGINT) AS adc_dist2
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist2, vec_id) <= {topk}"""
+    )
+    return "WITH RECURSIVE " + "".join(parts)
+
+
+E11_SQL = _build_e11_sql()
+
+
 def dc1_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card (plans/dataset_card.dataset_card): the long-format
     per-source release summary — docs, tokens, avg tokens, language
@@ -10381,19 +10525,54 @@ def pj1_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.prefix_filtered_jaccard_pairs): tokens ordered by ascending
     document frequency, each doc indexed only on its |S|−⌊t·|S|⌋+1
     rarest tokens (the prefix theorem guarantees no false negatives),
-    candidates verified exactly by array_intersect. Same answer as d2's
-    inverted-index join with NO df cap — the frequent-token n² blowup is
-    eliminated by construction instead of approximation, which is the
-    set-similarity join that survives 100 TB. Exact uncapped SQL
-    oracle."""
+    candidates verified exactly by array_intersect — same answer as d2's
+    inverted-index join with NO df cap; the frequent-token n² blowup is
+    eliminated by construction instead of approximation.
+
+    The query returns the SCALE-SAFE consumption of that join: the pair
+    stream feeds min-label connected components and each clustered doc
+    reports (doc_id, cluster_id, cluster_size) — output LINEAR in docs,
+    never the quadratic pair list (964k pairs at sf0.1, 39 GB of spill
+    at 10× per SCALING.md — the r04/r05 verdicts' one `weak` flag). The
+    pair-level operator stays available as
+    `dedup.prefix_filtered_jaccard_pairs` and is exactness-tested in
+    pytest; the DuckDB oracle recomputes the SAME uncapped exact pairs
+    and closes them with a recursive reachability CTE (cc1's pattern) —
+    an EXACT oracle for the iterative graph consumption."""
     from etl_oms_spark.operators.dedup import prefix_filtered_jaccard_pairs
+    from etl_oms_spark.operators.graph import connected_components
 
-    return prefix_filtered_jaccard_pairs(
+    pairs = prefix_filtered_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.9
-    ).orderBy("id_a", "id_b")
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
 
 
-PJ1_SQL = f"""
+def _build_pj1_sql(rounds: int = 16) -> str:
+    """pj1 oracle: exact pairs (uncapped) closed by an UNROLLED hash-min
+    + pointer-jumping fixpoint, every per-round CTE ``AS MATERIALIZED``
+    (the k-core lesson: DuckDB inlines CTEs, and an inlined iteration
+    re-expands the upstream pipeline exponentially).
+
+    Full-reachability closure (cc1's recursive CTE) is Σ comp³ in join
+    intermediates — ~1.9e10 rows on sf0.1's 2652-doc giant near-dup
+    cluster (~30 min in DuckDB); this form is rounds × |edges|. One
+    round = (a) label ← min(own, neighbor labels), (b) label ← label of
+    my label; reach at least doubles per round, so ``rounds=16`` closes
+    any component with diameter < 2^16 — orders beyond any real
+    near-dup cluster. Non-convergence cannot green silently: Spark's
+    connected_components verifies its own fixed point (warns loudly if
+    max_iterations is hit), so the compare passes only when both sides
+    hold the true component minima."""
+    parts = [f"""
 WITH raw_toks AS (
     SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
     FROM documents
@@ -10405,14 +10584,41 @@ WITH raw_toks AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
     FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-)
-SELECT id_a, id_b, CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
-FROM common
-JOIN cnt x ON id_a = x.doc_id
-JOIN cnt y ON id_b = y.doc_id
-WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.9
-ORDER BY id_a, id_b
-"""
+), pairs AS MATERIALIZED (
+    SELECT id_a, id_b
+    FROM common
+    JOIN cnt x ON id_a = x.doc_id
+    JOIN cnt y ON id_b = y.doc_id
+    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.9
+), edges AS MATERIALIZED (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs
+), l0 AS MATERIALIZED (
+    SELECT DISTINCT u AS id, u AS lbl FROM edges
+)"""]
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        parts.append(f""", p{k} AS MATERIALIZED (
+    SELECT n.id, LEAST(n.lbl, COALESCE(MIN(l.lbl), n.lbl)) AS lbl
+    FROM {prev} n
+    LEFT JOIN edges e ON e.u = n.id
+    LEFT JOIN {prev} l ON l.id = e.v
+    GROUP BY n.id, n.lbl
+), l{k} AS MATERIALIZED (
+    SELECT a.id, b.lbl
+    FROM p{k} a JOIN p{k} b ON a.lbl = b.id
+)""")
+        prev = f"l{k}"
+    parts.append(f"""
+, comp AS (SELECT id, lbl AS cluster_id FROM {prev}),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY cluster_id)
+SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+FROM comp JOIN sizes ON comp.cluster_id = sizes.cluster_id""")
+    return "".join(parts)
+
+
+PJ1_SQL = _build_pj1_sql()
 
 
 def sc2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12561,18 +12767,107 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's CORRECTNESS check covers the FIRST 50
-    # entries. Rounds 1-3 verified 147 distinct queries green across
-    # CORRECTNESS_r01∪r02∪r03 with zero standing failures. Round 4
-    # front-loads the round-3/3b additions that have never had a driver
-    # row (the 3b batch un1..d13, the early round-3 block qn1..em1, and
-    # 9 capstone-grade round-3 entries tp3/tr1/pr1/e8/e10/dc1/cc2/x1/
-    # a20 — all pass local exact oracles at sf0.001/0.01/0.1 via
-    # tools/check.py), plus 2 green anchors (q1, star_fact_rollup).
-    # Position 51+ leads with the 31-query round-5 rotation queue, then
-    # the entries already green in r01/r02/r03.
+    # entries. Round 6 executes the pinned rotation (VERDICT r05 item 1):
+    # positions 1-48 are the head of the 71-query never-driver-checked
+    # backlog (COVERAGE.md rotation note) RESTRICTED to exact-oracle
+    # entries -- the rows-only sketches (pc1/e9/dq2/hl1 from the old
+    # r05 queue) are pinned permanently behind the rotation queue so no
+    # driver window slot is ever spent on a no_oracle row -- plus the
+    # two green anchors (q1, star_fact_rollup). Positions 51-69 are the
+    # round-7 rotation queue (19 exact-oracle entries, the rest of the
+    # backlog); then the 10 documented rows-only entries; then every
+    # entry already green in CORRECTNESS_r01-r05.
 
     return {
-        # -- round-3/3b additions, first driver check (48 queries) --
+        # ---- positions 1-48: backlog head, first-ever driver check ----
+        "ga1_activity_islands": ga1_activity_islands,
+        "mk1_event_transitions": mk1_event_transitions,
+        "tw1_time_weighted_avg": tw1_time_weighted_avg,
+        "zo1_zorder_key": zo1_zorder_key,
+        "cp1_compaction_plan": cp1_compaction_plan,
+        "nv1_ngram_novelty": nv1_ngram_novelty,
+        "so1_set_ops": so1_set_ops,
+        "hl2_exact_rollup": hl2_exact_rollup,
+        "h2_time_heatmap": h2_time_heatmap,
+        "ps1_supply_relation": ps1_supply_relation,
+        "qa1_revenue_momentum": qa1_revenue_momentum,
+        "t11_dup_block_rate": t11_dup_block_rate,
+        "zf1_zipf_slope": zf1_zipf_slope,
+        "a17_trimmed_mean": a17_trimmed_mean,
+        "a18_hierarchy_share": a18_hierarchy_share,
+        "o4_topk_with_ties": o4_topk_with_ties,
+        "a19_group_mode": a19_group_mode,
+        "im1_mode_impute": im1_mode_impute,
+        "uq1_user_similarity": uq1_user_similarity,
+        "fn2_cohort_funnel": fn2_cohort_funnel,
+        "cm1_cms_heavyhitters": cm1_cms_heavyhitters,
+        "cal1_calendar_dim": cal1_calendar_dim,
+        "lp1_label_propagation": lp1_label_propagation,
+        "knn1_label_transfer": knn1_label_transfer,
+        "lt1_conversion_latency": lt1_conversion_latency,
+        "rc1_order_reconciliation": rc1_order_reconciliation,
+        "rr1_reorder_rate": rr1_reorder_rate,
+        "stp1_streaming_ingest": stp1_streaming_ingest,
+        "er1_entity_resolution": er1_entity_resolution,
+        "ivm1_incremental_rollup": ivm1_incremental_rollup,
+        "kc1_kcore": kc1_kcore,
+        "pa1_top_paths": pa1_top_paths,
+        "hw1_holt_forecast": hw1_holt_forecast,
+        "je1_join_explosion": je1_join_explosion,
+        "at1_last_touch": at1_last_touch,
+        "ka1_k_anonymity": ka1_k_anonymity,
+        "csd1_cluster_size_histogram": csd1_cluster_size_histogram,
+        "bf1_bloom_decontamination": bf1_bloom_decontamination,
+        "ss1_repeated_substrings": ss1_repeated_substrings,
+        "bfs1_copurchase_hops": bfs1_copurchase_hops,
+        "lr1_revenue_trend": lr1_revenue_trend,
+        "sj1_stream_stream_join": sj1_stream_stream_join,
+        "pj1_prefix_jaccard": pj1_prefix_jaccard,
+        "sc2_pit_join": sc2_pit_join,
+        "pm1_pmi_collocations": pm1_pmi_collocations,
+        "ss2_span_repair": ss2_span_repair,
+        "tp5_decontaminated_release": tp5_decontaminated_release,
+        "pn1_pseudonymize": pn1_pseudonymize,
+        # -- continuity anchors (green r01/r03/r04/r05) --
+        "q1_pricing_summary": q1_pricing_summary,
+        "star_fact_rollup": star_fact_rollup,
+        # ---- positions 51-69: round-7 rotation queue (exact-oracle,
+        #      never driver-checked; front-load next round) ----
+        "auc1_quality_auc": auc1_quality_auc,
+        "ks1_score_ks": ks1_score_ks,
+        "rb1_reliability_bins": rb1_reliability_bins,
+        "ap1_average_precision": ap1_average_precision,
+        "sw1_soft_dedup_weights": sw1_soft_dedup_weights,
+        "ld1_l_diversity": ld1_l_diversity,
+        "bd1_benford_audit": bd1_benford_audit,
+        "js1_source_divergence": js1_source_divergence,
+        "en1_char_entropy": en1_char_entropy,
+        "fl1_readability": fl1_readability,
+        "zipf1_token_zipf": zipf1_token_zipf,
+        "sb1_release_scorecard": sb1_release_scorecard,
+        "ndcg1_retrieval_ndcg": ndcg1_retrieval_ndcg,
+        "mrr1_reciprocal_rank": mrr1_reciprocal_rank,
+        "tcl1_t_closeness": tcl1_t_closeness,
+        "acf1_autocorrelation": acf1_autocorrelation,
+        "cpd1_change_point": cpd1_change_point,
+        "hp1_heaps_law": hp1_heaps_law,
+        "sv1_survival_hazard": sv1_survival_hazard,
+        "e11_pq_portable": e11_pq_portable,
+        # ---- documented rows-only entries (KNOWN_ROWS_ONLY): never
+        #      rotate into the driver window -- they would report
+        #      no_oracle and waste a slot; each has an exact twin or
+        #      pytest verification ----
+        "a11_approx_distinct": a11_approx_distinct,
+        "d3_minhash_candidates": d3_minhash_candidates,
+        "d4_simhash": d4_simhash,
+        "e2_ann_lsh": e2_ann_lsh,
+        "e3_embedding_neardup": e3_embedding_neardup,
+        "tp1_curation_pipeline": tp1_curation_pipeline,
+        "hl1_sketch_rollup": hl1_sketch_rollup,
+        "pc1_pca_projection": pc1_pca_projection,
+        "e9_pq_topk": e9_pq_topk,
+        "dq2_profile_approx": dq2_profile_approx,
+        # ---- entries green in CORRECTNESS_r01-r05 ----
         "un1_unicode_normalize": un1_unicode_normalize,
         "url1_canonical_urls": url1_canonical_urls,
         "d9_priority_dedup": d9_priority_dedup,
@@ -12621,68 +12916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc2_dup_hubs": cc2_dup_hubs,
         "x1_chi2_keywords": x1_chi2_keywords,
         "a20_abc_analysis": a20_abc_analysis,
-        # -- continuity anchors (green r01/r03; re-checked every round) --
-        "q1_pricing_summary": q1_pricing_summary,
-        "star_fact_rollup": star_fact_rollup,
-        # ---- position 51+: round-5 rotation queue (31, never
-        #      driver-checked; front-load next round) ----
-        "ga1_activity_islands": ga1_activity_islands,
-        "mk1_event_transitions": mk1_event_transitions,
-        "tw1_time_weighted_avg": tw1_time_weighted_avg,
-        "zo1_zorder_key": zo1_zorder_key,
-        "cp1_compaction_plan": cp1_compaction_plan,
-        "nv1_ngram_novelty": nv1_ngram_novelty,
-        "pc1_pca_projection": pc1_pca_projection,
-        "so1_set_ops": so1_set_ops,
-        "hl1_sketch_rollup": hl1_sketch_rollup,
-        "hl2_exact_rollup": hl2_exact_rollup,
-        "h2_time_heatmap": h2_time_heatmap,
-        "ps1_supply_relation": ps1_supply_relation,
-        "qa1_revenue_momentum": qa1_revenue_momentum,
-        "t11_dup_block_rate": t11_dup_block_rate,
-        "zf1_zipf_slope": zf1_zipf_slope,
-        "a17_trimmed_mean": a17_trimmed_mean,
-        "a18_hierarchy_share": a18_hierarchy_share,
-        "o4_topk_with_ties": o4_topk_with_ties,
-        "a19_group_mode": a19_group_mode,
-        "im1_mode_impute": im1_mode_impute,
-        "e9_pq_topk": e9_pq_topk,
-        "dq2_profile_approx": dq2_profile_approx,
-        "uq1_user_similarity": uq1_user_similarity,
-        "fn2_cohort_funnel": fn2_cohort_funnel,
-        "cm1_cms_heavyhitters": cm1_cms_heavyhitters,
-        "cal1_calendar_dim": cal1_calendar_dim,
-        "lp1_label_propagation": lp1_label_propagation,
-        "knn1_label_transfer": knn1_label_transfer,
-        "lt1_conversion_latency": lt1_conversion_latency,
-        "rc1_order_reconciliation": rc1_order_reconciliation,
-        "rr1_reorder_rate": rr1_reorder_rate,
-        # -- round-4 additions (rotation queue behind the r05 batch) --
-        "stp1_streaming_ingest": stp1_streaming_ingest,
-        "er1_entity_resolution": er1_entity_resolution,
-        "ivm1_incremental_rollup": ivm1_incremental_rollup,
-        "kc1_kcore": kc1_kcore,
-        "pa1_top_paths": pa1_top_paths,
-        "hw1_holt_forecast": hw1_holt_forecast,
-        "je1_join_explosion": je1_join_explosion,
-        "at1_last_touch": at1_last_touch,
-        "ka1_k_anonymity": ka1_k_anonymity,
-        "csd1_cluster_size_histogram": csd1_cluster_size_histogram,
-        "bf1_bloom_decontamination": bf1_bloom_decontamination,
-        "ss1_repeated_substrings": ss1_repeated_substrings,
-        "bfs1_copurchase_hops": bfs1_copurchase_hops,
-        "lr1_revenue_trend": lr1_revenue_trend,
-        "sj1_stream_stream_join": sj1_stream_stream_join,
-        "pj1_prefix_jaccard": pj1_prefix_jaccard,
-        "sc2_pit_join": sc2_pit_join,
-        "pm1_pmi_collocations": pm1_pmi_collocations,
-        "ss2_span_repair": ss2_span_repair,
-        "tp5_decontaminated_release": tp5_decontaminated_release,
-        "pn1_pseudonymize": pn1_pseudonymize,
-        "auc1_quality_auc": auc1_quality_auc,
-        "ks1_score_ks": ks1_score_ks,
-        "rb1_reliability_bins": rb1_reliability_bins,
-        # ---- entries green in CORRECTNESS_r01/r02/r03 ----
         "d8_block_dedup": d8_block_dedup,
         "cc1_dup_clusters": cc1_dup_clusters,
         "fn1_funnel": fn1_funnel,
@@ -12744,26 +12977,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl1_time_rollup": rl1_time_rollup,
         "ev_sessionize": ev_sessionize,
         "a10_distinct_agg": a10_distinct_agg,
-        "a11_approx_distinct": a11_approx_distinct,
         "a12_cube": a12_cube,
         "a13_exact_median": a13_exact_median,
         "u2_grouped_ema": u2_grouped_ema,
         "d1_exact_dedup": d1_exact_dedup,
         "d2_ngram_jaccard": d2_ngram_jaccard,
-        "d3_minhash_candidates": d3_minhash_candidates,
-        "d4_simhash": d4_simhash,
         "d5_containment": d5_containment,
         "t6_quality_filter": t6_quality_filter,
         "sp1_deterministic_split": sp1_deterministic_split,
-        "tp1_curation_pipeline": tp1_curation_pipeline,
         "t1_token_stats": t1_token_stats,
         "t2_quality_score": t2_quality_score,
         "t3_language_id": t3_language_id,
         "t4_fingerprint": t4_fingerprint,
         "e1_cosine_topk": e1_cosine_topk,
-        "e2_ann_lsh": e2_ann_lsh,
         "e4_ivf_topk": e4_ivf_topk,
-        "e3_embedding_neardup": e3_embedding_neardup,
         "m1_media_metadata": m1_media_metadata,
         "a4_guard_derive": a4_guard_derive,
         "q12_late_priority": q12_late_priority,
@@ -12826,24 +13053,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
-        # -- round-4 continuation: eval/curation analytics (r06 queue) --
-        "ap1_average_precision": ap1_average_precision,
-        "sw1_soft_dedup_weights": sw1_soft_dedup_weights,
-        "ld1_l_diversity": ld1_l_diversity,
-        "bd1_benford_audit": bd1_benford_audit,
-        "js1_source_divergence": js1_source_divergence,
-        "en1_char_entropy": en1_char_entropy,
-        "fl1_readability": fl1_readability,
-        "zipf1_token_zipf": zipf1_token_zipf,
-        "sb1_release_scorecard": sb1_release_scorecard,
-        # -- round-4 third continuation (r06 queue) --
-        "ndcg1_retrieval_ndcg": ndcg1_retrieval_ndcg,
-        "mrr1_reciprocal_rank": mrr1_reciprocal_rank,
-        "tcl1_t_closeness": tcl1_t_closeness,
-        "acf1_autocorrelation": acf1_autocorrelation,
-        "cpd1_change_point": cpd1_change_point,
-        "hp1_heaps_law": hp1_heaps_law,
-        "sv1_survival_hazard": sv1_survival_hazard,
     }
 
 
@@ -12875,6 +13084,7 @@ def oracle_sql() -> dict[str, str]:
         "star_fact_rollup": STAR_SQL,
         "j5_upsert_merge": J5_SQL,
         "ev_window_agg": EV_WINDOW_SQL,
+        "e11_pq_portable": E11_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_supplier_volume": Q5_SQL,
         "q17_avg_quantity_filter": Q17_SQL,

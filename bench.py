@@ -148,21 +148,39 @@ def main() -> None:
         gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "cold_total_sec": round(cold_total, 3),
-                # host contention context for the reader of round-over-round
-                # diffs (the numbers move with co-tenant load, the plans don't)
-                "loadavg_1m": round(os.getloadavg()[0], 2),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "cold_total_sec": round(cold_total, 3),
+        # host contention context for the reader of round-over-round
+        # diffs (the numbers move with co-tenant load, the plans don't)
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query JSON goes to a file: the driver captures only the
+    # LAST ~2000 chars of stdout, and the 70-query line outgrew it in
+    # r04/r05 ("parsed": null). The printed line keeps the contract
+    # shape but includes only as many of the slowest queries as fit the
+    # capture window; bench_full.json always holds the complete dict.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
     )
+    with open(full_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+    slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    line = ""
+    for k in range(len(slowest), -1, -1):
+        compact = dict(payload)
+        compact["queries"] = dict(sorted(slowest[:k]))
+        compact["queries_omitted"] = len(timings) - k
+        compact["queries_full"] = "bench_full.json"
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= 1800:
+            break
+    print(line)
 
 
 if __name__ == "__main__":

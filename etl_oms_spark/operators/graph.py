@@ -45,12 +45,23 @@ def connected_components(
     """
     import warnings
 
-    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    # Materialize the DIRECTED edge list once, then derive everything
+    # (undirected view, nodes, initial labels) from the checkpointed
+    # blocks. Order matters: deriving nodes/labels from the
+    # pre-checkpoint plan captures the caller's — possibly expensive —
+    # pair-join lineage, and iteration 0 plus the first changed-count
+    # would re-evaluate it (measured 43s → 17s warm on pj1's PPJoin
+    # pairs at sf0.1 from this reorder alone).
+    directed = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    both = directed.union(
+        directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
     nodes = both.select(F.col("u").alias("id")).distinct()
-    labels = nodes.withColumn("component", F.col("id"))
-    both = both.localCheckpoint(eager=True)
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(
+        eager=True
+    )
 
     changed = 1
     for _ in range(max_iterations):

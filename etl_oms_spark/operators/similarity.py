@@ -658,6 +658,168 @@ def pq_topk(
     )
 
 
+def pq_train_quantized(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    sample: int = 256,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list":
+    """Integer-arithmetic PQ codebooks — ``pq_train``'s portable twin
+    (the d7-for-d3 pattern: same algorithm, engine-portable arithmetic).
+
+    Training data = the first ``sample`` vectors in id order, quantized
+    to the shared shifted-integer domain (clustering.quantize_shifted);
+    per subspace, Lloyd runs with exact integer squared distances,
+    lowest-index tie-breaks, and exact half-up integer centroid means
+    ``(2s + n) // (2n)`` — every operation is bit-reproducible in DuckDB
+    SQL, which is what makes an EXACT oracle possible where pq_train's
+    numpy float means cannot be replicated (summation order). Seeds are
+    the first ``k`` DISTINCT subvectors in id order. The driver holds
+    sample×dim longs (≤ 256×64) — the same budget class as the k·dim
+    centroid state any distributed k-means must materialize.
+
+    Returns shifted-integer ``codebooks[m][k][dim/m]``.
+    """
+    from .clustering import quantize_shifted
+
+    rows = (
+        df.select(F.col(id_col), quantize_shifted(F.col(vec_col)).alias("__q"))
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    xs = [list(r["__q"]) for r in rows]
+    dim = len(xs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        svs = [x[s * sub : (s + 1) * sub] for x in xs]
+        seen: set = set()
+        cents: list = []
+        for v in svs:
+            t = tuple(v)
+            if t not in seen:
+                seen.add(t)
+                cents.append(list(v))
+            if len(cents) == k:
+                break
+        if len(cents) < k:
+            raise ValueError(
+                f"subspace {s}: only {len(cents)} distinct subvectors in "
+                f"the {len(svs)}-row sample; need k={k}"
+            )
+        for _ in range(n_iter):
+            sums = [[0] * sub for _ in range(k)]
+            counts = [0] * k
+            for v in svs:
+                best_c = 0
+                best_d = None
+                for c in range(k):
+                    cent = cents[c]
+                    d2 = 0
+                    for j in range(sub):
+                        t = v[j] - cent[j]
+                        d2 += t * t
+                    if best_d is None or d2 < best_d:
+                        best_d = d2
+                        best_c = c
+                counts[best_c] += 1
+                for j in range(sub):
+                    sums[best_c][j] += v[j]
+            for c in range(k):
+                if counts[c]:
+                    cents[c] = [
+                        (2 * sums[c][j] + counts[c]) // (2 * counts[c])
+                        for j in range(sub)
+                    ]
+        books.append(cents)
+    return books
+
+
+def _pq_int_dist_sql(qcol: str, s: int, sub: int, cent: "list") -> str:
+    """Exact integer d² between ``slice(qcol, s·sub+1, sub)`` (a
+    shifted-quantized array<long> column) and an inlined centroid."""
+    arr = ",".join(f"{int(v)}L" for v in cent)
+    return (
+        f"aggregate(zip_with(slice({qcol}, {s * sub + 1}, {sub}), "
+        f"array({arr}), (x, c) -> (x - c) * (x - c)), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def pq_topk_quantized(
+    df: DataFrame,
+    query: DataFrame,
+    codebooks: "list",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k over integer codebooks (``pq_topk``'s portable twin):
+    corpus rows carry m int codes (argmin over inlined centroid
+    literals, lowest-index ties — array_min over (d, c) structs), each
+    query rides the broadcast with m exact-integer LUT arrays, and the
+    per-row score is m ``element_at`` lookups summed into one BIGINT.
+    Every distance is an exact integer, so the whole path — codes, LUTs,
+    scores, (dist, id)-tie-broken top-k — is bit-reproducible in SQL."""
+    from pyspark.sql import Window
+
+    from .clustering import quantize_shifted
+
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    corp = ensure_parallelism(df, id_col).withColumn(
+        "__q", quantize_shifted(F.col(vec_col))
+    )
+    code_cols = []
+    for s in range(m):
+        structs = [
+            f"named_struct('d', {_pq_int_dist_sql('__q', s, sub, codebooks[s][c])}, 'c', {c})"
+            for c in range(kk)
+        ]
+        code_cols.append(
+            F.expr(f"array_min(array({','.join(structs)}))")["c"].alias(
+                f"__code{s}"
+            )
+        )
+    corp = corp.select(F.col(id_col), *code_cols)
+    qx = query.withColumn("__q", quantize_shifted(F.col(vec_col)))
+    luts = [
+        F.expr(
+            "array("
+            + ",".join(
+                _pq_int_dist_sql("__q", s, sub, codebooks[s][c])
+                for c in range(kk)
+            )
+            + ")"
+        ).alias(f"__lut{s}")
+        for s in range(m)
+    ]
+    qx = F.broadcast(qx.select(F.col(query_id_col), *luts))
+    dist = None
+    for s in range(m):
+        term = F.element_at(F.col(f"__lut{s}"), F.col(f"__code{s}") + 1)
+        dist = term if dist is None else dist + term
+    scored = corp.crossJoin(qx).select(
+        query_id_col, id_col, dist.alias("adc_dist2")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_dist2"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     query: DataFrame,

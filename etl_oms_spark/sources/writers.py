@@ -52,14 +52,27 @@ def write_orc(
     w.orc(path)
 
 
-def write_json_records(df: DataFrame, path: str) -> None:
+def write_json_records(
+    df: DataFrame, path: str, max_rows: int = 1_000_000
+) -> None:
     """S7 byte-parity mode: ONE JSON array file, byte-identical to the
     reference's ``to_json(orient="records", date_format="iso")``
     (ETL_OMS.py:95, ETL_OMS_FINAL.py:107 — the ``Statistique.json``
     layout), produced by Arrow-collecting to the driver and letting
     pandas serialize. A driver-side funnel by design: use it for the
     dim-sized/bilan outputs the reference writes this way; the
-    distributed path stays ``write_json`` (JSON-lines, splittable)."""
+    distributed path stays ``write_json`` (JSON-lines, splittable).
+
+    ``max_rows`` gates the collect: a single-file JSON array cannot be
+    written distributed, so anything bigger than the dim/bilan shape is
+    a caller error — fail fast instead of OOMing the driver."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_json_records collects to the driver and got {n} rows "
+            f"(max_rows={max_rows}); use write_json (JSON-lines, "
+            "splittable, distributed) for large outputs"
+        )
     df.toPandas().to_json(path, orient="records", date_format="iso")
 
 

@@ -32,31 +32,53 @@ def test_every_query_has_oracle_or_documented_exception():
     )
 
 
-def test_driver_window_holds_never_checked_round3_block():
-    """Positions 1-50 must stay the round-4 rotation plan: 48 round-3/3b
-    additions that have never had a driver CORRECTNESS row, plus the two
-    green anchors (COVERAGE.md rotation note). Position 51+ leads with
-    the 31-query round-5 queue."""
+def test_driver_window_holds_round6_rotation():
+    """Positions 1-50 must stay the round-6 rotation (VERDICT r05 item 1):
+    48 exact-oracle entries from the never-driver-checked backlog plus the
+    two green anchors. Positions 51-69 are the round-7 queue (the rest of
+    the backlog), and NO rows-only entry may ever sit in the first 50 —
+    a no_oracle row would waste a driver window slot."""
     names = list(entry_mod.queries())
     first50 = set(names[:50])
-    assert {"un1_unicode_normalize", "d13_dup_rate_by_source",
-            "tp4_release_pipeline", "tp3_repair_pipeline", "tr1_triangles",
-            "qn1_percent_rank", "em1_embedding_covariance",
+    assert {"ga1_activity_islands", "rr1_reorder_rate",
+            "stp1_streaming_ingest", "er1_entity_resolution",
+            "sj1_stream_stream_join", "pj1_prefix_jaccard",
+            "pn1_pseudonymize", "bf1_bloom_decontamination",
             "q1_pricing_summary", "star_fact_rollup"} <= first50
-    # the round-5 queue sits immediately after the window
-    assert set(names[50:81]) == {
-        "ga1_activity_islands", "mk1_event_transitions",
-        "tw1_time_weighted_avg", "zo1_zorder_key", "cp1_compaction_plan",
-        "nv1_ngram_novelty", "pc1_pca_projection", "so1_set_ops",
-        "hl1_sketch_rollup", "hl2_exact_rollup", "h2_time_heatmap",
-        "ps1_supply_relation", "qa1_revenue_momentum", "t11_dup_block_rate",
-        "zf1_zipf_slope", "a17_trimmed_mean", "a18_hierarchy_share",
-        "o4_topk_with_ties", "a19_group_mode", "im1_mode_impute",
-        "e9_pq_topk", "dq2_profile_approx", "uq1_user_similarity",
-        "fn2_cohort_funnel", "cm1_cms_heavyhitters", "cal1_calendar_dim",
-        "lp1_label_propagation", "knn1_label_transfer",
-        "lt1_conversion_latency", "rc1_order_reconciliation",
-        "rr1_reorder_rate"}
+    assert not (first50 & KNOWN_ROWS_ONLY), (
+        "rows-only entries must never occupy a driver window slot"
+    )
+    # every window entry except the two anchors is a first-ever name
+    anchors = {"q1_pricing_summary", "star_fact_rollup"}
+    oracles = set(entry_mod.oracle_sql())
+    assert first50 - anchors <= oracles
+    # the round-7 queue sits immediately after the window
+    assert set(names[50:70]) == {
+        "auc1_quality_auc", "ks1_score_ks", "rb1_reliability_bins",
+        "ap1_average_precision", "sw1_soft_dedup_weights",
+        "ld1_l_diversity", "bd1_benford_audit", "js1_source_divergence",
+        "en1_char_entropy", "fl1_readability", "zipf1_token_zipf",
+        "sb1_release_scorecard", "ndcg1_retrieval_ndcg",
+        "mrr1_reciprocal_rank", "tcl1_t_closeness", "acf1_autocorrelation",
+        "cpd1_change_point", "hp1_heaps_law", "sv1_survival_hazard",
+        "e11_pq_portable"}
+    # the documented rows-only entries ride directly behind the queue,
+    # pinned out of any future window by position
+    assert set(names[70:80]) == KNOWN_ROWS_ONLY
+
+
+def test_readme_counts_match_catalog():
+    """README's stated query/oracle counts must track the live catalog
+    (VERDICT r04/r05: the claim went stale two rounds running)."""
+    import os
+
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    claim = f"{len(entry_mod.queries())} `queries()` ({len(entry_mod.oracle_sql())} with"
+    assert claim in readme, (
+        f"README count drift: expected the string {claim!r}"
+    )
 
 
 def test_ws_oracle_null_guard():

@@ -269,6 +269,24 @@ def test_write_json_records_byte_parity(spark, tmp_path):
     assert got.startswith(b"[{") and got.endswith(b"}]")  # one array, not lines
 
 
+def test_write_json_records_row_count_gate(spark, tmp_path):
+    """The driver-side collect is gated: above max_rows the call must
+    fail fast with a pointer to the distributed write_json path, and
+    must NOT write the file (VERDICT r05: an unguarded toPandas() lets
+    a 100 GB caller OOM the driver)."""
+    import pytest
+
+    from etl_oms_spark.sources.writers import write_json_records
+
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "big.json")
+    with pytest.raises(ValueError, match="write_json"):
+        write_json_records(df, out, max_rows=5)
+    assert not (tmp_path / "big.json").exists()
+    write_json_records(df, out, max_rows=10)  # at the limit is allowed
+    assert (tmp_path / "big.json").exists()
+
+
 def test_orc_roundtrip_with_schema_evolution(spark, tmp_path):
     """ORC roundtrip incl. mergeSchema across evolving file schemas and
     partition pruning on the partitioned layout."""

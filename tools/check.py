@@ -103,6 +103,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    # CHECK_JSON=<path>: persist the per-query results so a sweep leaves
+    # an auditable artifact (ADVICE r05: judge-session sweeps had no
+    # committed evidence). Schema mirrors the console lines.
+    results: dict[str, dict] = {}
+    json_path = os.environ.get("CHECK_JSON")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -111,25 +116,38 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
+            results[name] = {"status": "spark_error", "detail": str(exc)[:500]}
             failures += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows={len(sdf)} (no oracle, rows-only) "
                   f"[{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(sdf),
+                             "secs": round(time.time() - t0, 1)}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {exc}")
+            results[name] = {"status": "oracle_error", "detail": str(exc)[:500]}
             failures += 1
             continue
         problems = compare(name, sdf, odf)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"status": "mismatch", "detail": "; ".join(problems)[:500]}
         else:
             print(f"ok   {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "exact_match", "rows": len(sdf),
+                             "secs": round(time.time() - t0, 1)}
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "shuffle_partitions": shuffle,
+                       "failures": failures, "results": results}, f, indent=1)
     return 1 if failures else 0
 
 

@@ -19,10 +19,13 @@ run() {
 }
 
 run pytest python -m pytest tests/ -x -q
-run sf0001 python tools/check.py /root/testdata/sf0.001
-run sf001  python tools/check.py /root/testdata/sf0.01
-run inv    env CHECK_SHUFFLE=3 python tools/check.py /root/testdata/sf0.01
-run sf01   python tools/check.py /root/testdata/sf0.1
+# CHECK_JSON: each sweep stage persists a machine-readable artifact so
+# the green evidence is auditable after the fact (ADVICE r05) — copy
+# $OUT/sweep_*.json into the repo at round close.
+run sf0001 env CHECK_JSON="$OUT/sweep_sf0001.json" python tools/check.py /root/testdata/sf0.001
+run sf001  env CHECK_JSON="$OUT/sweep_sf001.json" python tools/check.py /root/testdata/sf0.01
+run inv    env CHECK_SHUFFLE=3 CHECK_JSON="$OUT/sweep_inv.json" python tools/check.py /root/testdata/sf0.01
+run sf01   env CHECK_JSON="$OUT/sweep_sf01.json" python tools/check.py /root/testdata/sf0.1
 for f in sf0001 sf001 inv sf01; do
   if grep -q FAIL "$OUT/$f.log"; then echo "FAILURES in $f"; exit 1; fi
 done
