@@ -101,6 +101,8 @@ HEADLINE = [
     "acf1_autocorrelation",
     "hp1_heaps_law",
     "sv1_survival_hazard",
+    # round-6 additions (appended)
+    "e11_pq_portable",
 ]
 
 

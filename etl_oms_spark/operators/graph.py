@@ -55,9 +55,11 @@ def connected_components(
     directed = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint(eager=True)
+    # the undirected view is a narrow union over the checkpointed blocks
+    # — a second checkpoint would just rewrite 2× the rows for nothing
     both = directed.union(
         directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)
+    )
     nodes = both.select(F.col("u").alias("id")).distinct()
     labels = nodes.withColumn("component", F.col("id")).localCheckpoint(
         eager=True
@@ -98,7 +100,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        # lazy checkpoint: the changed-count action right below is the
+        # materializer, so each iteration costs ONE job instead of two
+        # (eager ckpt + count); lineage is still cut per round
+        updated = updated.localCheckpoint(eager=False)
         changed = (
             updated.alias("n")
             .join(labels.alias("o"), "id")
