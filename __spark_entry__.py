@@ -5717,6 +5717,150 @@ def pc1_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pc2_pca_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pc1's EXACT-ORACLE portable twin (the e11/d7 pattern applied to
+    PCA): top-2 covariance directions by INTEGER power iteration
+    (linalg.power_pca_quantized — 128 fixed rounds over the exact
+    integer-scaled covariance M = n·S2 − S1·S1ᵀ, sign/abs/DIV rescale
+    and deflation, all in the non-negative-division domain), then exact
+    integer projection per vector. Output is DEFINED as the state after
+    128 rounds (the test spectrum is near-flat — λ2/λ1 ≈ 0.93 — so 24
+    rounds measurably under-converge; 0.93^128 ≈ 1e-4 does not), so
+    DuckDB (HUGEINT arithmetic, unrolled CTEs) replays it
+    bit-for-bit regardless of spectrum or convergence; convergence to
+    the numpy eigh basis is pytest-checked separately (|cos| > 0.99).
+    pc1 itself stays rows-only (driver eigh is not SQL-expressible);
+    this twin pins the projection ALGORITHM with an exact oracle."""
+    from etl_oms_spark.operators.linalg import (
+        power_pca_quantized,
+        project_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    comps = power_pca_quantized(emb, iters=128, n_components=2)
+    return project_integer(emb, comps).select(
+        "vec_id",
+        F.col("p1").cast("long").alias("p1"),
+        F.col("p2").cast("long").alias("p2"),
+    )
+
+
+def _build_pc2_sql(iters: int = 128, v_scale: int = 10**6) -> str:
+    """DuckDB replay of pc2: exact integer moments → HUGEINT covariance
+    rows → per-component RECURSIVE power iteration whose state row
+    CARRIES everything the step needs (the vector, the 64×64 matrix as
+    a list-of-lists, and for component 2 the fixed basis + its norm):
+    the recursive member references ONLY its own columns. Two reasons:
+    list state keeps expression depth constant in the iteration count
+    (the unrolled-CTE form blows max_expression_depth at 128 rounds),
+    and a recursive member that re-scans an upstream MATERIALIZED CTE
+    chain silently yields NULL in DuckDB — carrying the matrix through
+    the state sidesteps both. Arithmetic mirrors
+    linalg.power_pca_quantized exactly: matvec via
+    list_zip/list_transform/list_sum, rescale sign·(|w|·v_scale DIV
+    GREATEST(max|w|,1)) with the max from a window, deflation
+    sign·(|proj·b_i| DIV GREATEST(b·b,1)) in pure list algebra."""
+    vs = v_scale
+
+    matvec = """SELECT u.i,
+                list_sum(list_transform(list_zip({mat}[u.i + 1], {vec}),
+                                        p -> p[1] * p[2])) AS w
+              FROM (SELECT unnest(range(len({mat}))) AS i) u"""
+
+    def rescale(mat: str, vec: str) -> str:
+        mv = matvec.format(mat=mat, vec=vec)
+        return f"""(
+      SELECT list(CASE WHEN w < 0 THEN -((ABS(w) * {vs}) // mx)
+                       ELSE (ABS(w) * {vs}) // mx END ORDER BY i)
+      FROM (
+        SELECT i, w, GREATEST(MAX(ABS(w)) OVER (), CAST(1 AS HUGEINT)) AS mx
+        FROM ({mv})
+      )
+    )"""
+
+    def deflate(vec_expr: str, bv: str, nb: str) -> str:
+        return f"""(
+      SELECT list_transform(list_zip(vr, bvv), p -> p[1] -
+               (CASE WHEN pj * p[2] < 0 THEN -((ABS(pj * p[2])) // nbv)
+                     ELSE (ABS(pj * p[2])) // nbv END))
+      FROM (
+        SELECT vr, bvv, nbv,
+               list_sum(list_transform(list_zip(vr, bvv),
+                                       p -> p[1] * p[2])) AS pj
+        FROM (SELECT {vec_expr} AS vr, {bv} AS bvv, {nb} AS nbv)
+      )
+    )"""
+
+    return f"""WITH RECURSIVE comps AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+s1 AS (
+  SELECT dim AS i, CAST(sum(q) AS BIGINT) AS s1,
+         CAST(count(*) AS BIGINT) AS n
+  FROM comps GROUP BY dim
+),
+s2 AS (
+  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s2
+  FROM comps a JOIN comps b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT s2.i, s2.j,
+         CAST(sa.n AS HUGEINT) * CAST(s2.s2 AS HUGEINT)
+           - CAST(sa.s1 AS HUGEINT) * CAST(sb.s1 AS HUGEINT) AS m
+  FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i
+),
+mm AS (
+  SELECT i, j, m FROM tri
+  UNION ALL
+  SELECT j AS i, i AS j, m FROM tri WHERE i <> j
+),
+mrows AS (
+  SELECT i, list(m ORDER BY j) AS rl FROM mm GROUP BY i
+),
+dims AS (SELECT DISTINCT i FROM s1),
+ita AS (
+  SELECT 0 AS iter,
+         (SELECT list(CAST({vs} AS HUGEINT) ORDER BY i) FROM dims) AS v,
+         (SELECT list(rl ORDER BY i) FROM mrows) AS mat
+  UNION ALL
+  SELECT ita.iter + 1, {rescale("ita.mat", "ita.v")}, ita.mat
+  FROM ita WHERE ita.iter < {iters}
+),
+b1 AS (SELECT v FROM ita WHERE iter = {iters}),
+nb1 AS (
+  SELECT GREATEST(list_sum(list_transform(v, x -> x * x)),
+                  CAST(1 AS HUGEINT)) AS nb
+  FROM b1
+),
+itb AS (
+  SELECT 0 AS iter,
+         {deflate(
+             f"(SELECT list(CAST(CASE WHEN i % 2 = 0 THEN {vs} ELSE -{vs} END AS HUGEINT) ORDER BY i) FROM dims)",
+             "(SELECT v FROM b1)", "(SELECT nb FROM nb1)")} AS v,
+         (SELECT list(rl ORDER BY i) FROM mrows) AS mat,
+         (SELECT v FROM b1) AS bv,
+         (SELECT nb FROM nb1) AS nb
+  UNION ALL
+  SELECT itb.iter + 1,
+         {deflate(rescale("itb.mat", "itb.v"), "itb.bv", "itb.nb")},
+         itb.mat, itb.bv, itb.nb
+  FROM itb WHERE itb.iter < {iters}
+),
+b2 AS (SELECT v FROM itb WHERE iter = {iters})
+SELECT c.vec_id,
+       CAST(SUM(c.q * a.v[c.dim + 1]) AS BIGINT) AS p1,
+       CAST(SUM(c.q * b.v[c.dim + 1]) AS BIGINT) AS p2
+FROM comps c, b1 a, b2 b
+GROUP BY c.vec_id"""
+
+
+PC2_SQL = _build_pc2_sql()
+
+
 def so1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation surface: customers active in 1996 INTERSECT 1997,
     EXCEPT those with any 'F' order — lowered to left-semi / left-anti
@@ -12853,6 +12997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hp1_heaps_law": hp1_heaps_law,
         "sv1_survival_hazard": sv1_survival_hazard,
         "e11_pq_portable": e11_pq_portable,
+        "pc2_pca_portable": pc2_pca_portable,
         # ---- documented rows-only entries (KNOWN_ROWS_ONLY): never
         #      rotate into the driver window -- they would report
         #      no_oracle and waste a slot; each has an exact twin or
@@ -13085,6 +13230,7 @@ def oracle_sql() -> dict[str, str]:
         "j5_upsert_merge": J5_SQL,
         "ev_window_agg": EV_WINDOW_SQL,
         "e11_pq_portable": E11_SQL,
+        "pc2_pca_portable": PC2_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_supplier_volume": Q5_SQL,
         "q17_avg_quantity_filter": Q17_SQL,

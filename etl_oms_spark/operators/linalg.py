@@ -197,3 +197,112 @@ def pca_project(
     driver state."""
     comps = principal_components(df, vec_col, n_components, scale)
     return project_onto(df, comps, vec_col)
+
+
+def power_pca_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    iters: int = 24,
+    v_scale: int = 10**6,
+    n_components: int = 2,
+) -> "list[list[int]]":
+    """PCA directions by INTEGER power iteration — the exact-oracle
+    portable twin of :func:`principal_components` (whose numpy ``eigh``
+    is not reproducible in SQL).
+
+    The iterated matrix is the integer-scaled covariance
+    ``M = n·S2 − S1·S1ᵀ`` (= n² × covariance, built from the exact
+    integer moments — no doubles anywhere). Each round: big-int matvec
+    ``w = M·v``, then a deterministic rescale
+    ``v_i ← sign(w_i)·(|w_i|·v_scale DIV max|w|)`` (abs before DIV keeps
+    every division in the non-negative domain where Python, Spark and
+    DuckDB agree), then — for trailing components — deflation against
+    each previously found direction with the same sign/abs/DIV rule.
+    Starts are fixed (+v_scale everywhere; alternating ±v_scale for the
+    second component, deflated before iterating).
+
+    The output is defined as "the integer vector after ``iters`` fixed
+    rounds", so engine/oracle equality holds REGARDLESS of spectrum or
+    convergence — both sides replay the identical integer sequence
+    (DuckDB in HUGEINT; magnitudes stay < 1e25 at these scales).
+    Convergence to the true eigenbasis is a separate, softer property
+    (pytest checks |cos| vs numpy eigh > 0.99 on the test corpus).
+
+    Driver state: the d×d integer matrix plus d-vectors — the same
+    dim-bounded budget as :func:`principal_components`.
+    """
+    s2_rows = second_moment_sums(df, vec_col, scale).collect()
+    s1_rows = component_sums(df, vec_col, scale).collect()
+    d = max(r["i"] for r in s1_rows) + 1
+    s1 = [0] * d
+    n = 0
+    for r in s1_rows:
+        s1[r["i"]] = int(r["s1"])
+        n = int(r["n"])
+    m = [[0] * d for _ in range(d)]
+    for r in s2_rows:
+        i, j = r["i"], r["j"]
+        v = n * int(r["s2"]) - s1[i] * s1[j]
+        m[i][j] = v
+        m[j][i] = v
+
+    def _scaled_div(num: int, den: int) -> int:
+        # sign(num) * (|num| * v_scale DIV den): non-negative DIV only
+        q = (abs(num) * v_scale) // den
+        return -q if num < 0 else q
+
+    def _deflate(vec: "list[int]", basis: "list[list[int]]") -> "list[int]":
+        for b in basis:
+            proj = sum(x * y for x, y in zip(vec, b))
+            nb = sum(y * y for y in b)
+            if nb == 0:
+                continue
+            out = []
+            for x, y in zip(vec, b):
+                t = proj * y
+                q = abs(t) // nb
+                out.append(x - (-q if t < 0 else q))
+            vec = out
+        return vec
+
+    comps: "list[list[int]]" = []
+    for c in range(n_components):
+        v = [v_scale if (c == 0 or i % 2 == 0) else -v_scale for i in range(d)]
+        v = _deflate(v, comps)
+        for _ in range(iters):
+            w = [sum(m[i][j] * v[j] for j in range(d)) for i in range(d)]
+            # GREATEST(mx, 1), exactly as the SQL oracle — a zero matvec
+            # must zero the vector on BOTH engines, not break early
+            mx = max(abs(x) for x in w) or 1
+            v = [_scaled_div(x, mx) for x in w]
+            v = _deflate(v, comps)
+        comps.append(v)
+    return comps
+
+
+def project_integer(
+    df: DataFrame,
+    components: "list[list[int]]",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    prefix: str = "p",
+) -> DataFrame:
+    """Exact-integer projection onto integer directions: per component
+    one ``aggregate`` fold of ``q_i·v_i`` (q = round(x·scale) BIGINT) —
+    products ≤ ~1e9 per term at the default scales, far inside long
+    range; no shuffle, no UDF. Adds ``{prefix}1..{prefix}k`` BIGINTs."""
+    out = df
+    for ci, comp in enumerate(components, start=1):
+        lit_arr = F.array(*[F.lit(int(x)).cast("long") for x in comp])
+        q = F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long"),
+        )
+        dot = F.aggregate(
+            F.zip_with(q, lit_arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"{prefix}{ci}", dot)
+    return out

@@ -53,7 +53,7 @@ def test_driver_window_holds_round6_rotation():
     oracles = set(entry_mod.oracle_sql())
     assert first50 - anchors <= oracles
     # the round-7 queue sits immediately after the window
-    assert set(names[50:70]) == {
+    assert set(names[50:71]) == {
         "auc1_quality_auc", "ks1_score_ks", "rb1_reliability_bins",
         "ap1_average_precision", "sw1_soft_dedup_weights",
         "ld1_l_diversity", "bd1_benford_audit", "js1_source_divergence",
@@ -61,10 +61,10 @@ def test_driver_window_holds_round6_rotation():
         "sb1_release_scorecard", "ndcg1_retrieval_ndcg",
         "mrr1_reciprocal_rank", "tcl1_t_closeness", "acf1_autocorrelation",
         "cpd1_change_point", "hp1_heaps_law", "sv1_survival_hazard",
-        "e11_pq_portable"}
+        "e11_pq_portable", "pc2_pca_portable"}
     # the documented rows-only entries ride directly behind the queue,
     # pinned out of any future window by position
-    assert set(names[70:80]) == KNOWN_ROWS_ONLY
+    assert set(names[71:81]) == KNOWN_ROWS_ONLY
 
 
 def test_readme_counts_match_catalog():

@@ -89,7 +89,21 @@ def main() -> int:
         except Exception as e:  # record, don't abort the sweep
             stats[name] = {"error": str(e).splitlines()[0][:200]}
     with open(out_path, "w") as f:
-        json.dump({"sf_dir": sf_dir, "queries": stats}, f, indent=1, sort_keys=True)
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                # Plan-scope caveat: these metrics come from the FINAL
+                # action's executed plan. Queries that materialize work in
+                # separate jobs first (eager localCheckpoints — pj1/cc1/
+                # er1/csd1's edge lists, stp1/sj1's sinks) under-report
+                # here; their whole-app numbers (REST /stages sum) are in
+                # SCALING.md.
+                "caveat": "final-plan metrics only; checkpoint/sink jobs "
+                          "excluded - see SCALING.md for whole-app numbers "
+                          "on pj1/cc1/er1/csd1/stp1/sj1",
+                "queries": stats,
+            },
+            f, indent=1, sort_keys=True)
     errs = [n for n, s in stats.items() if "error" in s]
     print(f"audited {len(stats)} queries -> {out_path}; errors: {errs or 'none'}")
     return 0
