@@ -5798,9 +5798,13 @@ def _build_pc2_sql(iters: int = 128, v_scale: int = 10**6) -> str:
   FROM embeddings
 ),
 s1 AS (
-  SELECT dim AS i, CAST(sum(q) AS BIGINT) AS s1,
-         CAST(count(*) AS BIGINT) AS n
+  SELECT dim AS i, CAST(sum(q) AS BIGINT) AS s1
   FROM comps GROUP BY dim
+),
+nn AS (
+  -- ONE global row count, matching the engine's single df.count():
+  -- a per-dim count would silently skew M on ragged embeddings
+  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
 ),
 s2 AS (
   SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s2
@@ -5809,9 +5813,10 @@ s2 AS (
 ),
 tri AS (
   SELECT s2.i, s2.j,
-         CAST(sa.n AS HUGEINT) * CAST(s2.s2 AS HUGEINT)
+         CAST(nn.n AS HUGEINT) * CAST(s2.s2 AS HUGEINT)
            - CAST(sa.s1 AS HUGEINT) * CAST(sb.s1 AS HUGEINT) AS m
   FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i
+       CROSS JOIN nn
 ),
 mm AS (
   SELECT i, j, m FROM tri
@@ -7564,13 +7569,17 @@ def rc1_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RC1_SQL = """
 WITH line_sum AS (
+    -- CAST around the SUM: DuckDB SUM(BIGINT) escalates to HUGEINT,
+    -- which reaches pandas as float64 and breaks the driver's
+    -- type-sensitive hash even when every value matches (r06 red).
     SELECT l_orderkey AS o_orderkey,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS line_cents
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS line_cents
     FROM lineitem GROUP BY 1
 ), j AS (
     SELECT o.o_orderkey,
-           abs(CAST(round(o_totalprice * 100) AS BIGINT)
-               - COALESCE(line_cents, 0)) AS diff_cents
+           CAST(abs(CAST(round(o_totalprice * 100) AS BIGINT)
+                    - COALESCE(line_cents, 0)) AS BIGINT) AS diff_cents
     FROM orders o LEFT JOIN line_sum USING (o_orderkey)
 ), top AS (
     SELECT o_orderkey, diff_cents FROM j
@@ -12246,8 +12255,12 @@ def cpd1_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top = cand.orderBy(F.col("stat").desc(), "t").limit(1)
+    # change_date as an ISO string on BOTH engines: Spark DateType
+    # reaches pandas as datetime.date objects while DuckDB DATE becomes
+    # datetime64 -- the driver hash is type-sensitive (dtype_audit
+    # flagged this pre-rotation, VERDICT r06 item 4).
     return top.select(
-        F.col("d").alias("change_date"),
+        F.col("d").cast("string").alias("change_date"),
         (F.col("t") + 1).cast("long").alias("days_before"),
         (F.col("n") - F.col("t") - 1).cast("long").alias("days_after"),
         (F.col("ct").cast("double") / (F.col("t") + 1).cast("double")).alias(
@@ -12281,7 +12294,7 @@ cand AS (
     FROM cum CROSS JOIN tot
     WHERE t < n - 1
 )
-SELECT d AS change_date,
+SELECT CAST(d AS VARCHAR) AS change_date,
        CAST(t + 1 AS BIGINT) AS days_before,
        CAST(n - t - 1 AS BIGINT) AS days_after,
        CAST(ct AS DOUBLE) / CAST(t + 1 AS DOUBLE) AS mean_before_k,

@@ -31,6 +31,16 @@ def connected_components(
     ``edges`` is an undirected pair list; returns (id, component) with
     component = the minimum node id in each component.
 
+    **Eager at construction**: this function runs the label-propagation
+    loop (and therefore EXECUTES the caller's full upstream edge plan via
+    an eager ``localCheckpoint``) as soon as it is called — the returned
+    DataFrame is the already-converged label table, not a lazy plan.
+    Callers building plans speculatively (e.g. for ``explain()`` only)
+    pay the full compute up front. This is deliberate: deriving the
+    iteration state lazily re-evaluated the upstream pair join during
+    iteration 0 and the first convergence check (measured 43 s → 17 s
+    warm on pj1 at sf0.1 from checkpointing first).
+
     Each round is (a) one neighbor-min propagation (join labels across
     edges + min per node) and (b) one pointer-jumping step (adopt the
     label OF my label — the path-doubling contraction that large-star /

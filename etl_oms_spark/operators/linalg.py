@@ -236,10 +236,15 @@ def power_pca_quantized(
     s1_rows = component_sums(df, vec_col, scale).collect()
     d = max(r["i"] for r in s1_rows) + 1
     s1 = [0] * d
-    n = 0
+    # every s1 row carries the same global df.count() by construction
+    # (component_sums stamps F.lit(n)); assert it so a future ragged-
+    # embedding regression fails loudly instead of skewing M silently
+    ns = {int(r["n"]) for r in s1_rows}
+    if len(ns) != 1:
+        raise ValueError(f"component_sums produced inconsistent n: {ns}")
+    n = ns.pop()
     for r in s1_rows:
         s1[r["i"]] = int(r["s1"])
-        n = int(r["n"])
     m = [[0] * d for _ in range(d)]
     for r in s2_rows:
         i, j = r["i"], r["j"]
