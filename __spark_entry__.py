@@ -7572,6 +7572,9 @@ WITH line_sum AS (
     -- CAST around the SUM: DuckDB SUM(BIGINT) escalates to HUGEINT,
     -- which reaches pandas as float64 and breaks the driver's
     -- type-sensitive hash even when every value matches (r06 red).
+    -- int64 headroom assumption (like cpd1): per-order cent totals are
+    -- < 2^63 at any realistic SF; past that DuckDB's CAST would raise
+    -- while Spark's non-ANSI long SUM wraps — divergence is loud here.
     SELECT l_orderkey AS o_orderkey,
            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
                 AS BIGINT) AS line_cents
@@ -12923,20 +12926,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver's CORRECTNESS check covers the FIRST 50
-    # entries. Round 6 executes the pinned rotation (VERDICT r05 item 1):
-    # positions 1-48 are the head of the 71-query never-driver-checked
-    # backlog (COVERAGE.md rotation note) RESTRICTED to exact-oracle
-    # entries -- the rows-only sketches (pc1/e9/dq2/hl1 from the old
-    # r05 queue) are pinned permanently behind the rotation queue so no
-    # driver window slot is ever spent on a no_oracle row -- plus the
-    # two green anchors (q1, star_fact_rollup). Positions 51-69 are the
-    # round-7 rotation queue (19 exact-oracle entries, the rest of the
-    # backlog); then the 10 documented rows-only entries; then every
-    # entry already green in CORRECTNESS_r01-r05.
-
     return {
-        # ---- positions 1-48: backlog head, first-ever driver check ----
+        # Order matters: the driver's CORRECTNESS check covers the FIRST
+        # 50 entries. Round 8 executes the FINAL rotation (VERDICT r07
+        # item 2): positions 1-21 are the round-7 queue (the last of the
+        # never-driver-checked exact-oracle backlog), 22-23 the two green
+        # anchors, and 24-50 the 27 stalest rows -- every one last
+        # driver-checked in round 1 (core-ETL / TPC-H surface) -- so the
+        # freshness clock resets while the backlog clears to zero.
+        # ---- positions 1-21: round-7 rotation queue, first driver check ----
+        "auc1_quality_auc": auc1_quality_auc,
+        "ks1_score_ks": ks1_score_ks,
+        "rb1_reliability_bins": rb1_reliability_bins,
+        "ap1_average_precision": ap1_average_precision,
+        "sw1_soft_dedup_weights": sw1_soft_dedup_weights,
+        "ld1_l_diversity": ld1_l_diversity,
+        "bd1_benford_audit": bd1_benford_audit,
+        "js1_source_divergence": js1_source_divergence,
+        "en1_char_entropy": en1_char_entropy,
+        "fl1_readability": fl1_readability,
+        "zipf1_token_zipf": zipf1_token_zipf,
+        "sb1_release_scorecard": sb1_release_scorecard,
+        "ndcg1_retrieval_ndcg": ndcg1_retrieval_ndcg,
+        "mrr1_reciprocal_rank": mrr1_reciprocal_rank,
+        "tcl1_t_closeness": tcl1_t_closeness,
+        "acf1_autocorrelation": acf1_autocorrelation,
+        "cpd1_change_point": cpd1_change_point,
+        "hp1_heaps_law": hp1_heaps_law,
+        "sv1_survival_hazard": sv1_survival_hazard,
+        "e11_pq_portable": e11_pq_portable,
+        "pc2_pca_portable": pc2_pca_portable,
+        # ---- positions 22-23: continuity anchors (green every round) ----
+        "q1_pricing_summary": q1_pricing_summary,
+        "star_fact_rollup": star_fact_rollup,
+        # ---- positions 24-50: freshness refill, last checked r01 ----
+        "p2_p3_reconcile": p2_p3_reconcile,
+        "p6_p7_filters": p6_p7_filters,
+        "j1_dim_join": j1_dim_join,
+        "j2_multikey_join": j2_multikey_join,
+        "p9_semi_join": p9_semi_join,
+        "j4_anti_join": j4_anti_join,
+        "a1_a6_surrogate_dim": a1_a6_surrogate_dim,
+        "a2_keep_last": a2_keep_last,
+        "w1_lag_diff": w1_lag_diff,
+        "o1_topk": o1_topk,
+        "r1_unpivot": r1_unpivot,
+        "r2_pivot": r2_pivot,
+        "r2_pivot_roundtrip": r2_pivot_roundtrip,
+        "f1_tolerant_dates": f1_tolerant_dates,
+        "f5_f6_rate_math": f5_f6_rate_math,
+        "f7_unit_map": f7_unit_map,
+        "f8_json_extract": f8_json_extract,
+        "f12_decimal_sums": f12_decimal_sums,
+        "u3_chunk_udtf": u3_chunk_udtf,
+        "s4_source_classify": s4_source_classify,
+        "j5_upsert_merge": j5_upsert_merge,
+        "ev_window_agg": ev_window_agg,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_supplier_volume": q5_supplier_volume,
+        "q17_avg_quantity_filter": q17_avg_quantity_filter,
+        "a8_rollup": a8_rollup,
+        "w2_window_frames": w2_window_frames,
+        # ---- positions 51-60: documented rows-only entries, pinned
+        #      permanently BEHIND the window (a no_oracle row would waste
+        #      a driver slot); each has an exact twin or pytest-vs-numpy ----
+        "a11_approx_distinct": a11_approx_distinct,
+        "d3_minhash_candidates": d3_minhash_candidates,
+        "d4_simhash": d4_simhash,
+        "e2_ann_lsh": e2_ann_lsh,
+        "e3_embedding_neardup": e3_embedding_neardup,
+        "tp1_curation_pipeline": tp1_curation_pipeline,
+        "hl1_sketch_rollup": hl1_sketch_rollup,
+        "pc1_pca_projection": pc1_pca_projection,
+        "e9_pq_topk": e9_pq_topk,
+        "dq2_profile_approx": dq2_profile_approx,
+        # ---- remainder: green in CORRECTNESS_r01-r07 ----
         "ga1_activity_islands": ga1_activity_islands,
         "mk1_event_transitions": mk1_event_transitions,
         "tw1_time_weighted_avg": tw1_time_weighted_avg,
@@ -12985,47 +13049,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ss2_span_repair": ss2_span_repair,
         "tp5_decontaminated_release": tp5_decontaminated_release,
         "pn1_pseudonymize": pn1_pseudonymize,
-        # -- continuity anchors (green r01/r03/r04/r05) --
-        "q1_pricing_summary": q1_pricing_summary,
-        "star_fact_rollup": star_fact_rollup,
-        # ---- positions 51-69: round-7 rotation queue (exact-oracle,
-        #      never driver-checked; front-load next round) ----
-        "auc1_quality_auc": auc1_quality_auc,
-        "ks1_score_ks": ks1_score_ks,
-        "rb1_reliability_bins": rb1_reliability_bins,
-        "ap1_average_precision": ap1_average_precision,
-        "sw1_soft_dedup_weights": sw1_soft_dedup_weights,
-        "ld1_l_diversity": ld1_l_diversity,
-        "bd1_benford_audit": bd1_benford_audit,
-        "js1_source_divergence": js1_source_divergence,
-        "en1_char_entropy": en1_char_entropy,
-        "fl1_readability": fl1_readability,
-        "zipf1_token_zipf": zipf1_token_zipf,
-        "sb1_release_scorecard": sb1_release_scorecard,
-        "ndcg1_retrieval_ndcg": ndcg1_retrieval_ndcg,
-        "mrr1_reciprocal_rank": mrr1_reciprocal_rank,
-        "tcl1_t_closeness": tcl1_t_closeness,
-        "acf1_autocorrelation": acf1_autocorrelation,
-        "cpd1_change_point": cpd1_change_point,
-        "hp1_heaps_law": hp1_heaps_law,
-        "sv1_survival_hazard": sv1_survival_hazard,
-        "e11_pq_portable": e11_pq_portable,
-        "pc2_pca_portable": pc2_pca_portable,
-        # ---- documented rows-only entries (KNOWN_ROWS_ONLY): never
-        #      rotate into the driver window -- they would report
-        #      no_oracle and waste a slot; each has an exact twin or
-        #      pytest verification ----
-        "a11_approx_distinct": a11_approx_distinct,
-        "d3_minhash_candidates": d3_minhash_candidates,
-        "d4_simhash": d4_simhash,
-        "e2_ann_lsh": e2_ann_lsh,
-        "e3_embedding_neardup": e3_embedding_neardup,
-        "tp1_curation_pipeline": tp1_curation_pipeline,
-        "hl1_sketch_rollup": hl1_sketch_rollup,
-        "pc1_pca_projection": pc1_pca_projection,
-        "e9_pq_topk": e9_pq_topk,
-        "dq2_profile_approx": dq2_profile_approx,
-        # ---- entries green in CORRECTNESS_r01-r05 ----
         "un1_unicode_normalize": un1_unicode_normalize,
         "url1_canonical_urls": url1_canonical_urls,
         "d9_priority_dedup": d9_priority_dedup,
@@ -13166,36 +13189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp2_stratified_sample": sp2_stratified_sample,
         "e7_kmeans": e7_kmeans,
         "sd1_semantic_dedup": sd1_semantic_dedup,
-        "j5_upsert_merge": j5_upsert_merge,
-        "ev_window_agg": ev_window_agg,
         "q9_product_type_profit": q9_product_type_profit,
-        "j2_multikey_join": j2_multikey_join,
-        "w1_lag_diff": w1_lag_diff,
-        "r2_pivot_roundtrip": r2_pivot_roundtrip,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q13_customer_distribution": q13_customer_distribution,
-        "a2_keep_last": a2_keep_last,
-        "w2_window_frames": w2_window_frames,
-        "r1_unpivot": r1_unpivot,
-        "p2_p3_reconcile": p2_p3_reconcile,
-        "p6_p7_filters": p6_p7_filters,
-        "j1_dim_join": j1_dim_join,
-        "p9_semi_join": p9_semi_join,
-        "j4_anti_join": j4_anti_join,
-        "a1_a6_surrogate_dim": a1_a6_surrogate_dim,
-        "o1_topk": o1_topk,
-        "r2_pivot": r2_pivot,
-        "f1_tolerant_dates": f1_tolerant_dates,
-        "f5_f6_rate_math": f5_f6_rate_math,
-        "f7_unit_map": f7_unit_map,
-        "f8_json_extract": f8_json_extract,
-        "f12_decimal_sums": f12_decimal_sums,
-        "u3_chunk_udtf": u3_chunk_udtf,
-        "s4_source_classify": s4_source_classify,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_supplier_volume": q5_supplier_volume,
-        "q17_avg_quantity_filter": q17_avg_quantity_filter,
-        "a8_rollup": a8_rollup,
         "s_set_ops": s_set_ops,
         "f9_string_funcs": f9_string_funcs,
         "a9_having_filter": a9_having_filter,

@@ -234,6 +234,8 @@ def power_pca_quantized(
     """
     s2_rows = second_moment_sums(df, vec_col, scale).collect()
     s1_rows = component_sums(df, vec_col, scale).collect()
+    if not s1_rows:
+        raise ValueError("power_pca_quantized: empty input (no embeddings)")
     d = max(r["i"] for r in s1_rows) + 1
     s1 = [0] * d
     # every s1 row carries the same global df.count() by construction

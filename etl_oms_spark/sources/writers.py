@@ -65,18 +65,19 @@ def write_json_records(
 
     ``max_rows`` gates the collect: a single-file JSON array cannot be
     written distributed, so anything bigger than the dim/bilan shape is
-    a caller error — fail fast instead of OOMing the driver. The gate is
-    a ``limit(max_rows + 1).count()`` — it early-outs at the cap instead
-    of executing the full upstream plan once for an unbounded count and
-    a second time for the collect."""
-    n = df.limit(max_rows + 1).count()
-    if n > max_rows:
+    a caller error — fail fast instead of OOMing the driver. Gate and
+    collect are ONE execution (``limit(max_rows + 1).toPandas()``): the
+    plan runs once, at most ``max_rows + 1`` rows ever reach the driver,
+    and the bound holds even for nondeterministic upstreams (a separate
+    count-then-collect could pass the gate yet collect more)."""
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
             f"write_json_records collects to the driver and got more than "
             f"max_rows={max_rows} rows; use write_json (JSON-lines, "
             "splittable, distributed) for large outputs"
         )
-    df.toPandas().to_json(path, orient="records", date_format="iso")
+    pdf.to_json(path, orient="records", date_format="iso")
 
 
 def write_parquet(

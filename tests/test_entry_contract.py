@@ -32,28 +32,15 @@ def test_every_query_has_oracle_or_documented_exception():
     )
 
 
-def test_driver_window_holds_round6_rotation():
-    """Positions 1-50 must stay the round-6 rotation (VERDICT r05 item 1):
-    48 exact-oracle entries from the never-driver-checked backlog plus the
-    two green anchors. Positions 51-69 are the round-7 queue (the rest of
-    the backlog), and NO rows-only entry may ever sit in the first 50 —
-    a no_oracle row would waste a driver window slot."""
+def test_driver_window_holds_round8_rotation():
+    """Positions 1-50 must stay the round-8 FINAL rotation (VERDICT r07
+    item 2): 1-21 the round-7 queue (the last never-driver-checked
+    exact-oracle entries), 22-23 the two green anchors, 24-50 the 27
+    stalest rows (all last driver-checked in round 1). NO rows-only
+    entry may ever sit in the first 50 — a no_oracle row would waste a
+    driver window slot."""
     names = list(entry_mod.queries())
-    first50 = set(names[:50])
-    assert {"ga1_activity_islands", "rr1_reorder_rate",
-            "stp1_streaming_ingest", "er1_entity_resolution",
-            "sj1_stream_stream_join", "pj1_prefix_jaccard",
-            "pn1_pseudonymize", "bf1_bloom_decontamination",
-            "q1_pricing_summary", "star_fact_rollup"} <= first50
-    assert not (first50 & KNOWN_ROWS_ONLY), (
-        "rows-only entries must never occupy a driver window slot"
-    )
-    # every window entry except the two anchors is a first-ever name
-    anchors = {"q1_pricing_summary", "star_fact_rollup"}
-    oracles = set(entry_mod.oracle_sql())
-    assert first50 - anchors <= oracles
-    # the round-7 queue sits immediately after the window
-    assert set(names[50:71]) == {
+    assert names[:21] == [
         "auc1_quality_auc", "ks1_score_ks", "rb1_reliability_bins",
         "ap1_average_precision", "sw1_soft_dedup_weights",
         "ld1_l_diversity", "bd1_benford_audit", "js1_source_divergence",
@@ -61,10 +48,27 @@ def test_driver_window_holds_round6_rotation():
         "sb1_release_scorecard", "ndcg1_retrieval_ndcg",
         "mrr1_reciprocal_rank", "tcl1_t_closeness", "acf1_autocorrelation",
         "cpd1_change_point", "hp1_heaps_law", "sv1_survival_hazard",
-        "e11_pq_portable", "pc2_pca_portable"}
-    # the documented rows-only entries ride directly behind the queue,
+        "e11_pq_portable", "pc2_pca_portable"]
+    assert names[21:23] == ["q1_pricing_summary", "star_fact_rollup"]
+    assert set(names[23:50]) == {
+        "p2_p3_reconcile", "p6_p7_filters", "j1_dim_join",
+        "j2_multikey_join", "p9_semi_join", "j4_anti_join",
+        "a1_a6_surrogate_dim", "a2_keep_last", "w1_lag_diff", "o1_topk",
+        "r1_unpivot", "r2_pivot", "r2_pivot_roundtrip",
+        "f1_tolerant_dates", "f5_f6_rate_math", "f7_unit_map",
+        "f8_json_extract", "f12_decimal_sums", "u3_chunk_udtf",
+        "s4_source_classify", "j5_upsert_merge", "ev_window_agg",
+        "q3_shipping_priority", "q5_supplier_volume",
+        "q17_avg_quantity_filter", "a8_rollup", "w2_window_frames"}
+    first50 = set(names[:50])
+    assert not (first50 & KNOWN_ROWS_ONLY), (
+        "rows-only entries must never occupy a driver window slot"
+    )
+    # every window entry carries an exact oracle
+    assert first50 <= set(entry_mod.oracle_sql())
+    # the documented rows-only entries ride directly behind the window,
     # pinned out of any future window by position
-    assert set(names[71:81]) == KNOWN_ROWS_ONLY
+    assert set(names[50:60]) == KNOWN_ROWS_ONLY
 
 
 def test_readme_counts_match_catalog():

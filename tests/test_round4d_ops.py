@@ -76,7 +76,7 @@ def test_change_point_matches_bruteforce(spark):
             best = (stat, t, cum)
     stat, t, ct = best
     r = _q("cpd1_change_point", spark).collect()[0]
-    assert r["change_date"] == grid[t]
+    assert r["change_date"] == grid[t].isoformat()
     assert r["days_before"] == t + 1
     assert r["days_after"] == n - t - 1
     assert r["mean_before_k"] == float(ct) / float(t + 1)

@@ -12,6 +12,8 @@ Usage: python tools/dtype_audit.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 
 import duckdb
@@ -52,6 +54,7 @@ def main() -> int:
 
     qs, osql = E.queries(), E.oracle_sql()
     bad = 0
+    results: dict[str, dict] = {}
     for name in qs:
         if name not in osql or (only and name not in only):
             continue
@@ -59,11 +62,24 @@ def main() -> int:
         odf = con.execute(osql[name]).df().head(200)
         sdt = {c: str(sdf[c].dtype) for c in sorted(sdf.columns)}
         odt = {c: str(odf[c].dtype) for c in sorted(odf.columns)}
-        if norm(sdt) != norm(odt):
+        ok = norm(sdt) == norm(odt)
+        results[name] = {"ok": ok, "spark": sdt, "oracle": odt}
+        if not ok:
             bad += 1
             print(f"MISMATCH {name}")
             print(f"  spark : {sdt}")
             print(f"  oracle: {odt}")
+    # DTYPE_JSON: persist the audit as a machine-readable artifact
+    # (mirrors check.py's CHECK_JSON) so sweep.sh runs leave committed
+    # evidence — VERDICT r06/r07 item: type drift must never again
+    # reach a driver window unaudited.
+    out = os.environ.get("DTYPE_JSON")
+    if out:
+        with open(out, "w") as f:
+            json.dump(
+                {"sf": sf, "mismatches": bad, "queries": results},
+                f, indent=1,
+            )
     print("ALL DTYPES OK" if bad == 0 else f"{bad} DTYPE MISMATCHES")
     spark.stop()
     return 1 if bad else 0

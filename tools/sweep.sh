@@ -26,7 +26,11 @@ run sf0001 env CHECK_JSON="$OUT/sweep_sf0001.json" python tools/check.py /root/t
 run sf001  env CHECK_JSON="$OUT/sweep_sf001.json" python tools/check.py /root/testdata/sf0.01
 run inv    env CHECK_SHUFFLE=3 CHECK_JSON="$OUT/sweep_inv.json" python tools/check.py /root/testdata/sf0.01
 run sf01   env CHECK_JSON="$OUT/sweep_sf01.json" python tools/check.py /root/testdata/sf0.1
+# dtype parity: the driver hash is TYPE-sensitive; value-level checks
+# above cannot see long-vs-double / HUGEINT drift (r06 rc1 red).
+run dtype  env DTYPE_JSON="$OUT/sweep_dtype.json" python tools/dtype_audit.py /root/testdata/sf0.01
 for f in sf0001 sf001 inv sf01; do
   if grep -q FAIL "$OUT/$f.log"; then echo "FAILURES in $f"; exit 1; fi
 done
+if ! grep -q "ALL DTYPES OK" "$OUT/dtype.log"; then echo "DTYPE MISMATCHES"; exit 1; fi
 echo "BATTERY GREEN"
