@@ -5451,11 +5451,19 @@ JOIN s1 sb ON s2.j = sb.i
 def ga1_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands (operators/temporal.activity_islands): per-user
     maximal runs of consecutive active days. Both windows partition by
-    user_id, so the only shuffle key is the user — no corpus-global sort."""
+    user_id, so the only shuffle key is the user — no corpus-global sort.
+
+    Contract surface: streak dates go out as ISO strings on both
+    engines (Spark DATE reaches pandas as object(datetime.date), DuckDB
+    DATE as datetime64[us] — the cpd1 dtype-parity rule); the operator
+    itself keeps real DATE columns."""
     from etl_oms_spark.operators.temporal import activity_islands
 
-    return activity_islands(_events(spark, sf_dir)).orderBy(
-        "user_id", "streak_start"
+    return (
+        activity_islands(_events(spark, sf_dir))
+        .withColumn("streak_start", F.date_format("streak_start", "yyyy-MM-dd"))
+        .withColumn("streak_end", F.date_format("streak_end", "yyyy-MM-dd"))
+        .orderBy("user_id", "streak_start")
     )
 
 
@@ -5469,7 +5477,8 @@ WITH days AS (
              AS island
     FROM days
 )
-SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+SELECT user_id, CAST(MIN(day) AS VARCHAR) AS streak_start,
+       CAST(MAX(day) AS VARCHAR) AS streak_end,
        CAST(COUNT(*) AS BIGINT) AS streak_days
 FROM grp GROUP BY user_id, island
 ORDER BY user_id, streak_start
@@ -5582,9 +5591,12 @@ def cp1_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("l_shipdate").alias("day"))
         .agg((F.count(F.lit(1)) * F.lit(100)).alias("bytes"))
     )
-    return compaction_plan(
-        sizes, "bytes", ["day"], target_bytes=5_000_000
-    ).orderBy("day")
+    # day leaves as an ISO string on both engines (dtype-parity rule)
+    return (
+        compaction_plan(sizes, "bytes", ["day"], target_bytes=5_000_000)
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+        .orderBy("day")
+    )
 
 
 CP1_SQL = """
@@ -5593,7 +5605,7 @@ WITH sizes AS (
            CAST(COUNT(*) * 100 AS BIGINT) AS bytes
     FROM lineitem GROUP BY 1
 )
-SELECT day, bytes,
+SELECT CAST(day AS VARCHAR) AS day, bytes,
        CAST(floor(CAST(COALESCE(SUM(bytes) OVER (
                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
             0) AS DOUBLE) / 5000000) AS BIGINT) AS out_file
@@ -6815,6 +6827,7 @@ def fn2_cohort_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_rate",
             F.col("n_purchase") / F.col("n_users").cast("double"),
         )
+        .withColumn("cohort_day", F.date_format("cohort_day", "yyyy-MM-dd"))
         .orderBy("cohort_day")
     )
 
@@ -6838,7 +6851,7 @@ cohorts AS (
     SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
     FROM events GROUP BY user_id
 )
-SELECT cohort_day,
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
        CAST(COUNT(*) AS BIGINT) AS n_users,
        CAST(COUNT(v.user_id) AS BIGINT) AS n_view,
        CAST(COUNT(c.user_id) AS BIGINT) AS n_click,
@@ -7299,6 +7312,7 @@ def cal1_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spine.join(daily, "day", "left")
         .withColumn("n_orders", F.coalesce(F.col("n_orders"), F.lit(0)))
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
         .orderBy("day")
     )
 
@@ -7316,7 +7330,7 @@ WITH bounds AS (
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY 1
 )
-SELECT spine.day,
+SELECT CAST(spine.day AS VARCHAR) AS day,
        CAST(dayofweek(spine.day) AS INT) AS dow,
        CAST(weekofyear(spine.day) AS INT) AS iso_week,
        CAST(month(spine.day) AS INT) AS month,
@@ -9356,7 +9370,8 @@ def br1_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = sessionize(_events(spark, sf_dir), gap="10 minutes")
     dow = (
-        F.datediff(F.to_date("session_start"), F.lit("1970-01-01")) % 7
+        (F.datediff(F.to_date("session_start"), F.lit("1970-01-01")) % 7)
+        .cast("long")
     ).alias("dow")
     return (
         s.select(dow, "n_events")
@@ -10098,7 +10113,9 @@ def hw1_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("h")
     return folded.select(h, "st", "last_month").select(
         F.col("h").cast("int").alias("h"),
-        F.add_months("last_month", F.col("h")).alias("forecast_month"),
+        F.date_format(
+            F.add_months("last_month", F.col("h")), "yyyy-MM-dd"
+        ).alias("forecast_month"),
         (F.col("st.l") + F.col("h") * F.col("st.b")).alias("forecast_cents"),
     )
 
@@ -10130,7 +10147,8 @@ WITH RECURSIVE monthly AS (
     SELECT MAX(month) AS last_month FROM monthly
 )
 SELECT CAST(h.h AS INT) AS h,
-       CAST(lastm.last_month + h.h * INTERVAL 1 MONTH AS DATE) AS forecast_month,
+       CAST(CAST(lastm.last_month + h.h * INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+         AS forecast_month,
        final.l + h.h * final.b AS forecast_cents
 FROM final, lastm, (SELECT 1 AS h UNION ALL SELECT 2 UNION ALL SELECT 3) h
 """
