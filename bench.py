@@ -110,6 +110,11 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from etl_oms_spark.session import get_spark
 
+    # sample BEFORE Spark spins up: the end-of-run loadavg_1m always
+    # reads ~10+ because it includes this bench's own local[32] burn —
+    # co-tenant contention is only visible in the start sample
+    loadavg_start = round(os.getloadavg()[0], 2)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
@@ -157,7 +162,10 @@ def main() -> None:
         "queries": timings,
         "cold_total_sec": round(cold_total, 3),
         # host contention context for the reader of round-over-round
-        # diffs (the numbers move with co-tenant load, the plans don't)
+        # diffs (the numbers move with co-tenant load, the plans don't);
+        # _start is pre-Spark (true co-tenant load), the unsuffixed one
+        # is end-of-run (includes this bench's own 32 threads)
+        "loadavg_start_1m": loadavg_start,
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
