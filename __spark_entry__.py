@@ -12938,6 +12938,138 @@ ORDER BY qid
 """
 
 
+def bpe1_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT iterative BPE training, first 8 merges
+    (operators/tokenize.bpe_train_exact): pair statistics RETRAINED after
+    every merge (true Sennrich — v2_bigram_merge_rank is the one-scan
+    statistic for merge #1 only). Corpus-scale work is one word-frequency
+    rollup; the 8 rounds run on the deterministic top-256-word sample
+    (count DESC, word ASC) — the e11/pc2 bounded-sample portable-twin
+    pattern, so the DuckDB oracle replays every round bit-exactly via an
+    unrolled MATERIALIZED-CTE chain. The merge rewrite is CANONICAL
+    greedy-left BPE on every engine via the double-space symbol form
+    (one plain replace per round; see bpe_train_exact's contract)."""
+    from etl_oms_spark.operators.tokenize import bpe_train_exact
+
+    merges = bpe_train_exact(
+        _t(spark, sf_dir, "documents"), n_merges=8, sample_words=256
+    )
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["lhs"], m["rhs"], m["merged"], m["weight"])
+            for m in merges
+        ],
+        "merge_rank long, lhs string, rhs string, merged string, weight long",
+    ).orderBy("merge_rank")
+
+
+def _bpe_learn_ctes(n_merges: int = 8, sample_words: int = 256) -> str:
+    """Shared unrolled learn chain for BPE1/BPE2: words -> top sample ->
+    n_merges rounds of (pair count, argmax, single-pass rewrite). Every
+    CTE is MATERIALIZED — DuckDB inlines CTE references, and an unrolled
+    iterative chain referenced twice per round re-expands exponentially
+    without it (the k-core/pc2 lesson)."""
+    parts = [
+        f"""words AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents)
+    WHERE w <> '' AND length(w) >= 2
+    GROUP BY w
+), w0 AS MATERIALIZED (
+    SELECT ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, n
+    FROM words ORDER BY n DESC, w LIMIT {sample_words}
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+    SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS wt
+    FROM (SELECT regexp_split_to_array(trim(s), ' +') AS t, n FROM w{r - 1}),
+         LATERAL unnest(range(1, len(t))) u(i)
+    GROUP BY a, b
+), b{r} AS MATERIALIZED (
+    SELECT a, b, wt FROM p{r} ORDER BY wt DESC, a, b LIMIT 1
+), w{r} AS MATERIALIZED (
+    SELECT replace(s, ' ' || b{r}.a || '  ' || b{r}.b || ' ',
+                   ' ' || b{r}.a || b{r}.b || ' ') AS s, n
+    FROM w{r - 1} CROSS JOIN b{r}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe1_sql(n_merges: int = 8) -> str:
+    unions = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+           a || b AS merged, wt AS weight FROM b{r}"""
+        for r in range(1, n_merges + 1)
+    )
+    return f"""WITH {_bpe_learn_ctes(n_merges)}
+SELECT * FROM (
+{unions}
+) ORDER BY merge_rank
+"""
+
+
+def bpe2_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit readout per source: train the 8 exact merges (bpe1's
+    chain), then APPLY them corpus-wide with zero Python in the row path
+    (operators/tokenize.bpe_fertility): one char-spacing regexp_replace
+    into the double-gap symbol form (word boundaries widen to 5 spaces
+    so the two-space merge patterns cannot cross words — no explode) +
+    8 JVM F.replace calls, all inside whole-stage codegen, then one
+    source rollup. Reports BPE tokens per
+    whitespace word (fertility) and chars per BPE token — the "which
+    source does this tokenizer fit worst?" curation signal. Exact BIGINT
+    sums; the two ratios are the only doubles."""
+    from etl_oms_spark.operators.tokenize import bpe_fertility, bpe_train_exact
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train_exact(d, n_merges=8, sample_words=256)
+    return bpe_fertility(d, merges).orderBy("source")
+
+
+def _bpe2_sql(n_merges: int = 8) -> str:
+    applied = "' ' || regexp_replace(t, '(.)', '\\1  ', 'g')"
+    for r in range(1, n_merges + 1):
+        applied = (
+            f"replace({applied},\n            "
+            f"' ' || b{r}.a || '  ' || b{r}.b || ' ', "
+            f"' ' || b{r}.a || b{r}.b || ' ')"
+        )
+    crosses = " ".join(f"CROSS JOIN b{r}" for r in range(1, n_merges + 1))
+    return f"""WITH {_bpe_learn_ctes(n_merges)},
+docs AS MATERIALIZED (
+    SELECT source, {_NORM_SQL} AS t FROM documents
+), applied AS (
+    SELECT source, t,
+           {applied} AS s2
+    FROM docs {crosses}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN t = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(s2), '\\s+')) END)
+            AS BIGINT) AS bpe_tokens,
+       CAST(SUM(CASE WHEN t = '' THEN 0
+                ELSE len(string_split(t, ' ')) END) AS BIGINT) AS ws_tokens,
+       CAST(SUM(length(replace(t, ' ', ''))) AS BIGINT) AS chars,
+       CAST(SUM(CASE WHEN t = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(s2), '\\s+')) END)
+            AS DOUBLE)
+         / CAST(SUM(CASE WHEN t = '' THEN 0
+                    ELSE len(string_split(t, ' ')) END) AS DOUBLE)
+         AS fertility,
+       CAST(SUM(length(replace(t, ' ', ''))) AS DOUBLE)
+         / CAST(SUM(CASE WHEN t = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(s2), '\\s+')) END)
+                AS DOUBLE) AS chars_per_token
+FROM applied
+GROUP BY source
+ORDER BY source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -13018,6 +13150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
+        # ---- round-8 additions: front-load next round (r09 queue) ----
+        "bpe1_bpe_merges": bpe1_bpe_merges,
+        "bpe2_bpe_fertility": bpe2_bpe_fertility,
         # ---- remainder: green in CORRECTNESS_r01-r07 ----
         "ga1_activity_islands": ga1_activity_islands,
         "mk1_event_transitions": mk1_event_transitions,
@@ -13231,6 +13366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": Q1_SQL,
+        "bpe1_bpe_merges": _bpe1_sql(),
+        "bpe2_bpe_fertility": _bpe2_sql(),
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -103,6 +103,9 @@ HEADLINE = [
     "sv1_survival_hazard",
     # round-6 additions (appended)
     "e11_pq_portable",
+    # round-8 additions (appended)
+    "bpe1_bpe_merges",
+    "bpe2_bpe_fertility",
 ]
 
 

@@ -119,3 +119,135 @@ def train_merges(
         .collect()
     )
     return [(r["a"], r["b"]) for r in pairs]
+
+
+def bpe_train_exact(
+    df: DataFrame,
+    n_merges: int = 8,
+    sample_words: int = 256,
+    text_col: str = "text",
+) -> list[dict]:
+    """EXACT iterative BPE training (Sennrich et al. 2016: pair counts
+    retrained after EVERY merge — `train_merges` above is the one-scan
+    approximation) over a bounded deterministic word sample, the
+    e11/pc2 "portable twin" pattern: the corpus-scale work is ONE
+    word-frequency rollup (map-side combined — the only part that
+    touches 100 TB); the iterations then run on the top-``sample_words``
+    words by (count DESC, word ASC), a driver-sized working set, so an
+    unrolled MATERIALIZED-CTE DuckDB oracle can replay them bit-exactly.
+
+    Determinism contract (shared with the oracle, verified cross-engine):
+    - words = whitespace tokens of text.normalize_text, length >= 2;
+    - symbol form is the DOUBLE-space-delimited char string
+      ``' h  e  l  l  o '``. The double gap makes one plain
+      left-to-right ``str.replace(' a  b ', ' ab ')`` pass EXACTLY
+      canonical greedy-left BPE: each match consumes one space from
+      each two-space gap (the invariant self-restores), so an adjacent
+      occurrence of the same pair still has its boundary space and
+      merges too — ``banana`` → ``[b, an, an, a]`` and ``aaaaa`` →
+      ``[aa, aa, a]``, verified identical in Python, Spark
+      ``F.replace`` and DuckDB ``replace()`` (single-space delimiters
+      get both cases wrong: non-overlapping matching eats the shared
+      boundary space);
+    - pair weight = Σ word_count × (# adjacent occurrences), overlaps
+      counted (the Sennrich statistic);
+    - best pair = max weight, ties by (left ASC, right ASC).
+
+    Returns ``n_merges`` dicts: rank, lhs, rhs, merged, weight (fewer if
+    the sample runs out of repeated pairs).
+    """
+    from etl_oms_spark.operators.text import tokens
+
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(sample_words)
+        .collect()
+    )
+    sample = [
+        (" " + "  ".join(list(r["w"])) + " ", int(r["n"])) for r in rows
+    ]
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, n in sample:
+            syms = s.split()
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + n
+        if not counts:
+            break
+        (a, b), wt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(
+            {"rank": rank, "lhs": a, "rhs": b, "merged": a + b, "weight": wt}
+        )
+        pat, rep = f" {a}  {b} ", f" {a}{b} "
+        sample = [(s.replace(pat, rep), n) for s, n in sample]
+    return merges
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[dict] | list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Distributed APPLY of a frozen merge list + per-group tokenizer
+    fertility report — the "how well does this tokenizer fit each
+    source?" curation readout. 100 TB posture: the whole document is
+    char-spaced with ONE regexp_replace into the canonical double-gap
+    symbol form (word boundaries widen to 5 spaces, so the two-space
+    merge patterns can never cross words — no explode, no per-word
+    shuffle), then each merge is one JVM ``F.replace``; everything up
+    to the final group rollup stays inside whole-stage codegen. Zero
+    Python in the row path (contrast
+    ``bpe_apply``'s greedy rank-priority encoder, which needs Python:
+    a FIXED merge sequence lowers to pure column algebra).
+
+    Fertility = BPE tokens per whitespace word (lower = the tokenizer
+    compresses that group better); also reports chars per BPE token.
+    Exact-integer sums; the two ratios are the only doubles.
+    """
+    from etl_oms_spark.operators.text import normalize_text
+
+    norm = normalize_text(text_col)
+    spaced = F.concat(
+        F.lit(" "), F.regexp_replace(norm, r"(.)", r"$1  ")
+    )
+    for m in merges:
+        a, b = (m["lhs"], m["rhs"]) if isinstance(m, dict) else (m[0], m[1])
+        spaced = F.replace(
+            spaced, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+        )
+    bpe_n = F.size(F.split(F.trim(spaced), r"\s+"))
+    ws_n = F.size(F.split(norm, " "))
+    chars_n = F.length(F.regexp_replace(norm, " ", ""))
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        F.when(norm == "", 0).otherwise(bpe_n).cast("long").alias("bpe_n"),
+        F.when(norm == "", 0).otherwise(ws_n).cast("long").alias("ws_n"),
+        chars_n.cast("long").alias("chars_n"),
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("bpe_n").cast("long").alias("bpe_tokens"),
+            F.sum("ws_n").cast("long").alias("ws_tokens"),
+            F.sum("chars_n").cast("long").alias("chars"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("bpe_tokens").cast("double")
+            / F.col("ws_tokens").cast("double"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.col("chars").cast("double")
+            / F.col("bpe_tokens").cast("double"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

@@ -1,0 +1,106 @@
+"""Exact iterative BPE training (operators/tokenize.bpe_train_exact):
+hand-case, independent brute-force parity, and the learn/apply
+(bpe1/bpe2) contract invariants."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as m
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+def _brute_bpe(word_counts: list[tuple[str, int]], k: int):
+    """Independent reimplementation on symbol LISTS (no string replace):
+    same statistic, same tie-break, single-pass left-to-right merge."""
+    vocab = [(list(w), n) for w, n in word_counts]
+    out = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (a, b), wt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, a, b, a + b, wt))
+        nv = []
+        for syms, n in vocab:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nv.append((res, n))
+        vocab = nv
+    return out
+
+
+def test_bpe_hand_case(spark):
+    from etl_oms_spark.operators.tokenize import bpe_train_exact
+
+    # 'low'x5 'lower'x2 'newest'x6 'widest'x3 — the Sennrich paper corpus
+    docs = spark.createDataFrame(
+        [(0, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = bpe_train_exact(docs, n_merges=4, sample_words=256)
+    got = [(mm["lhs"], mm["rhs"], mm["weight"]) for mm in merges]
+    # round 1: (e,s) 9; round 2: (es,t) 9; round 3: (l,o) 7; round 4: (lo,w) 7
+    assert got == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7), ("lo", "w", 7)]
+
+
+def test_bpe_matches_independent_bruteforce(spark):
+    """Engine merges == independent list-based canonical greedy-left
+    reimplementation on the same sample — the double-space replace form
+    is exactly canonical, so the two must agree on ANY input."""
+    from etl_oms_spark.operators.text import tokens
+    from etl_oms_spark.operators.tokenize import bpe_train_exact
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    wc = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(256)
+        .collect()
+    )
+    sample = [(r["w"], int(r["n"])) for r in wc]
+    expected = _brute_bpe(sample, 8)
+    merges = bpe_train_exact(d, n_merges=8, sample_words=256)
+    got = [
+        (mm["rank"], mm["lhs"], mm["rhs"], mm["merged"], mm["weight"])
+        for mm in merges
+    ]
+    assert got == expected
+
+
+def test_bpe_fertility_bounds(spark):
+    rows = m.queries()["bpe2_bpe_fertility"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # merging only ever reduces token count, never below 1 per word
+        assert r["bpe_tokens"] <= r["chars"]
+        assert r["ws_tokens"] <= r["bpe_tokens"]
+        assert 1.0 <= r["fertility"]
+        assert r["chars_per_token"] >= 1.0
+
+
+def test_bpe_merges_feed_the_greedy_encoder():
+    """The exact trainer's output plugs into the existing rank-priority
+    greedy encoder (bpe_encode_word) — learn and apply compose."""
+    from etl_oms_spark.operators.tokenize import bpe_encode_word
+
+    ranks = {("e", "s"): 0, ("es", "t"): 1, ("l", "o"): 2, ("lo", "w"): 3}
+    assert bpe_encode_word("lowest", ranks) == ["low", "est"]
