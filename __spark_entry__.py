@@ -13070,6 +13070,81 @@ ORDER BY source
 """
 
 
+def sdd1_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-per-key dedup capstone
+    (streaming/events.dedup_stream): the events stream plus a replayed
+    duplicate wave (every event_id % 7 == 0 re-emitted — the at-least-
+    once-delivery simulation) runs END TO END through Structured
+    Streaming — availableNow, parquet sink, checkpoint — with
+    ``dropDuplicatesWithinWatermark`` holding per-key state, then rolls
+    up per event type. Exactness argument (the sj1/stp1 pattern): the
+    contract run sets the watermark delay beyond the dataset's time
+    span, so no key's state is evicted mid-run and every replayed row
+    meets its original inside the state store; replays are byte-exact
+    copies, so whichever row wins, the surviving set EQUALS batch
+    DISTINCT over the original events — the exact batch-twin oracle.
+    In production the watermark is the state-size knob (state is
+    O(keys per watermark window), the A2 keep-last twin for streams);
+    exactness degrades only for replays arriving later than the delay.
+    Sources-sized result is materialized eagerly so the temp dirs are
+    removed before returning."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_oms_spark.streaming.events import dedup_stream
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="sdd1_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "deduped")
+        ev.write.mode("overwrite").parquet(src)
+        # the replay wave: exact copies, appended as separate files so
+        # availableNow may deliver them in the same or a later micro-batch
+        ev.filter(F.col("event_id") % 7 == 0).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = (
+            dedup_stream(stream, keys=["event_id"], watermark="876000 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.count_distinct("user_id").cast("long").alias("n_users"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("value_cents"),
+            )
+            .orderBy("event_type")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SDD1_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -13153,6 +13228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-8 additions: front-load next round (r09 queue) ----
         "bpe1_bpe_merges": bpe1_bpe_merges,
         "bpe2_bpe_fertility": bpe2_bpe_fertility,
+        "sdd1_streaming_dedup": sdd1_streaming_dedup,
         # ---- remainder: green in CORRECTNESS_r01-r07 ----
         "ga1_activity_islands": ga1_activity_islands,
         "mk1_event_transitions": mk1_event_transitions,
@@ -13368,6 +13444,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": Q1_SQL,
         "bpe1_bpe_merges": _bpe1_sql(),
         "bpe2_bpe_fertility": _bpe2_sql(),
+        "sdd1_streaming_dedup": SDD1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

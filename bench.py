@@ -106,6 +106,7 @@ HEADLINE = [
     # round-8 additions (appended)
     "bpe1_bpe_merges",
     "bpe2_bpe_fertility",
+    "sdd1_streaming_dedup",
 ]
 
 

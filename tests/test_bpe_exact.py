@@ -104,3 +104,29 @@ def test_bpe_merges_feed_the_greedy_encoder():
 
     ranks = {("e", "s"): 0, ("es", "t"): 1, ("l", "o"): 2, ("lo", "w"): 3}
     assert bpe_encode_word("lowest", ranks) == ["low", "est"]
+
+
+def test_sdd1_dedup_removes_injected_replays(spark):
+    """The streaming dedup must return exactly the plain-events rollup —
+    the ~1/7 replayed rows all die in the state store."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as m
+
+    got = {
+        r["event_type"]: (r["n_events"], r["value_cents"])
+        for r in m.queries()["sdd1_streaming_dedup"](spark, SF).collect()
+    }
+    ev = m._events(spark, SF)
+    want = {
+        r["event_type"]: (r["n"], r["c"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
