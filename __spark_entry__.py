@@ -13030,14 +13030,22 @@ def bpe2_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe2_sql(n_merges: int = 8) -> str:
+    # Each learn round joins with LEFT JOIN ON TRUE (not CROSS JOIN) and
+    # COALESCEs an exhausted round's pattern to chr(1) -- a byte the
+    # normalized text can never contain -- so an empty b{r} degrades that
+    # round's replace to identity instead of emptying the whole corpus
+    # CTE. Mirrors bpe_train_exact's early ``break`` when fewer than
+    # n_merges pairs are learnable (degenerate/tiny corpora).
     applied = "' ' || regexp_replace(t, '(.)', '\\1  ', 'g')"
     for r in range(1, n_merges + 1):
         applied = (
             f"replace({applied},\n            "
-            f"' ' || b{r}.a || '  ' || b{r}.b || ' ', "
-            f"' ' || b{r}.a || b{r}.b || ' ')"
+            f"COALESCE(' ' || b{r}.a || '  ' || b{r}.b || ' ', chr(1)), "
+            f"COALESCE(' ' || b{r}.a || b{r}.b || ' ', ''))"
         )
-    crosses = " ".join(f"CROSS JOIN b{r}" for r in range(1, n_merges + 1))
+    crosses = " ".join(
+        f"LEFT JOIN b{r} ON TRUE" for r in range(1, n_merges + 1)
+    )
     return f"""WITH {_bpe_learn_ctes(n_merges)},
 docs AS MATERIALIZED (
     SELECT source, {_NORM_SQL} AS t FROM documents
@@ -13081,8 +13089,10 @@ def sdd1_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract run sets the watermark delay beyond the dataset's time
     span, so no key's state is evicted mid-run and every replayed row
     meets its original inside the state store; replays are byte-exact
-    copies, so whichever row wins, the surviving set EQUALS batch
-    DISTINCT over the original events — the exact batch-twin oracle.
+    copies, so whichever row wins, the surviving set EQUALS one row per
+    event_id over the source — exactly what SDD1_SQL's ROW_NUMBER
+    subquery computes (the oracle does NOT assume event_id is unique in
+    the source table; byte-exact duplicates make the tiebreak moot).
     In production the watermark is the state-size knob (state is
     O(keys per watermark window), the A2 keep-last twin for streams);
     exactness degrades only for replays arriving later than the delay.
@@ -13134,12 +13144,30 @@ def sdd1_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# The oracle encodes the stream's actual contract -- ONE surviving row
+# per event_id -- rather than assuming event_id is unique in the source
+# table (it is in the testdata, but a source with natural duplicate
+# event_ids would make the stream collapse rows a plain rollup still
+# counts). ROW_NUMBER's tiebreak order is immaterial whenever duplicates
+# are byte-exact copies (the documented exactness precondition); if they
+# ever differed, neither engine would be deterministic about which row
+# wins, and this oracle makes that visible instead of silently diverging.
 SDD1_SQL = """
+WITH one_per_key AS (
+    SELECT event_id, user_id, event_type, ts, value FROM (
+        SELECT event_id, user_id, event_type, ts, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_id
+                   ORDER BY ts, user_id, event_type, value
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+)
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events
+FROM one_per_key
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -13153,13 +13181,82 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Order matters: the driver's CORRECTNESS check covers the FIRST
-        # 50 entries. Round 8 executes the FINAL rotation (VERDICT r07
-        # item 2): positions 1-21 are the round-7 queue (the last of the
-        # never-driver-checked exact-oracle backlog), 22-23 the two green
-        # anchors, and 24-50 the 27 stalest rows -- every one last
-        # driver-checked in round 1 (core-ETL / TPC-H surface) -- so the
-        # freshness clock resets while the backlog clears to zero.
-        # ---- positions 1-21: round-7 rotation queue, first driver check ----
+        # 50 entries. Round 9 rotation (VERDICT r08 item 1): positions
+        # 1-3 are the round-8 additions (the only never-driver-checked
+        # exact-oracle queries left), 4-5 the two green anchors, 6-23
+        # the 18 stalest rows (last driver-checked in round 1), 24-50
+        # the 27 next-stalest (round 2) -- after this round every
+        # exact-oracle query in the catalog has a driver row and none is
+        # staler than r03. New round-9 queries are inserted at position
+        # 6, each displacing the least-stale refill entry past 50.
+        # ---- positions 1-3: round-8 additions, first driver check ----
+        "bpe1_bpe_merges": bpe1_bpe_merges,
+        "bpe2_bpe_fertility": bpe2_bpe_fertility,
+        "sdd1_streaming_dedup": sdd1_streaming_dedup,
+        # ---- positions 4-5: continuity anchors (green every round) ----
+        "q1_pricing_summary": q1_pricing_summary,
+        "star_fact_rollup": star_fact_rollup,
+        # ---- positions 6-23: freshness refill, last checked r01 ----
+        "q9_product_type_profit": q9_product_type_profit,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q13_customer_distribution": q13_customer_distribution,
+        "s_set_ops": s_set_ops,
+        "f9_string_funcs": f9_string_funcs,
+        "a9_having_filter": a9_having_filter,
+        "q4_order_priority": q4_order_priority,
+        "q19_disjunctive": q19_disjunctive,
+        "q22_global_avg_filter": q22_global_avg_filter,
+        "n1_null_semantics": n1_null_semantics,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_ratio": q14_promo_ratio,
+        "q18_large_volume": q18_large_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q11_important_parts": q11_important_parts,
+        "q15_top_supplier": q15_top_supplier,
+        # ---- positions 24-50: freshness refill, last checked r02 ----
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q20_potential_promotion": q20_potential_promotion,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "ar1_array_funcs": ar1_array_funcs,
+        "ar2_explode_wordcount": ar2_explode_wordcount,
+        "w3_rank_functions": w3_rank_functions,
+        "t5_regex_extract": t5_regex_extract,
+        "f10_date_funcs": f10_date_funcs,
+        "tj1_asof_join": tj1_asof_join,
+        "tj2_range_join": tj2_range_join,
+        "rl1_time_rollup": rl1_time_rollup,
+        "ev_sessionize": ev_sessionize,
+        "a10_distinct_agg": a10_distinct_agg,
+        "a12_cube": a12_cube,
+        "a13_exact_median": a13_exact_median,
+        "u2_grouped_ema": u2_grouped_ema,
+        "d1_exact_dedup": d1_exact_dedup,
+        "d2_ngram_jaccard": d2_ngram_jaccard,
+        "d5_containment": d5_containment,
+        "t6_quality_filter": t6_quality_filter,
+        "sp1_deterministic_split": sp1_deterministic_split,
+        "t1_token_stats": t1_token_stats,
+        "t2_quality_score": t2_quality_score,
+        "t3_language_id": t3_language_id,
+        "t4_fingerprint": t4_fingerprint,
+        "e1_cosine_topk": e1_cosine_topk,
+        "e4_ivf_topk": e4_ivf_topk,
+        # ---- positions 51-60: documented rows-only entries, pinned
+        #      permanently BEHIND the window (a no_oracle row would waste
+        #      a driver slot); each has an exact twin or pytest-vs-numpy ----
+        "a11_approx_distinct": a11_approx_distinct,
+        "d3_minhash_candidates": d3_minhash_candidates,
+        "d4_simhash": d4_simhash,
+        "e2_ann_lsh": e2_ann_lsh,
+        "e3_embedding_neardup": e3_embedding_neardup,
+        "tp1_curation_pipeline": tp1_curation_pipeline,
+        "hl1_sketch_rollup": hl1_sketch_rollup,
+        "pc1_pca_projection": pc1_pca_projection,
+        "e9_pq_topk": e9_pq_topk,
+        "dq2_profile_approx": dq2_profile_approx,
+        # ---- remainder: green in CORRECTNESS_r03-r08 ----
         "auc1_quality_auc": auc1_quality_auc,
         "ks1_score_ks": ks1_score_ks,
         "rb1_reliability_bins": rb1_reliability_bins,
@@ -13181,10 +13278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sv1_survival_hazard": sv1_survival_hazard,
         "e11_pq_portable": e11_pq_portable,
         "pc2_pca_portable": pc2_pca_portable,
-        # ---- positions 22-23: continuity anchors (green every round) ----
-        "q1_pricing_summary": q1_pricing_summary,
-        "star_fact_rollup": star_fact_rollup,
-        # ---- positions 24-50: freshness refill, last checked r01 ----
         "p2_p3_reconcile": p2_p3_reconcile,
         "p6_p7_filters": p6_p7_filters,
         "j1_dim_join": j1_dim_join,
@@ -13212,24 +13305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_avg_quantity_filter": q17_avg_quantity_filter,
         "a8_rollup": a8_rollup,
         "w2_window_frames": w2_window_frames,
-        # ---- positions 51-60: documented rows-only entries, pinned
-        #      permanently BEHIND the window (a no_oracle row would waste
-        #      a driver slot); each has an exact twin or pytest-vs-numpy ----
-        "a11_approx_distinct": a11_approx_distinct,
-        "d3_minhash_candidates": d3_minhash_candidates,
-        "d4_simhash": d4_simhash,
-        "e2_ann_lsh": e2_ann_lsh,
-        "e3_embedding_neardup": e3_embedding_neardup,
-        "tp1_curation_pipeline": tp1_curation_pipeline,
-        "hl1_sketch_rollup": hl1_sketch_rollup,
-        "pc1_pca_projection": pc1_pca_projection,
-        "e9_pq_topk": e9_pq_topk,
-        "dq2_profile_approx": dq2_profile_approx,
-        # ---- round-8 additions: front-load next round (r09 queue) ----
-        "bpe1_bpe_merges": bpe1_bpe_merges,
-        "bpe2_bpe_fertility": bpe2_bpe_fertility,
-        "sdd1_streaming_dedup": sdd1_streaming_dedup,
-        # ---- remainder: green in CORRECTNESS_r01-r07 ----
         "ga1_activity_islands": ga1_activity_islands,
         "mk1_event_transitions": mk1_event_transitions,
         "tw1_time_weighted_avg": tw1_time_weighted_avg,
@@ -13374,33 +13449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_intra_dedup": t9_intra_dedup,
         "r4_pivot_multi": r4_pivot_multi,
         "cs1_centroid_similarity": cs1_centroid_similarity,
-        "q16_supplier_part_count": q16_supplier_part_count,
-        "q20_potential_promotion": q20_potential_promotion,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "ar1_array_funcs": ar1_array_funcs,
-        "ar2_explode_wordcount": ar2_explode_wordcount,
-        "w3_rank_functions": w3_rank_functions,
-        "t5_regex_extract": t5_regex_extract,
-        "f10_date_funcs": f10_date_funcs,
-        "tj1_asof_join": tj1_asof_join,
-        "tj2_range_join": tj2_range_join,
-        "rl1_time_rollup": rl1_time_rollup,
-        "ev_sessionize": ev_sessionize,
-        "a10_distinct_agg": a10_distinct_agg,
-        "a12_cube": a12_cube,
-        "a13_exact_median": a13_exact_median,
-        "u2_grouped_ema": u2_grouped_ema,
-        "d1_exact_dedup": d1_exact_dedup,
-        "d2_ngram_jaccard": d2_ngram_jaccard,
-        "d5_containment": d5_containment,
-        "t6_quality_filter": t6_quality_filter,
-        "sp1_deterministic_split": sp1_deterministic_split,
-        "t1_token_stats": t1_token_stats,
-        "t2_quality_score": t2_quality_score,
-        "t3_language_id": t3_language_id,
-        "t4_fingerprint": t4_fingerprint,
-        "e1_cosine_topk": e1_cosine_topk,
-        "e4_ivf_topk": e4_ivf_topk,
         "m1_media_metadata": m1_media_metadata,
         "a4_guard_derive": a4_guard_derive,
         "q12_late_priority": q12_late_priority,
@@ -13418,24 +13466,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp2_stratified_sample": sp2_stratified_sample,
         "e7_kmeans": e7_kmeans,
         "sd1_semantic_dedup": sd1_semantic_dedup,
-        "q9_product_type_profit": q9_product_type_profit,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q13_customer_distribution": q13_customer_distribution,
-        "s_set_ops": s_set_ops,
-        "f9_string_funcs": f9_string_funcs,
-        "a9_having_filter": a9_having_filter,
-        "q4_order_priority": q4_order_priority,
-        "q19_disjunctive": q19_disjunctive,
-        "q22_global_avg_filter": q22_global_avg_filter,
-        "n1_null_semantics": n1_null_semantics,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q10_returned_items": q10_returned_items,
-        "q14_promo_ratio": q14_promo_ratio,
-        "q18_large_volume": q18_large_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q11_important_parts": q11_important_parts,
-        "q15_top_supplier": q15_top_supplier,
     }
 
 

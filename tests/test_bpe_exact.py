@@ -130,3 +130,98 @@ def test_sdd1_dedup_removes_injected_replays(spark):
         .collect()
     }
     assert got == want
+
+
+def test_bpe2_oracle_degrades_to_identity_when_merges_exhaust(spark):
+    """ADVICE r08: a corpus with fewer than 8 learnable merges must not
+    empty the oracle's ``applied`` CTE — the LEFT JOIN ON TRUE +
+    COALESCE(chr(1)) form degrades an exhausted round to identity,
+    mirroring bpe_train_exact's early ``break``. 'abc abc ...' exhausts
+    after 2 merges ((a,b) then (ab,c) — then every word is one symbol)."""
+    import duckdb
+
+    from etl_oms_spark.operators.tokenize import bpe_fertility, bpe_train_exact
+
+    rows = [(i, "s%d" % (i % 2), "abc abc abc") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    merges = bpe_train_exact(docs, n_merges=8, sample_words=256)
+    assert len(merges) == 2, "corpus must exhaust the merge budget"
+    got = {
+        r["source"]: (r["n_docs"], r["bpe_tokens"], r["ws_tokens"], r["chars"])
+        for r in bpe_fertility(docs, merges).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]),
+    )
+    odf = con.execute(m._bpe2_sql()).df()
+    assert len(odf) == 2, "oracle must not collapse to 0 rows"
+    want = {
+        r["source"]: (r["n_docs"], r["bpe_tokens"], r["ws_tokens"], r["chars"])
+        for _, r in odf.iterrows()
+    }
+    # 3 docs/source, each 'abc abc abc' -> 3 words -> 3 single-symbol
+    # BPE tokens and 9 chars per doc
+    assert got == want == {
+        "s0": (3, 9, 9, 27),
+        "s1": (3, 9, 9, 27),
+    }
+
+
+def test_sdd1_watermark_boundary_semantics(spark, tmp_path):
+    """Pins the BOUNDARY of sdd1's exactness argument (VERDICT r08 item
+    5), per the dropDuplicatesWithinWatermark contract cited in the
+    sdd1 docstring: with a watermark delay SHORTER than the data span,
+    (a) a byte-exact replay arriving after the watermark passed its
+    event time is dropped by the late filter — eviction and lateness
+    align, so byte-exact replays never duplicate — but (b) a duplicate
+    RE-EMITTED with a later event time after its key's state evicted
+    SURVIVES as a duplicate. The contract run avoids both by setting
+    the delay beyond the dataset's time span."""
+    import os
+    import time
+
+    from etl_oms_spark.streaming.events import dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+
+    def emit(rows, mode):
+        spark.createDataFrame(rows, "event_id long, ts string").select(
+            "event_id", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode(mode).parquet(src)
+        time.sleep(1.2)  # file mtime orders availableNow micro-batches
+
+    # batch 0: key 1 at T0 plus a row a day later that advances the
+    # watermark far past T0 + 10min
+    emit([(1, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00")], "overwrite")
+    # batch 1: unrelated key; end-of-batch eviction removes key 1's state
+    emit([(3, "2024-01-02 00:00:00")], "append")
+    # batch 2: (a) byte-exact replay of key 1 (late -> filtered) and
+    # (b) key 1 re-emitted with a later event time (state gone -> survives)
+    emit([(1, "2024-01-01 00:00:00"), (1, "2024-01-02 00:00:00")], "append")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, keys=["event_id"], watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["event_id"], str(r["ts"])) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-02 00:00:00"),  # the surviving duplicate — the boundary
+        (2, "2024-01-02 00:00:00"),
+        (3, "2024-01-02 00:00:00"),
+    ]

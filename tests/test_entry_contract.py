@@ -32,35 +32,59 @@ def test_every_query_has_oracle_or_documented_exception():
     )
 
 
-def test_driver_window_holds_round8_rotation():
-    """Positions 1-50 must stay the round-8 FINAL rotation (VERDICT r07
-    item 2): 1-21 the round-7 queue (the last never-driver-checked
-    exact-oracle entries), 22-23 the two green anchors, 24-50 the 27
-    stalest rows (all last driver-checked in round 1). NO rows-only
+def test_driver_window_holds_round9_rotation():
+    """Positions 1-50 must stay the round-9 rotation (VERDICT r08 item
+    1): 1-3 the round-8 additions (the only never-driver-checked
+    exact-oracle entries left), then the two green anchors, then the 18
+    stalest rows (last driver-checked r01) and the 27 next-stalest
+    (r02). New round-9 queries are inserted right after the anchors,
+    each displacing the least-stale refill entry past position 50 — so
+    the assertion is subset-shaped for the refill blocks. NO rows-only
     entry may ever sit in the first 50 — a no_oracle row would waste a
     driver window slot."""
     names = list(entry_mod.queries())
-    assert names[:21] == [
-        "auc1_quality_auc", "ks1_score_ks", "rb1_reliability_bins",
-        "ap1_average_precision", "sw1_soft_dedup_weights",
-        "ld1_l_diversity", "bd1_benford_audit", "js1_source_divergence",
-        "en1_char_entropy", "fl1_readability", "zipf1_token_zipf",
-        "sb1_release_scorecard", "ndcg1_retrieval_ndcg",
-        "mrr1_reciprocal_rank", "tcl1_t_closeness", "acf1_autocorrelation",
-        "cpd1_change_point", "hp1_heaps_law", "sv1_survival_hazard",
-        "e11_pq_portable", "pc2_pca_portable"]
-    assert names[21:23] == ["q1_pricing_summary", "star_fact_rollup"]
-    assert set(names[23:50]) == {
-        "p2_p3_reconcile", "p6_p7_filters", "j1_dim_join",
-        "j2_multikey_join", "p9_semi_join", "j4_anti_join",
-        "a1_a6_surrogate_dim", "a2_keep_last", "w1_lag_diff", "o1_topk",
-        "r1_unpivot", "r2_pivot", "r2_pivot_roundtrip",
-        "f1_tolerant_dates", "f5_f6_rate_math", "f7_unit_map",
-        "f8_json_extract", "f12_decimal_sums", "u3_chunk_udtf",
-        "s4_source_classify", "j5_upsert_merge", "ev_window_agg",
-        "q3_shipping_priority", "q5_supplier_volume",
-        "q17_avg_quantity_filter", "a8_rollup", "w2_window_frames"}
+    assert names[:3] == [
+        "bpe1_bpe_merges", "bpe2_bpe_fertility", "sdd1_streaming_dedup"]
+    assert names[3:5] == ["q1_pricing_summary", "star_fact_rollup"]
+    refill = {
+        # last checked r01
+        "q9_product_type_profit", "q2_min_cost_supplier",
+        "q13_customer_distribution", "s_set_ops", "f9_string_funcs",
+        "a9_having_filter", "q4_order_priority", "q19_disjunctive",
+        "q22_global_avg_filter", "n1_null_semantics", "q7_volume_shipping",
+        "q8_market_share", "q10_returned_items", "q14_promo_ratio",
+        "q18_large_volume", "q6_forecast_revenue", "q11_important_parts",
+        "q15_top_supplier",
+        # last checked r02
+        "q16_supplier_part_count", "q20_potential_promotion",
+        "q21_waiting_suppliers", "ar1_array_funcs", "ar2_explode_wordcount",
+        "w3_rank_functions", "t5_regex_extract", "f10_date_funcs",
+        "tj1_asof_join", "tj2_range_join", "rl1_time_rollup",
+        "ev_sessionize", "a10_distinct_agg", "a12_cube", "a13_exact_median",
+        "u2_grouped_ema", "d1_exact_dedup", "d2_ngram_jaccard",
+        "d5_containment", "t6_quality_filter", "sp1_deterministic_split",
+        "t1_token_stats", "t2_quality_score", "t3_language_id",
+        "t4_fingerprint", "e1_cosine_topk", "e4_ivf_topk",
+    }
+    # the r01 block must all be inside the window (staleness priority);
+    # the r02 block fills the rest, tail entries displaced by new queries
+    r01 = {n for n in refill if n in {
+        "q9_product_type_profit", "q2_min_cost_supplier",
+        "q13_customer_distribution", "s_set_ops", "f9_string_funcs",
+        "a9_having_filter", "q4_order_priority", "q19_disjunctive",
+        "q22_global_avg_filter", "n1_null_semantics", "q7_volume_shipping",
+        "q8_market_share", "q10_returned_items", "q14_promo_ratio",
+        "q18_large_volume", "q6_forecast_revenue", "q11_important_parts",
+        "q15_top_supplier"}}
     first50 = set(names[:50])
+    assert r01 <= first50, f"stale r01 rows fell out: {r01 - first50}"
+    non_refill = first50 - refill - {
+        "bpe1_bpe_merges", "bpe2_bpe_fertility", "sdd1_streaming_dedup",
+        "q1_pricing_summary", "star_fact_rollup"}
+    # anything else in the window must be a round-9+ addition sitting
+    # between the anchors and the refill (positions 6+)
+    for extra in non_refill:
+        assert 5 <= names.index(extra) < 50 - len(r01), extra
     assert not (first50 & KNOWN_ROWS_ONLY), (
         "rows-only entries must never occupy a driver window slot"
     )
