@@ -13173,6 +13173,310 @@ ORDER BY event_type
 """
 
 
+def wp1_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT iterative WordPiece training, first 8 merges
+    (operators/tokenize.wordpiece_train_exact): bpe1's machinery — one
+    corpus word-frequency rollup, then 8 rounds on the deterministic
+    top-256-word sample in the double-space symbol form — with the BERT
+    selection statistic: merge the pair maximizing
+    count(ab)/(count(lhs)·count(rhs)) over the CURRENT segmentation,
+    both counts retrained every round. The ratio is integer-quantized
+    (``(wt·10^12) // (ca·cb)``, floor division on both engines) so the
+    DuckDB oracle replays each round's argmax bit-exactly; ties by
+    (lhs, rhs) ASC. Reports the merge plus its full evidence row
+    (pair weight, both unigram counts, quantized score)."""
+    from etl_oms_spark.operators.tokenize import wordpiece_train_exact
+
+    merges = wordpiece_train_exact(
+        _t(spark, sf_dir, "documents"), n_merges=8, sample_words=256
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m["rank"],
+                m["lhs"],
+                m["rhs"],
+                m["merged"],
+                m["pair_weight"],
+                m["lhs_count"],
+                m["rhs_count"],
+                m["score_q"],
+            )
+            for m in merges
+        ],
+        "merge_rank long, lhs string, rhs string, merged string, "
+        "pair_weight long, lhs_count long, rhs_count long, score_q long",
+    ).orderBy("merge_rank")
+
+
+def _wp_learn_ctes(n_merges: int = 8, sample_words: int = 256) -> str:
+    """Unrolled WordPiece learn chain: the bpe `_bpe_learn_ctes` shape
+    plus a per-round unigram-count CTE (``u{r}``: position counts over
+    the current segmentation, word-frequency weighted — the exact
+    likelihood denominator) and an argmax by the shared integer-
+    quantized score. Every CTE MATERIALIZED (the k-core/pc2 lesson)."""
+    parts = [
+        f"""words AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents)
+    WHERE w <> '' AND length(w) >= 2
+    GROUP BY w
+), w0 AS MATERIALIZED (
+    SELECT ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, n
+    FROM words ORDER BY n DESC, w LIMIT {sample_words}
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+    SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS wt
+    FROM (SELECT regexp_split_to_array(trim(s), ' +') AS t, n FROM w{r - 1}),
+         LATERAL unnest(range(1, len(t))) u(i)
+    GROUP BY a, b
+), u{r} AS MATERIALIZED (
+    SELECT t[i] AS sym, CAST(SUM(n) AS BIGINT) AS c
+    FROM (SELECT regexp_split_to_array(trim(s), ' +') AS t, n FROM w{r - 1}),
+         LATERAL unnest(range(1, len(t) + 1)) u(i)
+    GROUP BY sym
+), b{r} AS MATERIALIZED (
+    SELECT a, b, wt, ca, cb,
+           CAST((CAST(wt AS HUGEINT) * 1000000000000)
+                // (CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT))
+                AS BIGINT) AS score_q
+    FROM (SELECT p.a, p.b, p.wt, ua.c AS ca, ub.c AS cb
+          FROM p{r} p
+          JOIN u{r} ua ON ua.sym = p.a
+          JOIN u{r} ub ON ub.sym = p.b)
+    ORDER BY score_q DESC, a, b LIMIT 1
+), w{r} AS MATERIALIZED (
+    SELECT replace(s, ' ' || b{r}.a || '  ' || b{r}.b || ' ',
+                   ' ' || b{r}.a || b{r}.b || ' ') AS s, n
+    FROM w{r - 1} CROSS JOIN b{r}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _wp1_sql(n_merges: int = 8) -> str:
+    unions = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({r} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+           a || b AS merged, wt AS pair_weight, ca AS lhs_count,
+           cb AS rhs_count, score_q FROM b{r}"""
+        for r in range(1, n_merges + 1)
+    )
+    return f"""WITH {_wp_learn_ctes(n_merges)}
+SELECT * FROM (
+{unions}
+) ORDER BY merge_rank
+"""
+
+
+def kcs1_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embeddings table
+    (operators/coreset.kcenter_greedy, Gonzalez 1985): 8 rounds, each
+    ONE distributed scan computing the exact quantized-BIGINT min
+    squared-L2 to the ≤8 driver-held centers (literal arrays, codegen)
+    + a 1-row TakeOrdered — the diversity-selection step of a curation
+    pipeline, no pairwise join anywhere. Output is the selection order
+    with the non-increasing covering-radius sequence; first center =
+    lowest vec_id, every argmax tie-broken by lowest id, so the DuckDB
+    oracle (8 unrolled rounds over the same shifted-integer domain)
+    replays it bit-exactly."""
+    from etl_oms_spark.operators.coreset import kcenter_greedy
+
+    return kcenter_greedy(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def _kcs1_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center replay: e11's shifted-integer
+    quantization, exact list-algebra squared-L2, per-round max-min
+    argmax with lowest-id ties."""
+    dist = (
+        "list_sum(list_transform(list_zip(q.qv, ch.qv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    parts = [
+        """q AS MATERIALIZED (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                  + 1000000) AS qv
+  FROM embeddings
+),
+c1 AS MATERIALIZED (
+  SELECT vid, qv, CAST(0 AS BIGINT) AS d FROM q ORDER BY vid LIMIT 1
+)"""
+    ]
+    for r in range(2, k + 1):
+        chosen = " UNION ALL ".join(
+            f"SELECT qv FROM c{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT q.vid, MIN({dist}) AS d
+  FROM q CROSS JOIN ({chosen}) ch
+  GROUP BY q.vid
+),
+c{r} AS MATERIALIZED (
+  SELECT q.vid, q.qv, CAST(m.d AS BIGINT) AS d
+  FROM m{r} m JOIN q ON q.vid = m.vid
+  ORDER BY m.d DESC, q.vid LIMIT 1
+)"""
+        )
+    unions = "\n  UNION ALL\n".join(
+        f"""  SELECT CAST({r} AS BIGINT) AS round, vid AS vec_id,
+         d AS radius_d2 FROM c{r}"""
+        for r in range(1, k + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT * FROM (
+{unions}
+) ORDER BY round
+"""
+
+
+#: session gap for ssw1 — fixed so batch oracle and stream agree.
+_SSW1_GAP_SEC = 6 * 3600
+
+
+def ssw1_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION-WINDOW aggregation capstone
+    (streaming/events.session_window_agg): per-user 6-hour-gap sessions
+    over the events stream run END TO END through Structured Streaming
+    — availableNow, append mode, parquet sink, checkpoint — with
+    ``session_window`` merge state per user, then a session-length
+    histogram rollup. Exactness argument (the sdd1 pattern, inverted:
+    append-mode windows must FINALIZE to emit, so the watermark must
+    PASS them): phase 1 streams the real events under a watermark delay
+    longer than the dataset's span, so no row is late and no session
+    closes mid-run regardless of how availableNow batches the files;
+    phases 2-3 append two far-future sentinel rows (user_id = -1) and
+    restart on the same checkpoint — the first advances the watermark
+    past every real session end, the second supplies the follow-up
+    micro-batch append mode needs to flush finalized state, so every
+    real session is emitted exactly once whichever batch it lands in
+    (the sentinels' own session stays open and is filtered). Batch twin:
+    the classic islands SQL — new session when the per-user event-time
+    gap is STRICTLY over 6 h in exact microseconds (exactly 6 h still
+    merges — Spark's session ranges are end-inclusive when merging), the
+    strictness `tests/test_round9_ops.py` pins on the engine itself. In
+    production the watermark is the lateness-tolerance/state knob; the
+    sentinel dance is exactly what a real stream's ongoing traffic does
+    for free. Sources-sized result materialized eagerly; temp dirs
+    removed before returning."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_oms_spark.streaming.events import session_window_agg
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="ssw1_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "sessions")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.write.mode("overwrite").parquet(src)
+        bounds = spark.read.parquet(src).agg(
+            F.min("ts").alias("mn"), F.max("ts").alias("mx")
+        ).collect()[0]
+        span_sec = int(
+            (bounds["mx"] - bounds["mn"]).total_seconds()
+        )
+        delay_sec = span_sec + 3600
+
+        def run_phase() -> None:
+            stream = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            q = (
+                session_window_agg(
+                    stream,
+                    gap=f"{_SSW1_GAP_SEC} seconds",
+                    watermark=f"{delay_sec} seconds",
+                )
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_phase()
+        for i, extra in enumerate(
+            [delay_sec + _SSW1_GAP_SEC + 3600, delay_sec + _SSW1_GAP_SEC + 7200]
+        ):
+            spark.createDataFrame(
+                [(-1,)], "user_id long"
+            ).select(
+                "user_id",
+                (
+                    F.lit(bounds["mx"])
+                    + F.make_interval(secs=F.lit(extra))
+                ).alias("ts"),
+            ).write.mode("append").parquet(src)
+            run_phase()
+        sess = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+        result = (
+            sess.groupBy(F.col("n_events").alias("session_events"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                F.count_distinct("user_id").cast("long").alias("n_users"),
+                F.sum(
+                    F.unix_micros("last_ts") - F.unix_micros("first_ts")
+                )
+                .cast("long")
+                .alias("total_duration_us"),
+            )
+            .orderBy("session_events")
+        )
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Islands formulation of the SAME session semantics session_window
+# implements: successive per-user events merge while the event-time gap
+# is AT MOST 6 h (a gap of exactly 6 h still merges — Spark's session
+# ranges are end-inclusive when merging, pinned against the engine in
+# tests/test_round9_ops.py::test_session_window_gap_boundary); only a
+# STRICTLY larger gap opens a new session. event_id makes both window
+# orders total, so the flag and its running sum agree on duplicate
+# timestamps.
+SSW1_SQL = f"""
+WITH ev AS (
+    SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+), lagd AS (
+    SELECT user_id, tu,
+           LAG(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS pu,
+           event_id
+    FROM ev
+), sid AS (
+    SELECT user_id, tu,
+           SUM(CASE WHEN pu IS NULL
+                    OR tu - pu > {_SSW1_GAP_SEC}::BIGINT * 1000000
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY tu, event_id
+                   ROWS UNBOUNDED PRECEDING) AS s
+    FROM lagd
+), sess AS (
+    SELECT user_id, s, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(tu) - MIN(tu) AS dur_us
+    FROM sid GROUP BY user_id, s
+)
+SELECT n_events AS session_events,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(dur_us) AS BIGINT) AS total_duration_us
+FROM sess
+GROUP BY n_events
+ORDER BY session_events
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -13183,12 +13487,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Order matters: the driver's CORRECTNESS check covers the FIRST
         # 50 entries. Round 9 rotation (VERDICT r08 item 1): positions
         # 1-3 are the round-8 additions (the only never-driver-checked
-        # exact-oracle queries left), 4-5 the two green anchors, 6-23
-        # the 18 stalest rows (last driver-checked in round 1), 24-50
-        # the 27 next-stalest (round 2) -- after this round every
-        # exact-oracle query in the catalog has a driver row and none is
-        # staler than r03. New round-9 queries are inserted at position
-        # 6, each displacing the least-stale refill entry past 50.
+        # exact-oracle queries left), 4-5 the two green anchors, 6-8
+        # the round-9 additions (wp1/kcs1/ssw1), 9-26 the 18 stalest
+        # rows (last driver-checked in round 1), 27-50 the 24 next-
+        # stalest (round 2; per the displacement policy the 3 last
+        # refill rows t4_fingerprint/e1_cosine_topk/e4_ivf_topk fall
+        # past 50 and stay in the r10 refill pool) -- after this round
+        # every pre-r09 exact-oracle query in the catalog has a driver
+        # row.
         # ---- positions 1-3: round-8 additions, first driver check ----
         "bpe1_bpe_merges": bpe1_bpe_merges,
         "bpe2_bpe_fertility": bpe2_bpe_fertility,
@@ -13196,7 +13502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- positions 4-5: continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- positions 6-23: freshness refill, last checked r01 ----
+        # ---- positions 6-8: round-9 additions, first driver check ----
+        "wp1_wordpiece_merges": wp1_wordpiece_merges,
+        "kcs1_kcenter_coreset": kcs1_kcenter_coreset,
+        "ssw1_streaming_sessions": ssw1_streaming_sessions,
+        # ---- positions 9-26: freshness refill, last checked r01 ----
         "q9_product_type_profit": q9_product_type_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q13_customer_distribution": q13_customer_distribution,
@@ -13240,9 +13550,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_token_stats": t1_token_stats,
         "t2_quality_score": t2_quality_score,
         "t3_language_id": t3_language_id,
-        "t4_fingerprint": t4_fingerprint,
-        "e1_cosine_topk": e1_cosine_topk,
-        "e4_ivf_topk": e4_ivf_topk,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would waste
         #      a driver slot); each has an exact twin or pytest-vs-numpy ----
@@ -13256,6 +13563,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
+        # ---- positions 61-63: the three refill rows the round-9
+        #      additions displaced past the window (last checked r02) —
+        #      head of the r10 refill pool ----
+        "t4_fingerprint": t4_fingerprint,
+        "e1_cosine_topk": e1_cosine_topk,
+        "e4_ivf_topk": e4_ivf_topk,
         # ---- remainder: green in CORRECTNESS_r03-r08 ----
         "auc1_quality_auc": auc1_quality_auc,
         "ks1_score_ks": ks1_score_ks,
@@ -13475,6 +13788,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe1_bpe_merges": _bpe1_sql(),
         "bpe2_bpe_fertility": _bpe2_sql(),
         "sdd1_streaming_dedup": SDD1_SQL,
+        "wp1_wordpiece_merges": _wp1_sql(),
+        "kcs1_kcenter_coreset": _kcs1_sql(),
+        "ssw1_streaming_sessions": SSW1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -1,0 +1,101 @@
+"""Coreset selection: greedy k-center (farthest-point traversal) over an
+embedding column — the diversity-selection step of a training-data
+pipeline ("pick k maximally-spread exemplars", Gonzalez 1985's 2-approx
+for the k-center objective; also the seeding rule of k-means++ without
+the randomization).
+
+The reference (EliasGhennam/ETL_OMS) has no embedding operators at all;
+this extends the engine's LLM-curation surface (SemDeDup `clustering.py`,
+ANN `similarity.py`) with the selection primitive both of those feed.
+
+Scale posture (100 TB): greedy k-center is inherently k-pass, but each
+pass is a single map (min over ≤k broadcast-literal centers, pure column
+algebra in whole-stage codegen) + a top-1 TakeOrdered reduce — no
+pairwise joins, no shuffle of the corpus, O(n·k·d) total work. The
+chosen-center state is k vectors on the driver (a few KB). For corpora
+where k full scans are too dear, run it on a deterministic uniform
+sample first (sh1's hash-order sampling) — the standard
+coreset-of-a-coreset composition; the algorithm itself is unchanged.
+
+Determinism contract (shared with the DuckDB oracle, `KCS1_SQL`):
+vectors enter the shared shifted-integer domain
+(``round(x·1e6) + 1e6`` per coordinate, similarity.QUANT / e11's
+policy), all distances are exact BIGINT squared-L2, the first center is
+the lowest id, and each round's farthest point breaks ties by lowest id
+— bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: shared shifted-integer quantization (matches e11/pc2's oracle domain:
+#: CAST(round(x*1e6) AS BIGINT) + 1e6 keeps coordinates non-negative so
+#: integer subtraction/squares are exact and HUGEINT-free up to d=64).
+_SHIFT = 1_000_000
+
+
+def _quant_shift(vec: Column) -> Column:
+    return F.transform(
+        vec,
+        lambda x: (F.round(x.cast("double") * _SHIFT)).cast("long")
+        + F.lit(_SHIFT),
+    )
+
+
+def _dist2_to_literal(qv: Column, center: list[int]) -> Column:
+    """Exact BIGINT squared-L2 between a quantized vector column and one
+    driver-held center (shipped as an array literal — k·d longs total
+    across all rounds, broadcast-free)."""
+    lit = F.array(*[F.lit(int(c)) for c in center])
+    return F.aggregate(
+        F.zip_with(qv, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center selection: returns k rows
+    ``(round, vec_id, radius_d2)`` where round r's point is the corpus
+    element farthest (max-min exact quantized squared-L2) from centers
+    1..r-1, ties by lowest id; ``radius_d2`` is that min-distance — the
+    non-increasing covering-radius sequence, the coreset quality
+    diagnostic (round 1 = lowest id, radius 0).
+
+    Each round is one distributed scan (min over the ≤k chosen centers as
+    literal arrays, inside codegen) + a 1-row TakeOrdered — no caching
+    required, no corpus shuffle; see module docstring for the 100 TB
+    posture.
+    """
+    spark = df.sparkSession
+    q = df.select(
+        F.col(id_col).cast("long").alias("vid"),
+        _quant_shift(F.col(vec_col)).alias("qv"),
+    )
+    first = q.orderBy("vid").limit(1).collect()[0]
+    chosen: list[tuple[int, int, int]] = [(1, int(first["vid"]), 0)]
+    centers: list[list[int]] = [list(first["qv"])]
+    for rnd in range(2, k + 1):
+        dists = [_dist2_to_literal(F.col("qv"), c) for c in centers]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        far = (
+            q.select("vid", "qv", mind.alias("d"))
+            .orderBy(F.desc("d"), "vid")
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        row = far[0]
+        chosen.append((rnd, int(row["vid"]), int(row["d"])))
+        centers.append(list(row["qv"]))
+    return spark.createDataFrame(
+        chosen, "round long, vec_id long, radius_d2 long"
+    ).orderBy("round")

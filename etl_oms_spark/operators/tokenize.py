@@ -251,3 +251,89 @@ def bpe_fertility(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+WP_SCORE_SCALE = 10**12
+
+
+def wordpiece_train_exact(
+    df: DataFrame,
+    n_merges: int = 8,
+    sample_words: int = 256,
+    text_col: str = "text",
+) -> list[dict]:
+    """EXACT iterative WordPiece training (Schuster & Nakajima 2012 /
+    the BERT tokenizer): same greedy merge machinery as
+    ``bpe_train_exact`` — one distributed word-frequency rollup, then
+    ``n_merges`` rounds on the deterministic top-``sample_words`` sample
+    in the double-space symbol form — but the selection statistic is the
+    pair LIKELIHOOD score count(ab) / (count(a)·count(b)), not the raw
+    pair count (BPE merges the most frequent pair; WordPiece merges the
+    pair whose parts co-occur most above chance, so rare-but-exclusive
+    pairs win over frequent-but-promiscuous ones).
+
+    Determinism contract (shared with the DuckDB oracle, `_wp1_sql`):
+    the ratio is never computed in floats — it is quantized to
+    ``score_q = (pair_weight · 10^12) // (count(lhs) · count(rhs))``
+    (integer floor division on both engines; all quantities positive),
+    best pair = max ``score_q``, ties by (lhs ASC, rhs ASC). Symbol
+    counts are position counts over the CURRENT segmentation, weighted
+    by word frequency, retrained after every merge — the exact
+    likelihood denominator, not a one-scan approximation. Continuation
+    markers (``##``) are presentation, not algebra, and are omitted.
+
+    Returns dicts: rank, lhs, rhs, merged, pair_weight, lhs_count,
+    rhs_count, score_q (fewer than ``n_merges`` if the sample runs dry).
+    """
+    from etl_oms_spark.operators.text import tokens
+
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(sample_words)
+        .collect()
+    )
+    sample = [
+        (" " + "  ".join(list(r["w"])) + " ", int(r["n"])) for r in rows
+    ]
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
+        for s, n in sample:
+            syms = s.split()
+            for sym in syms:
+                sym_counts[sym] = sym_counts.get(sym, 0) + n
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                pair_counts[key] = pair_counts.get(key, 0) + n
+        if not pair_counts:
+            break
+        scored = [
+            (
+                (wt * WP_SCORE_SCALE) // (sym_counts[a] * sym_counts[b]),
+                a,
+                b,
+                wt,
+            )
+            for (a, b), wt in pair_counts.items()
+        ]
+        score_q, a, b, wt = min(scored, key=lambda t: (-t[0], t[1], t[2]))
+        merges.append(
+            {
+                "rank": rank,
+                "lhs": a,
+                "rhs": b,
+                "merged": a + b,
+                "pair_weight": wt,
+                "lhs_count": sym_counts[a],
+                "rhs_count": sym_counts[b],
+                "score_q": score_q,
+            }
+        )
+        pat, rep = f" {a}  {b} ", f" {a}{b} "
+        sample = [(s.replace(pat, rep), n) for s, n in sample]
+    return merges

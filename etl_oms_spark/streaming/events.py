@@ -150,6 +150,39 @@ def dedup_stream(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "6 hours",
+    watermark: str | None = None,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-key session-window aggregation (``F.session_window``: a
+    session expands while successive events arrive within ``gap`` of the
+    latest — INCLUSIVE: a gap of exactly ``gap`` still merges, only a
+    strictly larger gap splits; the boundary
+    `tests/test_round9_ops.py::test_session_window_gap_boundary` pins
+    against the engine). Identical
+    plan for batch and streaming, the `windowed_event_counts` pattern;
+    in streaming, pass ``watermark`` — session state is merged
+    incrementally per key and finalized (emitted, state dropped) once
+    the watermark passes the session end, so state is bounded by
+    (sessions still open within one watermark window), not stream
+    history. Emits per-session ``n_events`` / ``first_ts`` / ``last_ts``
+    — duration from the data, not the window bounds (window end pads
+    ``gap`` past the last event)."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(
+            F.session_window(ts_col, gap).alias("w"), key_col
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+
+
 def enrich_stream(stream_df: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static broadcast enrichment join: the streaming form of the
     reference's dict-cached dim lookup (J3). The static side is re-read per

@@ -1,0 +1,203 @@
+"""Round-9 operators: exact WordPiece training (likelihood-scored
+merges), greedy k-center coreset selection, and session-window
+semantics (the ssw1 boundary pin)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_oms_spark.operators.coreset import kcenter_greedy
+from etl_oms_spark.operators.tokenize import (
+    WP_SCORE_SCALE,
+    bpe_train_exact,
+    wordpiece_train_exact,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+# ---------------------------------------------------------------- wordpiece
+def _brute_wordpiece(word_counts, k):
+    """Independent reimplementation on symbol LISTS (no string replace):
+    likelihood argmax with exact Fractions, quantized only for the final
+    comparison — same contract, different machinery."""
+    from fractions import Fraction
+
+    vocab = [(list(w), n) for w, n in word_counts]
+    out = []
+    for rank in range(1, k + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        syms_n: dict[str, int] = {}
+        for syms, n in vocab:
+            for s in syms:
+                syms_n[s] = syms_n.get(s, 0) + n
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        scored = [
+            (
+                int(Fraction(wt * WP_SCORE_SCALE, syms_n[a] * syms_n[b])),
+                a,
+                b,
+                wt,
+            )
+            for (a, b), wt in pairs.items()
+        ]
+        sq, a, b, wt = min(scored, key=lambda t: (-t[0], t[1], t[2]))
+        out.append((rank, a, b, a + b, wt, syms_n[a], syms_n[b], sq))
+        nv = []
+        for syms, n in vocab:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            nv.append((res, n))
+        vocab = nv
+    return out
+
+
+def test_wordpiece_prefers_exclusive_pair(spark):
+    """The defining WordPiece-vs-BPE case: 'qu' appears 5x and q/u appear
+    ONLY together; 'th' appears 8x but t and h are promiscuous (the/tin/
+    hat...). BPE merges th first (raw count); WordPiece merges qu first
+    (likelihood): count/(ca*cb) = 5/(5*5) >> 8/(ca_t*cb_h)."""
+    rows = ["quit quit quit quit quit the the the the the the the the "
+            "tin tin tin hat hat hat"]
+    wp = wordpiece_train_exact(_docs(spark, rows), n_merges=1)
+    bpe = bpe_train_exact(_docs(spark, rows), n_merges=1)
+    assert (wp[0]["lhs"], wp[0]["rhs"]) == ("q", "u")
+    assert (bpe[0]["lhs"], bpe[0]["rhs"]) != ("q", "u")
+
+
+def test_wordpiece_matches_brute_force(spark, sf_dir):
+    """8 rounds on real sf0.001 documents == the independent list-walker
+    with Fraction scoring (pins both the statistic and the greedy-left
+    replace equivalence)."""
+    from etl_oms_spark.operators.text import tokens
+
+    words = (
+        _t_docs(spark, sf_dir)
+        .select(F.explode(tokens("text")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(256)
+        .collect()
+    )
+    brute = _brute_wordpiece([(r["w"], r["n"]) for r in words], 8)
+    got = wordpiece_train_exact(_t_docs(spark, sf_dir), n_merges=8)
+    assert [
+        (m["rank"], m["lhs"], m["rhs"], m["merged"], m["pair_weight"],
+         m["lhs_count"], m["rhs_count"], m["score_q"])
+        for m in got
+    ] == brute
+
+
+def _t_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_wordpiece_degenerate_corpus_runs_dry(spark):
+    """A corpus with fewer learnable merges than n_merges stops early
+    instead of erroring (mirrors bpe_train_exact's break)."""
+    got = wordpiece_train_exact(_docs(spark, ["ab ab cd"]), n_merges=8)
+    assert 0 < len(got) < 8
+    assert [m["rank"] for m in got] == list(range(1, len(got) + 1))
+
+
+# ----------------------------------------------------------------- k-center
+def test_kcenter_matches_brute_force(spark):
+    """Greedy farthest-point on a hand corpus == numpy brute force in the
+    same quantized domain (including a radius tie broken by lowest id)."""
+    import numpy as np
+
+    vecs = [
+        (0, [0.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),   # ties with id 1 on dist to id 0 -> id 1 wins r2
+        (3, [0.9, 0.9]),
+        (4, [0.1, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = [tuple(r) for r in kcenter_greedy(df, k=4).collect()]
+
+    q = {i: np.array([round(x * 1e6) + 1e6 for x in v], dtype=np.int64)
+         for i, v in vecs}
+    chosen = [0]
+    exp = [(1, 0, 0)]
+    for rnd in range(2, 5):
+        best = None
+        for i in sorted(q):
+            d = min(int(((q[i] - q[c]) ** 2).sum()) for c in chosen)
+            if best is None or d > best[1]:
+                best = (i, d)
+        chosen.append(best[0])
+        exp.append((rnd, best[0], best[1]))
+    assert got == exp
+    # covering radius is non-increasing after round 1
+    radii = [r[2] for r in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_k_exceeding_corpus_stops(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0], 0), (1, [1.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = kcenter_greedy(df, k=8).collect()
+    # degenerate tail: with all points chosen, max-min dist is 0 and the
+    # lowest unchosen... there is none -- argmax returns an already-chosen
+    # point at d=0; the contract is simply k rows, radii 0 after n points
+    assert len(got) == 8
+    assert got[0]["radius_d2"] == 0
+    assert all(r["radius_d2"] == 0 for r in got[2:])
+
+
+# ----------------------------------------------------------- session window
+def test_session_window_gap_boundary(spark):
+    """Pins the engine semantics SSW1_SQL mirrors: a gap of EXACTLY the
+    gap duration still MERGES (Spark session ranges are end-inclusive
+    when merging — the islands oracle must split on `>`, not `>=`); only
+    a strictly larger gap opens a new session."""
+    from etl_oms_spark.streaming.events import session_window_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(hours=6)
+    eps = dt.timedelta(microseconds=1)
+    rows = [
+        (1, t0), (1, t0 + gap - eps),        # strictly inside -> merge
+        (2, t0), (2, t0 + gap),              # exactly gap -> still merges
+        (3, t0), (3, t0 + gap + eps),        # strictly beyond -> split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in session_window_agg(df, gap="6 hours").collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 1)}
+    counts = (
+        session_window_agg(df, gap="6 hours")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert {(r["user_id"], r["count"]) for r in counts} == {
+        (1, 1), (2, 1), (3, 2)}
