@@ -13477,6 +13477,175 @@ ORDER BY session_events
 """
 
 
+#: rag1 context budget (whitespace tokens) and per-query candidate cut
+_RAG1_BUDGET = 512
+_RAG1_TOPK = 20
+
+
+def rag1_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly capstone: retrieval → rank → token-budget
+    packing, the step between a retriever and an LLM prompt. For each
+    of the 5 benchmark queries (_MRR_QUERIES), candidates are scored by
+    the SHARED BM25 postings build (mrr1's one-postings-serves-all
+    shape: one corpus scan, term contributions re-aggregated per query
+    through a broadcast query-terms join), ranked (score_q DESC, doc_id
+    ASC), cut to the top-20 with one row_number window over the
+    candidate set (per-query domain, never the corpus), then greedily
+    PACKED into a 512-whitespace-token context: documents enter in rank
+    order while the running token total stays ≤ 512 and packing stops
+    at the first overflow — PREFIX packing, the cumulative-sum form
+    both engines express exactly (pk1 covers bin-continuation packing;
+    a prompt has one bin). Reports per query the candidate count,
+    packed count, packed token total and the comma-joined packed doc
+    ids in rank order. All integers exact; queries with no candidate
+    report zeros and an empty context."""
+    from etl_oms_spark.operators.search import bm25_term_scores, corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    all_terms = sorted({t for _, ts in _MRR_QUERIES for t in ts})
+    per_term = bm25_term_scores(docs, all_terms)
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in _MRR_QUERIES for t in ts],
+        "qid string, term string",
+    )
+    qmeta = spark.createDataFrame(
+        [(q,) for q, _ in _MRR_QUERIES], "qid string"
+    )
+    scored = (
+        per_term.join(F.broadcast(qt), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("term_q").alias("score_q"))
+    )
+    cand = scored.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    ranked = (
+        scored.join(corpus_stats(docs), "doc_id")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("score_q"), "doc_id"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _RAG1_TOPK)
+        .withColumn(
+            "cum_tokens",
+            F.sum("dl").over(
+                Window.partitionBy("qid")
+                .orderBy("rnk")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("cum_tokens") <= _RAG1_BUDGET)
+    )
+    packed = ranked.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packed"),
+        F.max("cum_tokens").cast("long").alias("tokens_packed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rnk", "doc_id"))
+                ),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("context_ids"),
+    )
+    return (
+        qmeta.join(cand, "qid", "left")
+        .join(packed, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_packed", F.lit(0)).cast("long").alias("n_packed"),
+            F.coalesce("tokens_packed", F.lit(0)).cast("long").alias(
+                "tokens_packed"
+            ),
+            F.coalesce("context_ids", F.lit("")).alias("context_ids"),
+        )
+        .orderBy("qid")
+    )
+
+
+RAG1_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+gstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_len
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE term IN {_MRR_TERMS_SQL}
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+perterm AS (
+    SELECT tf.doc_id, term,
+           CAST(floor(
+             ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+             * CAST(tf * 880 * total_len AS DOUBLE)
+             / CAST(tf * 400 * total_len + 120 * total_len
+                    + 360 * dl.dl * n_docs AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS term_q
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN gstats
+),
+qt(qid, term) AS (VALUES {_MRR_QT_SQL}),
+qmeta(qid) AS (SELECT DISTINCT qid FROM qt),
+scored AS (
+    SELECT qid, doc_id, CAST(SUM(term_q) AS BIGINT) AS score_q
+    FROM perterm JOIN qt USING (term)
+    GROUP BY qid, doc_id
+),
+cand AS (
+    SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+    FROM scored GROUP BY qid
+),
+ranked AS (
+    SELECT qid, doc_id, dl.dl,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY score_q DESC, doc_id) AS rnk
+    FROM scored JOIN dl USING (doc_id)
+    QUALIFY rnk <= {_RAG1_TOPK}
+),
+packed AS (
+    SELECT qid, doc_id, rnk, cum_tokens FROM (
+        SELECT qid, doc_id, rnk,
+               SUM(dl) OVER (PARTITION BY qid ORDER BY rnk
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM ranked
+    ) WHERE cum_tokens <= {_RAG1_BUDGET}
+),
+agg AS (
+    SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_packed,
+           CAST(MAX(cum_tokens) AS BIGINT) AS tokens_packed,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk)
+             AS context_ids
+    FROM packed GROUP BY qid
+)
+SELECT q.qid,
+       COALESCE(c.n_candidates, 0) AS n_candidates,
+       COALESCE(a.n_packed, 0) AS n_packed,
+       COALESCE(a.tokens_packed, 0) AS tokens_packed,
+       COALESCE(a.context_ids, '') AS context_ids
+FROM qmeta q
+LEFT JOIN cand c USING (qid)
+LEFT JOIN agg a USING (qid)
+ORDER BY q.qid
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -13487,14 +13656,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Order matters: the driver's CORRECTNESS check covers the FIRST
         # 50 entries. Round 9 rotation (VERDICT r08 item 1): positions
         # 1-3 are the round-8 additions (the only never-driver-checked
-        # exact-oracle queries left), 4-5 the two green anchors, 6-8
-        # the round-9 additions (wp1/kcs1/ssw1), 9-26 the 18 stalest
-        # rows (last driver-checked in round 1), 27-50 the 24 next-
-        # stalest (round 2; per the displacement policy the 3 last
-        # refill rows t4_fingerprint/e1_cosine_topk/e4_ivf_topk fall
-        # past 50 and stay in the r10 refill pool) -- after this round
-        # every pre-r09 exact-oracle query in the catalog has a driver
-        # row.
+        # exact-oracle queries left), 4-5 the two green anchors, 6-9
+        # the round-9 additions (wp1/kcs1/ssw1/rag1), 10-27 the 18
+        # stalest rows (last driver-checked in round 1), 28-50 the 23
+        # next-stalest (round 2; per the displacement policy the 4 last
+        # refill rows t3_language_id/t4_fingerprint/e1_cosine_topk/
+        # e4_ivf_topk fall past 50 and stay in the r10 refill pool) --
+        # after this round every pre-r09 exact-oracle query in the
+        # catalog has a driver row.
         # ---- positions 1-3: round-8 additions, first driver check ----
         "bpe1_bpe_merges": bpe1_bpe_merges,
         "bpe2_bpe_fertility": bpe2_bpe_fertility,
@@ -13502,11 +13671,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- positions 4-5: continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- positions 6-8: round-9 additions, first driver check ----
+        # ---- positions 6-9: round-9 additions, first driver check ----
         "wp1_wordpiece_merges": wp1_wordpiece_merges,
         "kcs1_kcenter_coreset": kcs1_kcenter_coreset,
         "ssw1_streaming_sessions": ssw1_streaming_sessions,
-        # ---- positions 9-26: freshness refill, last checked r01 ----
+        "rag1_context_assembly": rag1_context_assembly,
+        # ---- positions 10-27: freshness refill, last checked r01 ----
         "q9_product_type_profit": q9_product_type_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q13_customer_distribution": q13_customer_distribution,
@@ -13549,7 +13719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp1_deterministic_split": sp1_deterministic_split,
         "t1_token_stats": t1_token_stats,
         "t2_quality_score": t2_quality_score,
-        "t3_language_id": t3_language_id,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would waste
         #      a driver slot); each has an exact twin or pytest-vs-numpy ----
@@ -13563,9 +13732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
-        # ---- positions 61-63: the three refill rows the round-9
+        # ---- positions 61-64: the four refill rows the round-9
         #      additions displaced past the window (last checked r02) —
         #      head of the r10 refill pool ----
+        "t3_language_id": t3_language_id,
         "t4_fingerprint": t4_fingerprint,
         "e1_cosine_topk": e1_cosine_topk,
         "e4_ivf_topk": e4_ivf_topk,
@@ -13791,6 +13961,7 @@ def oracle_sql() -> dict[str, str]:
         "wp1_wordpiece_merges": _wp1_sql(),
         "kcs1_kcenter_coreset": _kcs1_sql(),
         "ssw1_streaming_sessions": SSW1_SQL,
+        "rag1_context_assembly": RAG1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -107,6 +107,11 @@ HEADLINE = [
     "bpe1_bpe_merges",
     "bpe2_bpe_fertility",
     "sdd1_streaming_dedup",
+    # round-9 additions (appended)
+    "wp1_wordpiece_merges",
+    "kcs1_kcenter_coreset",
+    "ssw1_streaming_sessions",
+    "rag1_context_assembly",
 ]
 
 

@@ -201,3 +201,52 @@ def test_session_window_gap_boundary(spark):
     )
     assert {(r["user_id"], r["count"]) for r in counts} == {
         (1, 1), (2, 1), (3, 2)}
+
+
+# ------------------------------------------------------------------- rag1
+def test_rag1_prefix_packing_semantics(spark, monkeypatch, tmp_path):
+    """Packing is PREFIX (stop at first overflow), not first-fit-skip: a
+    small doc ranked AFTER the overflowing doc must NOT enter the
+    context. Built on a corpus where doc token lengths force the case;
+    also pins rank order = (score_q DESC, doc_id ASC) and the
+    context_ids join."""
+    import __spark_entry__ as m
+
+    # one query term 'zebra'; lengths: doc0 = 400 tok, doc1 = 600 tok,
+    # doc2 = 50 tok. tf ordering: give doc0 the most zebras, doc1 next,
+    # doc2 least so rank = 0,1,2. Budget 512 -> prefix stops at doc1
+    # (400+600 > 512); doc2 (would fit: 450 < 512) must be EXCLUDED.
+    def doc(n_zebra, n_pad):
+        return " ".join(["zebra"] * n_zebra + ["pad"] * n_pad)
+
+    rows = [
+        (0, doc(40, 360)), (1, doc(20, 580)), (2, doc(1, 49)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(p)
+    monkeypatch.setattr(
+        m, "_MRR_QUERIES", [("q1", ("zebra",))], raising=True
+    )
+    out = {
+        r["qid"]: r
+        for r in m.rag1_context_assembly(spark, str(tmp_path)).collect()
+    }
+    r = out["q1"]
+    assert r["n_candidates"] == 3
+    assert r["n_packed"] == 1
+    assert r["tokens_packed"] == 400
+    assert r["context_ids"] == "0"
+
+
+def test_rag1_invariants_on_testdata(spark, sf_dir):
+    import __spark_entry__ as m
+
+    for r in m.rag1_context_assembly(spark, sf_dir).collect():
+        assert r["tokens_packed"] <= m._RAG1_BUDGET
+        assert r["n_packed"] <= min(r["n_candidates"], m._RAG1_TOPK)
+        ids = [s for s in r["context_ids"].split(",") if s]
+        assert len(ids) == r["n_packed"]
