@@ -961,6 +961,7 @@ def prefix_filtered_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    per_token_cap: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-similar pairs via PPJoin-style prefix filtering
     (Xiao et al., "Efficient Similarity Joins for Near Duplicate
@@ -982,6 +983,22 @@ def prefix_filtered_jaccard_pairs(
     than the theorem needs (floor instead of ceil) — immune to float
     edge cases, still no false negatives, and the exact verify kills all
     false positives.
+
+    Scale bound (the round-9 100× finding): even with perfect
+    filtering, EXACT pairwise output is Θ(Σ cluster_size²) — a corpus
+    whose duplicate clusters grow with the corpus (every re-crawl
+    multiplies each cluster) grows its TRUE ANSWER quadratically per
+    cluster, and no plan beats its own output size. ``per_token_cap``
+    is the production knob for that regime: the LEFT side of the
+    candidate self-join keeps only each token's ``per_token_cap``
+    lowest-id postings (the right side keeps every doc), so fan-out per
+    token drops from df² to df·cap while every doc still pairs with its
+    tokens' min-id hub docs — a giant duplicate cluster shrinks to a
+    hub-and-spoke pair set that a downstream connected-components
+    consumer still sees as ONE cluster. ``None`` (the default, and the
+    pj1 oracle contract) stays exact; with a cap the result is a
+    documented SUBSET of the exact pair list, never a false positive
+    (the verify stage is unchanged).
     """
     from pyspark.sql import Window
 
@@ -1002,13 +1019,28 @@ def prefix_filtered_jaccard_pairs(
         F.col("__rnk")
         <= F.col("__n") - F.floor(F.lit(threshold) * F.col("__n")) + 1
     ).select(id_col, "tok")
+    left = prefix
+    if per_token_cap is not None:
+        # Cap ONLY the left (hub) side of the self-join: every doc's
+        # postings stay live on the right, but each token contributes at
+        # most cap hub partners (the token's lowest ids) — fan-out per
+        # token drops from df² to df·cap, and every doc in a giant
+        # duplicate cluster still pairs with the cluster's min-id hubs,
+        # so a downstream connected-components consumer keeps the
+        # cluster in one piece. Deterministic under any partitioning.
+        w_cap = Window.partitionBy("tok").orderBy(id_col)
+        left = (
+            prefix.withColumn("__pr", F.row_number().over(w_cap))
+            .filter(F.col("__pr") <= per_token_cap)
+            .drop("__pr")
+        )
     # Lazy checkpoint: cand is referenced three times below (the pair
     # join itself plus both sides of the candidate-doc semi filter);
     # without it each reference would re-run the prefix self-join.
     # eager=False keeps the operator lazy — nothing runs until the
     # caller's first action, which materializes cand once.
     cand = (
-        prefix.select(F.col(id_col).alias("id_a"), "tok")
+        left.select(F.col(id_col).alias("id_a"), "tok")
         .join(prefix.select(F.col(id_col).alias("id_b"), "tok"), "tok")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")

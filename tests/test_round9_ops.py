@@ -250,3 +250,39 @@ def test_rag1_invariants_on_testdata(spark, sf_dir):
         assert r["n_packed"] <= min(r["n_candidates"], m._RAG1_TOPK)
         ids = [s for s in r["context_ids"].split(",") if s]
         assert len(ids) == r["n_packed"]
+
+
+# --------------------------------------------------- pj1 per_token_cap knob
+def test_ppjoin_per_token_cap(spark):
+    """The 100×-rehearsal production knob: cap=None is byte-identical to
+    the historic exact path; a cap yields a SUBSET of the exact verified
+    pairs (no false positives) whose hub-and-spoke shape keeps every
+    duplicate cluster in one connected component."""
+    from etl_oms_spark.operators.dedup import prefix_filtered_jaccard_pairs
+    from etl_oms_spark.operators.graph import connected_components
+
+    # one 12-doc near-dup cluster (same 10 tokens + 1 distinct suffix
+    # token each -> pairwise Jaccard 10/12 >= 0.8) + 3 unrelated docs
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    rows = [(i, f"{base} copytag{i}") for i in range(12)]
+    rows += [(100, "one two three"), (101, "four five six"),
+             (102, "seven eight nine")]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filtered_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    assert len(exact) == 66  # C(12,2): the cluster is a clique
+    capped_df = prefix_filtered_jaccard_pairs(
+        df, threshold=0.8, per_token_cap=2
+    )
+    capped = {(r["id_a"], r["id_b"]) for r in capped_df.collect()}
+    assert capped <= exact          # subset, no false positives
+    assert len(capped) < len(exact)  # the cap actually cut fan-out
+    comp = connected_components(capped_df.select("id_a", "id_b"))
+    n_components = comp.select("component").distinct().count()
+    assert n_components == 1        # hub-and-spoke keeps the cluster whole
+    assert comp.count() == 12
