@@ -13646,6 +13646,139 @@ ORDER BY q.qid
 """
 
 
+def uni1_unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Unigram-LM Viterbi segmentation
+    (operators/tokenize.unigram_segment_exact, Kudo 2018's inference
+    step with a frequency-estimated piece LM) — completes the tokenizer
+    triad: bpe1 merges by raw pair count, wp1 by pair likelihood, uni1
+    segments whole words against a substring VOCABULARY by maximum
+    quantized log-likelihood. One distributed word rollup (the bpe1
+    bounded-sample pattern); vocabulary, scores and the per-word DP run
+    on the top-256 sample, so the DuckDB oracle replays every stage —
+    including the 12-position unrolled Viterbi DP with its
+    (score DESC, pieces ASC, split DESC) tie order and the backtrack —
+    bit-exactly. Reports the piece usage table."""
+    from etl_oms_spark.operators.tokenize import unigram_segment_exact
+
+    segs = unigram_segment_exact(_t(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        [
+            (d["piece"], d["vocab_weight"], d["score_q"], d["usage"])
+            for d in segs
+        ],
+        "piece string, vocab_weight long, score_q long, usage long",
+    ).orderBy(F.desc("usage"), "piece")
+
+
+def _uni1_sql(
+    sample_words: int = 256,
+    max_word: int = 12,
+    max_piece: int = 4,
+    vocab_k: int = 64,
+) -> str:
+    """DuckDB replay of uni1: substring-candidate rollup → top-64+chars
+    vocabulary → quantized log-prob scores → 12-position unrolled
+    Viterbi DP (one MATERIALIZED best-state CTE per position, same
+    lexicographic tie order as the Python DP) → 12-step backtrack chain
+    → piece usage rollup."""
+    parts = [
+        f"""words AS MATERIALIZED (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents)
+    WHERE w <> '' AND length(w) >= 2
+    GROUP BY w
+), w0 AS MATERIALIZED (
+    SELECT w, n FROM words ORDER BY n DESC, w LIMIT {sample_words}
+), cand AS MATERIALIZED (
+    SELECT substr(w, i, l) AS piece, CAST(SUM(n) AS BIGINT) AS wt
+    FROM (
+        SELECT w, n, l, u.i AS i
+        FROM w0,
+             generate_series(1, {max_piece}) ls(l),
+             LATERAL unnest(range(1, length(w) - l + 2)) u(i)
+    )
+    GROUP BY piece
+), multi AS MATERIALIZED (
+    SELECT piece, wt FROM cand WHERE length(piece) >= 2
+    ORDER BY wt DESC, piece LIMIT {vocab_k}
+), vocab AS MATERIALIZED (
+    SELECT piece, wt FROM multi
+    UNION ALL
+    SELECT piece, wt FROM cand WHERE length(piece) = 1
+), tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS t FROM vocab),
+scores AS MATERIALIZED (
+    SELECT piece, wt,
+           CAST(floor(ln(CAST(wt AS DOUBLE) / CAST(t AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS s
+    FROM vocab CROSS JOIN tot
+), sw AS MATERIALIZED (
+    SELECT w, n FROM w0 WHERE length(w) BETWEEN 2 AND {max_word}
+), d0 AS MATERIALIZED (
+    SELECT w, n, CAST(0 AS BIGINT) AS score, 0 AS np, -1 AS j,
+           '' AS piece, 0 AS i
+    FROM sw
+)"""
+    ]
+    for i in range(1, max_word + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT * FROM d{j}" for j in range(max(0, i - max_piece), i)
+        )
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+    SELECT w, n, score, np, j, piece, {i} AS i FROM (
+        SELECT prev.w, prev.n,
+               prev.score + sc.s AS score,
+               prev.np + 1 AS np,
+               prev.i AS j,
+               sc.piece AS piece,
+               ROW_NUMBER() OVER (
+                   PARTITION BY prev.w
+                   ORDER BY prev.score + sc.s DESC, prev.np + 1 ASC,
+                            prev.i DESC
+               ) AS rn
+        FROM ({prev}) prev
+        JOIN scores sc
+          ON sc.piece = substr(prev.w, prev.i + 1, {i} - prev.i)
+        WHERE length(prev.w) >= {i}
+    ) WHERE rn = 1
+)"""
+        )
+    dall = " UNION ALL ".join(
+        f"SELECT * FROM d{i}" for i in range(1, max_word + 1)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT w, n, j, piece FROM d{i} WHERE length(w) = {i}"
+        for i in range(2, max_word + 1)
+    )
+    parts.append(
+        f"""dall AS MATERIALIZED ({dall}),
+b1 AS MATERIALIZED ({finals})"""
+    )
+    for k in range(2, max_word + 1):
+        parts.append(
+            f"""b{k} AS MATERIALIZED (
+    SELECT b.w, b.n, d.j, d.piece
+    FROM b{k - 1} b JOIN dall d ON d.w = b.w AND d.i = b.j
+    WHERE b.j > 0
+)"""
+        )
+    ball = " UNION ALL ".join(
+        f"SELECT piece, n FROM b{k}" for k in range(1, max_word + 1)
+    )
+    parts.append(
+        f"""usage AS MATERIALIZED (
+    SELECT piece, CAST(SUM(n) AS BIGINT) AS usage
+    FROM ({ball}) GROUP BY piece
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT u.piece, s.wt AS vocab_weight, s.s AS score_q, u.usage
+FROM usage u JOIN scores s ON s.piece = u.piece
+ORDER BY u.usage DESC, u.piece
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -13656,14 +13789,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Order matters: the driver's CORRECTNESS check covers the FIRST
         # 50 entries. Round 9 rotation (VERDICT r08 item 1): positions
         # 1-3 are the round-8 additions (the only never-driver-checked
-        # exact-oracle queries left), 4-5 the two green anchors, 6-9
-        # the round-9 additions (wp1/kcs1/ssw1/rag1), 10-27 the 18
-        # stalest rows (last driver-checked in round 1), 28-50 the 23
-        # next-stalest (round 2; per the displacement policy the 4 last
-        # refill rows t3_language_id/t4_fingerprint/e1_cosine_topk/
-        # e4_ivf_topk fall past 50 and stay in the r10 refill pool) --
-        # after this round every pre-r09 exact-oracle query in the
-        # catalog has a driver row.
+        # exact-oracle queries left), 4-5 the two green anchors, 6-10
+        # the round-9 additions (wp1/kcs1/ssw1/rag1/uni1), 11-28 the 18
+        # stalest rows (last driver-checked in round 1), 29-50 the 22
+        # next-stalest (round 2; per the displacement policy the 5 last
+        # refill rows t2_quality_score/t3_language_id/t4_fingerprint/
+        # e1_cosine_topk/e4_ivf_topk fall past 50 and stay in the r10
+        # refill pool) -- after this round every pre-r09 exact-oracle
+        # query in the catalog has a driver row.
         # ---- positions 1-3: round-8 additions, first driver check ----
         "bpe1_bpe_merges": bpe1_bpe_merges,
         "bpe2_bpe_fertility": bpe2_bpe_fertility,
@@ -13676,7 +13809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcs1_kcenter_coreset": kcs1_kcenter_coreset,
         "ssw1_streaming_sessions": ssw1_streaming_sessions,
         "rag1_context_assembly": rag1_context_assembly,
-        # ---- positions 10-27: freshness refill, last checked r01 ----
+        "uni1_unigram_segments": uni1_unigram_segments,
+        # ---- positions 11-28: freshness refill, last checked r01 ----
         "q9_product_type_profit": q9_product_type_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q13_customer_distribution": q13_customer_distribution,
@@ -13718,7 +13852,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_quality_filter": t6_quality_filter,
         "sp1_deterministic_split": sp1_deterministic_split,
         "t1_token_stats": t1_token_stats,
-        "t2_quality_score": t2_quality_score,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would waste
         #      a driver slot); each has an exact twin or pytest-vs-numpy ----
@@ -13732,9 +13865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
-        # ---- positions 61-64: the four refill rows the round-9
+        # ---- positions 61-65: the five refill rows the round-9
         #      additions displaced past the window (last checked r02) —
         #      head of the r10 refill pool ----
+        "t2_quality_score": t2_quality_score,
         "t3_language_id": t3_language_id,
         "t4_fingerprint": t4_fingerprint,
         "e1_cosine_topk": e1_cosine_topk,
@@ -13962,6 +14096,7 @@ def oracle_sql() -> dict[str, str]:
         "kcs1_kcenter_coreset": _kcs1_sql(),
         "ssw1_streaming_sessions": SSW1_SQL,
         "rag1_context_assembly": RAG1_SQL,
+        "uni1_unigram_segments": _uni1_sql(),
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -112,6 +112,7 @@ HEADLINE = [
     "kcs1_kcenter_coreset",
     "ssw1_streaming_sessions",
     "rag1_context_assembly",
+    "uni1_unigram_segments",
 ]
 
 

@@ -337,3 +337,121 @@ def wordpiece_train_exact(
         pat, rep = f" {a}  {b} ", f" {a}{b} "
         sample = [(s.replace(pat, rep), n) for s, n in sample]
     return merges
+
+
+#: unigram segmentation contract bounds (shared with the uni1 oracle):
+#: words of 2..UNI_MAX_WORD chars are segmented; candidate pieces are
+#: 2..UNI_MAX_PIECE chars; vocabulary = top UNI_VOCAB multi-char pieces
+#: by weighted occurrence + every single char seen in the sample.
+UNI_MAX_WORD = 12
+UNI_MAX_PIECE = 4
+UNI_VOCAB = 64
+UNI_LOG_SCALE = 10**6
+
+
+def unigram_segment_exact(
+    df: DataFrame,
+    sample_words: int = 256,
+    text_col: str = "text",
+) -> list[dict]:
+    """EXACT Unigram-LM Viterbi segmentation over the bounded word
+    sample (Kudo 2018's inference step with a frequency-estimated piece
+    LM — the full EM loop re-estimates the same statistic; one round is
+    the deterministic, oracle-replayable core). Completes the tokenizer
+    triad: bpe1 merges by raw pair count, wp1 by pair likelihood, uni1
+    segments against a PIECE vocabulary by maximum log-likelihood.
+
+    Pipeline (every stage shared bit-for-bit with the DuckDB oracle):
+    1. corpus word rollup (the ONE distributed stage — bpe1's pattern),
+       top-``sample_words`` by (count DESC, word ASC);
+    2. candidate pieces = all 2..4-char substrings of sample words,
+       occurrence-weighted by word count (overlaps counted); vocabulary
+       = top-64 by (weight DESC, piece ASC) PLUS every single char seen
+       (guarantees every word segments);
+    3. piece score = round-half-up(1e6 · ln(weight / total_weight)) —
+       an exact BIGINT once rounded; weight and total are exact ints,
+       and the double ln/division agree across engines (the ts1/mrr1
+       precedent, verified by the oracle sweep);
+    4. per-word Viterbi DP maximizing Σ score, ties broken by fewer
+       pieces, then by the largest split point j (i.e. the shortest
+       last piece); words of 2..12 chars only (the oracle unroll
+       bound).
+
+    Returns the usage table: for each piece used by any segmentation,
+    ``piece, vocab_weight, score_q, usage`` where usage = Σ word_count
+    × (times used in that word's best segmentation).
+    """
+    from etl_oms_spark.operators.text import tokens
+    import math
+
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(sample_words)
+        .collect()
+    )
+    sample = [(r["w"], int(r["n"])) for r in rows]
+
+    # candidate pieces: all substrings, weighted, overlaps counted
+    weights: dict[str, int] = {}
+    for w, n in sample:
+        for ln_ in range(1, UNI_MAX_PIECE + 1):
+            for i in range(len(w) - ln_ + 1):
+                p = w[i : i + ln_]
+                weights[p] = weights.get(p, 0) + n
+    multi = sorted(
+        ((p, c) for p, c in weights.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:UNI_VOCAB]
+    vocab = {p: c for p, c in multi}
+    vocab.update({p: c for p, c in weights.items() if len(p) == 1})
+    total = sum(vocab.values())
+    score = {
+        p: math.floor(math.log(c / total) * UNI_LOG_SCALE + 0.5)
+        for p, c in vocab.items()
+    }
+
+    usage: dict[str, int] = {}
+    for w, n in sample:
+        if not (2 <= len(w) <= UNI_MAX_WORD):
+            continue
+        # dp[i] = (sum_score, -n_pieces, j, piece) best over prefixes
+        dp: list[tuple | None] = [None] * (len(w) + 1)
+        dp[0] = (0, 0, -1, "")
+        for i in range(1, len(w) + 1):
+            best = None
+            for j in range(max(0, i - UNI_MAX_PIECE), i):
+                piece = w[j:i]
+                if dp[j] is None or piece not in score:
+                    continue
+                cand = (
+                    dp[j][0] + score[piece],
+                    dp[j][1] - 1,
+                    j,
+                    piece,
+                )
+                # maximize (score, -n_pieces, j): on full ties the
+                # largest split point (shortest last piece) wins
+                if best is None or cand[:3] > best[:3]:
+                    best = cand
+            dp[i] = best
+        i = len(w)
+        while i > 0:
+            _, _, j, piece = dp[i]
+            usage[piece] = usage.get(piece, 0) + n
+            i = j
+    return sorted(
+        (
+            {
+                "piece": p,
+                "vocab_weight": vocab[p],
+                "score_q": score[p],
+                "usage": u,
+            }
+            for p, u in usage.items()
+        ),
+        key=lambda d: (-d["usage"], d["piece"]),
+    )

@@ -46,9 +46,10 @@ def test_driver_window_holds_round9_rotation():
     assert names[:3] == [
         "bpe1_bpe_merges", "bpe2_bpe_fertility", "sdd1_streaming_dedup"]
     assert names[3:5] == ["q1_pricing_summary", "star_fact_rollup"]
-    assert names[5:9] == [
+    assert names[5:10] == [
         "wp1_wordpiece_merges", "kcs1_kcenter_coreset",
-        "ssw1_streaming_sessions", "rag1_context_assembly"]
+        "ssw1_streaming_sessions", "rag1_context_assembly",
+        "uni1_unigram_segments"]
     refill = {
         # last checked r01
         "q9_product_type_profit", "q2_min_cost_supplier",

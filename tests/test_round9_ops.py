@@ -286,3 +286,89 @@ def test_ppjoin_per_token_cap(spark):
     n_components = comp.select("component").distinct().count()
     assert n_components == 1        # hub-and-spoke keeps the cluster whole
     assert comp.count() == 12
+
+
+# ------------------------------------------------------------------ unigram
+def test_unigram_matches_exhaustive_enumeration(spark, sf_dir):
+    """Viterbi DP == brute-force enumeration of EVERY segmentation of
+    every sample word (vocab pieces only), scored with the same
+    quantized log-probs and the DP's lexicographic tie order
+    (score DESC, pieces ASC, then split points compared last-to-first
+    DESC — the recursive unwind of the DP's per-step j DESC)."""
+    import math
+
+    from etl_oms_spark.operators.text import tokens
+    from etl_oms_spark.operators.tokenize import (
+        UNI_LOG_SCALE,
+        UNI_MAX_PIECE,
+        UNI_MAX_WORD,
+        UNI_VOCAB,
+        unigram_segment_exact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(256)
+        .collect()
+    )
+    sample = [(r["w"], int(r["n"])) for r in rows]
+    weights: dict[str, int] = {}
+    for w, n in sample:
+        for ln_ in range(1, UNI_MAX_PIECE + 1):
+            for i in range(len(w) - ln_ + 1):
+                p = w[i:i + ln_]
+                weights[p] = weights.get(p, 0) + n
+    multi = sorted(
+        ((p, c) for p, c in weights.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:UNI_VOCAB]
+    vocab = dict(multi)
+    vocab.update({p: c for p, c in weights.items() if len(p) == 1})
+    total = sum(vocab.values())
+    score = {
+        p: math.floor(math.log(c / total) * UNI_LOG_SCALE + 0.5)
+        for p, c in vocab.items()
+    }
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for ln_ in range(1, min(UNI_MAX_PIECE, len(w)) + 1):
+            head = w[:ln_]
+            if head in score:
+                for rest in all_segs(w[ln_:]):
+                    yield [head] + rest
+
+    usage: dict[str, int] = {}
+    for w, n in sample:
+        if not (2 <= len(w) <= UNI_MAX_WORD):
+            continue
+        best = max(
+            all_segs(w),
+            key=lambda segs: (
+                sum(score[p] for p in segs),
+                -len(segs),
+                # split points, last piece's start first, maximized
+                tuple(
+                    len(w) - sum(len(p) for p in segs[i:])
+                    for i in range(len(segs) - 1, -1, -1)
+                ),
+            ),
+        )
+        for p in best:
+            usage[p] = usage.get(p, 0) + n
+    expected = sorted(
+        ((p, vocab[p], score[p], u) for p, u in usage.items()),
+        key=lambda t: (-t[3], t[0]),
+    )
+    got = [
+        (d["piece"], d["vocab_weight"], d["score_q"], d["usage"])
+        for d in unigram_segment_exact(docs)
+    ]
+    assert got == expected
