@@ -10746,7 +10746,7 @@ def _build_pj1_sql(rounds: int = 16) -> str:
     connected_components verifies its own fixed point (warns loudly if
     max_iterations is hit), so the compare passes only when both sides
     hold the true component minima."""
-    parts = [f"""
+    return f"""
 WITH raw_toks AS (
     SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
     FROM documents
@@ -10764,7 +10764,16 @@ WITH raw_toks AS (
     JOIN cnt x ON id_a = x.doc_id
     JOIN cnt y ON id_b = y.doc_id
     WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.9
-), edges AS MATERIALIZED (
+)""" + _cc_closure_sql(rounds)
+
+
+def _cc_closure_sql(rounds: int = 16) -> str:
+    """The shared pj1/pj1c closure tail: given a ``pairs(id_a, id_b)``
+    CTE already open in the WITH list and a ``toks`` CTE upstream,
+    closes the pair graph with the unrolled hash-min + pointer-jumping
+    fixpoint (every per-round CTE MATERIALIZED — the k-core lesson) and
+    emits the (doc_id, cluster_id, cluster_size) rollup."""
+    parts = [""", edges AS MATERIALIZED (
     SELECT id_a AS u, id_b AS v FROM pairs
     UNION SELECT id_b, id_a FROM pairs
 ), l0 AS MATERIALIZED (
@@ -10793,6 +10802,97 @@ FROM comp JOIN sizes ON comp.cluster_id = sizes.cluster_id""")
 
 
 PJ1_SQL = _build_pj1_sql()
+
+
+def pj1c_prefix_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pj1's 100 TB PRODUCTION form (SCALING.md's 100× adjudication):
+    the same PPJoin prefix-filtered exact-verify Jaccard ≥ 0.9 join,
+    with ``per_token_cap=8`` on the hub side of the candidate self-join
+    (operators/dedup.prefix_filtered_jaccard_pairs). Exact pairwise
+    output is Θ(Σ cluster²) — on re-crawl-shaped corpora the TRUE
+    ANSWER grows ~10×/decade and the uncapped form DNFs at 100× — while
+    the cap keeps each token's fan-out at df·cap, measured 1.3×/decade,
+    and every duplicate cluster still reaches its min-id hubs, so this
+    connected-components consumption sees the same hub-and-spoke
+    cluster in one piece. The emitted pair set is a deterministic
+    (lowest-ids-per-token) SUBSET of pj1's with zero false positives —
+    the verify stage is unchanged — so the oracle replays prefix, cap,
+    verify, and the min-label closure exactly; pj1 stays in the catalog
+    as the uncapped exact oracle twin."""
+    from etl_oms_spark.operators.dedup import prefix_filtered_jaccard_pairs
+    from etl_oms_spark.operators.graph import connected_components
+
+    pairs = prefix_filtered_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9, per_token_cap=8
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def _build_pj1c_sql(
+    threshold: float = 0.9, cap: int = 8, rounds: int = 16
+) -> str:
+    """pj1c oracle: unlike pj1's (which skips the prefix filter — any
+    exact-pairs plan is a valid oracle for an exact answer), the capped
+    answer is DEFINED by the prefix+cap candidate generation, so the
+    oracle replays it operator-for-operator: df-ordered token ranks →
+    |S|−⌊t·|S|⌋+1 prefixes → per-token lowest-``cap``-ids hub side →
+    candidate join → exact array-intersection verify → the shared
+    min-label closure (`_cc_closure_sql`). Rank tie order (df ASC, tok
+    ASC) and the hub order (doc_id ASC) mirror dedup.py's windows;
+    ⌊t·|S|⌋ is the same IEEE double product on both engines."""
+    return f"""
+WITH raw_toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+    FROM documents
+), toks AS (
+    SELECT doc_id, tok FROM raw_toks WHERE tok <> ''
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+), dfreq AS (
+    SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+), ranked AS (
+    SELECT t.doc_id, t.tok, c.n,
+           ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                              ORDER BY d.df, t.tok) AS rnk
+    FROM toks t
+    JOIN dfreq d ON d.tok = t.tok
+    JOIN cnt c ON c.doc_id = t.doc_id
+), prefix AS MATERIALIZED (
+    SELECT doc_id, tok FROM ranked
+    WHERE rnk <= n - CAST(floor({threshold} * n) AS BIGINT) + 1
+), capped AS MATERIALIZED (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id, tok,
+               ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS pr
+        FROM prefix
+    ) WHERE pr <= {cap}
+), cand AS MATERIALIZED (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM capped l JOIN prefix r ON l.tok = r.tok AND l.doc_id < r.doc_id
+), inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS c
+    FROM cand c
+    JOIN toks a ON a.doc_id = c.id_a
+    JOIN toks b ON b.doc_id = c.id_b AND b.tok = a.tok
+    GROUP BY 1, 2
+), pairs AS MATERIALIZED (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN cnt x ON i.id_a = x.doc_id
+    JOIN cnt y ON i.id_b = y.doc_id
+    WHERE CAST(i.c AS DOUBLE) / (x.n + y.n - i.c) >= {threshold}
+)""" + _cc_closure_sql(rounds)
+
+
+PJ1C_SQL = _build_pj1c_sql()
 
 
 def sc2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13670,18 +13770,14 @@ def uni1_unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("usage"), "piece")
 
 
-def _uni1_sql(
-    sample_words: int = 256,
-    max_word: int = 12,
-    max_piece: int = 4,
-    vocab_k: int = 64,
-) -> str:
-    """DuckDB replay of uni1: substring-candidate rollup → top-64+chars
-    vocabulary → quantized log-prob scores → 12-position unrolled
-    Viterbi DP (one MATERIALIZED best-state CTE per position, same
-    lexicographic tie order as the Python DP) → 12-step backtrack chain
-    → piece usage rollup."""
-    parts = [
+def _uni_prelude_parts(
+    sample_words: int, max_word: int, max_piece: int, vocab_k: int
+) -> list[str]:
+    """Shared uni1/uniT oracle prelude: corpus word rollup → bounded
+    sample → substring-candidate rollup → top-``vocab_k``+chars initial
+    vocabulary → quantized log-prob scores → the 2..``max_word``-char
+    segmentable-word set (`_uni_word_sample` + `_uni_vocab_scores`)."""
+    return [
         f"""words AS MATERIALIZED (
     SELECT w, CAST(COUNT(*) AS BIGINT) AS n
     FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents)
@@ -13713,7 +13809,22 @@ scores AS MATERIALIZED (
     FROM vocab CROSS JOIN tot
 ), sw AS MATERIALIZED (
     SELECT w, n FROM w0 WHERE length(w) BETWEEN 2 AND {max_word}
-), d0 AS MATERIALIZED (
+)"""
+    ]
+
+
+def _uni_viterbi_parts(
+    tag: str, scores_cte: str, max_word: int, max_piece: int
+) -> list[str]:
+    """One unrolled Viterbi pass for the uni1/uniT oracles
+    (`_viterbi_usage`'s replay): a MATERIALIZED best-state CTE per
+    position (same (score DESC, pieces ASC, split DESC) tie order as
+    the Python DP), then the backtrack chain and the piece usage
+    rollup. CTE names are suffixed with ``tag`` so uniT can run the
+    pass twice against different score tables; the final CTE is
+    ``usage{tag}(piece, usage)``."""
+    parts = [
+        f"""d{tag}0 AS MATERIALIZED (
     SELECT w, n, CAST(0 AS BIGINT) AS score, 0 AS np, -1 AS j,
            '' AS piece, 0 AS i
     FROM sw
@@ -13721,10 +13832,11 @@ scores AS MATERIALIZED (
     ]
     for i in range(1, max_word + 1):
         prev = " UNION ALL ".join(
-            f"SELECT * FROM d{j}" for j in range(max(0, i - max_piece), i)
+            f"SELECT * FROM d{tag}{j}"
+            for j in range(max(0, i - max_piece), i)
         )
         parts.append(
-            f"""d{i} AS MATERIALIZED (
+            f"""d{tag}{i} AS MATERIALIZED (
     SELECT w, n, score, np, j, piece, {i} AS i FROM (
         SELECT prev.w, prev.n,
                prev.score + sc.s AS score,
@@ -13737,44 +13849,140 @@ scores AS MATERIALIZED (
                             prev.i DESC
                ) AS rn
         FROM ({prev}) prev
-        JOIN scores sc
+        JOIN {scores_cte} sc
           ON sc.piece = substr(prev.w, prev.i + 1, {i} - prev.i)
         WHERE length(prev.w) >= {i}
     ) WHERE rn = 1
 )"""
         )
     dall = " UNION ALL ".join(
-        f"SELECT * FROM d{i}" for i in range(1, max_word + 1)
+        f"SELECT * FROM d{tag}{i}" for i in range(1, max_word + 1)
     )
     finals = " UNION ALL ".join(
-        f"SELECT w, n, j, piece FROM d{i} WHERE length(w) = {i}"
+        f"SELECT w, n, j, piece FROM d{tag}{i} WHERE length(w) = {i}"
         for i in range(2, max_word + 1)
     )
     parts.append(
-        f"""dall AS MATERIALIZED ({dall}),
-b1 AS MATERIALIZED ({finals})"""
+        f"""dall{tag} AS MATERIALIZED ({dall}),
+b{tag}1 AS MATERIALIZED ({finals})"""
     )
     for k in range(2, max_word + 1):
         parts.append(
-            f"""b{k} AS MATERIALIZED (
+            f"""b{tag}{k} AS MATERIALIZED (
     SELECT b.w, b.n, d.j, d.piece
-    FROM b{k - 1} b JOIN dall d ON d.w = b.w AND d.i = b.j
+    FROM b{tag}{k - 1} b JOIN dall{tag} d ON d.w = b.w AND d.i = b.j
     WHERE b.j > 0
 )"""
         )
     ball = " UNION ALL ".join(
-        f"SELECT piece, n FROM b{k}" for k in range(1, max_word + 1)
+        f"SELECT piece, n FROM b{tag}{k}" for k in range(1, max_word + 1)
     )
     parts.append(
-        f"""usage AS MATERIALIZED (
+        f"""usage{tag} AS MATERIALIZED (
     SELECT piece, CAST(SUM(n) AS BIGINT) AS usage
     FROM ({ball}) GROUP BY piece
 )"""
     )
+    return parts
+
+
+def _uni1_sql(
+    sample_words: int = 256,
+    max_word: int = 12,
+    max_piece: int = 4,
+    vocab_k: int = 64,
+) -> str:
+    """DuckDB replay of uni1: substring-candidate rollup → top-64+chars
+    vocabulary → quantized log-prob scores → 12-position unrolled
+    Viterbi DP (one MATERIALIZED best-state CTE per position, same
+    lexicographic tie order as the Python DP) → 12-step backtrack chain
+    → piece usage rollup."""
+    parts = _uni_prelude_parts(sample_words, max_word, max_piece, vocab_k)
+    parts += _uni_viterbi_parts("", "scores", max_word, max_piece)
     ctes = ",\n".join(parts)
     return f"""WITH {ctes}
 SELECT u.piece, s.wt AS vocab_weight, s.s AS score_q, u.usage
 FROM usage u JOIN scores s ON s.piece = u.piece
+ORDER BY u.usage DESC, u.piece
+"""
+
+
+def uniT_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Unigram-LM EM training round
+    (operators/tokenize.unigram_em_train, Kudo 2018 §3.2 hard-EM) —
+    completes the tokenizer triad as TRAINERS: bpe1/wp1 train merge
+    lists iteratively; uniT re-estimates the piece LM uni1 only scores
+    with. E-step = Viterbi piece counts under the frequency-estimated
+    initial LM (exact BIGINTs — the deterministic hard-EM variant),
+    M-step = top-48 usage-ranked multi-char pieces (the vocabulary
+    prune) + all single chars at weight max(usage, 1), re-quantized
+    log-probs, then a second Viterbi pass under the trained LM. One
+    distributed word rollup (bpe1's bounded-sample pattern); the DuckDB
+    oracle replays BOTH 12-position unrolled DPs, the prune, and the
+    re-quantization bit-exactly."""
+    from etl_oms_spark.operators.tokenize import unigram_em_train
+
+    rows = unigram_em_train(_t(spark, sf_dir, "documents"))
+    return spark.createDataFrame(
+        [
+            (
+                d["piece"],
+                d["em_weight"],
+                d["score_q"],
+                d["usage_init"],
+                d["usage"],
+            )
+            for d in rows
+        ],
+        "piece string, em_weight long, score_q long, usage_init long,"
+        " usage long",
+    ).orderBy(F.desc("usage"), "piece")
+
+
+def _uniT_sql(
+    sample_words: int = 256,
+    max_word: int = 12,
+    max_piece: int = 4,
+    vocab_k: int = 64,
+    keep_multi: int = 48,
+) -> str:
+    """DuckDB replay of uniT: the uni1 prelude, the pass-1 Viterbi DP
+    (tag ``a``) under the initial scores, the hard-EM M-step (usage-
+    ranked top-``keep_multi`` multi-char prune + single-char floor of 1
+    + re-quantized log-probs), and the pass-2 DP (tag ``b``) under the
+    trained scores — every count an exact BIGINT, both unrolled DPs
+    sharing `_uni_viterbi_parts`."""
+    parts = _uni_prelude_parts(sample_words, max_word, max_piece, vocab_k)
+    parts += _uni_viterbi_parts("a", "scores", max_word, max_piece)
+    parts.append(
+        f"""multi1 AS MATERIALIZED (
+    SELECT piece, usage AS wt FROM usagea
+    WHERE length(piece) >= 2
+    ORDER BY usage DESC, piece LIMIT {keep_multi}
+), singles1 AS MATERIALIZED (
+    SELECT v.piece, GREATEST(COALESCE(u.usage, 0), 1) AS wt
+    FROM (SELECT piece FROM vocab WHERE length(piece) = 1) v
+    LEFT JOIN usagea u ON u.piece = v.piece
+), vocab1 AS MATERIALIZED (
+    SELECT piece, wt FROM multi1
+    UNION ALL
+    SELECT piece, wt FROM singles1
+), tot1 AS (SELECT CAST(SUM(wt) AS BIGINT) AS t FROM vocab1),
+scores1 AS MATERIALIZED (
+    SELECT piece, wt,
+           CAST(floor(ln(CAST(wt AS DOUBLE) / CAST(t AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS s
+    FROM vocab1 CROSS JOIN tot1
+)"""
+    )
+    parts += _uni_viterbi_parts("b", "scores1", max_word, max_piece)
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT u.piece, s.wt AS em_weight, s.s AS score_q,
+       COALESCE(a.usage, 0) AS usage_init, u.usage
+FROM usageb u
+JOIN scores1 s ON s.piece = u.piece
+LEFT JOIN usagea a ON a.piece = u.piece
 ORDER BY u.usage DESC, u.piece
 """
 
@@ -13786,31 +13994,116 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Order matters: the driver's CORRECTNESS check covers the FIRST
-        # 50 entries. Round 9 rotation (VERDICT r08 item 1): positions
-        # 1-3 are the round-8 additions (the only never-driver-checked
-        # exact-oracle queries left), 4-5 the two green anchors, 6-10
-        # the round-9 additions (wp1/kcs1/ssw1/rag1/uni1), 11-28 the 18
-        # stalest rows (last driver-checked in round 1), 29-50 the 22
-        # next-stalest (round 2; per the displacement policy the 5 last
-        # refill rows t2_quality_score/t3_language_id/t4_fingerprint/
-        # e1_cosine_topk/e4_ivf_topk fall past 50 and stay in the r10
-        # refill pool) -- after this round every pre-r09 exact-oracle
-        # query in the catalog has a driver row.
-        # ---- positions 1-3: round-8 additions, first driver check ----
+        # Order matters: the driver's CORRECTNESS check covers the
+        # FIRST 50 entries. Round-10 rotation (VERDICT r09 item 2):
+        # with the never-driver-checked backlog empty, the window's
+        # job is now staleness control — no green row older than ~4
+        # rounds.
+        # ---- positions 1-2: round-10 additions, first driver check ----
+        "uniT_unigram_em": uniT_unigram_em,
+        "pj1c_prefix_jaccard_capped": pj1c_prefix_jaccard_capped,
+        # ---- positions 3-4: continuity anchors (green every round) ----
+        "q1_pricing_summary": q1_pricing_summary,
+        "star_fact_rollup": star_fact_rollup,
+        # ---- positions 5-26: the 22 stalest exact-oracle rows
+        #      (last driver-checked r02) ----
+        "a4_guard_derive": a4_guard_derive,
+        "cx1_contamination": cx1_contamination,
+        "d6_simhash_portable": d6_simhash_portable,
+        "d7_minhash_portable": d7_minhash_portable,
+        "e1_cosine_topk": e1_cosine_topk,
+        "e4_ivf_topk": e4_ivf_topk,
+        "e5_ann_portable": e5_ann_portable,
+        "e6_neardup_portable": e6_neardup_portable,
+        "e7_kmeans": e7_kmeans,
+        "f11_variant_json": f11_variant_json,
+        "m1_media_metadata": m1_media_metadata,
+        "pk1_token_packing": pk1_token_packing,
+        "q12_late_priority": q12_late_priority,
+        "sd1_semantic_dedup": sd1_semantic_dedup,
+        "sh1_deterministic_shuffle": sh1_deterministic_shuffle,
+        "sp2_stratified_sample": sp2_stratified_sample,
+        "t2_quality_score": t2_quality_score,
+        "t3_language_id": t3_language_id,
+        "t4_fingerprint": t4_fingerprint,
+        "t7_repetition_stats": t7_repetition_stats,
+        "t8_pii_redaction": t8_pii_redaction,
+        "tp2_curation_portable": tp2_curation_portable,
+        # ---- positions 27-50: the 24 alphabetically-first of the 48
+        #      next-stalest rows (last driver-checked r03) ----
+        "a14_grouping_sets": a14_grouping_sets,
+        "a15_conditional_aggs": a15_conditional_aggs,
+        "a16_group_percentiles": a16_group_percentiles,
+        "ag1_ordered_string_agg": ag1_ordered_string_agg,
+        "cc1_dup_clusters": cc1_dup_clusters,
+        "cd1_cdc_snapshot": cd1_cdc_snapshot,
+        "cl1_cluster_stats": cl1_cluster_stats,
+        "cs1_centroid_similarity": cs1_centroid_similarity,
+        "cv1_coverage_curve": cv1_coverage_curve,
+        "d8_block_dedup": d8_block_dedup,
+        "dq1_profile": dq1_profile,
+        "dr1_drift_psi": dr1_drift_psi,
+        "ds1_domain_score": ds1_domain_score,
+        "dv1_constraints": dv1_constraints,
+        "ev_hopping": ev_hopping,
+        "fn1_funnel": fn1_funnel,
+        "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
+        "h1_histogram": h1_histogram,
+        "iv1_interval_overlap": iv1_interval_overlap,
+        "ix1_global_index": ix1_global_index,
+        "kw1_keywords": kw1_keywords,
+        "mx1_mix_plan": mx1_mix_plan,
+        "mx2_mix_apply": mx2_mix_apply,
+        "o3_topk_per_group": o3_topk_per_group,
+        # ---- positions 51-60: documented rows-only entries, pinned
+        #      permanently BEHIND the window (a no_oracle row would
+        #      waste a driver slot); each has an exact twin or
+        #      pytest-vs-numpy verification ----
+        "a11_approx_distinct": a11_approx_distinct,
+        "d3_minhash_candidates": d3_minhash_candidates,
+        "d4_simhash": d4_simhash,
+        "e2_ann_lsh": e2_ann_lsh,
+        "e3_embedding_neardup": e3_embedding_neardup,
+        "tp1_curation_pipeline": tp1_curation_pipeline,
+        "hl1_sketch_rollup": hl1_sketch_rollup,
+        "pc1_pca_projection": pc1_pca_projection,
+        "e9_pq_topk": e9_pq_topk,
+        "dq2_profile_approx": dq2_profile_approx,
+        # ---- positions 61-84: the remaining 24 r03-stale rows —
+        #      head of the r11 refill pool ----
+        "pp1_lm_fluency": pp1_lm_fluency,
+        "pp2_perplexity_buckets": pp2_perplexity_buckets,
+        "qc1_quality_classifier": qc1_quality_classifier,
+        "r4_pivot_multi": r4_pivot_multi,
+        "rs1_resample_ffill": rs1_resample_ffill,
+        "rt1_retention": rt1_retention,
+        "sc1_scd2": sc1_scd2,
+        "sk1_salted_join": sk1_salted_join,
+        "sk2_skew_report": sk2_skew_report,
+        "sp3_domain_cap": sp3_domain_cap,
+        "st1_grouped_stats": st1_grouped_stats,
+        "st2_correlation": st2_correlation,
+        "st3_entropy": st3_entropy,
+        "t9_intra_dedup": t9_intra_dedup,
+        "tj3_asof_forward": tj3_asof_forward,
+        "ts1_bm25": ts1_bm25,
+        "v1_vocab_topk": v1_vocab_topk,
+        "v2_bigram_merge_rank": v2_bigram_merge_rank,
+        "vs1_source_overlap": vs1_source_overlap,
+        "w4_winsorize": w4_winsorize,
+        "w5_range_frame": w5_range_frame,
+        "w6_rolling_distinct": w6_rolling_distinct,
+        "w7_mad_outliers": w7_mad_outliers,
+        "wt1_weighted_sample": wt1_weighted_sample,
+        # ---- remainder: green in CORRECTNESS_r05-r09 ----
         "bpe1_bpe_merges": bpe1_bpe_merges,
         "bpe2_bpe_fertility": bpe2_bpe_fertility,
         "sdd1_streaming_dedup": sdd1_streaming_dedup,
-        # ---- positions 4-5: continuity anchors (green every round) ----
-        "q1_pricing_summary": q1_pricing_summary,
-        "star_fact_rollup": star_fact_rollup,
-        # ---- positions 6-9: round-9 additions, first driver check ----
         "wp1_wordpiece_merges": wp1_wordpiece_merges,
         "kcs1_kcenter_coreset": kcs1_kcenter_coreset,
         "ssw1_streaming_sessions": ssw1_streaming_sessions,
         "rag1_context_assembly": rag1_context_assembly,
         "uni1_unigram_segments": uni1_unigram_segments,
-        # ---- positions 11-28: freshness refill, last checked r01 ----
         "q9_product_type_profit": q9_product_type_profit,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q13_customer_distribution": q13_customer_distribution,
@@ -13829,7 +14122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q11_important_parts": q11_important_parts,
         "q15_top_supplier": q15_top_supplier,
-        # ---- positions 24-50: freshness refill, last checked r02 ----
         "q16_supplier_part_count": q16_supplier_part_count,
         "q20_potential_promotion": q20_potential_promotion,
         "q21_waiting_suppliers": q21_waiting_suppliers,
@@ -13852,28 +14144,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_quality_filter": t6_quality_filter,
         "sp1_deterministic_split": sp1_deterministic_split,
         "t1_token_stats": t1_token_stats,
-        # ---- positions 51-60: documented rows-only entries, pinned
-        #      permanently BEHIND the window (a no_oracle row would waste
-        #      a driver slot); each has an exact twin or pytest-vs-numpy ----
-        "a11_approx_distinct": a11_approx_distinct,
-        "d3_minhash_candidates": d3_minhash_candidates,
-        "d4_simhash": d4_simhash,
-        "e2_ann_lsh": e2_ann_lsh,
-        "e3_embedding_neardup": e3_embedding_neardup,
-        "tp1_curation_pipeline": tp1_curation_pipeline,
-        "hl1_sketch_rollup": hl1_sketch_rollup,
-        "pc1_pca_projection": pc1_pca_projection,
-        "e9_pq_topk": e9_pq_topk,
-        "dq2_profile_approx": dq2_profile_approx,
-        # ---- positions 61-65: the five refill rows the round-9
-        #      additions displaced past the window (last checked r02) —
-        #      head of the r10 refill pool ----
-        "t2_quality_score": t2_quality_score,
-        "t3_language_id": t3_language_id,
-        "t4_fingerprint": t4_fingerprint,
-        "e1_cosine_topk": e1_cosine_topk,
-        "e4_ivf_topk": e4_ivf_topk,
-        # ---- remainder: green in CORRECTNESS_r03-r08 ----
         "auc1_quality_auc": auc1_quality_auc,
         "ks1_score_ks": ks1_score_ks,
         "rb1_reliability_bins": rb1_reliability_bins,
@@ -14018,71 +14288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc2_dup_hubs": cc2_dup_hubs,
         "x1_chi2_keywords": x1_chi2_keywords,
         "a20_abc_analysis": a20_abc_analysis,
-        "d8_block_dedup": d8_block_dedup,
-        "cc1_dup_clusters": cc1_dup_clusters,
-        "fn1_funnel": fn1_funnel,
-        "pp1_lm_fluency": pp1_lm_fluency,
-        "ts1_bm25": ts1_bm25,
-        "kw1_keywords": kw1_keywords,
-        "v1_vocab_topk": v1_vocab_topk,
-        "v2_bigram_merge_rank": v2_bigram_merge_rank,
-        "cv1_coverage_curve": cv1_coverage_curve,
-        "cl1_cluster_stats": cl1_cluster_stats,
-        "ds1_domain_score": ds1_domain_score,
-        "qc1_quality_classifier": qc1_quality_classifier,
-        "mx1_mix_plan": mx1_mix_plan,
-        "dq1_profile": dq1_profile,
-        "sc1_scd2": sc1_scd2,
-        "ev_hopping": ev_hopping,
-        "w5_range_frame": w5_range_frame,
-        "w4_winsorize": w4_winsorize,
-        "sp3_domain_cap": sp3_domain_cap,
-        "rs1_resample_ffill": rs1_resample_ffill,
-        "sk1_salted_join": sk1_salted_join,
-        "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
-        "rt1_retention": rt1_retention,
-        "cd1_cdc_snapshot": cd1_cdc_snapshot,
-        "h1_histogram": h1_histogram,
-        "dv1_constraints": dv1_constraints,
-        "pp2_perplexity_buckets": pp2_perplexity_buckets,
-        "a14_grouping_sets": a14_grouping_sets,
-        "ag1_ordered_string_agg": ag1_ordered_string_agg,
-        "a15_conditional_aggs": a15_conditional_aggs,
-        "dr1_drift_psi": dr1_drift_psi,
-        "st1_grouped_stats": st1_grouped_stats,
-        "o3_topk_per_group": o3_topk_per_group,
-        "tj3_asof_forward": tj3_asof_forward,
-        "mx2_mix_apply": mx2_mix_apply,
-        "iv1_interval_overlap": iv1_interval_overlap,
-        "wt1_weighted_sample": wt1_weighted_sample,
-        "w6_rolling_distinct": w6_rolling_distinct,
-        "st2_correlation": st2_correlation,
-        "st3_entropy": st3_entropy,
-        "vs1_source_overlap": vs1_source_overlap,
-        "a16_group_percentiles": a16_group_percentiles,
-        "w7_mad_outliers": w7_mad_outliers,
-        "sk2_skew_report": sk2_skew_report,
-        "ix1_global_index": ix1_global_index,
-        "t9_intra_dedup": t9_intra_dedup,
-        "r4_pivot_multi": r4_pivot_multi,
-        "cs1_centroid_similarity": cs1_centroid_similarity,
-        "m1_media_metadata": m1_media_metadata,
-        "a4_guard_derive": a4_guard_derive,
-        "q12_late_priority": q12_late_priority,
-        "f11_variant_json": f11_variant_json,
-        "t7_repetition_stats": t7_repetition_stats,
-        "t8_pii_redaction": t8_pii_redaction,
-        "sh1_deterministic_shuffle": sh1_deterministic_shuffle,
-        "pk1_token_packing": pk1_token_packing,
-        "cx1_contamination": cx1_contamination,
-        "d6_simhash_portable": d6_simhash_portable,
-        "d7_minhash_portable": d7_minhash_portable,
-        "e5_ann_portable": e5_ann_portable,
-        "e6_neardup_portable": e6_neardup_portable,
-        "tp2_curation_portable": tp2_curation_portable,
-        "sp2_stratified_sample": sp2_stratified_sample,
-        "e7_kmeans": e7_kmeans,
-        "sd1_semantic_dedup": sd1_semantic_dedup,
     }
 
 
@@ -14097,6 +14302,8 @@ def oracle_sql() -> dict[str, str]:
         "ssw1_streaming_sessions": SSW1_SQL,
         "rag1_context_assembly": RAG1_SQL,
         "uni1_unigram_segments": _uni1_sql(),
+        "uniT_unigram_em": _uniT_sql(),
+        "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

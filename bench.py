@@ -113,7 +113,31 @@ HEADLINE = [
     "ssw1_streaming_sessions",
     "rag1_context_assembly",
     "uni1_unigram_segments",
+    # round-10 additions (appended): uniT = the unigram EM trainer;
+    # pj1c = pj1's per_token_cap=8 production form, so the headline's
+    # largest single cost tracks the plan you'd run at 100 TB
+    # (SCALING.md's 100× adjudication) — exact pj1 stays for the
+    # round-over-round comparison and as the oracle twin
+    "uniT_unigram_em",
+    "pj1c_prefix_jaccard_capped",
 ]
+
+
+def _cpu_jiffies() -> dict[str, int]:
+    """First ``cpu`` line of /proc/stat → {user, nice, system, idle,
+    iowait, irq, softirq, steal, ...}. ``steal`` is the hypervisor
+    run-queue time this guest was denied — the co-tenant contention
+    signal that adjudicates round-over-round bench noise (VERDICT r09:
+    the r08↔r09 delta was traced to ~5e5 steal jiffies, but only via an
+    out-of-band reading; this makes the artifact self-contained)."""
+    fields = ["user", "nice", "system", "idle", "iowait", "irq",
+              "softirq", "steal", "guest", "guest_nice"]
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return dict(zip(fields, vals))
+    except (OSError, ValueError):
+        return {}
 
 
 def main() -> None:
@@ -124,6 +148,7 @@ def main() -> None:
     # reads ~10+ because it includes this bench's own local[32] burn —
     # co-tenant contention is only visible in the start sample
     loadavg_start = round(os.getloadavg()[0], 2)
+    jiffies_start = _cpu_jiffies()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -179,6 +204,22 @@ def main() -> None:
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # steal-aware noise evidence (VERDICT r09 item 4): whole-run deltas
+    # of the aggregate /proc/stat counters. steal_jiffies_delta >> 0
+    # means a hypervisor co-tenant was eating this guest's run queue —
+    # read per-query regressions as noise unless plans changed too.
+    jiffies_end = _cpu_jiffies()
+    if jiffies_start and jiffies_end:
+        payload["steal_jiffies_delta"] = (
+            jiffies_end["steal"] - jiffies_start["steal"]
+        )
+        payload["busy_jiffies_delta"] = sum(
+            jiffies_end[k] - jiffies_start[k]
+            for k in ("user", "nice", "system", "irq", "softirq")
+        )
+        payload["total_jiffies_delta"] = sum(
+            jiffies_end[k] - jiffies_start[k] for k in jiffies_end
+        )
     # Full per-query JSON goes to a file: the driver captures only the
     # LAST ~2000 chars of stdout, and the 70-query line outgrew it in
     # r04/r05 ("parsed": null). The printed line keeps the contract

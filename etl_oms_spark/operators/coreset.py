@@ -73,6 +73,14 @@ def kcenter_greedy(
     literal arrays, inside codegen) + a 1-row TakeOrdered — no caching
     required, no corpus shuffle; see module docstring for the 100 TB
     posture.
+
+    k > n tail: once every corpus point is a center, the max-min
+    distance is 0 and the argmax returns an already-chosen point (the
+    lowest id, by the tie order), so the result contains duplicate
+    ``vec_id`` rows at ``radius_d2 = 0`` from round n+1 on — the caller
+    asking for more centers than points gets the honest "radius is
+    already zero" sequence rather than an early stop (and the DuckDB
+    oracle replays exactly that).
     """
     spark = df.sparkSession
     q = df.select(

@@ -347,6 +347,108 @@ UNI_MAX_WORD = 12
 UNI_MAX_PIECE = 4
 UNI_VOCAB = 64
 UNI_LOG_SCALE = 10**6
+#: EM vocabulary-reduction bound (uniT): after the E-step, keep only
+#: the top UNI_EM_KEEP multi-char pieces by Viterbi usage — the pruning
+#: step that makes the round *training*, not just re-scoring.
+UNI_EM_KEEP = 48
+
+
+def _uni_word_sample(
+    df: DataFrame, sample_words: int, text_col: str
+) -> list[tuple[str, int]]:
+    """The ONE distributed stage of the unigram family (bpe1's bounded-
+    sample pattern): corpus word-frequency rollup, top-``sample_words``
+    by (count DESC, word ASC), driver-sized."""
+    from etl_oms_spark.operators.text import tokens
+
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(sample_words)
+        .collect()
+    )
+    return [(r["w"], int(r["n"])) for r in rows]
+
+
+def _quantized_log_scores(vocab: dict[str, int]) -> dict[str, int]:
+    """score(p) = round-half-up(1e6 · ln(weight / total_weight)) — an
+    exact BIGINT once rounded; weights and total are exact ints, and the
+    double ln/division agree across engines (the ts1/mrr1 precedent)."""
+    import math
+
+    total = sum(vocab.values())
+    return {
+        p: math.floor(math.log(c / total) * UNI_LOG_SCALE + 0.5)
+        for p, c in vocab.items()
+    }
+
+
+def _uni_vocab_scores(
+    sample: list[tuple[str, int]]
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Frequency-estimated initial piece LM: candidate pieces are all
+    2..UNI_MAX_PIECE-char substrings of sample words, occurrence-
+    weighted by word count (overlaps counted); vocabulary = top-
+    UNI_VOCAB multi-char pieces by (weight DESC, piece ASC) PLUS every
+    single char seen (guarantees every word segments)."""
+    weights: dict[str, int] = {}
+    for w, n in sample:
+        for ln_ in range(1, UNI_MAX_PIECE + 1):
+            for i in range(len(w) - ln_ + 1):
+                p = w[i : i + ln_]
+                weights[p] = weights.get(p, 0) + n
+    multi = sorted(
+        ((p, c) for p, c in weights.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:UNI_VOCAB]
+    vocab = {p: c for p, c in multi}
+    vocab.update({p: c for p, c in weights.items() if len(p) == 1})
+    return vocab, _quantized_log_scores(vocab)
+
+
+def _viterbi_usage(
+    sample: list[tuple[str, int]], score: dict[str, int]
+) -> dict[str, int]:
+    """Exact per-word Viterbi DP shared by uni1 (inference) and uniT
+    (EM training): maximize Σ piece score, ties broken by fewer pieces,
+    then by the largest split point j (shortest last piece) — the order
+    the unrolled DuckDB oracle CTEs replay via
+    ``ROW_NUMBER() OVER (ORDER BY score DESC, np ASC, j DESC)``. Only
+    words of 2..UNI_MAX_WORD chars segment (the oracle unroll bound).
+    Returns piece → Σ word_count × times-used."""
+    usage: dict[str, int] = {}
+    for w, n in sample:
+        if not (2 <= len(w) <= UNI_MAX_WORD):
+            continue
+        # dp[i] = (sum_score, -n_pieces, j, piece) best over prefixes
+        dp: list[tuple | None] = [None] * (len(w) + 1)
+        dp[0] = (0, 0, -1, "")
+        for i in range(1, len(w) + 1):
+            best = None
+            for j in range(max(0, i - UNI_MAX_PIECE), i):
+                piece = w[j:i]
+                if dp[j] is None or piece not in score:
+                    continue
+                cand = (
+                    dp[j][0] + score[piece],
+                    dp[j][1] - 1,
+                    j,
+                    piece,
+                )
+                # maximize (score, -n_pieces, j): on full ties the
+                # largest split point (shortest last piece) wins
+                if best is None or cand[:3] > best[:3]:
+                    best = cand
+            dp[i] = best
+        i = len(w)
+        while i > 0:
+            _, _, j, piece = dp[i]
+            usage[piece] = usage.get(piece, 0) + n
+            i = j
+    return usage
 
 
 def unigram_segment_exact(
@@ -381,68 +483,9 @@ def unigram_segment_exact(
     ``piece, vocab_weight, score_q, usage`` where usage = Σ word_count
     × (times used in that word's best segmentation).
     """
-    from etl_oms_spark.operators.text import tokens
-    import math
-
-    rows = (
-        df.select(F.explode(tokens(text_col)).alias("w"))
-        .filter((F.col("w") != "") & (F.length("w") >= 2))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .orderBy(F.col("n").desc(), "w")
-        .limit(sample_words)
-        .collect()
-    )
-    sample = [(r["w"], int(r["n"])) for r in rows]
-
-    # candidate pieces: all substrings, weighted, overlaps counted
-    weights: dict[str, int] = {}
-    for w, n in sample:
-        for ln_ in range(1, UNI_MAX_PIECE + 1):
-            for i in range(len(w) - ln_ + 1):
-                p = w[i : i + ln_]
-                weights[p] = weights.get(p, 0) + n
-    multi = sorted(
-        ((p, c) for p, c in weights.items() if len(p) >= 2),
-        key=lambda t: (-t[1], t[0]),
-    )[:UNI_VOCAB]
-    vocab = {p: c for p, c in multi}
-    vocab.update({p: c for p, c in weights.items() if len(p) == 1})
-    total = sum(vocab.values())
-    score = {
-        p: math.floor(math.log(c / total) * UNI_LOG_SCALE + 0.5)
-        for p, c in vocab.items()
-    }
-
-    usage: dict[str, int] = {}
-    for w, n in sample:
-        if not (2 <= len(w) <= UNI_MAX_WORD):
-            continue
-        # dp[i] = (sum_score, -n_pieces, j, piece) best over prefixes
-        dp: list[tuple | None] = [None] * (len(w) + 1)
-        dp[0] = (0, 0, -1, "")
-        for i in range(1, len(w) + 1):
-            best = None
-            for j in range(max(0, i - UNI_MAX_PIECE), i):
-                piece = w[j:i]
-                if dp[j] is None or piece not in score:
-                    continue
-                cand = (
-                    dp[j][0] + score[piece],
-                    dp[j][1] - 1,
-                    j,
-                    piece,
-                )
-                # maximize (score, -n_pieces, j): on full ties the
-                # largest split point (shortest last piece) wins
-                if best is None or cand[:3] > best[:3]:
-                    best = cand
-            dp[i] = best
-        i = len(w)
-        while i > 0:
-            _, _, j, piece = dp[i]
-            usage[piece] = usage.get(piece, 0) + n
-            i = j
+    sample = _uni_word_sample(df, sample_words, text_col)
+    vocab, score = _uni_vocab_scores(sample)
+    usage = _viterbi_usage(sample, score)
     return sorted(
         (
             {
@@ -452,6 +495,85 @@ def unigram_segment_exact(
                 "usage": u,
             }
             for p, u in usage.items()
+        ),
+        key=lambda d: (-d["usage"], d["piece"]),
+    )
+
+
+def unigram_em_train(
+    df: DataFrame,
+    sample_words: int = 256,
+    keep_multi: int = UNI_EM_KEEP,
+    text_col: str = "text",
+) -> list[dict]:
+    """EXACT Unigram-LM EM training round (Kudo 2018, "Subword
+    Regularization", §3.2) — the piece that makes the unigram member of
+    the tokenizer triad a *trainer* like bpe1/wp1, not just a scorer:
+
+    0. frequency-estimated initial LM — ``_uni_vocab_scores``, the same
+       vocabulary + quantized log-probs uni1 segments with;
+    1. **E-step**: Viterbi-segment the bounded word sample under the
+       current scores and count expected piece occurrences. This is
+       hard-EM (Viterbi counts, the argmax posterior) rather than
+       forward–backward soft counts — the standard deterministic
+       variant, and the one whose counts are exact BIGINTs a DuckDB
+       oracle can replay bit-for-bit (soft counts are sums of float
+       products with engine-dependent association order);
+    2. **M-step + prune**: re-estimate piece weights from the E-step
+       counts and drop the tail — keep the top ``keep_multi``
+       multi-char pieces by (usage DESC, piece ASC) (zero-usage pieces
+       go first, Kudo's vocabulary-reduction step) while EVERY single
+       char stays with weight ``max(usage, 1)`` (the smoothing floor
+       keeps ln defined and every word segmentable; a word's pass-1
+       best segmentation uses only usage>0 pieces, so pruning to the
+       used set can never orphan a word). New scores are the same
+       round-half-up(1e6·ln(w/total)) quantization;
+    3. re-segment under the re-estimated LM (the next E-step, reported
+       as the trained tokenizer's usage table).
+
+    Corpus-scale posture: identical to uni1 — the ONE distributed stage
+    is the word-frequency rollup (map-side combined); both EM passes
+    run on the driver-sized top-256 sample, so the cost is scale-flat
+    and the unrolled two-pass DuckDB oracle replays every stage.
+
+    Returns, for each piece used by the pass-2 segmentation:
+    ``piece, em_weight`` (the M-step weight), ``score_q`` (the
+    re-estimated quantized log-prob), ``usage_init`` (pass-1 Viterbi
+    count; 0 for a single char unused in pass 1), ``usage`` (pass-2
+    count), ordered by (usage DESC, piece ASC).
+    """
+    sample = _uni_word_sample(df, sample_words, text_col)
+    vocab0, score0 = _uni_vocab_scores(sample)
+
+    usage0 = _viterbi_usage(sample, score0)  # E-step
+
+    # M-step + prune: multi-char pieces survive only with usage, capped
+    # at keep_multi; single chars keep a weight floor of 1
+    multi1 = sorted(
+        ((p, u) for p, u in usage0.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:keep_multi]
+    vocab1 = {p: u for p, u in multi1}
+    vocab1.update(
+        {
+            p: max(usage0.get(p, 0), 1)
+            for p in vocab0
+            if len(p) == 1
+        }
+    )
+    score1 = _quantized_log_scores(vocab1)
+
+    usage1 = _viterbi_usage(sample, score1)  # re-segment
+    return sorted(
+        (
+            {
+                "piece": p,
+                "em_weight": vocab1[p],
+                "score_q": score1[p],
+                "usage_init": usage0.get(p, 0),
+                "usage": u,
+            }
+            for p, u in usage1.items()
         ),
         key=lambda d: (-d["usage"], d["piece"]),
     )

@@ -32,63 +32,51 @@ def test_every_query_has_oracle_or_documented_exception():
     )
 
 
-def test_driver_window_holds_round9_rotation():
-    """Positions 1-50 must stay the round-9 rotation (VERDICT r08 item
-    1): 1-3 the round-8 additions (the only never-driver-checked
-    exact-oracle entries left), then the two green anchors, then the 18
-    stalest rows (last driver-checked r01) and the 27 next-stalest
-    (r02). New round-9 queries are inserted right after the anchors,
-    each displacing the least-stale refill entry past position 50 — so
-    the assertion is subset-shaped for the refill blocks. NO rows-only
-    entry may ever sit in the first 50 — a no_oracle row would waste a
-    driver window slot."""
+def test_driver_window_holds_round10_rotation():
+    """Positions 1-50 must stay the round-10 rotation (VERDICT r09 item
+    2): with the never-driver-checked backlog empty, the window's job
+    is staleness control — positions 1-2 the round-10 additions (uniT,
+    pj1c — first driver check), 3-4 the two green anchors, 5-26 the 22
+    stalest exact-oracle rows (last driver-checked r02), 27-50 the 24
+    alphabetically-first of the 48 next-stalest (r03). New round-11
+    queries insert right after the anchors, each displacing the
+    least-stale refill entry past position 50 — so the assertion is
+    subset-shaped for the refill blocks. NO rows-only entry may ever
+    sit in the first 50 — a no_oracle row would waste a driver window
+    slot."""
     names = list(entry_mod.queries())
-    assert names[:3] == [
-        "bpe1_bpe_merges", "bpe2_bpe_fertility", "sdd1_streaming_dedup"]
-    assert names[3:5] == ["q1_pricing_summary", "star_fact_rollup"]
-    assert names[5:10] == [
-        "wp1_wordpiece_merges", "kcs1_kcenter_coreset",
-        "ssw1_streaming_sessions", "rag1_context_assembly",
-        "uni1_unigram_segments"]
-    refill = {
-        # last checked r01
-        "q9_product_type_profit", "q2_min_cost_supplier",
-        "q13_customer_distribution", "s_set_ops", "f9_string_funcs",
-        "a9_having_filter", "q4_order_priority", "q19_disjunctive",
-        "q22_global_avg_filter", "n1_null_semantics", "q7_volume_shipping",
-        "q8_market_share", "q10_returned_items", "q14_promo_ratio",
-        "q18_large_volume", "q6_forecast_revenue", "q11_important_parts",
-        "q15_top_supplier",
-        # last checked r02
-        "q16_supplier_part_count", "q20_potential_promotion",
-        "q21_waiting_suppliers", "ar1_array_funcs", "ar2_explode_wordcount",
-        "w3_rank_functions", "t5_regex_extract", "f10_date_funcs",
-        "tj1_asof_join", "tj2_range_join", "rl1_time_rollup",
-        "ev_sessionize", "a10_distinct_agg", "a12_cube", "a13_exact_median",
-        "u2_grouped_ema", "d1_exact_dedup", "d2_ngram_jaccard",
-        "d5_containment", "t6_quality_filter", "sp1_deterministic_split",
-        "t1_token_stats", "t2_quality_score", "t3_language_id",
-        "t4_fingerprint", "e1_cosine_topk", "e4_ivf_topk",
+    assert names[:2] == ["uniT_unigram_em", "pj1c_prefix_jaccard_capped"]
+    assert names[2:4] == ["q1_pricing_summary", "star_fact_rollup"]
+    r02 = {
+        "a4_guard_derive", "cx1_contamination", "d6_simhash_portable",
+        "d7_minhash_portable", "e1_cosine_topk", "e4_ivf_topk",
+        "e5_ann_portable", "e6_neardup_portable", "e7_kmeans",
+        "f11_variant_json", "m1_media_metadata", "pk1_token_packing",
+        "q12_late_priority", "sd1_semantic_dedup",
+        "sh1_deterministic_shuffle", "sp2_stratified_sample",
+        "t2_quality_score", "t3_language_id", "t4_fingerprint",
+        "t7_repetition_stats", "t8_pii_redaction", "tp2_curation_portable",
     }
-    # the r01 block must all be inside the window (staleness priority);
-    # the r02 block fills the rest, tail entries displaced by new queries
-    r01 = {n for n in refill if n in {
-        "q9_product_type_profit", "q2_min_cost_supplier",
-        "q13_customer_distribution", "s_set_ops", "f9_string_funcs",
-        "a9_having_filter", "q4_order_priority", "q19_disjunctive",
-        "q22_global_avg_filter", "n1_null_semantics", "q7_volume_shipping",
-        "q8_market_share", "q10_returned_items", "q14_promo_ratio",
-        "q18_large_volume", "q6_forecast_revenue", "q11_important_parts",
-        "q15_top_supplier"}}
+    r03 = {
+        "a14_grouping_sets", "a15_conditional_aggs", "a16_group_percentiles",
+        "ag1_ordered_string_agg", "cc1_dup_clusters", "cd1_cdc_snapshot",
+        "cl1_cluster_stats", "cs1_centroid_similarity", "cv1_coverage_curve",
+        "d8_block_dedup", "dq1_profile", "dr1_drift_psi", "ds1_domain_score",
+        "dv1_constraints", "ev_hopping", "fn1_funnel", "fz1_fuzzy_pairs",
+        "h1_histogram", "iv1_interval_overlap", "ix1_global_index",
+        "kw1_keywords", "mx1_mix_plan", "mx2_mix_apply", "o3_topk_per_group",
+    }
     first50 = set(names[:50])
-    assert r01 <= first50, f"stale r01 rows fell out: {r01 - first50}"
-    non_refill = first50 - refill - {
-        "bpe1_bpe_merges", "bpe2_bpe_fertility", "sdd1_streaming_dedup",
+    # the r02 block must all be inside the window (staleness priority);
+    # the r03 block fills the rest, tail entries displaced by new queries
+    assert r02 <= first50, f"stale r02 rows fell out: {r02 - first50}"
+    non_refill = first50 - r02 - r03 - {
+        "uniT_unigram_em", "pj1c_prefix_jaccard_capped",
         "q1_pricing_summary", "star_fact_rollup"}
-    # anything else in the window must be a round-9+ addition sitting
-    # between the anchors and the refill (positions 6+)
+    # anything else in the window must be a round-11+ addition sitting
+    # between the anchors and the refill (positions 5+)
     for extra in non_refill:
-        assert 5 <= names.index(extra) < 50 - len(r01), extra
+        assert 4 <= names.index(extra) < 50 - len(r02), extra
     assert not (first50 & KNOWN_ROWS_ONLY), (
         "rows-only entries must never occupy a driver window slot"
     )

@@ -1,0 +1,265 @@
+"""Round-10 operators: the Unigram-LM EM training round (uniT) and the
+per_token_cap PPJoin production twin (pj1c).
+
+uniT's brute-force parity re-derives the WHOLE hard-EM round with an
+independent exhaustive-enumeration segmenter (no DP) — initial LM,
+E-step counts, the prune/M-step, re-quantization, and the second
+segmentation — so a bug in either the DP or the EM bookkeeping cannot
+cancel itself out. pj1c's pins are the refinement invariants that make
+the capped form safe to ship: its pair set only ever SPLITS exact
+clusters (never merges two), and on clique-shaped duplicate clusters it
+splits nothing.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_oms_spark.operators.tokenize import (
+    UNI_EM_KEEP,
+    UNI_LOG_SCALE,
+    UNI_MAX_PIECE,
+    UNI_MAX_WORD,
+    UNI_VOCAB,
+    unigram_em_train,
+    unigram_segment_exact,
+)
+
+
+# ------------------------------------------------------------- helpers
+def _word_sample(spark_df) -> list[tuple[str, int]]:
+    from etl_oms_spark.operators.text import tokens
+
+    rows = (
+        spark_df.select(F.explode(tokens("text")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(256)
+        .collect()
+    )
+    return [(r["w"], int(r["n"])) for r in rows]
+
+
+def _initial_vocab(sample) -> dict[str, int]:
+    weights: dict[str, int] = {}
+    for w, n in sample:
+        for ln_ in range(1, UNI_MAX_PIECE + 1):
+            for i in range(len(w) - ln_ + 1):
+                p = w[i : i + ln_]
+                weights[p] = weights.get(p, 0) + n
+    multi = sorted(
+        ((p, c) for p, c in weights.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:UNI_VOCAB]
+    vocab = dict(multi)
+    vocab.update({p: c for p, c in weights.items() if len(p) == 1})
+    return vocab
+
+
+def _scores(vocab: dict[str, int]) -> dict[str, int]:
+    total = sum(vocab.values())
+    return {
+        p: math.floor(math.log(c / total) * UNI_LOG_SCALE + 0.5)
+        for p, c in vocab.items()
+    }
+
+
+def _brute_usage(sample, score) -> dict[str, int]:
+    """Exhaustive enumeration of every segmentation (vocab pieces only)
+    with the DP's tie order — test_round9_ops' independent oracle,
+    reused for both EM passes."""
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for ln_ in range(1, min(UNI_MAX_PIECE, len(w)) + 1):
+            head = w[:ln_]
+            if head in score:
+                for rest in all_segs(w[ln_:]):
+                    yield [head] + rest
+
+    usage: dict[str, int] = {}
+    for w, n in sample:
+        if not (2 <= len(w) <= UNI_MAX_WORD):
+            continue
+        best = max(
+            all_segs(w),
+            key=lambda segs: (
+                sum(score[p] for p in segs),
+                -len(segs),
+                tuple(
+                    len(w) - sum(len(p) for p in segs[i:])
+                    for i in range(len(segs) - 1, -1, -1)
+                ),
+            ),
+        )
+        for p in best:
+            usage[p] = usage.get(p, 0) + n
+    return usage
+
+
+def _brute_em(sample) -> list[tuple]:
+    """Independent full hard-EM round: initial LM → enumeration E-step →
+    prune/M-step → re-quantize → enumeration re-segment."""
+    vocab0 = _initial_vocab(sample)
+    usage0 = _brute_usage(sample, _scores(vocab0))
+    multi1 = sorted(
+        ((p, u) for p, u in usage0.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:UNI_EM_KEEP]
+    vocab1 = dict(multi1)
+    vocab1.update(
+        {p: max(usage0.get(p, 0), 1) for p in vocab0 if len(p) == 1}
+    )
+    score1 = _scores(vocab1)
+    usage1 = _brute_usage(sample, score1)
+    return sorted(
+        (
+            (p, vocab1[p], score1[p], usage0.get(p, 0), u)
+            for p, u in usage1.items()
+        ),
+        key=lambda t: (-t[4], t[0]),
+    )
+
+
+# ------------------------------------------------------------- uniT
+def test_unigram_em_matches_brute_force(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = _brute_em(_word_sample(docs))
+    got = [
+        (d["piece"], d["em_weight"], d["score_q"], d["usage_init"], d["usage"])
+        for d in unigram_em_train(docs)
+    ]
+    assert got == expected
+
+
+def test_unigram_em_pass1_consistent_with_uni1(spark, sf_dir):
+    """uniT's E-step IS uni1's segmentation: for every piece surviving
+    into the pass-2 usage table, usage_init must equal uni1's usage (a
+    piece absent from uni1's table has usage_init 0)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni1 = {d["piece"]: d["usage"] for d in unigram_segment_exact(docs)}
+    for d in unigram_em_train(docs):
+        assert d["usage_init"] == uni1.get(d["piece"], 0), d["piece"]
+
+
+def test_unigram_em_prunes_and_smooths(spark):
+    """The M-step semantics on a hand corpus: (1) every multi-char
+    output piece was used in pass 1 (zero-usage multis are pruned — the
+    initial substring vocabulary is NOT carried over); (2) at most
+    UNI_EM_KEEP multi-char pieces survive; (3) single chars always
+    remain segmentable (em_weight >= 1 — the smoothing floor), so every
+    sample word still segments in pass 2; (4) total pass-2 usage mass
+    equals total pass-1 mass (both passes segment the same words)."""
+    words = ["banana"] * 5 + ["bandana"] * 3 + ["anagram"] * 2 + ["zz"]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    rows = unigram_em_train(docs)
+    assert rows, "EM produced an empty usage table"
+    for d in rows:
+        if len(d["piece"]) >= 2:
+            assert d["usage_init"] > 0, f"unpruned zero-usage multi {d}"
+        assert d["em_weight"] >= 1
+    assert sum(1 for d in rows if len(d["piece"]) >= 2) <= UNI_EM_KEEP
+    uni1_mass = sum(
+        d["usage"] * len(d["piece"])
+        for d in unigram_segment_exact(docs)
+    )
+    em_mass = sum(d["usage"] * len(d["piece"]) for d in rows)
+    assert em_mass == uni1_mass  # same chars segmented, both passes
+
+
+def test_unigram_em_moves_the_lm(spark):
+    """EM must actually train — pinned on a corpus where the argmax
+    demonstrably flips: under the frequency-estimated LM the rare word
+    'wxyz' segments as the whole 4-char piece (substring weights favor
+    it), but its E-step count is 1 vs 8/12 for wx/yz/xy, so after
+    re-estimation 'wx|yz' outscores it and pass 2 re-segments. (On the
+    sf* corpora one hard-EM round happens to be a fixed point of the
+    segmentation — the scores still move, see the next test — so the
+    flip needs this shaped corpus.)"""
+    words = [("wxyz", 1), ("wx", 8), ("yz", 8), ("xy", 12)]
+    text = " ".join(w for w, n in words for _ in range(n))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    uni1 = {d["piece"]: d["usage"] for d in unigram_segment_exact(docs)}
+    assert uni1 == {"wxyz": 1, "wx": 8, "yz": 8, "xy": 12}
+    em = {
+        d["piece"]: (d["em_weight"], d["usage_init"], d["usage"])
+        for d in unigram_em_train(docs)
+    }
+    # 'wxyz' pruned OUT of the usage table (re-segmented away); the
+    # freed mass lands on wx/yz
+    assert em == {
+        "wx": (8, 8, 9),
+        "yz": (8, 8, 9),
+        "xy": (12, 12, 12),
+    }
+
+
+def test_unigram_em_rescores_even_at_fixed_point(spark, sf_dir):
+    """On sf0.001 the segmentation is a hard-EM fixed point, but the LM
+    itself still trains: re-estimated quantized log-probs must differ
+    from the frequency-estimated ones for some piece (usage mass ≠
+    substring-occurrence mass), and the EM vocabulary is the pruned
+    used-set, not the 64-piece substring candidate list."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni1 = {d["piece"]: d["score_q"] for d in unigram_segment_exact(docs)}
+    em = {d["piece"]: d["score_q"] for d in unigram_em_train(docs)}
+    assert set(em) == set(uni1)  # fixed point: same pieces used
+    assert any(em[p] != uni1[p] for p in em), "scores did not re-estimate"
+
+
+# ------------------------------------------------------------- pj1c
+def test_pj1c_refines_pj1_clusters(spark, sf_dir):
+    """Capped clustering is a REFINEMENT of exact clustering: capped
+    pairs ⊆ exact pairs ⇒ every pj1c cluster sits wholly inside one pj1
+    cluster (splits allowed, merges impossible), and both cover the
+    same... no — the capped doc set can only be a subset. Checked on
+    sf0.001 documents end-to-end through the query functions."""
+    import __spark_entry__ as entry_mod
+
+    exact = entry_mod.pj1_prefix_jaccard(spark, sf_dir).toPandas()
+    capped = entry_mod.pj1c_prefix_jaccard_capped(spark, sf_dir).toPandas()
+    assert set(capped.doc_id) <= set(exact.doc_id)
+    merged = capped.merge(exact, on="doc_id", suffixes=("_c", "_e"))
+    # every capped cluster maps into exactly one exact cluster
+    fanout = merged.groupby("cluster_id_c")["cluster_id_e"].nunique()
+    assert (fanout == 1).all(), fanout[fanout > 1]
+
+
+def test_pj1c_equals_pj1_on_clique_clusters(spark):
+    """On clique-shaped duplicate clusters (every member pairwise ≥ t —
+    the re-crawl regime per_token_cap exists for) the capped form loses
+    NOTHING: same doc set, same cluster partition, same sizes, even
+    when the cluster is far bigger than the cap."""
+    import __spark_entry__ as entry_mod
+    from etl_oms_spark.operators.dedup import prefix_filtered_jaccard_pairs
+    from etl_oms_spark.operators.graph import connected_components
+
+    text_a = "alpha beta gamma delta epsilon zeta"
+    text_b = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(i, text_a) for i in range(20)]
+        + [(100 + i, text_b) for i in range(15)]
+        + [(999, "lonely unique document nothing shared here")],
+        "doc_id long, text string",
+    )
+    del entry_mod  # query fns read parquet; use the operators directly
+
+    def cluster(cap):
+        pairs = prefix_filtered_jaccard_pairs(
+            docs, threshold=0.9, per_token_cap=cap
+        ).select("id_a", "id_b")
+        comp = connected_components(pairs)
+        return {
+            (int(r["id"]), int(r["component"]))
+            for r in comp.collect()
+        }
+
+    assert cluster(None) == cluster(8)

@@ -139,7 +139,15 @@ def test_kcenter_matches_brute_force(spark):
     )
     got = [tuple(r) for r in kcenter_greedy(df, k=4).collect()]
 
-    q = {i: np.array([round(x * 1e6) + 1e6 for x in v], dtype=np.int64)
+    # half-AWAY-from-zero, matching Spark F.round / DuckDB round() — NOT
+    # Python's banker's round(), which would silently diverge from the
+    # engine contract on .5-boundary coordinates (ADVICE r09)
+    import math
+
+    def half_away(x: float) -> int:
+        return int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x))
+
+    q = {i: np.array([half_away(x) + 1e6 for x in v], dtype=np.int64)
          for i, v in vecs}
     chosen = [0]
     exp = [(1, 0, 0)]
