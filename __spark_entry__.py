@@ -13814,20 +13814,29 @@ scores AS MATERIALIZED (
 
 
 def _uni_viterbi_parts(
-    tag: str, scores_cte: str, max_word: int, max_piece: int
+    tag: str,
+    scores_cte: str,
+    max_word: int,
+    max_piece: int,
+    sw_cte: str = "sw",
+    with_backtrack: bool = True,
 ) -> list[str]:
-    """One unrolled Viterbi pass for the uni1/uniT oracles
+    """One unrolled Viterbi pass for the uni1/uniT/uni2 oracles
     (`_viterbi_usage`'s replay): a MATERIALIZED best-state CTE per
     position (same (score DESC, pieces ASC, split DESC) tie order as
-    the Python DP), then the backtrack chain and the piece usage
-    rollup. CTE names are suffixed with ``tag`` so uniT can run the
-    pass twice against different score tables; the final CTE is
-    ``usage{tag}(piece, usage)``."""
+    the Python DP), then — when ``with_backtrack`` — the backtrack
+    chain and the piece usage rollup. CTE names are suffixed with
+    ``tag`` so uniT can run the pass twice against different score
+    tables; ``sw_cte(w, n)`` is the word table (uni2 points it at the
+    full distinct corpus vocabulary instead of the sample). Final CTE:
+    ``usage{tag}(piece, usage)`` with backtrack; without it the caller
+    reads the per-position states ``d{tag}{{i}}`` directly (uni2 needs
+    only the final ``np``, which rides the DP state)."""
     parts = [
         f"""d{tag}0 AS MATERIALIZED (
     SELECT w, n, CAST(0 AS BIGINT) AS score, 0 AS np, -1 AS j,
            '' AS piece, 0 AS i
-    FROM sw
+    FROM {sw_cte}
 )"""
     ]
     for i in range(1, max_word + 1):
@@ -13855,6 +13864,8 @@ def _uni_viterbi_parts(
     ) WHERE rn = 1
 )"""
         )
+    if not with_backtrack:
+        return parts
     dall = " UNION ALL ".join(
         f"SELECT * FROM d{tag}{i}" for i in range(1, max_word + 1)
     )
@@ -13987,6 +13998,77 @@ ORDER BY u.usage DESC, u.piece
 """
 
 
+def uni2_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide unigram-LM segmentation + per-source fertility
+    (operators/tokenize.unigram_fertility) — the APPLY side of the
+    unigram triad member, bpe2's counterpart: train the piece LM on the
+    bounded sample (uni1's machinery), then segment EVERY corpus word
+    with zero Python — the corpus collapses to (source, word, count)
+    once, the 12-level Viterbi runs per DISTINCT word as stacked
+    codegen projections over a literal score map, and the per-word
+    piece counts join back for the rollup. 1-char/>12-char/
+    out-of-vocab words are passthrough (1 piece, tallied). The oracle
+    replays the same DP relationally (shared `_uni_viterbi_parts`, no
+    backtrack — ``np`` rides the DP state) over the full distinct
+    vocabulary."""
+    from etl_oms_spark.operators.tokenize import unigram_fertility
+
+    return unigram_fertility(_t(spark, sf_dir, "documents")).orderBy(
+        "source"
+    )
+
+
+def _uni2_sql(
+    sample_words: int = 256,
+    max_word: int = 12,
+    max_piece: int = 4,
+    vocab_k: int = 64,
+) -> str:
+    """DuckDB replay of uni2: the shared uni1 prelude (sample →
+    vocabulary → quantized scores), then the backtrack-free unrolled DP
+    over the FULL distinct 2..12-char corpus vocabulary (``dpw``), the
+    per-word ``np`` read off the final-position states, and the
+    per-source passthrough-aware fertility rollup."""
+    parts = _uni_prelude_parts(sample_words, max_word, max_piece, vocab_k)
+    parts.append(
+        f"""tokw AS MATERIALIZED (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS w
+        FROM documents
+    )
+    WHERE w <> ''
+    GROUP BY source, w
+), dpw AS MATERIALIZED (
+    SELECT w, CAST(1 AS BIGINT) AS n
+    FROM (SELECT DISTINCT w FROM tokw
+          WHERE length(w) BETWEEN 2 AND {max_word})
+)"""
+    )
+    parts += _uni_viterbi_parts(
+        "f", "scores", max_word, max_piece, sw_cte="dpw",
+        with_backtrack=False,
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT w, np FROM df{i} WHERE length(w) = {i}"
+        for i in range(2, max_word + 1)
+    )
+    parts.append(f"word_np AS MATERIALIZED ({finals})")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT t.source,
+       CAST(SUM(t.n) AS BIGINT) AS n_words,
+       CAST(SUM(t.n * COALESCE(p.np, 1)) AS BIGINT) AS pieces,
+       CAST(SUM(CASE WHEN p.np IS NULL THEN t.n ELSE 0 END) AS BIGINT)
+           AS passthrough,
+       CAST(SUM(t.n * COALESCE(p.np, 1)) AS DOUBLE)
+           / CAST(SUM(t.n) AS DOUBLE) AS fertility
+FROM tokw t LEFT JOIN word_np p ON p.w = t.w
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -13999,13 +14081,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with the never-driver-checked backlog empty, the window's
         # job is now staleness control — no green row older than ~4
         # rounds.
-        # ---- positions 1-2: round-10 additions, first driver check ----
+        # ---- positions 1-3: round-10 additions, first driver check ----
         "uniT_unigram_em": uniT_unigram_em,
         "pj1c_prefix_jaccard_capped": pj1c_prefix_jaccard_capped,
-        # ---- positions 3-4: continuity anchors (green every round) ----
+        "uni2_unigram_fertility": uni2_unigram_fertility,
+        # ---- positions 4-5: continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- positions 5-26: the 22 stalest exact-oracle rows
+        # ---- positions 6-27: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
         "cx1_contamination": cx1_contamination,
@@ -14029,8 +14112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_repetition_stats": t7_repetition_stats,
         "t8_pii_redaction": t8_pii_redaction,
         "tp2_curation_portable": tp2_curation_portable,
-        # ---- positions 27-50: the 24 alphabetically-first of the 48
-        #      next-stalest rows (last driver-checked r03) ----
+        # ---- positions 28-50: the 23 alphabetically-first of the 48
+        #      next-stalest rows (last driver-checked r03); uni2
+        #      displaced o3_topk_per_group to the refill-pool head ----
         "a14_grouping_sets": a14_grouping_sets,
         "a15_conditional_aggs": a15_conditional_aggs,
         "a16_group_percentiles": a16_group_percentiles,
@@ -14054,7 +14138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kw1_keywords": kw1_keywords,
         "mx1_mix_plan": mx1_mix_plan,
         "mx2_mix_apply": mx2_mix_apply,
-        "o3_topk_per_group": o3_topk_per_group,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14069,8 +14152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
-        # ---- positions 61-84: the remaining 24 r03-stale rows —
-        #      head of the r11 refill pool ----
+        # ---- positions 61-85: the remaining 25 r03-stale rows —
+        #      head of the r11 refill pool (o3 displaced by uni2) ----
+        "o3_topk_per_group": o3_topk_per_group,
         "pp1_lm_fluency": pp1_lm_fluency,
         "pp2_perplexity_buckets": pp2_perplexity_buckets,
         "qc1_quality_classifier": qc1_quality_classifier,
@@ -14304,6 +14388,7 @@ def oracle_sql() -> dict[str, str]:
         "uni1_unigram_segments": _uni1_sql(),
         "uniT_unigram_em": _uniT_sql(),
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
+        "uni2_unigram_fertility": _uni2_sql(),
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

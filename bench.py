@@ -120,6 +120,7 @@ HEADLINE = [
     # round-over-round comparison and as the oracle twin
     "uniT_unigram_em",
     "pj1c_prefix_jaccard_capped",
+    "uni2_unigram_fertility",
 ]
 
 

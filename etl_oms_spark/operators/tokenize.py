@@ -500,6 +500,116 @@ def unigram_segment_exact(
     )
 
 
+def unigram_fertility(
+    df: DataFrame,
+    sample_words: int = 256,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus-wide unigram-LM segmentation + per-group tokenizer
+    fertility report — the APPLY side of the unigram triad member,
+    mirroring ``bpe_fertility`` for BPE: train on the bounded sample
+    (uni1's frequency-estimated LM), then segment EVERY corpus word
+    with ZERO Python in the row path.
+
+    The distributed trick is word-level deduplication + an unrolled
+    in-expression Viterbi: the corpus collapses to (group, word, count)
+    with one map-side-combined rollup (Heaps' law: distinct words ≪
+    corpus), the DP then runs once per DISTINCT word as 12 stacked
+    projections over a literal score map — each level is
+    ``greatest()`` over ≤4 candidate (score, -n_pieces) structs, all
+    inside whole-stage codegen, no shuffle, no UDF (CollapseProject
+    leaves the levels stacked: each is non-cheap and referenced up to
+    4 times). Tie order matches `_viterbi_usage`: struct max =
+    (score DESC, pieces ASC); the split point never affects the
+    propagated state, so the backtrack-free DP is exact for counts.
+
+    Contract (shared with the DuckDB oracle): words are
+    whitespace tokens of the normalized text; words of 2..UNI_MAX_WORD
+    chars whose characters the vocabulary covers segment via the DP;
+    everything else (1-char words, >12-char words, out-of-vocab chars)
+    is PASSTHROUGH — counted as one piece, tallied in ``passthrough``.
+    Returns per group: ``n_words, pieces, passthrough, fertility``
+    (= pieces/words, the only double — an IEEE quotient of two exact
+    longs, the bpe2 precedent)."""
+    from etl_oms_spark.operators.text import tokens
+
+    sample = _uni_word_sample(df, sample_words, text_col)
+    _, score = _uni_vocab_scores(sample)
+    flat: list[Column] = []
+    for p in sorted(score):
+        flat += [F.lit(p), F.lit(int(score[p]))]
+    smap = F.create_map(*flat)
+
+    tokw = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    words = (
+        tokw.select("w")
+        .distinct()
+        .filter(
+            (F.length("w") >= 2) & (F.length("w") <= UNI_MAX_WORD)
+        )
+    )
+    ln = F.length("w")
+    cur = words
+    dp0 = F.struct(
+        F.lit(0).cast("long").alias("score"), F.lit(0).alias("negnp")
+    )
+    for i in range(1, UNI_MAX_WORD + 1):
+        cands = []
+        for j in range(max(0, i - UNI_MAX_PIECE), i):
+            piece = F.substring(F.col("w"), j + 1, i - j)
+            s = F.element_at(smap, piece)
+            prev = dp0 if j == 0 else F.col(f"__dp{j}")
+            cands.append(
+                F.when(
+                    prev.isNotNull() & s.isNotNull(),
+                    F.struct(
+                        (prev.getField("score") + s)
+                        .cast("long")
+                        .alias("score"),
+                        (prev.getField("negnp") - 1).alias("negnp"),
+                    ),
+                )
+            )
+        best = cands[0] if len(cands) == 1 else F.greatest(*cands)
+        cur = cur.withColumn(f"__dp{i}", F.when(ln >= i, best))
+    np_col = F.lit(None).cast("int")
+    for i in range(2, UNI_MAX_WORD + 1):
+        np_col = F.when(
+            ln == i, -F.col(f"__dp{i}").getField("negnp")
+        ).otherwise(np_col)
+    word_np = cur.select("w", np_col.cast("long").alias("np"))
+
+    return (
+        tokw.join(word_np, "w", "left")
+        .groupBy("grp")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.coalesce(F.col("np"), F.lit(1)))
+            .cast("long")
+            .alias("pieces"),
+            F.sum(
+                F.when(F.col("np").isNull(), F.col("n")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("passthrough"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("pieces").cast("double") / F.col("n_words").cast("double"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 def unigram_em_train(
     df: DataFrame,
     sample_words: int = 256,

@@ -233,6 +233,99 @@ def test_pj1c_refines_pj1_clusters(spark, sf_dir):
     assert (fanout == 1).all(), fanout[fanout > 1]
 
 
+# ------------------------------------------------------------- uni2
+def _brute_np(w: str, score: dict[str, int]) -> int | None:
+    """Best-segmentation piece count by exhaustive enumeration (the DP's
+    tie order); None if the word has no segmentation under the vocab."""
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for ln_ in range(1, min(UNI_MAX_PIECE, len(w)) + 1):
+            head = w[:ln_]
+            if head in score:
+                for rest in all_segs(w[ln_:]):
+                    yield [head] + rest
+
+    best = None
+    for segs in all_segs(w):
+        key = (sum(score[p] for p in segs), -len(segs))
+        if best is None or key > best[0]:
+            best = (key, len(segs))
+    return None if best is None else best[1]
+
+
+def test_unigram_fertility_matches_brute(spark, sf_dir):
+    """unigram_fertility (stacked-projection struct-greatest DP over
+    distinct words) == an independent enumeration of every corpus
+    word's best segmentation, aggregated per source — including the
+    passthrough accounting for 1-char/>12-char/unsegmentable words."""
+    from etl_oms_spark.operators.text import tokens
+    from etl_oms_spark.operators.tokenize import unigram_fertility
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    score = _scores(_initial_vocab(_word_sample(docs)))
+    tokw = (
+        docs.select(F.col("source"), F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    np_cache: dict[str, int | None] = {}
+    agg: dict[str, list[int]] = {}
+    for r in tokw:
+        w, n = r["w"], int(r["n"])
+        if w not in np_cache:
+            np_cache[w] = (
+                _brute_np(w, score)
+                if 2 <= len(w) <= UNI_MAX_WORD
+                else None
+            )
+        np = np_cache[w]
+        a = agg.setdefault(r["source"], [0, 0, 0])
+        a[0] += n
+        a[1] += n * (np if np is not None else 1)
+        a[2] += n if np is None else 0
+    expected = sorted(
+        (s, v[0], v[1], v[2], v[1] / v[0]) for s, v in agg.items()
+    )
+    got = [
+        (r["source"], r["n_words"], r["pieces"], r["passthrough"],
+         r["fertility"])
+        for r in unigram_fertility(docs).orderBy("source").collect()
+    ]
+    assert got == expected
+
+
+def test_unigram_fertility_passthrough_classes(spark):
+    """The three passthrough classes, pinned on a hand corpus: 1-char
+    words, >UNI_MAX_WORD-char words, and words containing a character
+    absent from the sample-derived vocabulary (needs >256 distinct
+    words so one falls outside the sample). Each counts exactly one
+    piece."""
+    from etl_oms_spark.operators.tokenize import unigram_fertility
+
+    # 256 alphabetically-first fillers monopolize the sample (all count
+    # 1, tie order is word ASC); 'zÿz' sorts after every filler and
+    # carries the only 'ÿ' in the corpus -> OOV passthrough
+    fillers = [f"w{i:03d}" for i in range(256)]
+    text = " ".join(fillers + ["zÿz", "a", "abcdefghijklm"])
+    docs = spark.createDataFrame(
+        [(0, text, "s1")], "doc_id long, text string, source string"
+    )
+    row = unigram_fertility(docs).collect()[0]
+    assert row["n_words"] == 259
+    # passthrough: 'zÿz' (OOV char), 'a' (1 char),
+    # 'abcdefghijklm' (13 chars)
+    assert row["passthrough"] == 3
+    # fillers are in the sample; 4-char words over a vocab holding all
+    # of them as whole pieces segment as one piece each
+    assert row["pieces"] >= 259
+    assert row["fertility"] == row["pieces"] / row["n_words"]
+
+
 def test_pj1c_equals_pj1_on_clique_clusters(spark):
     """On clique-shaped duplicate clusters (every member pairwise ≥ t —
     the re-crawl regime per_token_cap exists for) the capped form loses
