@@ -14069,6 +14069,132 @@ ORDER BY t.source
 """
 
 
+_JL_QUERY_IDS = (0, 1, 2)
+_JL_M = 16
+_JL_K = 10
+
+
+def jl1_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality-reduction quality report
+    (operators/similarity.jl_recall_report): project the 64-dim
+    embeddings onto 16 md5-derived integer JL axes (Achlioptas-style
+    bounded entries — `jl_components`, the portable seed policy), then
+    for each of three query vectors compare exact cosine top-10 in FULL
+    space vs the PROJECTED space and report recall@10 + both ranked id
+    lists. Every projected coordinate is an exact long (1e3-quantized
+    vectors × [-1000,1000) components, sized so the 16-term projected
+    dot stays inside BIGINT under ANSI); full-space ranking is e1's
+    exact machinery. This is the measurement that decides whether a
+    100 TB ANN/clustering pipeline can run on 4× smaller vectors —
+    corpus scanned twice, queries broadcast, no corpus shuffle."""
+    from etl_oms_spark.operators.similarity import jl_recall_report
+
+    return jl_recall_report(
+        _t(spark, sf_dir, "embeddings"),
+        list(_JL_QUERY_IDS),
+        m=_JL_M,
+        k=_JL_K,
+    )
+
+
+def _jl1_sql(m: int = _JL_M, k: int = _JL_K, dim: int = 64) -> str:
+    """jl1 oracle: the projection matrix inlined as a VALUES table from
+    the SAME `jl_components` call that builds the Spark literals (the
+    kcs1 literal-centers pattern), e1's full-space cosine block, the
+    projected-space twin over exact long coordinates, and the per-query
+    recall/ranked-list rollup."""
+    from etl_oms_spark.operators.similarity import JL_QUANT, jl_components
+
+    comps = jl_components(m, dim)
+    values = ",".join(
+        f"({kk},{i + 1},{c})"
+        for kk, row in enumerate(comps)
+        for i, c in enumerate(row)
+    )
+    qids = ", ".join(str(q) for q in _JL_QUERY_IDS)
+    qe = _QE  # e1's 1e6 quantizer: {v}[t.i]
+    return f"""
+WITH comp(k, i, c) AS (VALUES {values}),
+q AS (
+    SELECT vec_id AS query_id, embedding AS qe
+    FROM embeddings WHERE vec_id IN ({qids})
+),
+fpairs AS (
+    SELECT q.query_id, e.vec_id,
+           SUM({qe.format(v='e.embedding')} * {qe.format(v='q.qe')}) AS dot,
+           SUM({qe.format(v='e.embedding')} * {qe.format(v='e.embedding')}) AS na,
+           SUM({qe.format(v='q.qe')} * {qe.format(v='q.qe')}) AS nb
+    FROM embeddings e, q, range(1, {dim + 1}) t(i)
+    GROUP BY 1, 2
+),
+ftop AS MATERIALIZED (
+    SELECT query_id, vec_id, rn FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(dot AS DOUBLE)
+                            / (sqrt(CAST(na AS DOUBLE))
+                               * sqrt(CAST(nb AS DOUBLE))) DESC,
+                            vec_id
+               ) AS rn
+        FROM fpairs
+    ) WHERE rn <= {k}
+),
+proj AS MATERIALIZED (
+    SELECT e.vec_id, c.k,
+           CAST(SUM(CAST(round(CAST(e.embedding[c.i] AS DOUBLE)
+                                * {JL_QUANT}) AS BIGINT) * c.c)
+                AS BIGINT) AS y
+    FROM embeddings e, comp c
+    GROUP BY 1, 2
+),
+pn AS (SELECT vec_id, CAST(SUM(y * y) AS BIGINT) AS n2 FROM proj GROUP BY 1),
+ppairs AS (
+    SELECT qp.vec_id AS query_id, p.vec_id,
+           CAST(SUM(p.y * qp.y) AS BIGINT) AS dot
+    FROM proj p
+    JOIN proj qp ON p.k = qp.k AND qp.vec_id IN ({qids})
+    GROUP BY 1, 2
+),
+ptop AS MATERIALIZED (
+    SELECT query_id, vec_id, rn FROM (
+        SELECT pp.query_id, pp.vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pp.query_id
+                   ORDER BY CAST(pp.dot AS DOUBLE)
+                            / (sqrt(CAST(a.n2 AS DOUBLE))
+                               * sqrt(CAST(b.n2 AS DOUBLE))) DESC,
+                            pp.vec_id
+               ) AS rn
+        FROM ppairs pp
+        JOIN pn a ON a.vec_id = pp.vec_id
+        JOIN pn b ON b.vec_id = pp.query_id
+    ) WHERE rn <= {k}
+),
+rec AS (
+    SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS recall_at_k
+    FROM ftop f JOIN ptop p USING (query_id, vec_id)
+    GROUP BY 1
+),
+fagg AS (
+    SELECT query_id,
+           string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rn) AS full_top
+    FROM ftop GROUP BY 1
+),
+pagg AS (
+    SELECT query_id,
+           string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rn) AS proj_top
+    FROM ptop GROUP BY 1
+)
+SELECT f.query_id, COALESCE(r.recall_at_k, 0) AS recall_at_k,
+       f.full_top, p.proj_top
+FROM fagg f
+JOIN pagg p USING (query_id)
+LEFT JOIN rec r USING (query_id)
+ORDER BY f.query_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -14081,14 +14207,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with the never-driver-checked backlog empty, the window's
         # job is now staleness control — no green row older than ~4
         # rounds.
-        # ---- positions 1-3: round-10 additions, first driver check ----
+        # ---- positions 1-4: round-10 additions, first driver check ----
         "uniT_unigram_em": uniT_unigram_em,
         "pj1c_prefix_jaccard_capped": pj1c_prefix_jaccard_capped,
         "uni2_unigram_fertility": uni2_unigram_fertility,
-        # ---- positions 4-5: continuity anchors (green every round) ----
+        "jl1_random_projection": jl1_random_projection,
+        # ---- positions 5-6: continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- positions 6-27: the 22 stalest exact-oracle rows
+        # ---- positions 7-28: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
         "cx1_contamination": cx1_contamination,
@@ -14112,9 +14239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_repetition_stats": t7_repetition_stats,
         "t8_pii_redaction": t8_pii_redaction,
         "tp2_curation_portable": tp2_curation_portable,
-        # ---- positions 28-50: the 23 alphabetically-first of the 48
-        #      next-stalest rows (last driver-checked r03); uni2
-        #      displaced o3_topk_per_group to the refill-pool head ----
+        # ---- positions 29-50: the 22 alphabetically-first of the 48
+        #      next-stalest rows (last driver-checked r03); uni2/jl1
+        #      displaced o3_topk_per_group and mx2_mix_apply to the
+        #      refill-pool head ----
         "a14_grouping_sets": a14_grouping_sets,
         "a15_conditional_aggs": a15_conditional_aggs,
         "a16_group_percentiles": a16_group_percentiles,
@@ -14137,7 +14265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ix1_global_index": ix1_global_index,
         "kw1_keywords": kw1_keywords,
         "mx1_mix_plan": mx1_mix_plan,
-        "mx2_mix_apply": mx2_mix_apply,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14152,9 +14279,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
-        # ---- positions 61-85: the remaining 25 r03-stale rows —
-        #      head of the r11 refill pool (o3 displaced by uni2) ----
+        # ---- positions 61-86: the remaining 26 r03-stale rows —
+        #      head of the r11 refill pool (o3/mx2 displaced by
+        #      uni2/jl1) ----
         "o3_topk_per_group": o3_topk_per_group,
+        "mx2_mix_apply": mx2_mix_apply,
         "pp1_lm_fluency": pp1_lm_fluency,
         "pp2_perplexity_buckets": pp2_perplexity_buckets,
         "qc1_quality_classifier": qc1_quality_classifier,
@@ -14389,6 +14518,7 @@ def oracle_sql() -> dict[str, str]:
         "uniT_unigram_em": _uniT_sql(),
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
+        "jl1_random_projection": _jl1_sql(),
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -121,6 +121,7 @@ HEADLINE = [
     "uniT_unigram_em",
     "pj1c_prefix_jaccard_capped",
     "uni2_unigram_fertility",
+    "jl1_random_projection",
 ]
 
 

@@ -1113,3 +1113,180 @@ def retrieval_report(
         )
         .withColumn("rr", F.col("rr_q").cast("double") / F.lit(float(rr_scale)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+
+#: JL contract constants (shared with the jl1 oracle): vectors quantize
+#: at 1e3 (coarser than QUANT on purpose — the 16-dim projected dot
+#: product of 64-term sums must stay inside BIGINT under ANSI mode:
+#: |y_k| <= 64·1e3·1e3 = 6.4e7, dot <= 16·(6.4e7)^2 ≈ 6.6e16 < 2^63),
+#: and projection components are md5-derived ints in [-1000, 1000).
+JL_QUANT = 1000
+JL_COMP_SCALE = 1000
+
+
+def jl_components(m: int, dim: int, scale: int = JL_COMP_SCALE) -> list[list[int]]:
+    """Deterministic JL projection matrix: component (k, i) derived from
+    ``md5(f"jl|{k}|{i}")`` — the `hyperplane_components` portable seed
+    policy with an independent namespace. Bounded iid-ish integer
+    entries give the same distance-preservation guarantee as Gaussian
+    JL (Achlioptas 2003 shows even ±1 suffices); integer entries keep
+    every projected coordinate an exact long."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"jl|{k}|{i}".encode()).hexdigest()[:15], 16)
+            % (2 * scale)
+            - scale
+            for i in range(dim)
+        ]
+        for k in range(m)
+    ]
+
+
+def jl_project(vec: Column, dim: int, m: int = 16) -> Column:
+    """Project a float embedding onto ``m`` JL axes as an exact
+    ``array<long>``: y_k = Σ_i round(x_i·1e3)·c(k,i). One inlined
+    literal array per axis (the `lsh_bucket_portable` pattern — zero
+    per-row hashing), all folds JVM-side; reproducible on any engine."""
+    cols = []
+    for row in jl_components(m, dim):
+        arr = F.expr("array(" + ",".join(f"{c}L" for c in row) + ")")
+        y = F.aggregate(
+            F.zip_with(
+                vec,
+                arr,
+                lambda x, h: F.round(x.cast("double") * F.lit(float(JL_QUANT)))
+                .cast("long")
+                * h,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cols.append(y)
+    return F.array(*cols)
+
+
+def jl_recall_report(
+    df: DataFrame,
+    query_ids: list[int],
+    m: int = 16,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimensionality-reduction quality report: for each query vector,
+    exact cosine top-k in FULL space vs top-k in the m-dim JL-projected
+    space, with the overlap count (recall@k) — the measurement that
+    decides whether a 100 TB ANN/clustering pipeline can run on 4×
+    smaller vectors. Full-space ranking reuses the e1 machinery
+    (quantized integer dot + double cosine); projected ranking runs the
+    identical shape on the exact long projections. Corpus scanned
+    twice, queries broadcast, top-k via per-query windows over
+    k-bounded frames — no corpus shuffle beyond the two TakeOrdered
+    tops.
+
+    Returns per query: ``query_id, recall_at_k`` (long),
+    ``full_top`` / ``proj_top`` (comma-joined id strings in rank
+    order — scalarized for the driver-contract hash)."""
+    from pyspark.sql import Window
+
+    q = df.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col)
+    )
+    full = cosine_topk(df, q, k=k, id_col=id_col, vec_col=vec_col)
+
+    proj = df.select(
+        F.col(id_col), jl_project(F.col(vec_col), dim, m).alias("__p")
+    )
+    pq = F.broadcast(
+        proj.filter(F.col(id_col).isin(*query_ids)).select(
+            F.col(id_col).alias("query_id"), F.col("__p").alias("__q")
+        ).withColumn(
+            "__nb",
+            F.aggregate(
+                F.transform(F.col("__q"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ),
+        )
+    )
+    scored = (
+        proj.withColumn(
+            "__na",
+            F.aggregate(
+                F.transform(F.col("__p"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ),
+        )
+        .crossJoin(pq)
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.aggregate(
+                    F.zip_with(F.col("__p"), F.col("__q"), lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda a, b: a + b,
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("__na").cast("double"))
+                    * F.sqrt(F.col("__nb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    ptop = (
+        scored.filter(F.col("cosine").isNotNull())
+        .withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+    )
+
+    def ranked_ids(topdf: DataFrame, rank_col: str) -> DataFrame:
+        return topdf.groupBy("query_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(rank_col), F.col(id_col)))
+                    ),
+                    lambda s: s[id_col].cast("string"),
+                ),
+                ",",
+            ).alias("ids"),
+            F.collect_set(F.col(id_col)).alias("idset"),
+        )
+
+    fw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    full_r = full.withColumn("__rank", F.row_number().over(fw))
+    f = ranked_ids(full_r, "__rank").select(
+        "query_id",
+        F.col("ids").alias("full_top"),
+        F.col("idset").alias("__fset"),
+    )
+    p = ranked_ids(ptop, "__rank").select(
+        "query_id",
+        F.col("ids").alias("proj_top"),
+        F.col("idset").alias("__pset"),
+    )
+    return (
+        f.join(p, "query_id")
+        .select(
+            "query_id",
+            F.size(F.array_intersect("__fset", "__pset"))
+            .cast("long")
+            .alias("recall_at_k"),
+            "full_top",
+            "proj_top",
+        )
+        .orderBy("query_id")
+    )

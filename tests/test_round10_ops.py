@@ -215,6 +215,73 @@ def test_unigram_em_rescores_even_at_fixed_point(spark, sf_dir):
     assert any(em[p] != uni1[p] for p in em), "scores did not re-estimate"
 
 
+# ------------------------------------------------------------- jl1
+def test_jl_recall_report_matches_numpy(spark, sf_dir):
+    """jl_recall_report == an independent numpy replay of the whole
+    pipeline: 1e6-quantized full-space cosine ranking, md5-derived
+    integer projection at 1e3 quantization, projected-space ranking,
+    and the recall/ranked-list rollup — including the (cosine DESC, id
+    ASC) tie order on both sides."""
+    import numpy as np
+
+    from etl_oms_spark.operators.similarity import (
+        JL_QUANT,
+        jl_components,
+        jl_recall_report,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    vecs = np.array([rows[i]["embedding"] for i in order], dtype=np.float64)
+
+    def half_away(a, scale):
+        return np.sign(a) * np.floor(np.abs(a) * scale + 0.5)
+
+    k, m, qids = 10, 16, [0, 1, 2]
+
+    def topk(mat):
+        """ranked id lists per query under (cosine DESC, id ASC)."""
+        out = {}
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        for q in qids:
+            qi = int(np.nonzero(ids == q)[0][0])
+            cos = (mat @ mat[qi]) / (norms * norms[qi])
+            ranked = sorted(zip(-cos, ids))[:k]
+            out[q] = [int(i) for _, i in ranked]
+        return out
+
+    q6 = half_away(vecs, 1e6)
+    full = topk(q6)
+    comp = np.array(jl_components(m, vecs.shape[1]), dtype=np.float64)
+    proj = half_away(vecs, JL_QUANT) @ comp.T
+    projected = topk(proj)
+
+    got = jl_recall_report(emb, qids, m=m, k=k).collect()
+    assert [r["query_id"] for r in got] == qids
+    for r in got:
+        q = r["query_id"]
+        assert r["full_top"] == ",".join(map(str, full[q])), q
+        assert r["proj_top"] == ",".join(map(str, projected[q])), q
+        assert r["recall_at_k"] == len(set(full[q]) & set(projected[q]))
+        assert 0 <= r["recall_at_k"] <= k
+
+
+def test_jl_components_deterministic_and_bounded():
+    from etl_oms_spark.operators.similarity import jl_components
+
+    a = jl_components(4, 8)
+    b = jl_components(4, 8)
+    assert a == b
+    assert all(-1000 <= c < 1000 for row in a for c in row)
+    # md5 namespacing: independent of hyperplane_components' constants
+    from etl_oms_spark.operators.similarity import hyperplane_components
+
+    assert a[0][0] != hyperplane_components(1, 1)[0][0]
+
+
 # ------------------------------------------------------------- pj1c
 def test_pj1c_refines_pj1_clusters(spark, sf_dir):
     """Capped clustering is a REFINEMENT of exact clustering: capped
