@@ -14195,6 +14195,72 @@ ORDER BY f.query_id
 """
 
 
+def kn1_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM per-source quality scores
+    (operators/domain.kneser_ney_source_scores) — the smoothing upgrade
+    of pp1's add-1 CCNet-style fluency model: absolute discounting plus
+    the continuation distribution N1+(·w)/N1+(··), which ranks
+    frequent-but-single-context words below equally frequent versatile
+    ones. One corpus rollup to (source, v, w, count); all smoothing
+    tables are bigram-type-domain-sized; per-type quantized log-probs
+    weight exact occurrence counts, so every aggregate is an
+    order-independent BIGINT."""
+    from etl_oms_spark.operators.domain import kneser_ney_source_scores
+
+    return kneser_ney_source_scores(_t(spark, sf_dir, "documents"))
+
+
+KN1_SQL = f"""
+WITH norm AS (
+    SELECT source, regexp_split_to_array({_NORM_SQL}, ' ') AS arr
+    FROM documents
+), base AS (
+    SELECT source, arr FROM norm WHERE len(arr) >= 2
+), gcnt AS MATERIALIZED (
+    SELECT source, split_part(bg, ' ', 1) AS w1,
+           split_part(bg, ' ', 2) AS w2,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+        SELECT source,
+               unnest(list_transform(range(1, len(arr)),
+                      i -> arr[i] || ' ' || arr[i+1])) AS bg
+        FROM base
+    )
+    GROUP BY 1, 2, 3
+), tcnt AS MATERIALIZED (
+    SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cvw FROM gcnt GROUP BY 1, 2
+), cv AS (
+    SELECT w1, CAST(SUM(cvw) AS BIGINT) AS cv FROM tcnt GROUP BY 1
+), n1v AS (
+    SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1v FROM tcnt GROUP BY 1
+), n1w AS (
+    SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w FROM tcnt GROUP BY 1
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM tcnt
+), scored AS MATERIALIZED (
+    SELECT t.w1, t.w2,
+           CAST(floor(ln(
+               (CAST(t.cvw AS DOUBLE) - 0.75) / CAST(cv.cv AS DOUBLE)
+               + (0.75 * CAST(n1v.n1v AS DOUBLE) / CAST(cv.cv AS DOUBLE))
+               * (CAST(n1w.n1w AS DOUBLE) / CAST(tot.n1all AS DOUBLE))
+           ) * 1000000 + 0.5) AS BIGINT) AS score_q
+    FROM tcnt t
+    JOIN cv ON cv.w1 = t.w1
+    JOIN n1v ON n1v.w1 = t.w1
+    JOIN n1w ON n1w.w2 = t.w2, tot
+)
+SELECT g.source,
+       CAST(SUM(g.c) AS BIGINT) AS n_bigrams,
+       CAST(SUM(g.c * s.score_q) AS BIGINT) AS sum_logq,
+       CAST(SUM(g.c * s.score_q) AS DOUBLE) / CAST(SUM(g.c) AS DOUBLE)
+           AS mean_logq
+FROM gcnt g
+JOIN scored s ON s.w1 = g.w1 AND s.w2 = g.w2
+GROUP BY g.source
+ORDER BY g.source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -14207,15 +14273,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with the never-driver-checked backlog empty, the window's
         # job is now staleness control — no green row older than ~4
         # rounds.
-        # ---- positions 1-4: round-10 additions, first driver check ----
+        # ---- positions 1-5: round-10 additions, first driver check ----
         "uniT_unigram_em": uniT_unigram_em,
         "pj1c_prefix_jaccard_capped": pj1c_prefix_jaccard_capped,
         "uni2_unigram_fertility": uni2_unigram_fertility,
         "jl1_random_projection": jl1_random_projection,
-        # ---- positions 5-6: continuity anchors (green every round) ----
+        "kn1_kneser_ney": kn1_kneser_ney,
+        # ---- positions 6-7: continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- positions 7-28: the 22 stalest exact-oracle rows
+        # ---- positions 8-29: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
         "cx1_contamination": cx1_contamination,
@@ -14239,10 +14306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_repetition_stats": t7_repetition_stats,
         "t8_pii_redaction": t8_pii_redaction,
         "tp2_curation_portable": tp2_curation_portable,
-        # ---- positions 29-50: the 22 alphabetically-first of the 48
-        #      next-stalest rows (last driver-checked r03); uni2/jl1
-        #      displaced o3_topk_per_group and mx2_mix_apply to the
-        #      refill-pool head ----
+        # ---- positions 30-50: the 21 alphabetically-first of the 48
+        #      next-stalest rows (last driver-checked r03); uni2/jl1/
+        #      kn1 displaced o3_topk_per_group, mx2_mix_apply and
+        #      mx1_mix_plan to the refill-pool head ----
         "a14_grouping_sets": a14_grouping_sets,
         "a15_conditional_aggs": a15_conditional_aggs,
         "a16_group_percentiles": a16_group_percentiles,
@@ -14264,7 +14331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iv1_interval_overlap": iv1_interval_overlap,
         "ix1_global_index": ix1_global_index,
         "kw1_keywords": kw1_keywords,
-        "mx1_mix_plan": mx1_mix_plan,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14279,11 +14345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
-        # ---- positions 61-86: the remaining 26 r03-stale rows —
-        #      head of the r11 refill pool (o3/mx2 displaced by
-        #      uni2/jl1) ----
+        # ---- positions 61-87: the remaining 27 r03-stale rows —
+        #      head of the r11 refill pool (o3/mx2/mx1 displaced by
+        #      uni2/jl1/kn1) ----
         "o3_topk_per_group": o3_topk_per_group,
         "mx2_mix_apply": mx2_mix_apply,
+        "mx1_mix_plan": mx1_mix_plan,
         "pp1_lm_fluency": pp1_lm_fluency,
         "pp2_perplexity_buckets": pp2_perplexity_buckets,
         "qc1_quality_classifier": qc1_quality_classifier,
@@ -14519,6 +14586,7 @@ def oracle_sql() -> dict[str, str]:
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),
+        "kn1_kneser_ney": KN1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -122,6 +122,7 @@ HEADLINE = [
     "pj1c_prefix_jaccard_capped",
     "uni2_unigram_fertility",
     "jl1_random_projection",
+    "kn1_kneser_ney",
 ]
 
 

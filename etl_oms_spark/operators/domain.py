@@ -307,3 +307,112 @@ def perplexity_buckets(
             F.sum("logprob_q").cast("long").alias("sum_logprob_q"),
         )
     )
+
+
+#: Kneser-Ney absolute discount (Chen & Goodman 1998's fixed-D variant).
+#: 0 < D < 1 keeps ln() defined when self-scoring (every scored bigram
+#: has count >= 1 > D, so the discounted term stays positive).
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_source_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality scoring per source —
+    the smoothing upgrade of `bigram_lm_scores`' add-1 model (public:
+    Kneser & Ney 1995; Chen & Goodman 1998 fixed-discount form), the
+    signal a curation pipeline uses to rank whole SOURCES by in-domain
+    fluency before mixing:
+
+        P(w|v) = (c(vw) − D)/c(v·)
+                 + (D · N1+(v·)/c(v·)) · (N1+(·w)/N1+(··))
+
+    where c(v·) is the CONTEXT count (bigrams starting with v — not the
+    raw unigram count), N1+(v·)/N1+(·w) are distinct right/left
+    continuation type counts and N1+(··) the total bigram type count —
+    the continuation distribution that makes KN rank "frequent but
+    single-context" words (the 'francisco' effect) below equally
+    frequent versatile words.
+
+    Determinism contract (shared with the kn1 oracle): all counts are
+    exact longs from corpus rollups; P is one fixed-shape double
+    expression of those longs (left-associated exactly as written —
+    the ts1/pm1 ln-quantization discipline), quantized per bigram TYPE
+    to ``floor(ln(P)·1e6 + 0.5)`` BIGINT; per-source sums weight each
+    type by its exact occurrence count, so every aggregate is an
+    order-independent integer.
+
+    Scale: one corpus rollup to (source, v, w, c) — map-side combined,
+    the ONLY stage that touches 100 TB; everything downstream is
+    bigram-type-domain-sized (counts, continuation tables, the score
+    join). Returns per source: ``n_bigrams, sum_logq, mean_logq``
+    (mean = sum/n, the one double — an IEEE quotient of exact longs).
+    """
+    t = tokens(text_col)
+    base = df.select(F.col(group_col).alias("grp"), t.alias("t")).filter(
+        F.size("t") >= 2
+    )
+    gcnt = (
+        base.select(
+            "grp",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1), "
+                    "i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i+1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("grp", "b.w1", "b.w2")
+        .groupBy("grp", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tcnt = gcnt.groupBy("w1", "w2").agg(
+        F.sum("c").cast("long").alias("cvw")
+    )
+    cv = tcnt.groupBy("w1").agg(F.sum("cvw").cast("long").alias("cv"))
+    n1v = tcnt.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n1v"))
+    n1w = tcnt.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1w"))
+    n1all = tcnt.agg(F.count(F.lit(1)).cast("long").alias("n1all"))
+    p = (
+        (F.col("cvw").cast("double") - F.lit(KN_DISCOUNT))
+        / F.col("cv").cast("double")
+        + (
+            F.lit(KN_DISCOUNT)
+            * F.col("n1v").cast("double")
+            / F.col("cv").cast("double")
+        )
+        * (F.col("n1w").cast("double") / F.col("n1all").cast("double"))
+    )
+    scored = (
+        tcnt.join(cv, "w1")
+        .join(n1v, "w1")
+        .join(n1w, "w2")
+        .crossJoin(F.broadcast(n1all))
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.log(p) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("score_q"),
+        )
+    )
+    return (
+        gcnt.join(scored, ["w1", "w2"])
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("score_q")).cast("long").alias(
+                "sum_logq"
+            ),
+        )
+        .withColumn(
+            "mean_logq",
+            F.col("sum_logq").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        )
+        .withColumnRenamed("grp", group_col)
+        .orderBy(group_col)
+    )
