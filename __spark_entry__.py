@@ -11507,6 +11507,73 @@ ORDER BY bin
 """
 
 
+def iso1_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration map for rb1's reliability table
+    (operators/classifier.isotonic_calibration): the monotone
+    score→probability map a curation pipeline applies before
+    thresholding the quality classifier. Same exact binning as rb1
+    (quality score → 10 equal-width bins, lang='en' outcome); the
+    fitted values come from the MINIMAX closed form of the unique
+    weighted isotonic solution — max_{j≤i} min_{k≥i} of range rates —
+    so neither engine replays PAV's sequential pooling: pure joins over
+    the 10-bin domain after one corpus groupBy."""
+    from etl_oms_spark.operators.classifier import isotonic_calibration
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    bin_ = F.least(F.greatest((sq / 100000).cast("long"), F.lit(0)), F.lit(9))
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    bins = (
+        d.select(bin_.alias("bin"), pos.alias("pos"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    return isotonic_calibration(bins)
+
+
+ISO1_SQL = f"""
+WITH scored AS (
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), 0) AS sq,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM documents
+), b AS MATERIALIZED (
+    SELECT least(greatest(CAST(sq // 100000 AS BIGINT), 0), 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS pos
+    FROM scored GROUP BY 1
+), ranges AS (
+    SELECT j.bin AS j, k.bin AS k,
+           CAST(SUM(x.pos) AS BIGINT) AS rp,
+           CAST(SUM(x.n) AS BIGINT) AS rn
+    FROM b j
+    JOIN b k ON j.bin <= k.bin
+    JOIN b x ON x.bin BETWEEN j.bin AND k.bin
+    GROUP BY 1, 2
+), inner_min AS (
+    SELECT r.j, i.bin AS i,
+           MIN(CAST(r.rp AS DOUBLE) / CAST(r.rn AS DOUBLE)) AS mn
+    FROM ranges r JOIN b i ON r.j <= i.bin AND r.k >= i.bin
+    GROUP BY 1, 2
+), fitted AS (
+    SELECT i, MAX(mn) AS fitted FROM inner_min GROUP BY 1
+)
+SELECT b.bin, b.n, b.pos AS n_pos,
+       CAST(floor(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) * 1000000
+                  + 0.5) AS BIGINT) AS rate_q,
+       CAST(floor(f.fitted * 1000000 + 0.5) AS BIGINT) AS fitted_q
+FROM b JOIN fitted f ON f.i = b.bin
+ORDER BY b.bin
+"""
+
+
 def ap1_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact average precision (area under the precision-recall curve,
     step interpolation — the right eval metric when positives are rare,
@@ -14273,16 +14340,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with the never-driver-checked backlog empty, the window's
         # job is now staleness control — no green row older than ~4
         # rounds.
-        # ---- positions 1-5: round-10 additions, first driver check ----
+        # ---- positions 1-6: round-10 additions, first driver check ----
         "uniT_unigram_em": uniT_unigram_em,
         "pj1c_prefix_jaccard_capped": pj1c_prefix_jaccard_capped,
         "uni2_unigram_fertility": uni2_unigram_fertility,
         "jl1_random_projection": jl1_random_projection,
         "kn1_kneser_ney": kn1_kneser_ney,
-        # ---- positions 6-7: continuity anchors (green every round) ----
+        "iso1_isotonic_calibration": iso1_isotonic_calibration,
+        # ---- positions 7-8: continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- positions 8-29: the 22 stalest exact-oracle rows
+        # ---- positions 9-30: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
         "cx1_contamination": cx1_contamination,
@@ -14306,10 +14374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_repetition_stats": t7_repetition_stats,
         "t8_pii_redaction": t8_pii_redaction,
         "tp2_curation_portable": tp2_curation_portable,
-        # ---- positions 30-50: the 21 alphabetically-first of the 48
+        # ---- positions 31-50: the 20 alphabetically-first of the 48
         #      next-stalest rows (last driver-checked r03); uni2/jl1/
-        #      kn1 displaced o3_topk_per_group, mx2_mix_apply and
-        #      mx1_mix_plan to the refill-pool head ----
+        #      kn1/iso1 displaced o3_topk_per_group, mx2_mix_apply,
+        #      mx1_mix_plan and kw1_keywords to the refill-pool head ----
         "a14_grouping_sets": a14_grouping_sets,
         "a15_conditional_aggs": a15_conditional_aggs,
         "a16_group_percentiles": a16_group_percentiles,
@@ -14330,7 +14398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h1_histogram": h1_histogram,
         "iv1_interval_overlap": iv1_interval_overlap,
         "ix1_global_index": ix1_global_index,
-        "kw1_keywords": kw1_keywords,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14345,12 +14412,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
-        # ---- positions 61-87: the remaining 27 r03-stale rows —
-        #      head of the r11 refill pool (o3/mx2/mx1 displaced by
-        #      uni2/jl1/kn1) ----
+        # ---- positions 61-88: the remaining 28 r03-stale rows —
+        #      head of the r11 refill pool (o3/mx2/mx1/kw1 displaced
+        #      by uni2/jl1/kn1/iso1) ----
         "o3_topk_per_group": o3_topk_per_group,
         "mx2_mix_apply": mx2_mix_apply,
         "mx1_mix_plan": mx1_mix_plan,
+        "kw1_keywords": kw1_keywords,
         "pp1_lm_fluency": pp1_lm_fluency,
         "pp2_perplexity_buckets": pp2_perplexity_buckets,
         "qc1_quality_classifier": qc1_quality_classifier,
@@ -14587,6 +14655,7 @@ def oracle_sql() -> dict[str, str]:
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),
         "kn1_kneser_ney": KN1_SQL,
+        "iso1_isotonic_calibration": ISO1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

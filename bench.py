@@ -123,6 +123,7 @@ HEADLINE = [
     "uni2_unigram_fertility",
     "jl1_random_projection",
     "kn1_kneser_ney",
+    "iso1_isotonic_calibration",
 ]
 
 

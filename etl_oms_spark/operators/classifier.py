@@ -175,3 +175,80 @@ def select_top_fraction(
         .filter(F.col("margin_q") >= F.col("__thr"))
         .select(id_col, group_col, "margin_q")
     )
+
+
+def isotonic_calibration(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    n_col: str = "n",
+    pos_col: str = "n_pos",
+) -> DataFrame:
+    """Weighted isotonic regression (PAV) over a binned reliability
+    table — the calibration map rb1's diagram motivates (public: the
+    pool-adjacent-violators algorithm; Platt's alternative is
+    parametric, isotonic is the standard non-parametric choice).
+
+    Instead of replaying PAV's sequential pooling, both this operator
+    and its oracle use the MINIMAX closed form of the (unique) L2
+    isotonic solution:
+
+        fitted(i) = max_{j<=i} min_{k>=i}  Σpos[j..k] / Σn[j..k]
+
+    which is pure joins/aggregations over the bin domain — no
+    iteration, no merge-order questions (the solution's uniqueness is
+    what lets two engines agree without replaying the same pooling
+    order). All range sums are exact longs; the ratio is one double
+    division per (j,k) range, so min/max pick identical values on any
+    engine. The bin table is domain-sized (the corpus stage is the
+    caller's groupBy), so every join here is over ≤bins² rows.
+
+    Returns ``bin, n, n_pos, rate_q, fitted_q`` (both 1e-6-quantized
+    BIGINTs), ordered by bin; fitted_q is non-decreasing.
+    """
+    b = bins.select(
+        F.col(bin_col).alias("bin"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(pos_col).cast("long").alias("pos"),
+    )
+    jb = b.select(F.col("bin").alias("j"))
+    kb = b.select(F.col("bin").alias("k"))
+    ranges = (
+        jb.crossJoin(kb)
+        .filter(F.col("j") <= F.col("k"))
+        .join(b, (F.col("bin") >= F.col("j")) & (F.col("bin") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg(
+            F.sum("pos").cast("long").alias("rp"),
+            F.sum("n").cast("long").alias("rn"),
+        )
+        .withColumn(
+            "avg", F.col("rp").cast("double") / F.col("rn").cast("double")
+        )
+    )
+    ib = b.select(F.col("bin").alias("i"))
+    inner = (
+        ranges.join(
+            ib, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+        )
+        .groupBy("j", "i")
+        .agg(F.min("avg").alias("mn"))
+    )
+    fitted = inner.groupBy("i").agg(F.max("mn").alias("fitted"))
+    return (
+        b.join(fitted, b["bin"] == fitted["i"])
+        .select(
+            "bin",
+            "n",
+            F.col("pos").alias("n_pos"),
+            F.floor(
+                F.col("pos").cast("double") / F.col("n").cast("double") * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rate_q"),
+            F.floor(F.col("fitted") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("fitted_q"),
+        )
+        .orderBy("bin")
+    )

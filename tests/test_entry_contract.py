@@ -45,11 +45,11 @@ def test_driver_window_holds_round10_rotation():
     sit in the first 50 — a no_oracle row would waste a driver window
     slot."""
     names = list(entry_mod.queries())
-    assert names[:5] == [
+    assert names[:6] == [
         "uniT_unigram_em", "pj1c_prefix_jaccard_capped",
         "uni2_unigram_fertility", "jl1_random_projection",
-        "kn1_kneser_ney"]
-    assert names[5:7] == ["q1_pricing_summary", "star_fact_rollup"]
+        "kn1_kneser_ney", "iso1_isotonic_calibration"]
+    assert names[6:8] == ["q1_pricing_summary", "star_fact_rollup"]
     r02 = {
         "a4_guard_derive", "cx1_contamination", "d6_simhash_portable",
         "d7_minhash_portable", "e1_cosine_topk", "e4_ivf_topk",
@@ -67,23 +67,22 @@ def test_driver_window_holds_round10_rotation():
         "d8_block_dedup", "dq1_profile", "dr1_drift_psi", "ds1_domain_score",
         "dv1_constraints", "ev_hopping", "fn1_funnel", "fz1_fuzzy_pairs",
         "h1_histogram", "iv1_interval_overlap", "ix1_global_index",
-        "kw1_keywords",
     }
     first50 = set(names[:50])
     # the r02 block must all be inside the window (staleness priority);
     # the r03 block fills the rest, tail entries displaced by new queries
-    # (uni2/jl1/kn1 displaced o3_topk_per_group, mx2_mix_apply and
-    # mx1_mix_plan to the refill-pool head)
+    # (uni2/jl1/kn1/iso1 displaced o3_topk_per_group, mx2_mix_apply,
+    # mx1_mix_plan and kw1_keywords to the refill-pool head)
     assert r02 <= first50, f"stale r02 rows fell out: {r02 - first50}"
     non_refill = first50 - r02 - r03 - {
         "uniT_unigram_em", "pj1c_prefix_jaccard_capped",
         "uni2_unigram_fertility", "jl1_random_projection",
-        "kn1_kneser_ney",
+        "kn1_kneser_ney", "iso1_isotonic_calibration",
         "q1_pricing_summary", "star_fact_rollup"}
     # anything else in the window must be a round-11+ addition sitting
-    # between the anchors and the refill (positions 8+)
+    # between the anchors and the refill (positions 9+)
     for extra in non_refill:
-        assert 7 <= names.index(extra) < 50 - len(r02), extra
+        assert 8 <= names.index(extra) < 50 - len(r02), extra
     assert not (first50 & KNOWN_ROWS_ONLY), (
         "rows-only entries must never occupy a driver window slot"
     )

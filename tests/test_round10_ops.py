@@ -215,6 +215,77 @@ def test_unigram_em_rescores_even_at_fixed_point(spark, sf_dir):
     assert any(em[p] != uni1[p] for p in em), "scores did not re-estimate"
 
 
+# ------------------------------------------------------------- iso1
+def _pav(pairs: list[tuple[int, int]]) -> list:
+    """Classic sequential pool-adjacent-violators over (n, pos) bins,
+    exact rational pooled means — the INDEPENDENT algorithm whose
+    unique solution the operator's minimax closed form must equal."""
+    from fractions import Fraction
+
+    blocks: list[list] = []  # [n, pos, size]
+    for n, pos in pairs:
+        blocks.append([n, pos, 1])
+        while len(blocks) >= 2 and Fraction(
+            blocks[-1][1], blocks[-1][0]
+        ) < Fraction(blocks[-2][1], blocks[-2][0]):
+            n2, p2, s2 = blocks.pop()
+            blocks[-1][0] += n2
+            blocks[-1][1] += p2
+            blocks[-1][2] += s2
+    out = []
+    for n, pos, size in blocks:
+        out.extend([Fraction(pos, n)] * size)
+    return out
+
+
+def test_isotonic_matches_pav(spark, sf_dir):
+    """isotonic_calibration (minimax closed form) == sequential PAV
+    with exact rational pooling, on rb1's real reliability table —
+    uniqueness of the weighted L2 isotonic solution is the bridge.
+    Quantized comparison tolerates only the double-vs-rational 1-ulp
+    boundary (asserted exact here: the fitted doubles quantize to the
+    same 1e-6 grid points as the rationals)."""
+    import __spark_entry__ as entry_mod
+
+    got = entry_mod.iso1_isotonic_calibration(spark, sf_dir).collect()
+    pairs = [(r["n"], r["n_pos"]) for r in got]  # ordered by bin
+    expected = _pav(pairs)
+    assert len(got) == len(expected)
+    for r, frac in zip(got, expected):
+        assert r["fitted_q"] == math.floor(float(frac) * 1e6 + 0.5), r
+    # isotonic: fitted non-decreasing; pooling preserves total mass
+    fq = [r["fitted_q"] for r in got]
+    assert fq == sorted(fq)
+    from fractions import Fraction
+
+    assert sum(
+        Fraction(r["n"]) * f for r, f in zip(got, expected)
+    ) == sum(r["n_pos"] for r in got)
+
+
+def test_isotonic_pools_violators(spark):
+    """Hand case: bins with rates (0.8, 0.2, 0.5) and weights (10, 10,
+    10) — the first two violate and pool to 0.5, the third joins the
+    pool (0.5 == 0.5 stays, but (8+2)/20=0.5 then 0.5 ok) — fitted =
+    (0.5, 0.5, 0.5); and a clean increasing table passes through
+    untouched."""
+    from etl_oms_spark.operators.classifier import isotonic_calibration
+
+    bins = spark.createDataFrame(
+        [(0, 10, 8), (1, 10, 2), (2, 10, 5)],
+        "bin long, n long, n_pos long",
+    )
+    got = {r["bin"]: r["fitted_q"] for r in isotonic_calibration(bins).collect()}
+    assert got == {0: 500000, 1: 500000, 2: 500000}
+
+    inc = spark.createDataFrame(
+        [(0, 10, 1), (1, 10, 5), (2, 10, 9)],
+        "bin long, n long, n_pos long",
+    )
+    got2 = {r["bin"]: r["fitted_q"] for r in isotonic_calibration(inc).collect()}
+    assert got2 == {0: 100000, 1: 500000, 2: 900000}
+
+
 # ------------------------------------------------------------- kn1
 def test_kneser_ney_matches_pure_python(spark, sf_dir):
     """kneser_ney_source_scores == an independent pure-Python replay of
