@@ -209,7 +209,12 @@ def isotonic_calibration(
         F.col(bin_col).alias("bin"),
         F.col(n_col).cast("long").alias("n"),
         F.col(pos_col).cast("long").alias("pos"),
-    )
+        # Lazy checkpoint: the bin table is referenced four times below
+        # (j/k/i projections + the range sum); without the barrier each
+        # reference re-runs the caller's corpus groupBy (measured: 5
+        # FileScans in the unfixed iso1 plan). Domain-sized (≤ bins
+        # rows), so the barrier is free; the corpus is scanned once.
+    ).localCheckpoint(eager=False)
     jb = b.select(F.col("bin").alias("j"))
     kb = b.select(F.col("bin").alias("k"))
     ranges = (

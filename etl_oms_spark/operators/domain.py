@@ -368,9 +368,20 @@ def kneser_ney_source_scores(
         .select("grp", "b.w1", "b.w2")
         .groupBy("grp", "w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # Lazy checkpoint: gcnt feeds BOTH the smoothing-table lineage
+        # (tcnt → cv/n1v/n1w/n1all → scored) and the final rollup —
+        # without the barrier Spark re-derives the corpus bigram explode
+        # once per consumer (measured: 6 FileScans of documents in the
+        # unfixed plan). gcnt is (source × bigram-type)-domain-sized;
+        # the corpus is now scanned exactly once.
+        .localCheckpoint(eager=False)
     )
-    tcnt = gcnt.groupBy("w1", "w2").agg(
-        F.sum("c").cast("long").alias("cvw")
+    tcnt = (
+        gcnt.groupBy("w1", "w2")
+        .agg(F.sum("c").cast("long").alias("cvw"))
+        # same reasoning: tcnt has five consumers (cv, n1v, n1w, n1all,
+        # the score join); type-domain-sized
+        .localCheckpoint(eager=False)
     )
     cv = tcnt.groupBy("w1").agg(F.sum("cvw").cast("long").alias("cv"))
     n1v = tcnt.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n1v"))

@@ -549,6 +549,11 @@ def unigram_fertility(
         .filter(F.col("w") != "")
         .groupBy("grp", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # Lazy checkpoint: tokw feeds both the distinct-word DP input
+        # and the final rollup join — the barrier keeps the corpus
+        # token explode at exactly one scan; tokw itself is
+        # (group × word)-domain-sized (Heaps' law)
+        .localCheckpoint(eager=False)
     )
     words = (
         tokw.select("w")
