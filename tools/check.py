@@ -100,6 +100,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    import gc
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
@@ -141,6 +143,14 @@ def main() -> int:
             print(f"ok   {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
             results[name] = {"status": "exact_match", "rows": len(sdf),
                              "secs": round(time.time() - t0, 1)}
+        # bench.py's load-bearing gc (see its comment): drop dead
+        # DataFrame refs so the ContextCleaner unpersists localCheckpoint
+        # blocks — without it the 280-query sweep accumulates checkpoint
+        # storage until a late heavyweight (pj1 at sf0.1) hits
+        # UNABLE_TO_ACQUIRE_MEMORY in the plain 1g session (round-10
+        # battery red, harness-only cause)
+        del sdf
+        gc.collect()
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     if json_path:
         import json
