@@ -1,14 +1,18 @@
-"""Round-10 operators: the Unigram-LM EM training round (uniT) and the
-per_token_cap PPJoin production twin (pj1c).
+"""Round-10 operators: the Unigram-LM EM training round (uniT), the
+per_token_cap PPJoin production twin (pj1c), corpus-wide unigram
+fertility (uni2), the JL random-projection recall report (jl1),
+Kneser-Ney per-source LM scoring (kn1), and isotonic calibration
+(iso1).
 
-uniT's brute-force parity re-derives the WHOLE hard-EM round with an
-independent exhaustive-enumeration segmenter (no DP) — initial LM,
-E-step counts, the prune/M-step, re-quantization, and the second
-segmentation — so a bug in either the DP or the EM bookkeeping cannot
-cancel itself out. pj1c's pins are the refinement invariants that make
-the capped form safe to ship: its pair set only ever SPLITS exact
-clusters (never merges two), and on clique-shaped duplicate clusters it
-splits nothing.
+Every parity test here re-derives the full pipeline with an INDEPENDENT
+algorithm — exhaustive-enumeration segmenters for uniT/uni2 (no DP),
+a numpy replay for jl1, pure-Python counting for kn1, sequential PAV
+with exact rationals for iso1 (uniqueness of the isotonic solution
+bridges it to the operator's minimax closed form) — so a bug in the
+Spark column algebra and its oracle cannot cancel out. pj1c's pins are
+the refinement invariants that make the capped form safe to ship: its
+pair set only ever SPLITS exact clusters (never merges two), and on
+clique-shaped duplicate clusters it splits nothing.
 """
 
 from __future__ import annotations
@@ -582,7 +586,6 @@ def test_pj1c_equals_pj1_on_clique_clusters(spark):
     the re-crawl regime per_token_cap exists for) the capped form loses
     NOTHING: same doc set, same cluster partition, same sizes, even
     when the cluster is far bigger than the cap."""
-    import __spark_entry__ as entry_mod
     from etl_oms_spark.operators.dedup import prefix_filtered_jaccard_pairs
     from etl_oms_spark.operators.graph import connected_components
 
@@ -594,7 +597,6 @@ def test_pj1c_equals_pj1_on_clique_clusters(spark):
         + [(999, "lonely unique document nothing shared here")],
         "doc_id long, text string",
     )
-    del entry_mod  # query fns read parquet; use the operators directly
 
     def cluster(cap):
         pairs = prefix_filtered_jaccard_pairs(
