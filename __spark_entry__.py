@@ -10812,9 +10812,11 @@ def pj1c_prefix_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is Θ(Σ cluster²) — on re-crawl-shaped corpora the TRUE
     ANSWER grows ~10×/decade and the uncapped form DNFs at 100× — while
     the cap keeps each token's fan-out at df·cap, measured 1.3×/decade,
-    and every duplicate cluster still reaches its min-id hubs, so this
-    connected-components consumption sees the same hub-and-spoke
-    cluster in one piece. The emitted pair set is a deterministic
+    and every member of a CLIQUE-shaped duplicate cluster still reaches
+    its min-id hubs, so this connected-components consumption sees the
+    same hub-and-spoke cluster in one piece (chain-shaped clusters may
+    split — never merge — see the operator docstring and the two pj1c
+    refinement tests). The emitted pair set is a deterministic
     (lowest-ids-per-token) SUBSET of pj1's with zero false positives —
     the verify stage is unchanged — so the oracle replays prefix, cap,
     verify, and the min-label closure exactly; pj1 stays in the catalog
@@ -14277,6 +14279,8 @@ def kn1_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_source_scores(_t(spark, sf_dir, "documents"))
 
 
+from etl_oms_spark.operators.domain import KN_DISCOUNT as _KN_D
+
 KN1_SQL = f"""
 WITH norm AS (
     SELECT source, regexp_split_to_array({_NORM_SQL}, ' ') AS arr
@@ -14307,8 +14311,8 @@ WITH norm AS (
 ), scored AS MATERIALIZED (
     SELECT t.w1, t.w2,
            CAST(floor(ln(
-               (CAST(t.cvw AS DOUBLE) - 0.75) / CAST(cv.cv AS DOUBLE)
-               + (0.75 * CAST(n1v.n1v AS DOUBLE) / CAST(cv.cv AS DOUBLE))
+               (CAST(t.cvw AS DOUBLE) - {_KN_D}) / CAST(cv.cv AS DOUBLE)
+               + ({_KN_D} * CAST(n1v.n1v AS DOUBLE) / CAST(cv.cv AS DOUBLE))
                * (CAST(n1w.n1w AS DOUBLE) / CAST(tot.n1all AS DOUBLE))
            ) * 1000000 + 0.5) AS BIGINT) AS score_q
     FROM tcnt t

@@ -139,9 +139,15 @@ def _cpu_jiffies() -> dict[str, int]:
     try:
         with open("/proc/stat") as f:
             vals = [int(x) for x in f.readline().split()[1:]]
-        return dict(zip(fields, vals))
     except (OSError, ValueError):
         return {}
+    # a truncated cpu line (old kernel / container) must degrade to the
+    # same {} the except path returns — a partial dict without 'steal'
+    # would pass the caller's truthiness guard and KeyError at payload
+    # assembly AFTER all queries ran
+    if len(vals) < 8:
+        return {}
+    return dict(zip(fields, vals))
 
 
 def main() -> None:
@@ -221,8 +227,14 @@ def main() -> None:
             jiffies_end[k] - jiffies_start[k]
             for k in ("user", "nice", "system", "irq", "softirq")
         )
+        # canonical 8 fields only: guest/guest_nice are already counted
+        # inside user/nice, and double-counting them would understate
+        # the steal fraction this field exists to expose
         payload["total_jiffies_delta"] = sum(
-            jiffies_end[k] - jiffies_start[k] for k in jiffies_end
+            jiffies_end[k] - jiffies_start[k]
+            for k in ("user", "nice", "system", "idle", "iowait",
+                      "irq", "softirq", "steal")
+            if k in jiffies_end and k in jiffies_start
         )
     # Full per-query JSON goes to a file: the driver captures only the
     # LAST ~2000 chars of stdout, and the 70-query line outgrew it in

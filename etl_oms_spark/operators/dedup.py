@@ -993,12 +993,18 @@ def prefix_filtered_jaccard_pairs(
     candidate self-join keeps only each token's ``per_token_cap``
     lowest-id postings (the right side keeps every doc), so fan-out per
     token drops from df² to df·cap while every doc still pairs with its
-    tokens' min-id hub docs — a giant duplicate cluster shrinks to a
-    hub-and-spoke pair set that a downstream connected-components
-    consumer still sees as ONE cluster. ``None`` (the default, and the
-    pj1 oracle contract) stays exact; with a cap the result is a
-    documented SUBSET of the exact pair list, never a false positive
-    (the verify stage is unchanged).
+    tokens' min-id hub docs — a CLIQUE-shaped duplicate cluster (every
+    member pairwise ≥ t, the re-crawl regime the knob exists for)
+    shrinks to a hub-and-spoke pair set that a downstream
+    connected-components consumer still sees as ONE cluster
+    (`test_pj1c_equals_pj1_on_clique_clusters`). Chain-shaped clusters
+    (a~b~c with a≁c) have no such guarantee: a bridge doc's hub
+    candidates can all fail the exact verify while its true partner sat
+    past the cap, so a chain may SPLIT — never merge — into multiple
+    components (`test_pj1c_refines_pj1_clusters` pins refinement-only).
+    ``None`` (the default, and the pj1 oracle contract) stays exact;
+    with a cap the result is a documented SUBSET of the exact pair
+    list, never a false positive (the verify stage is unchanged).
     """
     from pyspark.sql import Window
 

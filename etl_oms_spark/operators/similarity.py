@@ -1264,10 +1264,9 @@ def jl_recall_report(
             F.collect_set(F.col(id_col)).alias("idset"),
         )
 
-    fw = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
-    full_r = full.withColumn("__rank", F.row_number().over(fw))
+    # same spec as `w` on purpose: the full-space and projected-space
+    # rankings must share one tie order
+    full_r = full.withColumn("__rank", F.row_number().over(w))
     f = ranked_ids(full_r, "__rank").select(
         "query_id",
         F.col("ids").alias("full_top"),

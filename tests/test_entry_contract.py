@@ -35,15 +35,16 @@ def test_every_query_has_oracle_or_documented_exception():
 def test_driver_window_holds_round10_rotation():
     """Positions 1-50 must stay the round-10 rotation (VERDICT r09 item
     2): with the never-driver-checked backlog empty, the window's job
-    is staleness control — positions 1-2 the round-10 additions (uniT,
-    pj1c — first driver check), 3-4 the two green anchors, 5-26 the 22
-    stalest exact-oracle rows (last driver-checked r02), 27-50 the 24
-    alphabetically-first of the 48 next-stalest (r03). New round-11
-    queries insert right after the anchors, each displacing the
-    least-stale refill entry past position 50 — so the assertion is
-    subset-shaped for the refill blocks. NO rows-only entry may ever
-    sit in the first 50 — a no_oracle row would waste a driver window
-    slot."""
+    is staleness control — positions 1-6 the round-10 additions (uniT,
+    pj1c, uni2, jl1, kn1, iso1 — first driver check), 7-8 the two green
+    anchors, 9-30 the 22 stalest exact-oracle rows (last driver-checked
+    r02), 31-50 the 20 alphabetically-first of the 48 next-stalest
+    (r03; the additions displaced o3/mx2/mx1/kw1 to the refill-pool
+    head). New round-11 queries insert right after the anchors, each
+    displacing the least-stale refill entry past position 50 — so the
+    assertion is subset-shaped for the refill blocks. NO rows-only
+    entry may ever sit in the first 50 — a no_oracle row would waste a
+    driver window slot."""
     names = list(entry_mod.queries())
     assert names[:6] == [
         "uniT_unigram_em", "pj1c_prefix_jaccard_capped",

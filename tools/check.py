@@ -113,6 +113,16 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # bench.py's load-bearing gc (see its comment), at LOOP TOP so
+        # every path — including the rows_only / oracle_error continues
+        # below — gets it: drop the previous iteration's dead DataFrame
+        # refs so the ContextCleaner unpersists localCheckpoint blocks.
+        # Without it the 280-query sweep accumulates checkpoint storage
+        # until a late heavyweight (pj1 at sf0.1) hits
+        # UNABLE_TO_ACQUIRE_MEMORY in the plain 1g session (round-10
+        # battery red, harness-only cause).
+        sdf = None
+        gc.collect()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -143,14 +153,7 @@ def main() -> int:
             print(f"ok   {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
             results[name] = {"status": "exact_match", "rows": len(sdf),
                              "secs": round(time.time() - t0, 1)}
-        # bench.py's load-bearing gc (see its comment): drop dead
-        # DataFrame refs so the ContextCleaner unpersists localCheckpoint
-        # blocks — without it the 280-query sweep accumulates checkpoint
-        # storage until a late heavyweight (pj1 at sf0.1) hits
-        # UNABLE_TO_ACQUIRE_MEMORY in the plain 1g session (round-10
-        # battery red, harness-only cause)
-        del sdf
-        gc.collect()
+    gc.collect()
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     if json_path:
         import json
