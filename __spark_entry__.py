@@ -11576,6 +11576,80 @@ ORDER BY b.bin
 """
 
 
+def bs1_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact calibration scorecard
+    (operators/classifier.calibration_summary): Brier score, Murphy
+    (1973) reliability / resolution / uncertainty, ECE and MCE for the
+    quality score as an en-vs-rest classifier — the scalar summaries of
+    rb1's diagram and the numbers a pipeline thresholds before trusting
+    iso1's calibration map. Same exact binning as rb1/iso1; ONE corpus
+    groupBy (the Brier sum is bin-decomposable), every ratio quantized
+    to 1e-9 by exact floor division — bit-identical to DuckDB HUGEINT
+    ``//`` — never by rounding doubles."""
+    from etl_oms_spark.operators.classifier import calibration_summary
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    return calibration_summary(d.select(sq.alias("sq"), pos.alias("pos")))
+
+
+BS1_SQL = f"""
+WITH scored AS (
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), 0) AS sq,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM documents
+), b AS (
+    SELECT least(greatest(CAST(sq // 100000 AS BIGINT), 0), 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS pos,
+           CAST(SUM(sq) AS BIGINT) AS ssq,
+           SUM(CAST(sq - pos * 1000000 AS HUGEINT)
+               * CAST(sq - pos * 1000000 AS HUGEINT)) AS brier_sum
+    FROM scored
+    GROUP BY 1
+), per_bin AS (
+    SELECT n, pos, brier_sum,
+           abs(ssq - pos * 1000000) AS abs_d,
+           (abs(ssq - pos * 1000000) * 1000) // n AS gap_q9,
+           (CAST(ssq - pos * 1000000 AS HUGEINT)
+            * CAST(ssq - pos * 1000000 AS HUGEINT)) // n AS rel_t,
+           (CAST(pos AS HUGEINT) * pos * 1000000000000) // n AS res_t
+    FROM b
+), g AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           SUM(brier_sum) AS brier_tot,
+           CAST(SUM(abs_d) AS BIGINT) AS ece_num,
+           CAST(MAX(gap_q9) AS BIGINT) AS mce_q9,
+           SUM(rel_t) AS rel_sc,
+           SUM(res_t) AS res_sum
+    FROM per_bin
+)
+SELECT n, n_pos,
+       CAST(brier_tot // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS brier_q9,
+       CAST((CAST(ece_num AS HUGEINT) * 1000) // n AS BIGINT) AS ece_q9,
+       mce_q9,
+       CAST(rel_sc // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS rel_q9,
+       CAST(greatest(res_sum
+                     - (CAST(n_pos AS HUGEINT) * n_pos * 1000000000000)
+                       // n,
+                     CAST(0 AS HUGEINT))
+            // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS res_q9,
+       CAST((CAST(n_pos AS HUGEINT) * (n - n_pos) * 1000000000)
+            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_q9,
+       CAST(brier_tot // (CAST(n AS HUGEINT) * 1000) AS DOUBLE) / 1e9
+           AS brier,
+       CAST((CAST(ece_num AS HUGEINT) * 1000) // n AS DOUBLE) / 1e9 AS ece
+FROM g
+"""
+
+
 def ap1_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact average precision (area under the precision-recall curve,
     step interpolation — the right eval metric when positives are rare,
@@ -14354,6 +14428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- positions 7-8: continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
+        # ---- positions 9+: round-10 late additions, first driver
+        #      check (each displaces the alphabetically-last r03
+        #      refill entry past the rows-only block) ----
+        "bs1_brier_calibration": bs1_brier_calibration,
         # ---- positions 9-30: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
@@ -14401,7 +14479,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
         "h1_histogram": h1_histogram,
         "iv1_interval_overlap": iv1_interval_overlap,
-        "ix1_global_index": ix1_global_index,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14416,9 +14493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
-        # ---- positions 61-88: the remaining 28 r03-stale rows —
-        #      head of the r11 refill pool (o3/mx2/mx1/kw1 displaced
-        #      by uni2/jl1/kn1/iso1) ----
+        # ---- positions 61+: the remaining r03-stale rows — head of
+        #      the r11 refill pool (o3/mx2/mx1/kw1 displaced by
+        #      uni2/jl1/kn1/iso1; ix1 by bs1) ----
+        "ix1_global_index": ix1_global_index,
         "o3_topk_per_group": o3_topk_per_group,
         "mx2_mix_apply": mx2_mix_apply,
         "mx1_mix_plan": mx1_mix_plan,
@@ -14660,6 +14738,7 @@ def oracle_sql() -> dict[str, str]:
         "jl1_random_projection": _jl1_sql(),
         "kn1_kneser_ney": KN1_SQL,
         "iso1_isotonic_calibration": ISO1_SQL,
+        "bs1_brier_calibration": BS1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

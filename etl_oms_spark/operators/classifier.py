@@ -257,3 +257,137 @@ def isotonic_calibration(
         )
         .orderBy("bin")
     )
+
+
+def _floordiv_dec(a: Column, b: Column) -> Column:
+    """Exact floor division for NON-NEGATIVE decimal operands via the
+    remainder trick (same device as ap1's ratio quantization): subtract
+    the exact remainder first so the decimal division hits an integer —
+    no HALF_UP-then-floor edge case — matching DuckDB's HUGEINT ``//``.
+    Only valid for a >= 0, b > 0 (callers clamp signed numerators)."""
+    return (a - a % b) / b
+
+
+def calibration_summary(
+    scored: DataFrame,
+    sq_col: str = "sq",
+    pos_col: str = "pos",
+    n_bins: int = 10,
+    bin_width_q: int = 100_000,
+) -> DataFrame:
+    """One-row exact calibration scorecard for a binary classifier:
+    Brier score, Murphy (1973) reliability / resolution / uncertainty,
+    expected calibration error (ECE) and maximum calibration error
+    (MCE) — the scalar summaries of rb1's reliability diagram and the
+    quantities a curation pipeline watches before trusting iso1's
+    calibration map (all public: Murphy 1973 "A new vector partition of
+    the probability score"; Naeini et al. 2015 for ECE/MCE).
+
+    Input is per-example ``(sq, pos)`` where ``sq`` is the
+    1e-6-quantized predicted probability (BIGINT in [0, 1e6]) and
+    ``pos`` the 0/1 outcome. Every statistic reduces to exact integer
+    arithmetic over ONE corpus groupBy into ``n_bins`` equal-width
+    score bins (the Brier sum is bin-decomposable, so no second scan):
+
+    - brier  = Σ (sq - pos·1e6)² / (N·1e12)          (exact per-doc terms)
+    - ece    = Σ_k |d_k| / (N·1e6),  d_k = Σsq_k - pos_k·1e6
+      (n_k·|mean_score_k - rate_k| telescopes to |d_k|/1e6 — exact)
+    - mce    = max_k |d_k| / (n_k·1e6)               (exact floor-div/bin)
+    - rel    = Σ_k d_k²/n_k / (N·1e12)               (Murphy reliability)
+    - res    = (Σ_k pos_k²/n_k - P²/N) / N           (Murphy resolution)
+    - unc    = P·(N-P)/N²                            (Murphy uncertainty)
+
+    All ratios are quantized to 1e-9 integers by EXACT floor division
+    (decimal remainder trick — bit-identical to DuckDB HUGEINT ``//``),
+    never by rounding doubles, so the row is reproducible on any
+    engine/partitioning. int64/decimal(38) headroom: per-bin sums stay
+    exact while n_k < 9·10¹² and the resolution numerator while
+    N < ~3·10⁹ examples (pos_k²·10¹² ≤ n_k²·10¹²; document-count scales
+    beyond that want a wider decimal, same remark as rc1). res_scaled
+    is clamped at 0: the two floor-divisions it differences can leave a
+    ≤ n_bins-ulp negative residue when resolution is exactly 0.
+
+    Returns columns ``n, n_pos, brier_q9, ece_q9, mce_q9, rel_q9,
+    res_q9, unc_q9, brier, ece``.
+    """
+    sq = F.col(sq_col).cast("long")
+    pos = F.col(pos_col).cast("long")
+    bin_ = F.least(
+        F.greatest((sq / F.lit(bin_width_q)).cast("long"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    dterm = sq - pos * F.lit(1_000_000)
+    bins = (
+        scored.select(
+            bin_.alias("bin"),
+            sq.alias("sq"),
+            pos.alias("pos"),
+            (dterm * dterm).cast("decimal(38,0)").alias("bt"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("pos"),
+            F.sum("sq").cast("long").alias("ssq"),
+            F.sum("bt").cast("decimal(38,0)").alias("brier_sum"),
+        )
+    )
+    d = (F.col("ssq") - F.col("pos") * F.lit(1_000_000)).alias("d")
+    ddec = d.cast("decimal(19,0)")
+    ndec = F.col("n").cast("decimal(19,0)")
+    posdec = F.col("pos").cast("decimal(19,0)")
+    per_bin = bins.select(
+        "n",
+        "pos",
+        "brier_sum",
+        F.abs(d).alias("abs_d"),
+        # |d_k|·1000 // n_k  ==  (|d_k| / (n_k·1e6)) · 1e9, exact
+        F.expr(
+            f"(abs(ssq - pos * 1000000) * 1000) div n"
+        ).alias("gap_q9"),
+        _floordiv_dec(ddec * ddec, ndec).cast("decimal(38,0)").alias("rel_t"),
+        _floordiv_dec(
+            posdec * posdec * F.lit(1_000_000_000_000).cast("decimal(19,0)"),
+            ndec,
+        ).cast("decimal(38,0)").alias("res_t"),
+    )
+    g = per_bin.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("brier_sum").cast("decimal(38,0)").alias("brier_tot"),
+        F.sum("abs_d").cast("long").alias("ece_num"),
+        F.max("gap_q9").cast("long").alias("mce_q9"),
+        F.sum("rel_t").cast("decimal(38,0)").alias("rel_sc"),
+        F.sum("res_t").cast("decimal(38,0)").alias("res_sum"),
+    )
+    ntot = F.col("n").cast("decimal(19,0)")
+    ptot = F.col("n_pos").cast("decimal(19,0)")
+    k1e3 = F.lit(1000).cast("decimal(19,0)")
+    k1e12 = F.lit(1_000_000_000_000).cast("decimal(19,0)")
+    res_sc = F.greatest(
+        (
+            F.col("res_sum") - _floordiv_dec(ptot * ptot * k1e12, ntot)
+        ).cast("decimal(38,0)"),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    brier_q9 = _floordiv_dec(F.col("brier_tot"), ntot * k1e3).cast("long")
+    ece_q9 = _floordiv_dec(
+        F.col("ece_num").cast("decimal(38,0)") * k1e3, ntot
+    ).cast("long")
+    return g.select(
+        "n",
+        "n_pos",
+        brier_q9.alias("brier_q9"),
+        ece_q9.alias("ece_q9"),
+        "mce_q9",
+        _floordiv_dec(F.col("rel_sc"), ntot * k1e3).cast("long").alias("rel_q9"),
+        _floordiv_dec(res_sc, ntot * k1e3).cast("long").alias("res_q9"),
+        _floordiv_dec(
+            ptot * (ntot - ptot) * F.lit(1_000_000_000).cast("decimal(19,0)"),
+            ntot * ntot,
+        )
+        .cast("long")
+        .alias("unc_q9"),
+        (brier_q9.cast("double") / F.lit(1e9)).alias("brier"),
+        (ece_q9.cast("double") / F.lit(1e9)).alias("ece"),
+    )

@@ -1,0 +1,129 @@
+"""Round-10 late additions: the exact calibration scorecard (bs1) and
+friends.
+
+Parity strategy matches test_round10_ops.py: each expectation is
+re-derived with an INDEPENDENT pure-Python computation (exact Fractions
+here — no floor-division shortcuts), so a bug shared by the Spark
+column algebra and its DuckDB oracle cannot cancel out.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from etl_oms_spark.operators.classifier import calibration_summary
+
+
+def _brute_calibration(rows, n_bins=10, width=100_000):
+    """Exact-rational replay of Murphy/ECE/MCE, floored to 1e-9 at the
+    end (the operator floors each intermediate floor-division, so its
+    quantized values may sit <= a few ulps BELOW these — the assertions
+    bound that residue instead of demanding equality where the contract
+    allows slack, and demand equality where the operator's arithmetic
+    is a single floor)."""
+    n = len(rows)
+    p = sum(pos for _, pos in rows)
+    bins = {}
+    for sq, pos in rows:
+        b = min(max(sq // width, 0), n_bins - 1)
+        bins.setdefault(b, []).append((sq, pos))
+    brier = Fraction(
+        sum((sq - pos * 10**6) ** 2 for sq, pos in rows), n * 10**12
+    )
+    ece = Fraction(0)
+    mce = Fraction(0)
+    rel = Fraction(0)
+    res = Fraction(0)
+    obar = Fraction(p, n)
+    for b, members in bins.items():
+        nk = len(members)
+        pk = sum(pos for _, pos in members)
+        fk = Fraction(sum(sq for sq, _ in members), nk * 10**6)
+        ok = Fraction(pk, nk)
+        ece += Fraction(nk, n) * abs(fk - ok)
+        mce = max(mce, abs(fk - ok))
+        rel += Fraction(nk, n) * (fk - ok) ** 2
+        res += Fraction(nk, n) * (ok - obar) ** 2
+    unc = obar * (1 - obar)
+    q = lambda x: int(x * 10**9)  # floor at 1e-9
+    return {
+        "n": n,
+        "n_pos": p,
+        "brier_q9": q(brier),
+        "ece_q9": q(ece),
+        "mce_q9": q(mce),
+        "rel_q9": q(rel),
+        "res_q9": q(res),
+        "unc_q9": q(unc),
+    }
+
+
+ROWS = [
+    (50_000, 0),     # bin 0
+    (100_000, 0),    # bin 1
+    (150_000, 1),    # bin 1
+    (950_000, 1),    # bin 9
+    (1_000_000, 1),  # bin 9 (sq // width = 10, clamped to 9)
+]
+
+
+def test_calibration_summary_hand_values(spark):
+    got = (
+        calibration_summary(
+            spark.createDataFrame(ROWS, "sq long, pos int")
+        )
+        .collect()[0]
+        .asDict()
+    )
+    # hand-derived (see the bin walk-through in the operator docstring
+    # review): N=5, P=3; d_0=50000, d_1=-750000, d_9=-50000
+    assert got["n"] == 5 and got["n_pos"] == 3
+    assert got["brier_q9"] == 147_500_000          # 0.1475
+    assert got["ece_q9"] == 170_000_000            # 0.17
+    assert got["mce_q9"] == 375_000_000            # 0.375 (bin 1)
+    assert got["rel_q9"] == 57_000_000             # 0.057
+    assert got["res_q9"] == 140_000_000            # 0.14
+    assert got["unc_q9"] == 240_000_000            # 6/25
+    assert got["brier"] == got["brier_q9"] / 1e9
+    assert got["ece"] == got["ece_q9"] / 1e9
+
+
+def test_calibration_summary_vs_exact_rationals(spark):
+    """Fraction replay on a messier distribution: operator values must
+    sit within n_bins ulps BELOW the exact rational floor (each bin
+    contributes at most one unit of floor loss to the scaled sums) and
+    never above."""
+    rows = [
+        (37_123, 0), (91_004, 1), (120_000, 0), (433_921, 1),
+        (433_921, 0), (455_500, 1), (680_003, 1), (680_003, 1),
+        (999_999, 0), (1_000_000, 1), (3, 0), (750_000, 1),
+    ]
+    want = _brute_calibration(rows)
+    got = (
+        calibration_summary(spark.createDataFrame(rows, "sq long, pos int"))
+        .collect()[0]
+        .asDict()
+    )
+    assert got["n"] == want["n"] and got["n_pos"] == want["n_pos"]
+    # single-floor quantities: exact
+    assert got["brier_q9"] == want["brier_q9"]
+    assert got["ece_q9"] == want["ece_q9"]
+    assert got["mce_q9"] == want["mce_q9"]
+    # double-floor quantities: bounded residue, never above
+    for k in ("rel_q9", "res_q9", "unc_q9"):
+        assert want[k] - 10 <= got[k] <= want[k], (k, got[k], want[k])
+
+
+def test_calibration_perfect_classifier(spark):
+    """A perfectly calibrated, perfectly sharp classifier: brier = rel
+    = ece = mce = 0 and resolution equals uncertainty."""
+    rows = [(0, 0)] * 3 + [(1_000_000, 1)] * 2
+    got = (
+        calibration_summary(spark.createDataFrame(rows, "sq long, pos int"))
+        .collect()[0]
+        .asDict()
+    )
+    assert got["brier_q9"] == 0 and got["ece_q9"] == 0
+    assert got["mce_q9"] == 0 and got["rel_q9"] == 0
+    # res = unc = (2/5)(3/5) = 0.24
+    assert got["res_q9"] == got["unc_q9"] == 240_000_000
