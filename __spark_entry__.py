@@ -11650,6 +11650,69 @@ FROM g
 """
 
 
+def ct1_rank_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle (1994) rank-order n-gram language ID, self-scored
+    as a confusion matrix (operators/text.rank_langid_confusion) — the
+    trained-profile upgrade of t3's marker-word heuristic: per-language
+    top-20 character-trigram rank profiles from the corpus's own
+    labels, out-of-place distance per (doc, lang), argmin with lang-ASC
+    tie-break. Trigram explodes collapse straight into domain-sized
+    (lang, tri) and doc-bounded (doc, tri) groupBys; the L·20 profile
+    table broadcasts everywhere, so no shuffle carries more than N·L
+    rows."""
+    from etl_oms_spark.operators.text import rank_langid_confusion
+
+    return rank_langid_confusion(_t(spark, sf_dir, "documents"))
+
+
+CT1_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang AS true_lang, {_NORM_SQL} AS nt FROM documents
+), tri AS (
+    SELECT doc_id, true_lang,
+           unnest(list_transform(range(1, CAST(length(nt) AS BIGINT) - 1),
+                                 i -> substr(nt, CAST(i AS INT), 3))) AS tri
+    FROM base
+), lp AS (
+    SELECT lang, tri, rl FROM (
+        SELECT true_lang AS lang, tri, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY true_lang
+                                  ORDER BY COUNT(*) DESC, tri) AS rl
+        FROM tri GROUP BY true_lang, tri
+    ) WHERE rl <= 20
+), dp AS (
+    SELECT doc_id, tri, rd FROM (
+        SELECT doc_id, tri, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, tri) AS rd
+        FROM tri GROUP BY doc_id, tri
+    ) WHERE rd <= 20
+), np AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np FROM dp GROUP BY doc_id
+), corr AS (
+    SELECT dp.doc_id, lp.lang,
+           CAST(SUM(abs(dp.rd - lp.rl) - 20) AS BIGINT) AS corr
+    FROM dp JOIN lp USING (tri)
+    GROUP BY 1, 2
+), langs AS (
+    SELECT DISTINCT lang FROM lp
+), dist AS (
+    SELECT np.doc_id, langs.lang,
+           CAST(np.np * 20 + COALESCE(corr.corr, 0) AS BIGINT) AS dist
+    FROM np CROSS JOIN langs
+    LEFT JOIN corr ON corr.doc_id = np.doc_id AND corr.lang = langs.lang
+), pred AS (
+    SELECT doc_id, (min(struct_pack(dist := dist, l := lang))).l AS pred_lang
+    FROM dist GROUP BY doc_id
+)
+SELECT d.lang AS true_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY true_lang, pred_lang
+"""
+
+
 def ap1_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact average precision (area under the precision-recall curve,
     step interpolation — the right eval metric when positives are rare,
@@ -14432,6 +14495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      check (each displaces the alphabetically-last r03
         #      refill entry past the rows-only block) ----
         "bs1_brier_calibration": bs1_brier_calibration,
+        "ct1_rank_langid": ct1_rank_langid,
         # ---- positions 9-30: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
@@ -14478,7 +14542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn1_funnel": fn1_funnel,
         "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
         "h1_histogram": h1_histogram,
-        "iv1_interval_overlap": iv1_interval_overlap,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14495,7 +14558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- positions 61+: the remaining r03-stale rows — head of
         #      the r11 refill pool (o3/mx2/mx1/kw1 displaced by
-        #      uni2/jl1/kn1/iso1; ix1 by bs1) ----
+        #      uni2/jl1/kn1/iso1; ix1/iv1 by bs1/ct1) ----
+        "iv1_interval_overlap": iv1_interval_overlap,
         "ix1_global_index": ix1_global_index,
         "o3_topk_per_group": o3_topk_per_group,
         "mx2_mix_apply": mx2_mix_apply,
@@ -14739,6 +14803,7 @@ def oracle_sql() -> dict[str, str]:
         "kn1_kneser_ney": KN1_SQL,
         "iso1_isotonic_calibration": ISO1_SQL,
         "bs1_brier_calibration": BS1_SQL,
+        "ct1_rank_langid": CT1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -433,3 +433,120 @@ def canonicalize_url(col: Column | str, drop_param_prefix: str = "utm_") -> Colu
         path,
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Sliding character trigrams of the normalized text as
+    array<string> (empty for NULL/short text — sequence(1, n) with
+    n < 1 would generate a DESCENDING [1, 0] in Spark, so the guard is
+    load-bearing, not cosmetic)."""
+    nt = normalize_text(col)
+    seq = F.sequence(F.lit(1), F.length(nt) - F.lit(2))
+    return F.when(
+        F.coalesce(F.length(nt), F.lit(0)) >= 3,
+        F.transform(seq, lambda i: F.substring(nt, i, 3)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def rank_langid_confusion(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    profile_size: int = 20,
+) -> DataFrame:
+    """Cavnar-Trenkle (1994, public: "N-Gram-Based Text
+    Categorization") rank-order language ID, self-scored as a confusion
+    matrix — the trained-profile upgrade of the marker-word heuristic
+    (language_id above): train per-language top-``profile_size``
+    character-trigram rank profiles from the corpus's own labels, score
+    every document against every profile by out-of-place distance, and
+    report (true_lang, pred_lang, n_docs).
+
+    distance(doc, lang) = Σ over the doc's profile trigrams of
+    |rank_doc - rank_lang|, with the ``profile_size`` penalty when the
+    trigram is absent from the language profile. Computed as
+    base + correction so unmatched (doc, lang) pairs need no join row:
+    base = |doc profile| · P; each MATCHED trigram contributes
+    (|rd - rl| - P) ≤ 0. Ranks are row_number over (count DESC,
+    trigram ASC) — a total order, so both engines rank identically.
+
+    Scale shape: trigram explodes collapse immediately into
+    (lang, trigram) — domain-sized — and (doc, trigram) — doc-bounded —
+    groupBys; the language profiles (L·P rows) broadcast to both the
+    match join and the docs×langs base cross join, so no shuffle ever
+    carries more than N·L rows (L = #languages). Argmin is
+    min(struct(dist, lang)) — deterministic lang-ASC tie-break.
+    Documents with an empty trigram profile (NULL or < 3 chars of
+    normalized text) are unclassifiable and excluded.
+    """
+    from pyspark.sql import Window
+
+    p = profile_size
+    tri = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("true_lang"),
+        F.explode(char_trigrams(text_col)).alias("tri"),
+    )
+    lang_prof = (
+        tri.groupBy(F.col("true_lang").alias("lang"), "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rl",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tri"))
+            ),
+        )
+        .filter(F.col("rl") <= p)
+        .select("lang", "tri", "rl")
+    )
+    doc_prof = (
+        tri.groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rd",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("c"), F.asc("tri")
+                )
+            ),
+        )
+        .filter(F.col("rd") <= p)
+        .select("doc_id", "tri", "rd")
+    )
+    np_doc = doc_prof.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("np")
+    )
+    corr = (
+        doc_prof.join(F.broadcast(lang_prof), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.abs(F.col("rd") - F.col("rl")) - F.lit(p)
+            ).alias("corr")
+        )
+    )
+    langs = lang_prof.select("lang").distinct()
+    dist = (
+        np_doc.crossJoin(F.broadcast(langs))
+        .join(corr, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("np") * F.lit(p) + F.coalesce(F.col("corr"), F.lit(0))
+            ).cast("long").alias("dist"),
+        )
+    )
+    pred = dist.groupBy("doc_id").agg(
+        F.min(F.struct(F.col("dist"), F.col("lang").alias("l"))).alias("b")
+    )
+    truth = df.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("true_lang")
+    )
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("true_lang", F.col("b.l").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

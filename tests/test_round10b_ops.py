@@ -127,3 +127,85 @@ def test_calibration_perfect_classifier(spark):
     assert got["mce_q9"] == 0 and got["rel_q9"] == 0
     # res = unc = (2/5)(3/5) = 0.24
     assert got["res_q9"] == got["unc_q9"] == 240_000_000
+
+
+# ---------------------------------------------------------------- ct1
+def _brute_cavnar_trenkle(docs, p=20):
+    """Independent pure-Python Cavnar-Trenkle replay: dict counting +
+    explicit sorts, no window functions, no base+correction algebra."""
+    import re
+    from collections import Counter, defaultdict
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower())
+
+    def tris(t):
+        n = norm(t)
+        return [n[i : i + 3] for i in range(len(n) - 2)]
+
+    def profile(counter, p):
+        ranked = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:p]
+        return {tri: i + 1 for i, (tri, _) in enumerate(ranked)}
+
+    lang_counts = defaultdict(Counter)
+    for _, lang, text in docs:
+        lang_counts[lang].update(tris(text))
+    lang_prof = {l: profile(c, p) for l, c in lang_counts.items()}
+    conf = Counter()
+    for _, lang, text in docs:
+        dp = profile(Counter(tris(text)), p)
+        if not dp:
+            continue
+        best = None
+        for cand in sorted(lang_prof):
+            d = sum(
+                abs(rd - lang_prof[cand][tri]) if tri in lang_prof[cand] else p
+                for tri, rd in dp.items()
+            )
+            if best is None or d < best[0]:
+                best = (d, cand)
+        conf[(lang, best[1])] += 1
+    return dict(conf)
+
+
+def test_rank_langid_vs_brute(spark):
+    from etl_oms_spark.operators.text import rank_langid_confusion
+
+    docs = [
+        (1, "en", "the cat and the dog sat on the mat and the log"),
+        (2, "en", "a hash join of the tables is in the plan and it is fast"),
+        (3, "fr", "le chat et le chien sont sur le tapis et le lit"),
+        (4, "fr", "la jointure des tables est dans le plan et elle est vite"),
+        (5, "de", "die katze und der hund sitzen auf der matte und dem holz"),
+        (6, "de", "der verbund der tabellen ist im plan und er ist schnell"),
+        (7, "en", "it is the log of the cat"),
+        (8, "fr", "xy"),  # < 3 normalized chars: unclassifiable, excluded
+    ]
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in rank_langid_confusion(
+            spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        ).collect()
+    }
+    want = _brute_cavnar_trenkle(docs)
+    assert got == want
+    assert sum(got.values()) == 7  # doc 8 excluded
+
+
+def test_rank_langid_tie_breaks(spark):
+    """Equal distance to two languages must pick the lang-ASC winner on
+    both the operator and brute paths (two identical one-doc corpora)."""
+    from etl_oms_spark.operators.text import rank_langid_confusion
+
+    docs = [
+        (1, "bb", "identical text body"),
+        (2, "aa", "identical text body"),
+    ]
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in rank_langid_confusion(
+            spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        ).collect()
+    }
+    assert got == {("aa", "aa"): 1, ("bb", "aa"): 1}
+    assert got == _brute_cavnar_trenkle(docs)
