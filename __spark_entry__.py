@@ -11650,6 +11650,73 @@ FROM g
 """
 
 
+def pt1_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style prototypicality pruning summary
+    (operators/clustering.prototype_prune, Tirumala et al. 2023): after
+    the same exact-integer k-means as e7/sd1 (k=8, 2 Lloyd iterations),
+    flag the closest quarter of each cluster to its centroid —
+    ``floor(n_k/4)`` by (dist2 ASC, id ASC) rank — as dropped, the
+    diversification step that complements sd1's near-dup removal and
+    cl1's outlier rule. Per-cluster drop counts and the dist2 boundary
+    on both sides of the cut; all integer arithmetic, cluster-keyed
+    windows only."""
+    from etl_oms_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        prototype_prune,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    flags = prototype_prune(kmeans_assign(emb, kmeans_fit(emb, k=8, n_iter=2)))
+    return (
+        flags.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("dropped").cast("long")).cast("long").alias("n_dropped"),
+            F.coalesce(
+                F.max(F.when(F.col("dropped"), F.col("dist2"))), F.lit(-1)
+            )
+            .cast("long")
+            .alias("max_dropped_dist2"),
+            F.min(F.when(~F.col("dropped"), F.col("dist2")))
+            .cast("long")
+            .alias("min_kept_dist2"),
+        )
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n",
+            "n_dropped",
+            "max_dropped_dist2",
+            "min_kept_dist2",
+        )
+        .orderBy("cluster")
+    )
+
+
+PT1_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(8, 2)},
+ranked AS (
+    SELECT vec_id, cluster, CAST(dist2 AS BIGINT) AS dist2,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY dist2 ASC, vec_id ASC) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT) AS n
+    FROM final_assign
+), flagged AS (
+    SELECT *, rn <= (n * 1) // 4 AS dropped FROM ranked
+)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(MAX(CASE WHEN dropped THEN dist2 END), -1) AS BIGINT)
+           AS max_dropped_dist2,
+       CAST(MIN(CASE WHEN NOT dropped THEN dist2 END) AS BIGINT)
+           AS min_kept_dist2
+FROM flagged
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
 def ct1_rank_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cavnar-Trenkle (1994) rank-order n-gram language ID, self-scored
     as a confusion matrix (operators/text.rank_langid_confusion) — the
@@ -14496,6 +14563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      refill entry past the rows-only block) ----
         "bs1_brier_calibration": bs1_brier_calibration,
         "ct1_rank_langid": ct1_rank_langid,
+        "pt1_prototype_prune": pt1_prototype_prune,
         # ---- positions 9-30: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
@@ -14541,7 +14609,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_hopping": ev_hopping,
         "fn1_funnel": fn1_funnel,
         "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
-        "h1_histogram": h1_histogram,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14558,7 +14625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- positions 61+: the remaining r03-stale rows — head of
         #      the r11 refill pool (o3/mx2/mx1/kw1 displaced by
-        #      uni2/jl1/kn1/iso1; ix1/iv1 by bs1/ct1) ----
+        #      uni2/jl1/kn1/iso1; ix1/iv1/h1 by bs1/ct1/pt1) ----
+        "h1_histogram": h1_histogram,
         "iv1_interval_overlap": iv1_interval_overlap,
         "ix1_global_index": ix1_global_index,
         "o3_topk_per_group": o3_topk_per_group,
@@ -14804,6 +14872,7 @@ def oracle_sql() -> dict[str, str]:
         "iso1_isotonic_calibration": ISO1_SQL,
         "bs1_brier_calibration": BS1_SQL,
         "ct1_rank_langid": CT1_SQL,
+        "pt1_prototype_prune": PT1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

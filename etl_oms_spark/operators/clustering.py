@@ -419,3 +419,47 @@ def label_centroid_similarity(
             ).alias("centroid_cosine"),
         )
     )
+
+
+def prototype_prune(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    frac_num: int = 1,
+    frac_den: int = 4,
+) -> DataFrame:
+    """D4-style prototypicality pruning flags (public: Tirumala et al.
+    2023, "D4: Improving LLM Pretraining via Document De-Duplication and
+    Diversification", arXiv 2308.12284 — SemDeDup removes near-duplicate
+    PAIRS; the diversification step then drops each cluster's densest,
+    most PROTOTYPICAL points wholesale): within every k-means cluster,
+    rank members by (dist2 ASC, id ASC) and flag the closest
+    ``floor(n_k · frac_num / frac_den)`` to the centroid as dropped.
+
+    The drop count is exact integer floor division of the cluster size —
+    no ratio ever touches a double — and the rank is a row_number over a
+    total order, so the flag set is bit-identical on any
+    engine/partitioning. Two cluster-keyed windows over the assignment
+    (already cluster-partitioned data, no corpus-wide shuffle beyond the
+    one groupBy kmeans_assign produced); state per task is one cluster.
+
+    Returns ``id, cluster, dist2, rn, n, dropped`` — the per-member flag
+    frame; callers aggregate or anti-join to materialize the pruned
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("dist2"), F.asc(id_col)
+    )
+    wn = Window.partitionBy("cluster")
+    return assigned.select(
+        F.col(id_col),
+        "cluster",
+        F.col("dist2").cast("long").alias("dist2"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    ).withColumn(
+        "dropped",
+        F.col("rn")
+        <= F.expr(f"(n * {int(frac_num)}) div {int(frac_den)}"),
+    )

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from fractions import Fraction
 
+from pyspark.sql import functions as F
+
 from etl_oms_spark.operators.classifier import calibration_summary
 
 
@@ -209,3 +211,88 @@ def test_rank_langid_tie_breaks(spark):
     }
     assert got == {("aa", "aa"): 1, ("bb", "aa"): 1}
     assert got == _brute_cavnar_trenkle(docs)
+
+
+# ---------------------------------------------------------------- pt1
+def test_prototype_prune_flags(spark):
+    """Drop count is floor(n/4) exactly; rank order is (dist2 ASC, id
+    ASC) so equal distances break toward the lower id."""
+    from etl_oms_spark.operators.clustering import prototype_prune
+
+    rows = [
+        # cluster 0: n=5 -> floor(5/4)=1 dropped; tie at dist2=10
+        # between ids 3 and 7 -> id 3 is rank 1 (dropped)
+        (3, 0, 10), (7, 0, 10), (1, 0, 50), (9, 0, 60), (4, 0, 70),
+        # cluster 1: n=3 -> floor(3/4)=0 dropped
+        (2, 1, 5), (6, 1, 6), (8, 1, 7),
+        # cluster 2: n=4 -> 1 dropped
+        (10, 2, 100), (11, 2, 1), (12, 2, 2), (13, 2, 3),
+    ]
+    flags = prototype_prune(
+        spark.createDataFrame(rows, "vec_id long, cluster int, dist2 long")
+    )
+    dropped = {
+        r["vec_id"] for r in flags.filter("dropped").collect()
+    }
+    assert dropped == {3, 11}
+    got = {
+        (r["cluster"], r["vec_id"]): (r["rn"], r["n"], r["dropped"])
+        for r in flags.collect()
+    }
+    assert got[(0, 3)] == (1, 5, True)
+    assert got[(0, 7)] == (2, 5, False)
+    assert all(not d for (c, _), (_, n, d) in got.items() if c == 1)
+
+
+def test_prototype_prune_vs_brute_on_kmeans(spark):
+    """End-to-end on the real embeddings table at sf0.001: replay the
+    flag decision in pure Python from the engine's own assignment (the
+    assignment itself is pinned exact by test_clustering's kmeans
+    parity), then compare the pt1 summary aggregates."""
+    from etl_oms_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+        prototype_prune,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = kmeans_assign(emb, kmeans_fit(emb, k=8, n_iter=2))
+    rows = [
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in assigned.collect()
+    ]
+    by_cluster = {}
+    for vid, c, d in rows:
+        by_cluster.setdefault(c, []).append((d, vid))
+    want = {}
+    for c, members in by_cluster.items():
+        members.sort()
+        k = len(members) // 4
+        drop = members[:k]
+        keep = members[k:]
+        want[c] = (
+            len(members),
+            k,
+            max((d for d, _ in drop), default=-1),
+            min(d for d, _ in keep),
+        )
+    got = {
+        r["cluster"]: (
+            r["n"], r["n_dropped"], r["max_dropped_dist2"],
+            r["min_kept_dist2"],
+        )
+        for r in prototype_prune(assigned)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+            F.coalesce(
+                F.max(F.when(F.col("dropped"), F.col("dist2"))), F.lit(-1)
+            ).alias("max_dropped_dist2"),
+            F.min(F.when(~F.col("dropped"), F.col("dist2"))).alias(
+                "min_kept_dist2"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
