@@ -14019,6 +14019,94 @@ ORDER BY q.qid
 """
 
 
+def prf1_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback expansion terms
+    (operators/search.prf_expansion, Lavrenko & Croft 2001 / RM3) for
+    the 5 _MRR_QUERIES: top-3 BM25 feedback docs per query from ONE
+    shared postings build, expansion weight w_q(q,t) =
+    Σ_d (tf·score_q)//dl floored per (doc, term) before the sum, the
+    query's own terms excluded, top-5 terms per query by (w_q DESC,
+    term ASC). Second tokenization pass is semi-join-pruned to the ≤15
+    feedback docs before its groupBy — feedback-sized, never
+    corpus-sized."""
+    from etl_oms_spark.operators.search import prf_expansion
+
+    return prf_expansion(
+        _t(spark, sf_dir, "documents"), _MRR_QUERIES, k_docs=3, k_terms=5
+    )
+
+
+PRF1_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+gstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_len
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE term IN {_MRR_TERMS_SQL}
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+perterm AS (
+    SELECT tf.doc_id, term,
+           CAST(floor(
+             ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+             * CAST(tf * 880 * total_len AS DOUBLE)
+             / CAST(tf * 400 * total_len + 120 * total_len
+                    + 360 * dl.dl * n_docs AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS term_q
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN gstats
+),
+qt(qid, term) AS (VALUES {_MRR_QT_SQL}),
+scored AS (
+    SELECT qid, doc_id, CAST(SUM(term_q) AS BIGINT) AS score_q
+    FROM perterm JOIN qt USING (term)
+    GROUP BY qid, doc_id
+),
+fb AS (
+    SELECT qid, doc_id, score_q,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY score_q DESC, doc_id) AS rnk
+    FROM scored
+    QUALIFY rnk <= 3
+),
+ftf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE doc_id IN (SELECT DISTINCT doc_id FROM fb)
+    GROUP BY doc_id, term
+),
+contrib AS (
+    SELECT fb.qid, ftf.term, (ftf.tf * fb.score_q) // dl.dl AS c
+    FROM fb
+    JOIN ftf USING (doc_id)
+    JOIN dl USING (doc_id)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM qt WHERE qt.qid = fb.qid AND qt.term = ftf.term
+    )
+),
+w AS (
+    SELECT qid, term, CAST(SUM(c) AS BIGINT) AS w_q
+    FROM contrib GROUP BY 1, 2
+)
+SELECT qid, term, w_q, CAST(rnk AS INT) AS rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY w_q DESC, term) AS rnk
+    FROM w
+) WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+
 def uni1_unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Unigram-LM Viterbi segmentation
     (operators/tokenize.unigram_segment_exact, Kudo 2018's inference
@@ -14564,6 +14652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bs1_brier_calibration": bs1_brier_calibration,
         "ct1_rank_langid": ct1_rank_langid,
         "pt1_prototype_prune": pt1_prototype_prune,
+        "prf1_rm3_expansion": prf1_rm3_expansion,
         # ---- positions 9-30: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
@@ -14608,7 +14697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv1_constraints": dv1_constraints,
         "ev_hopping": ev_hopping,
         "fn1_funnel": fn1_funnel,
-        "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14625,7 +14713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- positions 61+: the remaining r03-stale rows — head of
         #      the r11 refill pool (o3/mx2/mx1/kw1 displaced by
-        #      uni2/jl1/kn1/iso1; ix1/iv1/h1 by bs1/ct1/pt1) ----
+        #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1 by bs1/ct1/pt1/prf1) ----
+        "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
         "h1_histogram": h1_histogram,
         "iv1_interval_overlap": iv1_interval_overlap,
         "ix1_global_index": ix1_global_index,
@@ -14873,6 +14962,7 @@ def oracle_sql() -> dict[str, str]:
         "bs1_brier_calibration": BS1_SQL,
         "ct1_rank_langid": CT1_SQL,
         "pt1_prototype_prune": PT1_SQL,
+        "prf1_rm3_expansion": PRF1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -26,7 +26,7 @@ happens.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_oms_spark.operators.text import tokens
@@ -242,4 +242,92 @@ def rrf_fuse(
         .withColumn("rrf_score", F.col("rrf_q").cast("double") / F.lit(float(rrf_scale)))
         .orderBy(F.col("rrf_q").desc(), F.col(id_col))
         .limit(top)
+    )
+
+
+def prf_expansion(
+    df: DataFrame,
+    queries: list[tuple[str, tuple[str, ...]]],
+    k_docs: int = 3,
+    k_terms: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3 family — public:
+    Lavrenko & Croft 2001 relevance models; Abdul-Jaleel et al. 2004
+    RM3): for each query, retrieve the top ``k_docs`` feedback
+    documents by BM25, estimate an expansion-term relevance weight
+    from them, and emit the top ``k_terms`` new terms per query —
+    (qid, term, w_q, rnk).
+
+    The relevance-model estimate P(t|R) ≈ Σ_d P(t|d)·P(d|q) is
+    quantized EXACTLY per (doc, term):
+
+        w_q(q, t) = Σ_{d in fb(q)}  (tf(t, d) · score_q(d)) // dl(d)
+
+    i.e. the doc's maximum-likelihood term probability times its
+    1e-6-quantized BM25 score, floored to an integer BEFORE the sum —
+    order-independent, bit-identical on any engine (the repo-wide
+    portability pattern; ts1's score_q is already exact). The query's
+    own terms are excluded (RM3's interpolation with the original query
+    is a re-ranking concern; the expansion TERMS are the artifact a
+    pipeline stores).
+
+    Scale shape: ONE shared postings build scores all queries (mrr1's
+    one-postings-serves-all shape); the second tokenization pass is
+    semi-join-pruned to the |queries|·k_docs feedback documents BEFORE
+    the groupBy, so its shuffle is feedback-sized, not corpus-sized.
+    All windows partition by qid over candidate/term domains. Queries
+    with no BM25 candidate emit no rows (nothing to feed back from).
+
+    Overflow: tf·score_q ≤ dl·score_q — int64-safe while per-doc
+    BM25 score_q · doc length < 9.2e18 (score_q is ~#terms·1e6).
+    """
+    spark = df.sparkSession
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    per_term = bm25_term_scores(df, all_terms, text_col, id_col)
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in queries for t in ts], "qid string, term string"
+    )
+    scored = (
+        per_term.join(F.broadcast(qt), "term")
+        .groupBy("qid", id_col)
+        .agg(F.sum("term_q").alias("score_q"))
+    )
+    fb = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("score_q"), id_col)
+        ),
+    ).filter(F.col("rnk") <= k_docs)
+    dl = corpus_stats(ensure_parallelism(df, id_col), text_col, id_col)
+    fb_docs = fb.select(id_col).distinct()
+    ftf = (
+        df.join(F.broadcast(fb_docs), id_col, "left_semi")
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    contrib = (
+        fb.join(ftf, id_col)
+        .join(dl, id_col)
+        .join(F.broadcast(qt), ["qid", "term"], "left_anti")
+        .select(
+            "qid",
+            "term",
+            F.expr("(tf * score_q) div dl").alias("c"),
+        )
+    )
+    w = contrib.groupBy("qid", "term").agg(
+        F.sum("c").cast("long").alias("w_q")
+    )
+    return (
+        w.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("w_q"), "term")
+            ),
+        )
+        .filter(F.col("rnk") <= k_terms)
+        .orderBy("qid", "rnk")
     )

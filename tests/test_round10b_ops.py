@@ -296,3 +296,66 @@ def test_prototype_prune_vs_brute_on_kmeans(spark):
         .collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------- prf1
+def test_prf_expansion_vs_python_replay(spark):
+    """Replay the RM3 weight contract in pure Python: BM25 feedback
+    scores come from the engine's bm25_scores (itself parity-pinned in
+    test_search.py); the feedback-doc choice, (tf·score_q)//dl
+    flooring, own-term exclusion and (w DESC, term ASC) ranking are all
+    re-derived independently with dict counting."""
+    import re
+    from collections import Counter
+
+    from etl_oms_spark.operators.search import bm25_scores, prf_expansion
+
+    docs = [
+        (1, "spark join join hash plan with the big table scan"),
+        (2, "hash join build side is the small broadcast table"),
+        (3, "sort merge join spills when the hash table is big"),
+        (4, "a totally unrelated document about cats and pianos"),
+        (5, "scan pruning and join reordering in the plan optimizer"),
+        (6, "hash partitioning of the join keys avoids the skew"),
+    ]
+    queries = [("qa", ("join", "hash")), ("qb", ("zzz_nohit",))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = [
+        (r["qid"], r["term"], r["w_q"], r["rnk"])
+        for r in prf_expansion(df, queries, k_docs=2, k_terms=4).collect()
+    ]
+
+    def norm_tokens(t):
+        return re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+
+    scores = {
+        r["doc_id"]: r["score_q"]
+        for r in bm25_scores(df, ["join", "hash"]).collect()
+    }
+    fb = sorted(scores, key=lambda d: (-scores[d], d))[:2]
+    w = Counter()
+    texts = dict(docs)
+    for d in fb:
+        toks = norm_tokens(texts[d])
+        dl = len(toks)
+        for term, tf in Counter(toks).items():
+            if term in ("join", "hash"):
+                continue
+            w[term] += (tf * scores[d]) // dl
+    ranked = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    want = [("qa", t, wq, i + 1) for i, (t, wq) in enumerate(ranked)]
+    assert got == want  # qb has no candidates -> no rows
+
+
+def test_prf_expansion_excludes_query_terms(spark):
+    from etl_oms_spark.operators.search import prf_expansion
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha gamma gamma delta")],
+        "doc_id long, text string",
+    )
+    out = prf_expansion(df, [("q", ("alpha",))], k_docs=2, k_terms=10)
+    terms = {r["term"] for r in out.collect()}
+    assert "alpha" not in terms
+    assert terms == {"beta", "gamma", "delta"}
