@@ -2480,6 +2480,110 @@ FROM (
 """
 
 
+def mmr1_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified retrieval
+    (operators/similarity.mmr_topk, Carbonell & Goldstein 1998): for 3
+    query vectors, re-rank the top-8 cosine candidates into 4 picks by
+    λ=0.7 relevance-vs-redundancy — integer objective 7·rel_q9 −
+    3·max_sim_q9 over 1e-9-quantized cosines, argmax ties to the lower
+    id. One corpus scan; the 3 unrolled selection rounds run on
+    24-row checkpointed frames."""
+    from etl_oms_spark.operators.similarity import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_topk(emb, query, k_cand=8, k_select=4, lam_tenths=7)
+
+
+def _mmr_round_ctes(k_select: int, lam: int = 7) -> str:
+    """Unrolled MMR selection rounds 2..k_select (uni1's unrolled-DP
+    pattern): each round anti-joins the selected set, takes the max
+    candidate-to-selected sim, and argmaxes the integer objective."""
+    out = []
+    for t in range(2, k_select + 1):
+        p = t - 1
+        out.append(f"""
+ms{t} AS (
+    SELECT r.query_id, r.vec_id, r.rel_q, MAX(p.sim_q) AS msim
+    FROM cand r
+    JOIN cpairs p ON p.query_id = r.query_id AND p.ca = r.vec_id
+    JOIN selu{p} s ON s.query_id = p.query_id AND s.vec_id = p.cb
+    WHERE NOT EXISTS (
+        SELECT 1 FROM selu{p} z
+        WHERE z.query_id = r.query_id AND z.vec_id = r.vec_id
+    )
+    GROUP BY 1, 2, 3
+),
+pick{t} AS (
+    SELECT query_id, vec_id, rel_q, mmr_q FROM (
+        SELECT query_id, vec_id, rel_q,
+               {lam} * rel_q - {10 - lam} * msim AS mmr_q,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY {lam} * rel_q - {10 - lam} * msim
+                                           DESC, vec_id) AS rn
+        FROM ms{t}
+    ) WHERE rn = 1
+),
+selu{t} AS (
+    SELECT * FROM selu{p}
+    UNION ALL
+    SELECT query_id, vec_id, rel_q, mmr_q, {t} AS rank FROM pick{t}
+)""")
+    return ",".join(out)
+
+
+MMR1_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+    WHERE vec_id IN (0, 1, 2)
+), pairsr AS (
+    SELECT q.query_id, e.vec_id,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='q.qe')}) AS dot,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='e.embedding')}) AS na,
+           SUM({_QE.format(v='q.qe')} * {_QE.format(v='q.qe')}) AS nb
+    FROM embeddings e, q, range(1, 65) t(i)
+    GROUP BY 1, 2
+), rel AS (
+    SELECT query_id, vec_id,
+           CAST(floor(CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                      * 1000000000 + 0.5) AS BIGINT) AS rel_q
+    FROM pairsr WHERE na > 0 AND nb > 0
+), cand AS (
+    SELECT query_id, vec_id, rel_q,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel_q DESC, vec_id) AS rn
+    FROM rel
+    QUALIFY rn <= 8
+), cpairs AS (
+    SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+           CAST(floor(CAST(SUM({_QE.format(v='ea.embedding')}
+                                * {_QE.format(v='eb.embedding')}) AS DOUBLE)
+                      / (sqrt(CAST(SUM({_QE.format(v='ea.embedding')}
+                                        * {_QE.format(v='ea.embedding')})
+                                   AS DOUBLE))
+                         * sqrt(CAST(SUM({_QE.format(v='eb.embedding')}
+                                          * {_QE.format(v='eb.embedding')})
+                                     AS DOUBLE)))
+                      * 1000000000 + 0.5) AS BIGINT) AS sim_q
+    FROM cand a
+    JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id, range(1, 65) t(i)
+    GROUP BY 1, 2, 3
+), selu1 AS (
+    SELECT query_id, vec_id, rel_q, 7 * rel_q AS mmr_q, 1 AS rank
+    FROM cand WHERE rn = 1
+),{_mmr_round_ctes(4)}
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       rel_q AS rel_q9, mmr_q AS mmr_q9
+FROM selu4
+ORDER BY query_id, rank
+"""
+
+
 def e4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, full probe: probing every inverted list degenerates to
     exact brute force, so the IVF assign/probe/re-rank machinery is
@@ -14653,6 +14757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ct1_rank_langid": ct1_rank_langid,
         "pt1_prototype_prune": pt1_prototype_prune,
         "prf1_rm3_expansion": prf1_rm3_expansion,
+        "mmr1_diversified_topk": mmr1_diversified_topk,
         # ---- positions 9-30: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
@@ -14696,7 +14801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds1_domain_score": ds1_domain_score,
         "dv1_constraints": dv1_constraints,
         "ev_hopping": ev_hopping,
-        "fn1_funnel": fn1_funnel,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14713,7 +14817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- positions 61+: the remaining r03-stale rows — head of
         #      the r11 refill pool (o3/mx2/mx1/kw1 displaced by
-        #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1 by bs1/ct1/pt1/prf1) ----
+        #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1/fn1 by
+        #      bs1/ct1/pt1/prf1/mmr1) ----
+        "fn1_funnel": fn1_funnel,
         "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
         "h1_histogram": h1_histogram,
         "iv1_interval_overlap": iv1_interval_overlap,
@@ -14963,6 +15069,7 @@ def oracle_sql() -> dict[str, str]:
         "ct1_rank_langid": CT1_SQL,
         "pt1_prototype_prune": PT1_SQL,
         "prf1_rm3_expansion": PRF1_SQL,
+        "mmr1_diversified_topk": MMR1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -1289,3 +1289,143 @@ def jl_recall_report(
         )
         .orderBy("query_id")
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k_cand: int = 8,
+    k_select: int = 4,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (public: Carbonell
+    & Goldstein 1998, SIGIR) — re-rank each query's top-``k_cand``
+    cosine candidates into ``k_select`` picks that trade relevance
+    against redundancy:
+
+        MMR = argmax_c [ λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) ]
+
+    All scores are 1e-9-quantized integers (rel_q9/sim_q9 =
+    floor(cosine·1e9 + 0.5) from the exact-integer dot/norm operands),
+    so with λ in tenths the objective is pure integer algebra —
+    ``lam·rel_q9 − (10−lam)·msim_q9`` — and every argmax (score DESC,
+    id ASC) is bit-identical on any engine. Round 1 has an empty
+    selected set: its MMR is defined as ``lam·rel_q9``.
+
+    Scale shape: the corpus is touched ONCE (broadcast query
+    cross-join → per-query top-k_cand window); everything after —
+    pairwise sims among candidates (≤ k_cand² per query) and the
+    k_select−1 unrolled selection rounds — runs on
+    |queries|·k_cand-bounded frames behind lazy-checkpoint barriers
+    (graph.py's lineage-truncation pattern), so the selection never
+    re-scans or re-shuffles the corpus.
+
+    Returns (query_id, rank, id, rel_q9, mmr_q9) ordered by
+    (query_id, rank).
+    """
+    from pyspark.sql import Window
+
+    lam = int(lam_tenths)
+    q = query.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    rel = _cosine_scored(
+        ensure_parallelism(df, id_col), q, id_col, vec_col, query_id_col
+    )
+    rel_q = F.floor(F.col("cosine") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("rel_q9"), F.asc(id_col)
+    )
+    cand = (
+        rel.filter(F.col("cosine").isNotNull())
+        .select(query_id_col, id_col, rel_q.alias("rel_q9"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_cand)
+        .drop("rn")
+        .join(df.select(F.col(id_col), F.col(vec_col)), id_col)
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("__ca"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = cand.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("__cb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    sims = (
+        a.join(b, query_id_col)
+        .filter(F.col("__ca") != F.col("__cb"))
+        .select(
+            query_id_col,
+            "__ca",
+            "__cb",
+            F.floor(
+                cosine_quantized(F.col("__va"), F.col("__vb")) * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sim_q9"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pick_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("mmr_q9"), F.asc(id_col)
+    )
+    selected = (
+        cand.select(
+            query_id_col,
+            id_col,
+            "rel_q9",
+            (F.lit(lam) * F.col("rel_q9")).alias("mmr_q9"),
+        )
+        .withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("rank", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    for t in range(2, k_select + 1):
+        remaining = cand.join(
+            selected.select(query_id_col, id_col),
+            [query_id_col, id_col],
+            "left_anti",
+        )
+        ms = (
+            sims.join(
+                selected.select(
+                    query_id_col, F.col(id_col).alias("__cb")
+                ),
+                [query_id_col, "__cb"],
+            )
+            .groupBy(query_id_col, "__ca")
+            .agg(F.max("sim_q9").alias("msim"))
+            .withColumnRenamed("__ca", id_col)
+        )
+        pick = (
+            remaining.join(ms, [query_id_col, id_col])
+            .select(
+                query_id_col,
+                id_col,
+                "rel_q9",
+                (
+                    F.lit(lam) * F.col("rel_q9")
+                    - F.lit(10 - lam) * F.col("msim")
+                ).alias("mmr_q9"),
+            )
+            .withColumn("rn", F.row_number().over(pick_w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .withColumn("rank", F.lit(t))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(
+        query_id_col,
+        F.col("rank").cast("int").alias("rank"),
+        id_col,
+        "rel_q9",
+        "mmr_q9",
+    ).orderBy(query_id_col, "rank")

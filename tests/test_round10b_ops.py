@@ -359,3 +359,87 @@ def test_prf_expansion_excludes_query_terms(spark):
     terms = {r["term"] for r in out.collect()}
     assert "alpha" not in terms
     assert terms == {"beta", "gamma", "delta"}
+
+
+# --------------------------------------------------------------- mmr1
+def _mmr_greedy_replay(vecs, qid, k_cand, k_select, lam):
+    """Independent pure-Python MMR greedy: quantized scores recomputed
+    from scratch (math.sqrt + floor), sequential selection."""
+    import math
+
+    def q(x):
+        return round(float(x) * 1e6)
+
+    def cos_q9(a, b):
+        qa, qb = [q(x) for x in a], [q(x) for x in b]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        na = sum(x * x for x in qa)
+        nb = sum(y * y for y in qb)
+        return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e9 + 0.5)
+
+    rel = {vid: cos_q9(v, vecs[qid]) for vid, v in vecs.items()}
+    cand = sorted(rel, key=lambda d: (-rel[d], d))[:k_cand]
+    sel, want = [], []
+    for rank in range(1, k_select + 1):
+        best = None
+        for c in cand:
+            if c in [s for s, _ in sel]:
+                continue
+            pen = max(
+                (cos_q9(vecs[c], vecs[s]) for s, _ in sel), default=None
+            )
+            mmr = (
+                lam * rel[c]
+                if pen is None
+                else lam * rel[c] - (10 - lam) * pen
+            )
+            if best is None or (mmr, -c) > (best[1], -best[0]):
+                best = (c, mmr)
+        sel.append(best)
+        want.append((rank, best[0], rel[best[0]], best[1]))
+    return want
+
+
+_MMR_VECS = {
+    0: [1.0, 0.0, 0.0, 0.0],     # query
+    11: [0.99, 0.14, 0.0, 0.0],  # very relevant
+    12: [0.99, 0.141, 0.0, 0.0],  # near-dup of 11
+    13: [0.6, 0.0, 0.8, 0.0],    # less relevant, diverse
+    14: [0.58, 0.0, 0.0, 0.81],  # less relevant, diverse
+    15: [-1.0, 0.0, 0.0, 0.0],   # anti-relevant
+}
+
+
+def _mmr_spark(spark, lam):
+    from etl_oms_spark.operators.similarity import mmr_topk
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in _MMR_VECS.items()],
+        "vec_id long, embedding array<float>",
+    )
+    query = df.filter("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    return [
+        (r["rank"], r["vec_id"], r["rel_q9"], r["mmr_q9"])
+        for r in mmr_topk(
+            df, query, k_cand=6, k_select=3, lam_tenths=lam
+        ).collect()
+    ]
+
+
+def test_mmr_topk_vs_greedy_replay_lambda7(spark):
+    assert _mmr_spark(spark, 7) == _mmr_greedy_replay(_MMR_VECS, 0, 6, 3, 7)
+
+
+def test_mmr_topk_redundancy_penalty_bites(spark):
+    """At λ=0.5 the redundancy term dominates a near-duplicate: pure
+    relevance order is 0, 12, 11 but MMR must skip the second near-dup
+    (sim ≈ 1 makes its penalized score negative) in favor of the
+    diverse doc 13 — and the engine must agree with the replay."""
+    got = _mmr_spark(spark, 5)
+    assert got == _mmr_greedy_replay(_MMR_VECS, 0, 6, 3, 5)
+    picked = [v for _, v, _, _ in got]
+    assert picked[0] == 0
+    assert not {11, 12} <= set(picked)
+    assert 13 in picked
