@@ -124,6 +124,12 @@ HEADLINE = [
     "jl1_random_projection",
     "kn1_kneser_ney",
     "iso1_isotonic_calibration",
+    # round-10 late additions (appended)
+    "bs1_brier_calibration",
+    "ct1_rank_langid",
+    "pt1_prototype_prune",
+    "prf1_rm3_expansion",
+    "mmr1_diversified_topk",
 ]
 
 
