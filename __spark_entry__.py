@@ -11884,6 +11884,68 @@ ORDER BY true_lang, pred_lang
 """
 
 
+def wf1_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint matches (operators/dedup.winnow_fingerprints
+    + winnow_match_pairs, Schleimer et al. 2003 / MOSS): hash every
+    token 4-gram with the portable 60-bit md5 prefix, select the
+    min-hash of each 4-window (ties rightmost) per document — the
+    guarantee-carrying sparse fingerprint set — then report document
+    pairs sharing ≥ 2 distinct fingerprints, hub hashes (df > 64)
+    dropped before the posting-list join. Doc-partitioned windows only;
+    the pair join is Σdf²-bounded with df ≤ 64."""
+    from etl_oms_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    fps = winnow_fingerprints(_t(spark, sf_dir, "documents"), k=4, w=4)
+    return winnow_match_pairs(fps, max_df=64, min_shared=2)
+
+
+WF1_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+), pt AS (
+    SELECT doc_id, unnest(range(1, CAST(len(t) AS BIGINT) + 1)) AS pos,
+           unnest(t) AS tok
+    FROM toks
+), kg AS (
+    SELECT doc_id, pos,
+           CAST('0x' || substring(
+               md5(tok || ' ' || l1 || ' ' || l2 || ' ' || l3), 1, 15)
+             AS BIGINT) AS h
+    FROM (
+        SELECT doc_id, pos, tok,
+               lead(tok, 1) OVER dw AS l1,
+               lead(tok, 2) OVER dw AS l2,
+               lead(tok, 3) OVER dw AS l3
+        FROM pt
+        WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE l3 IS NOT NULL
+), sel AS (
+    SELECT DISTINCT doc_id, s.h AS h FROM (
+        SELECT doc_id,
+               min(struct_pack(h := h, np := -pos)) OVER fw AS s,
+               COUNT(*) OVER fw AS cnt
+        FROM kg
+        WINDOW fw AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+    ) WHERE cnt = 4
+), small AS (
+    SELECT h FROM (SELECT h, COUNT(*) AS df FROM sel GROUP BY h)
+    WHERE df <= 64
+), pr AS (
+    SELECT doc_id, h FROM sel JOIN small USING (h)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
 def ap1_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact average precision (area under the precision-recall curve,
     step interpolation — the right eval metric when positives are rare,
@@ -14758,6 +14820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pt1_prototype_prune": pt1_prototype_prune,
         "prf1_rm3_expansion": prf1_rm3_expansion,
         "mmr1_diversified_topk": mmr1_diversified_topk,
+        "wf1_winnow_matches": wf1_winnow_matches,
         # ---- positions 9-30: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
@@ -14800,7 +14863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dr1_drift_psi": dr1_drift_psi,
         "ds1_domain_score": ds1_domain_score,
         "dv1_constraints": dv1_constraints,
-        "ev_hopping": ev_hopping,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14817,8 +14879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- positions 61+: the remaining r03-stale rows — head of
         #      the r11 refill pool (o3/mx2/mx1/kw1 displaced by
-        #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1/fn1 by
-        #      bs1/ct1/pt1/prf1/mmr1) ----
+        #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1/fn1/ev_hopping by
+        #      bs1/ct1/pt1/prf1/mmr1/wf1) ----
+        "ev_hopping": ev_hopping,
         "fn1_funnel": fn1_funnel,
         "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
         "h1_histogram": h1_histogram,
@@ -15070,6 +15133,7 @@ def oracle_sql() -> dict[str, str]:
         "pt1_prototype_prune": PT1_SQL,
         "prf1_rm3_expansion": PRF1_SQL,
         "mmr1_diversified_topk": MMR1_SQL,
+        "wf1_winnow_matches": WF1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

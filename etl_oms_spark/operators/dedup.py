@@ -1139,3 +1139,105 @@ def strip_spans(
             (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_removed"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (public: Schleimer, Wilkerson &
+    Aiken 2003, "Winnowing: Local Algorithms for Document
+    Fingerprinting" — the MOSS algorithm): hash every token ``k``-gram,
+    slide a window of ``w`` consecutive k-gram hashes over each
+    document, and select the minimum hash per window (ties to the
+    RIGHTMOST position, the paper's rule). The guarantee: any shared
+    substring of at least w+k−1 tokens yields at least one shared
+    fingerprint, while only ~2/(w+1) of the k-grams are kept.
+
+    Hashes are the repo's portable 60-bit md5 prefix
+    (``conv(substring(md5(kgram),1,15),16,10)`` — d6/d7's recipe), so
+    any engine recomputes the identical fingerprint set. The window-min
+    is ``min(struct(h, -pos))`` over a doc-partitioned frame — pure
+    column algebra, deterministic; only FULL windows select (trailing
+    partial windows would re-select with weaker guarantees).
+
+    Scale shape: one corpus scan; both windows partition BY DOCUMENT
+    (state = w rows), so no corpus-wide shuffle beyond the doc-keyed
+    exchange the posexplode already implies. Returns the DISTINCT
+    selected (id, h, pos) triples; documents with fewer than w+k−1
+    tokens yield no fingerprints (no full window exists).
+    """
+    from pyspark.sql import Window
+
+    base = ensure_parallelism(df, id_col)
+    pos_tok = base.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    ow = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(ow) for i in range(1, k)
+    ]
+    kgrams = (
+        pos_tok.withColumn("__last", F.lead("tok", k - 1).over(ow))
+        .withColumn("__kg", F.concat_ws(" ", *parts))
+        .filter(F.col("__last").isNotNull())
+        .select(
+            F.col(id_col),
+            "pos",
+            F.conv(F.substring(F.md5(F.col("__kg")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    fw = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = kgrams.select(
+        F.col(id_col),
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(fw).alias("__s"),
+        F.count(F.lit(1)).over(fw).alias("__cnt"),
+    ).filter(F.col("__cnt") == w)
+    return sel.select(
+        F.col(id_col),
+        F.col("__s.h").alias("h"),
+        (-F.col("__s.np")).cast("long").alias("pos"),
+    ).distinct()
+
+
+def winnow_match_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_df: int = 64,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Cross-document matches over winnowed fingerprints: pairs of
+    documents sharing at least ``min_shared`` distinct fingerprint
+    hashes — (id_a, id_b, n_shared), id_a < id_b.
+
+    Fingerprints seen in more than ``max_df`` documents are dropped
+    BEFORE pairing (MOSS's ignore-ubiquitous-fingerprints rule — they
+    are boilerplate, and they are also exactly the hub keys that would
+    make the hash-keyed self-join quadratic; same posture as d8's block
+    cap). The join is posting-list-bounded: Σ df² over surviving
+    hashes, each df ≤ max_df.
+    """
+    sets = fps.select(id_col, "h").distinct()
+    small = (
+        sets.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    pruned = sets.join(small, "h", "left_semi")
+    a = pruned.select(F.col("h"), F.col(id_col).alias("id_a"))
+    b = pruned.select(F.col("h"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )

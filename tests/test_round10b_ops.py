@@ -443,3 +443,97 @@ def test_mmr_topk_redundancy_penalty_bites(spark):
     assert picked[0] == 0
     assert not {11, 12} <= set(picked)
     assert 13 in picked
+
+
+# ---------------------------------------------------------------- wf1
+def _brute_winnow(text, k=4, w=4):
+    """Independent winnowing replay: explicit window loop over md5
+    k-gram hashes, min with rightmost tie-break, full windows only."""
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+    ]
+    sel = set()
+    for start in range(len(hs) - w + 1):
+        window = hs[start : start + w]
+        m = min(window)
+        # rightmost occurrence of the min
+        off = max(i for i, h in enumerate(window) if h == m)
+        sel.add((start + off, m))
+    return sel
+
+
+def test_winnow_fingerprints_vs_brute(spark):
+    from etl_oms_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs and more jugs"),
+        (3, "a b c"),  # < w+k-1 tokens: no full window, no fingerprints
+    ]
+    got = {
+        (r["doc_id"], r["pos"], r["h"])
+        for r in winnow_fingerprints(
+            spark.createDataFrame(texts, "doc_id long, text string")
+        ).collect()
+    }
+    want = {
+        (d, pos, h)
+        for d, t in texts
+        for pos, h in _brute_winnow(t)
+    }
+    assert got == want
+    assert not any(d == 3 for d, _, _ in got)
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee: two documents sharing a run of at least
+    w+k-1 = 7 tokens must share at least one fingerprint, and
+    winnow_match_pairs must surface the pair when >= min_shared."""
+    from etl_oms_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        (1, "one two three " + shared + " four five six"),
+        (2, shared + " totally different suffix words here"),
+        (3, "unrelated content with no overlap at all whatsoever okay"),
+    ]
+    fps = winnow_fingerprints(
+        spark.createDataFrame(texts, "doc_id long, text string")
+    )
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    assert by_doc[1] & by_doc[2], "guarantee violated: no shared fingerprint"
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_match_pairs(fps, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_max_df_drops_ubiquitous(spark):
+    """A fingerprint present in every document must be excluded from
+    pairing when max_df is below the corpus size."""
+    from etl_oms_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_match_pairs,
+    )
+
+    boiler = "standard footer text appears in every document here"
+    texts = [(i, f"doc {i} unique words u{i} v{i} " + boiler) for i in range(1, 5)]
+    fps = winnow_fingerprints(
+        spark.createDataFrame(texts, "doc_id long, text string")
+    )
+    with_cap = winnow_match_pairs(fps, max_df=3, min_shared=1).count()
+    without_cap = winnow_match_pairs(fps, max_df=64, min_shared=1).count()
+    assert without_cap == 6  # all C(4,2) pairs share the boilerplate
+    assert with_cap < without_cap
