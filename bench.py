@@ -130,6 +130,7 @@ HEADLINE = [
     "pt1_prototype_prune",
     "prf1_rm3_expansion",
     "mmr1_diversified_topk",
+    "wf1_winnow_matches",
 ]
 
 
