@@ -11884,6 +11884,88 @@ ORDER BY true_lang, pred_lang
 """
 
 
+def ari1_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-validity scorecard for the exact k-means partition vs
+    the embeddings' ground-truth labels
+    (operators/clustering.cluster_label_agreement): Adjusted Rand Index
+    (Hubert & Arabie 1985) as pure integer algebra over doubled pair
+    counts — ONE truncating division quantizes to 1e-9 — plus mutual
+    information and both entropies (per-cell 1e-9-quantized log terms,
+    en1's discipline) and the arithmetic-mean NMI. One groupBy to the
+    8×L contingency table; everything after is domain-sized."""
+    from etl_oms_spark.operators.clustering import (
+        cluster_label_agreement,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, kmeans_fit(emb, k=8, n_iter=2))
+    return cluster_label_agreement(assigned, emb.select("vec_id", "label"))
+
+
+ARI1_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(8, 2)},
+ct AS (
+    SELECT f.cluster, e.label AS lbl, CAST(COUNT(*) AS BIGINT) AS nij
+    FROM final_assign f JOIN embeddings e USING (vec_id)
+    GROUP BY 1, 2
+), arow AS (
+    SELECT cluster, CAST(SUM(nij) AS BIGINT) AS ai FROM ct GROUP BY 1
+), bcol AS (
+    SELECT lbl, CAST(SUM(nij) AS BIGINT) AS bj FROM ct GROUP BY 1
+), sums AS (
+    SELECT CAST(SUM(nij) AS BIGINT) AS n,
+           SUM(CAST(nij AS HUGEINT) * (nij - 1)) AS sidx2,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_labels
+    FROM ct
+), sa AS (
+    SELECT SUM(CAST(ai AS HUGEINT) * (ai - 1)) AS sa2 FROM arow
+), sb AS (
+    SELECT SUM(CAST(bj AS HUGEINT) * (bj - 1)) AS sb2 FROM bcol
+), mi AS (
+    SELECT CAST(SUM(CAST(floor(
+               CAST(nij AS DOUBLE)
+               * ln(CAST(n AS DOUBLE) * CAST(nij AS DOUBLE)
+                    / (CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_s
+    FROM ct JOIN arow USING (cluster) JOIN bcol USING (lbl)
+    CROSS JOIN sums
+), ha AS (
+    SELECT CAST(SUM(CAST(floor(
+               -(CAST(ai AS DOUBLE)
+                 * ln(CAST(ai AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS h_ai
+    FROM arow CROSS JOIN sums
+), hb AS (
+    SELECT CAST(SUM(CAST(floor(
+               -(CAST(bj AS DOUBLE)
+                 * ln(CAST(bj AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS h_bj
+    FROM bcol CROSS JOIN sums
+), g AS (
+    SELECT n, n_clusters, n_labels,
+           CAST(n AS HUGEINT) * (n - 1) AS big2,
+           sidx2, sa2, sb2, mi_s, h_ai, h_bj
+    FROM sums CROSS JOIN sa CROSS JOIN sb CROSS JOIN mi
+    CROSS JOIN ha CROSS JOIN hb
+)
+SELECT n, n_clusters, n_labels,
+       CASE WHEN big2 * (sa2 + sb2) - 2 * sa2 * sb2 = 0
+            THEN CAST(1000000000 AS BIGINT)
+            ELSE CAST(((2 * big2 * sidx2 - 2 * sa2 * sb2) * 1000000000)
+                      // (big2 * (sa2 + sb2) - 2 * sa2 * sb2) AS BIGINT)
+       END AS ari_q9,
+       CAST(greatest(mi_s, 0) // n AS BIGINT) AS mi_q9,
+       CAST(h_ai // n AS BIGINT) AS h_cluster_q9,
+       CAST(h_bj // n AS BIGINT) AS h_label_q9,
+       CAST(greatest(mi_s, 0) // n AS DOUBLE)
+           / (CAST(h_ai // n + h_bj // n AS DOUBLE) / 2.0) AS nmi
+FROM g
+"""
+
+
 def wf1_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint matches (operators/dedup.winnow_fingerprints
     + winnow_match_pairs, Schleimer et al. 2003 / MOSS): hash every
@@ -14821,6 +14903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf1_rm3_expansion": prf1_rm3_expansion,
         "mmr1_diversified_topk": mmr1_diversified_topk,
         "wf1_winnow_matches": wf1_winnow_matches,
+        "ari1_cluster_agreement": ari1_cluster_agreement,
         # ---- positions 9-30: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
@@ -14862,7 +14945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq1_profile": dq1_profile,
         "dr1_drift_psi": dr1_drift_psi,
         "ds1_domain_score": ds1_domain_score,
-        "dv1_constraints": dv1_constraints,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14879,8 +14961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- positions 61+: the remaining r03-stale rows — head of
         #      the r11 refill pool (o3/mx2/mx1/kw1 displaced by
-        #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1/fn1/ev_hopping by
-        #      bs1/ct1/pt1/prf1/mmr1/wf1) ----
+        #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1/fn1/ev_hopping/dv1 by
+        #      bs1/ct1/pt1/prf1/mmr1/wf1/ari1) ----
+        "dv1_constraints": dv1_constraints,
         "ev_hopping": ev_hopping,
         "fn1_funnel": fn1_funnel,
         "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
@@ -15134,6 +15217,7 @@ def oracle_sql() -> dict[str, str]:
         "prf1_rm3_expansion": PRF1_SQL,
         "mmr1_diversified_topk": MMR1_SQL,
         "wf1_winnow_matches": WF1_SQL,
+        "ari1_cluster_agreement": ARI1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -463,3 +463,154 @@ def prototype_prune(
         F.col("rn")
         <= F.expr(f"(n * {int(frac_num)}) div {int(frac_den)}"),
     )
+
+
+def _divtrunc(a: Column, b: Column) -> Column:
+    """Exact integer division truncating TOWARD ZERO for decimal
+    operands with b > 0 and either-sign a — DuckDB's ``//`` semantics
+    (measured: (-7)//2 = -3, i.e. trunc, not floor). Spark's % carries
+    the dividend's sign, so (a − a%b) is exactly divisible and the
+    quotient truncates the same way on both engines."""
+    return (a - a % b) / b
+
+
+def cluster_label_agreement(
+    assigned: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """External-validity scorecard for a clustering against ground-truth
+    labels: Adjusted Rand Index (Hubert & Arabie 1985) and mutual
+    information / entropies (for NMI) — the eval step after e7/sd1/pt1
+    decide anything based on the k-means partition.
+
+    ARI is EXACT integer algebra end-to-end: with doubled pair counts
+    p2(x) = x(x−1) = 2·C(x,2) over the contingency table n_ij, row sums
+    a_i, column sums b_j, and big2 = n(n−1), Hubert & Arabie's form
+    multiplies through by 4·C(n,2) = 2·big2 into pure integer products:
+
+        ARI = (2·big2·Σp2(n_ij) − 2·Σp2(a)·Σp2(b))
+            / (big2·(Σp2(a) + Σp2(b)) − 2·Σp2(a)·Σp2(b))
+
+    then ONE exact integer division quantizes to 1e-9 — ari_q9 can be
+    NEGATIVE (worse-than-chance agreement), and the division TRUNCATES
+    toward zero on both engines (DuckDB ``//`` truncates on negatives;
+    Spark's remainder trick does the same by construction).
+    decimal(38) headroom: the cross products are ~n⁴, exact to
+    n ≈ 3·10⁹ vectors; degenerate den = 0 (single cluster AND single
+    label) is pinned to ARI = 1.
+
+    MI/entropy terms are quantized per contingency CELL at 1e-9
+    (en1's per-term discipline): t_ij = n_ij·ln(n·n_ij/(a_i·b_j)),
+    h-terms likewise — integer sums, so mi_q9/h_*_q9 are
+    order-independent; nmi = mi/(0.5·(h_c+h_l)) is one double from
+    three ints. One groupBy to the k×L contingency table; everything
+    after is domain-sized.
+
+    Returns one row: n, n_clusters, n_labels, ari_q9, mi_q9,
+    h_cluster_q9, h_label_q9, nmi.
+    """
+    ct = (
+        assigned.select("cluster", F.col(id_col))
+        .join(labels.select(F.col(id_col), F.col(label_col).alias("lbl")), id_col)
+        .groupBy("cluster", "lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        .localCheckpoint(eager=False)
+    )
+    a = ct.groupBy("cluster").agg(F.sum("nij").alias("ai"))
+    b = ct.groupBy("lbl").agg(F.sum("nij").alias("bj"))
+
+    def p2(x: Column) -> Column:
+        # x(x-1) = 2*C(x,2): the halves cancel analytically below, so
+        # no decimal division (and its scale bookkeeping) ever happens
+        return x.cast("decimal(19,0)") * (x - 1).cast("decimal(19,0)")
+
+    sums = (
+        ct.agg(
+            F.sum("nij").cast("long").alias("n"),
+            F.sum(p2(F.col("nij"))).cast("decimal(38,0)").alias("sidx2"),
+            F.countDistinct("cluster").cast("long").alias("n_clusters"),
+            F.countDistinct("lbl").cast("long").alias("n_labels"),
+        )
+        .crossJoin(
+            a.agg(F.sum(p2(F.col("ai"))).cast("decimal(38,0)").alias("sa2"))
+        )
+        .crossJoin(
+            b.agg(F.sum(p2(F.col("bj"))).cast("decimal(38,0)").alias("sb2"))
+        )
+    )
+    # MI / entropy: per-cell quantized terms, integer sums
+    cell = (
+        ct.join(F.broadcast(a), "cluster")
+        .join(F.broadcast(b), "lbl")
+        .crossJoin(F.broadcast(sums.select("n")))
+    )
+    mi_t = F.floor(
+        F.col("nij").cast("double")
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("nij").cast("double")
+            / (F.col("ai").cast("double") * F.col("bj").cast("double"))
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    mi = cell.agg(F.sum(mi_t).cast("long").alias("mi_s"))
+
+    def h_terms(counts: DataFrame, col: str) -> DataFrame:
+        t = F.floor(
+            -(
+                F.col(col).cast("double")
+                * F.log(F.col(col).cast("double") / F.col("n").cast("double"))
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long")
+        return counts.crossJoin(F.broadcast(sums.select("n"))).agg(
+            F.sum(t).cast("long").alias(f"h_{col}")
+        )
+
+    ha = h_terms(a, "ai")
+    hb = h_terms(b, "bj")
+    g = sums.crossJoin(mi).crossJoin(ha).crossJoin(hb)
+    nn = F.col("n").cast("decimal(19,0)")
+    big2 = nn * (nn - 1)  # 2*C(n,2)
+    # ARI = (sidx2/2 - sa2*sb2/(2*big2)) / ((sa2+sb2)/4 - sa2*sb2/(2*big2))
+    # multiplied through by 4*big2 -> pure integer products:
+    num = (
+        F.lit(2).cast("decimal(19,0)") * big2 * F.col("sidx2")
+        - F.lit(2).cast("decimal(19,0)") * F.col("sa2") * F.col("sb2")
+    )
+    den = big2 * (F.col("sa2") + F.col("sb2")) - F.lit(2).cast(
+        "decimal(19,0)"
+    ) * F.col("sa2") * F.col("sb2")
+    k1e9 = F.lit(1_000_000_000).cast("decimal(19,0)")
+    ari_q9 = F.when(den == 0, F.lit(1_000_000_000)).otherwise(
+        _divtrunc(num * k1e9, den).cast("long")
+    )
+    # per-doc MI/H sums are n-scaled: divide by n once at the end.
+    # mi_s is clamped at 0 first — MI >= 0 mathematically, but the
+    # per-cell floors can leave a tiny negative residue, and negative
+    # operands would expose div-vs-// sign semantics
+    mi_q9 = F.expr("greatest(mi_s, 0L) div n")
+    h_c = F.expr("h_ai div n")
+    h_l = F.expr("h_bj div n")
+    return g.select(
+        "n",
+        "n_clusters",
+        "n_labels",
+        ari_q9.cast("long").alias("ari_q9"),
+        mi_q9.cast("long").alias("mi_q9"),
+        h_c.cast("long").alias("h_cluster_q9"),
+        h_l.cast("long").alias("h_label_q9"),
+        (
+            F.expr("greatest(mi_s, 0L) div n").cast("double")
+            / (
+                (
+                    F.expr("h_ai div n") + F.expr("h_bj div n")
+                ).cast("double")
+                / F.lit(2.0)
+            )
+        ).alias("nmi"),
+    )

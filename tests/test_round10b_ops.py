@@ -537,3 +537,111 @@ def test_winnow_max_df_drops_ubiquitous(spark):
     without_cap = winnow_match_pairs(fps, max_df=64, min_shared=1).count()
     assert without_cap == 6  # all C(4,2) pairs share the boilerplate
     assert with_cap < without_cap
+
+
+# --------------------------------------------------------------- ari1
+def _brute_agreement(pairs):
+    """Independent ARI/MI replay: Fractions for ARI (exact, truncated
+    toward zero at 1e-9 like DuckDB //), math.log doubles for MI/H."""
+    import math
+    from collections import Counter
+
+    n = len(pairs)
+    ct = Counter(pairs)
+    a = Counter(c for c, _ in pairs)
+    b = Counter(l for _, l in pairs)
+    sidx2 = sum(v * (v - 1) for v in ct.values())
+    sa2 = sum(v * (v - 1) for v in a.values())
+    sb2 = sum(v * (v - 1) for v in b.values())
+    big2 = n * (n - 1)
+    num = 2 * big2 * sidx2 - 2 * sa2 * sb2
+    den = big2 * (sa2 + sb2) - 2 * sa2 * sb2
+    if den == 0:
+        ari_q9 = 10**9
+    else:
+        q = Fraction(num * 10**9, den)
+        ari_q9 = math.floor(q) if q >= 0 else -math.floor(-q)  # trunc
+    mi_s = sum(
+        math.floor(
+            v * math.log(n * v / (a[c] * b[l])) * 1e9 + 0.5
+        )
+        for (c, l), v in ct.items()
+    )
+    h = lambda cnt: sum(
+        math.floor(-(v * math.log(v / n)) * 1e9 + 0.5) for v in cnt.values()
+    )
+    return {
+        "n": n,
+        "ari_q9": ari_q9,
+        "mi_q9": max(mi_s, 0) // n,
+        "h_cluster_q9": h(a) // n,
+        "h_label_q9": h(b) // n,
+    }
+
+
+def _run_agreement(spark, pairs):
+    from etl_oms_spark.operators.clustering import cluster_label_agreement
+
+    assigned = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(pairs)], "vec_id long, cluster int"
+    )
+    labels = spark.createDataFrame(
+        [(i, l) for i, (_, l) in enumerate(pairs)], "vec_id long, label int"
+    )
+    return cluster_label_agreement(assigned, labels).collect()[0].asDict()
+
+
+def test_cluster_agreement_vs_brute(spark):
+    pairs = [
+        (0, 1), (0, 1), (0, 1), (0, 2),
+        (1, 2), (1, 2), (1, 1),
+        (2, 3), (2, 3), (2, 3), (2, 3), (2, 1),
+    ]
+    got = _run_agreement(spark, pairs)
+    want = _brute_agreement(pairs)
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    assert got["n_clusters"] == 3 and got["n_labels"] == 3
+
+
+def test_cluster_agreement_perfect_and_negative(spark):
+    # perfect agreement: ARI = 1, MI = H(cluster) = H(label)
+    perfect = [(c, c) for c in (0, 0, 1, 1, 1, 2)]
+    got = _run_agreement(spark, perfect)
+    assert got["ari_q9"] == 10**9
+    assert got["mi_q9"] == got["h_cluster_q9"] == got["h_label_q9"]
+    assert abs(got["nmi"] - 1.0) < 1e-9
+    # worse-than-chance: a checkerboard split — ARI must go NEGATIVE
+    # and match the truncation-toward-zero brute value exactly
+    neg = [(0, 1), (0, 2), (0, 1), (0, 2), (1, 1), (1, 2), (1, 1), (1, 2)]
+    got = _run_agreement(spark, neg)
+    want = _brute_agreement(neg)
+    assert got["ari_q9"] == want["ari_q9"]
+    assert got["ari_q9"] < 0
+
+
+def test_cluster_agreement_on_real_kmeans(spark):
+    """End-to-end on sf0.001 embeddings: replay from the engine's own
+    assignment (kmeans itself parity-pinned in test_clustering)."""
+    from etl_oms_spark.operators.clustering import (
+        cluster_label_agreement,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = kmeans_assign(emb, kmeans_fit(emb, k=8, n_iter=2))
+    pairs = [
+        (r["cluster"], r["label"])
+        for r in assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .select("cluster", "label")
+        .collect()
+    ]
+    got = (
+        cluster_label_agreement(assigned, emb.select("vec_id", "label"))
+        .collect()[0]
+        .asDict()
+    )
+    want = _brute_agreement(pairs)
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
