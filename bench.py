@@ -131,6 +131,7 @@ HEADLINE = [
     "prf1_rm3_expansion",
     "mmr1_diversified_topk",
     "wf1_winnow_matches",
+    "ari1_cluster_agreement",
 ]
 
 
