@@ -488,6 +488,12 @@ def rank_langid_confusion(
         F.col(lang_col).alias("true_lang"),
         F.explode(char_trigrams(text_col)).alias("tri"),
     )
+    # Two DIRECT groupBys over the explode, not a shared (doc, lang,
+    # tri) pre-aggregation: per-doc trigram counts are mostly 1, so a
+    # shared pre-agg barely combines and then re-shuffles its full
+    # volume TWICE (measured at sf0.1: 3.58M vs 1.31M shuffle records,
+    # 42 MB vs 13 MB). The lang-keyed groupBy map-side-combines the
+    # explode straight down to the trigram domain — that is the win.
     lang_prof = (
         tri.groupBy(F.col("true_lang").alias("lang"), "tri")
         .agg(F.count(F.lit(1)).alias("c"))
