@@ -465,20 +465,28 @@ def rank_langid_confusion(
 
     distance(doc, lang) = Σ over the doc's profile trigrams of
     |rank_doc - rank_lang|, with the ``profile_size`` penalty when the
-    trigram is absent from the language profile. Computed as
-    base + correction so unmatched (doc, lang) pairs need no join row:
-    base = |doc profile| · P; each MATCHED trigram contributes
-    (|rd - rl| - P) ≤ 0. Ranks are row_number over (count DESC,
+    trigram is absent from the language profile. Written as
+    base + correction — base = |doc profile| · P, each MATCHED trigram
+    contributing (|rd - rl| - P) — every matched term is STRICTLY
+    negative (ranks live in 1..P, so |rd - rl| ≤ P−1 < P). That
+    domination argument is load-bearing for the plan: a language with
+    ≥ 1 matched trigram strictly beats every unmatched language, and
+    base is constant per document, so the argmin needs ONLY the
+    matched-correction rows — argmin(corr, lang) per doc — with the
+    alphabetically-first language as the fallback for documents whose
+    profile matches nothing. No docs × langs cross join, no
+    corpus-sized shuffle join (the earlier N·L formulation planned a
+    SortMergeJoin of two corpus-sized frames; this one is pure
+    doc-keyed aggregation). Ranks are row_number over (count DESC,
     trigram ASC) — a total order, so both engines rank identically.
 
     Scale shape: trigram explodes collapse immediately into
     (lang, trigram) — domain-sized — and (doc, trigram) — doc-bounded —
-    groupBys; the language profiles (L·P rows) broadcast to both the
-    match join and the docs×langs base cross join, so no shuffle ever
-    carries more than N·L rows (L = #languages). Argmin is
-    min(struct(dist, lang)) — deterministic lang-ASC tie-break.
-    Documents with an empty trigram profile (NULL or < 3 chars of
-    normalized text) are unclassifiable and excluded.
+    groupBys; the L·P profile table broadcasts to the match join; the
+    fallback is a broadcast anti-join plus a 1-row cross join. Argmin
+    ties break lang-ASC (min struct). Documents with an empty trigram
+    profile (NULL or < 3 chars of normalized text) are unclassifiable
+    and excluded.
     """
     from pyspark.sql import Window
 
@@ -520,9 +528,7 @@ def rank_langid_confusion(
         .filter(F.col("rd") <= p)
         .select("doc_id", "tri", "rd")
     )
-    np_doc = doc_prof.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("np")
-    )
+    docs_with_profile = doc_prof.select("doc_id").distinct()
     corr = (
         doc_prof.join(F.broadcast(lang_prof), "tri")
         .groupBy("doc_id", "lang")
@@ -532,27 +538,33 @@ def rank_langid_confusion(
             ).alias("corr")
         )
     )
-    langs = lang_prof.select("lang").distinct()
-    dist = (
-        np_doc.crossJoin(F.broadcast(langs))
-        .join(corr, ["doc_id", "lang"], "left")
-        .select(
-            "doc_id",
-            "lang",
-            (
-                F.col("np") * F.lit(p) + F.coalesce(F.col("corr"), F.lit(0))
-            ).cast("long").alias("dist"),
-        )
+    # matched languages strictly dominate unmatched ones (see
+    # docstring), and base = np·P is per-doc constant — so the argmin
+    # reduces to (corr, lang) over the matched rows. The all-langs-tied
+    # fallback (no profile trigram matched anything) rides the SAME
+    # argmin as a per-doc sentinel row with corr = +1: every real
+    # correction is < 0, so the sentinel only wins when nothing
+    # matched — no anti-join, no docs × langs frame, ONE doc-keyed
+    # groupBy decides every document.
+    first_lang = lang_prof.agg(F.min("lang").alias("lang"))
+    sentinel = docs_with_profile.crossJoin(F.broadcast(first_lang)).select(
+        "doc_id", "lang", F.lit(1).cast("long").alias("corr")
     )
-    pred = dist.groupBy("doc_id").agg(
-        F.min(F.struct(F.col("dist"), F.col("lang").alias("l"))).alias("b")
+    pred = (
+        corr.select("doc_id", "lang", F.col("corr").cast("long").alias("corr"))
+        .unionByName(sentinel)
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.struct(F.col("corr"), F.col("lang").alias("l"))).alias("b")
+        )
+        .select("doc_id", F.col("b.l").alias("pred_lang"))
     )
     truth = df.select(
         F.col(id_col).alias("doc_id"), F.col(lang_col).alias("true_lang")
     )
     return (
         pred.join(truth, "doc_id")
-        .groupBy("true_lang", F.col("b.l").alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
