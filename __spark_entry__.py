@@ -11966,6 +11966,100 @@ FROM g
 """
 
 
+def fk1_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (operators/classifier.fleiss_kappa, Fleiss 1971)
+    across three deterministic labeling functions voting en/other per
+    document — the weak-supervision QC gate (do the labeling functions
+    agree above chance before their votes are trusted?): LF1 = >= 3
+    English-stopword hits, LF2 = stopword ratio >= 0.1 (integerized
+    ns*10 >= n_tokens), LF3 = contains 'the'. One groupBy to the
+    (item, category) counts; kappa is pure integer algebra with ONE
+    truncating division to 1e-9 (the ari1 signed contract)."""
+    from etl_oms_spark.operators.classifier import fleiss_kappa
+    from etl_oms_spark.operators.text import (
+        STOPWORDS_EN,
+        marker_hits,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ns = marker_hits("text", STOPWORDS_EN)
+    nt = whitespace_token_count("text")
+    nthe = F.regexp_count(F.lower(F.col("text")), F.lit(r"\bthe\b"))
+    lf = lambda cond: F.when(cond, F.lit("en")).otherwise(F.lit("other"))
+    ratings = d.select(
+        F.col("doc_id").alias("item_id"),
+        F.explode(
+            F.array(
+                lf(ns >= 3),
+                lf(ns * 10 >= nt),
+                lf(nthe >= 1),
+            )
+        ).alias("category"),
+    )
+    return fleiss_kappa(ratings, n_raters=3)
+
+
+_STOP_RE_SQL = "'\\b(the|a|an|and|or|of|to|in|is|it)\\b'"
+
+FK1_SQL = f"""
+WITH r AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), {_STOP_RE_SQL}))
+                AS BIGINT) AS ns,
+           CAST({_WS} AS BIGINT) AS nt,
+           CAST(len(regexp_extract_all(lower(text), '\\bthe\\b'))
+                AS BIGINT) AS nthe
+    FROM documents
+), ratings AS (
+    SELECT doc_id,
+           unnest([
+               CASE WHEN ns >= 3 THEN 'en' ELSE 'other' END,
+               CASE WHEN ns * 10 >= nt THEN 'en' ELSE 'other' END,
+               CASE WHEN nthe >= 1 THEN 'en' ELSE 'other' END
+           ]) AS category
+    FROM r
+), nij AS (
+    SELECT doc_id, category, CAST(COUNT(*) AS BIGINT) AS nij
+    FROM ratings GROUP BY 1, 2
+), per_item AS (
+    SELECT doc_id, CAST(SUM(nij) AS BIGINT) AS ni,
+           CAST(SUM(nij * nij) AS BIGINT) AS sq
+    FROM nij GROUP BY 1
+), kept AS (
+    SELECT * FROM per_item WHERE ni = 3
+), exc AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded
+    FROM per_item WHERE ni <> 3
+), bj AS (
+    SELECT category, CAST(SUM(nij) AS BIGINT) AS bj
+    FROM nij
+    WHERE doc_id IN (SELECT doc_id FROM kept)
+    GROUP BY 1
+), g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM(CAST(sq AS HUGEINT)) AS ssq
+    FROM kept
+), ee AS (
+    SELECT SUM(CAST(bj AS HUGEINT) * bj) AS e FROM bj
+), f AS (
+    SELECT n_items, n_excluded, ssq, e,
+           ssq - CAST(n_items AS HUGEINT) * 3 AS a,
+           CAST(n_items AS HUGEINT) * 6 AS d1,
+           CAST(n_items AS HUGEINT) * n_items * 9 AS d2
+    FROM g CROSS JOIN exc CROSS JOIN ee
+)
+SELECT n_items, n_excluded, CAST(3 AS BIGINT) AS n_raters,
+       CAST((a * 1000000000) // d1 AS BIGINT) AS p_bar_q9,
+       CAST((e * 1000000000) // d2 AS BIGINT) AS p_e_q9,
+       CASE WHEN d1 * (d2 - e) = 0 THEN CAST(1000000000 AS BIGINT)
+            ELSE CAST(((a * d2 - e * d1) * 1000000000)
+                      // (d1 * (d2 - e)) AS BIGINT)
+       END AS kappa_q9
+FROM f
+"""
+
+
 def wf1_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint matches (operators/dedup.winnow_fingerprints
     + winnow_match_pairs, Schleimer et al. 2003 / MOSS): hash every
@@ -14904,6 +14998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr1_diversified_topk": mmr1_diversified_topk,
         "wf1_winnow_matches": wf1_winnow_matches,
         "ari1_cluster_agreement": ari1_cluster_agreement,
+        "fk1_annotator_agreement": fk1_annotator_agreement,
         # ---- positions 9-30: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
@@ -14944,7 +15039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_block_dedup": d8_block_dedup,
         "dq1_profile": dq1_profile,
         "dr1_drift_psi": dr1_drift_psi,
-        "ds1_domain_score": ds1_domain_score,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -14961,8 +15055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- positions 61+: the remaining r03-stale rows — head of
         #      the r11 refill pool (o3/mx2/mx1/kw1 displaced by
-        #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1/fn1/ev_hopping/dv1 by
-        #      bs1/ct1/pt1/prf1/mmr1/wf1/ari1) ----
+        #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1/fn1/ev_hopping/dv1/ds1
+        #      by bs1/ct1/pt1/prf1/mmr1/wf1/ari1/fk1) ----
+        "ds1_domain_score": ds1_domain_score,
         "dv1_constraints": dv1_constraints,
         "ev_hopping": ev_hopping,
         "fn1_funnel": fn1_funnel,
@@ -15218,6 +15313,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr1_diversified_topk": MMR1_SQL,
         "wf1_winnow_matches": WF1_SQL,
         "ari1_cluster_agreement": ARI1_SQL,
+        "fk1_annotator_agreement": FK1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

@@ -260,11 +260,14 @@ def isotonic_calibration(
 
 
 def _floordiv_dec(a: Column, b: Column) -> Column:
-    """Exact floor division for NON-NEGATIVE decimal operands via the
-    remainder trick (same device as ap1's ratio quantization): subtract
-    the exact remainder first so the decimal division hits an integer —
-    no HALF_UP-then-floor edge case — matching DuckDB's HUGEINT ``//``.
-    Only valid for a >= 0, b > 0 (callers clamp signed numerators)."""
+    """Exact integer division via the remainder trick (same device as
+    ap1's ratio quantization): subtract the exact remainder first so
+    the decimal division hits an integer — no HALF_UP-then-floor edge
+    case. Spark's % carries the dividend's sign, so the quotient
+    TRUNCATES toward zero — exactly DuckDB's ``//`` semantics
+    (measured: (-7)//2 = -3). For a >= 0 truncation equals floor;
+    signed numerators (ari1/fk1's kappa-style statistics) get the
+    trunc contract on both engines. Requires b > 0."""
     return (a - a % b) / b
 
 
@@ -390,4 +393,117 @@ def calibration_summary(
         .alias("unc_q9"),
         (brier_q9.cast("double") / F.lit(1e9)).alias("brier"),
         (ece_q9.cast("double") / F.lit(1e9)).alias("ece"),
+    )
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item_id",
+    cat_col: str = "category",
+    n_raters: int | None = None,
+) -> DataFrame:
+    """Fleiss' kappa (1971, public) — chance-corrected agreement among
+    a fixed number of raters per item, the QC statistic for annotation
+    / weak-supervision pipelines (do the labeling functions agree more
+    than chance before their votes are trusted?).
+
+    Input is one row PER RATING (item, category); rater identity is
+    irrelevant to Fleiss. With n raters/item, k categories, n_ij the
+    per-(item, category) counts, b_j = Σ_i n_ij and N items:
+
+        P̄   = (Σ_ij n_ij² − N·n) / (N·n·(n−1))
+        P̄_e = Σ_j b_j² / (N·n)²
+        κ    = (P̄ − P̄_e) / (1 − P̄_e)
+             = (a·D2 − e·D1) / (D1·(D2 − e))      -- pure integers
+          with a = Σ n_ij² − N·n, e = Σ b_j²,
+               D1 = N·n·(n−1), D2 = (N·n)²
+
+    Everything reduces to exact integer sums over ONE groupBy to the
+    (item, category) counts; κ is quantized to 1e-9 by ONE exact
+    integer division TRUNCATING toward zero (κ can be negative —
+    worse-than-chance — and DuckDB ``//`` truncates on negatives, the
+    ari1 contract). The degenerate P̄_e = 1 (every rating in one
+    category → D2 = e, also P̄ = 1) is pinned to κ = 1.
+    decimal(38) headroom: e ≤ (N·n)², exact to N·n ≈ 3·10⁹ ratings.
+
+    ``n_raters`` fixes n; when omitted it is taken as max per-item
+    rating count, and items with fewer ratings are EXCLUDED (Fleiss
+    requires constant n) — the row reports both totals so silent
+    exclusion is visible.
+
+    Returns one row: n_items, n_excluded, n_raters, p_bar_q9, p_e_q9,
+    kappa_q9.
+    """
+    nij = ratings.groupBy(item_col, cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    ).localCheckpoint(eager=False)
+    per_item = nij.groupBy(item_col).agg(
+        F.sum("nij").cast("long").alias("ni"),
+        F.sum(F.col("nij") * F.col("nij")).cast("long").alias("sq"),
+    )
+    if n_raters is None:
+        n_col = per_item.agg(F.max("ni").alias("n")).localCheckpoint(
+            eager=False
+        )
+    else:
+        n_col = ratings.sparkSession.range(1).select(
+            F.lit(int(n_raters)).cast("long").alias("n")
+        )
+    kept = per_item.crossJoin(F.broadcast(n_col)).filter(
+        F.col("ni") == F.col("n")
+    )
+    excluded = per_item.crossJoin(F.broadcast(n_col)).filter(
+        F.col("ni") != F.col("n")
+    )
+    bj = (
+        nij.join(
+            kept.select(item_col), item_col, "left_semi"
+        )
+        .groupBy(cat_col)
+        .agg(F.sum("nij").cast("long").alias("bj"))
+    )
+    g = (
+        kept.agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("sq").cast("decimal(38,0)").alias("ssq"),
+        )
+        .crossJoin(
+            F.broadcast(
+                excluded.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_excluded")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                bj.agg(
+                    F.sum(
+                        F.col("bj").cast("decimal(19,0)")
+                        * F.col("bj").cast("decimal(19,0)")
+                    )
+                    .cast("decimal(38,0)")
+                    .alias("e")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(n_col))
+    )
+    nn = F.col("n_items").cast("decimal(19,0)")
+    nr = F.col("n").cast("decimal(19,0)")
+    a = F.col("ssq") - nn * nr
+    d1 = nn * nr * (nr - 1)
+    d2 = nn * nr * nn * nr
+    k1e9 = F.lit(1_000_000_000).cast("decimal(19,0)")
+    num = a * d2 - F.col("e") * d1
+    den = d1 * (d2 - F.col("e"))
+    kappa_q9 = F.when(den == 0, F.lit(1_000_000_000)).otherwise(
+        _floordiv_dec(num * k1e9, den).cast("long")
+    )
+    return g.select(
+        "n_items",
+        "n_excluded",
+        F.col("n").alias("n_raters"),
+        _floordiv_dec(a * k1e9, d1).cast("long").alias("p_bar_q9"),
+        _floordiv_dec(F.col("e") * k1e9, d2).cast("long").alias("p_e_q9"),
+        kappa_q9.alias("kappa_q9"),
     )

@@ -645,3 +645,89 @@ def test_cluster_agreement_on_real_kmeans(spark):
     want = _brute_agreement(pairs)
     for k, v in want.items():
         assert got[k] == v, (k, got[k], v)
+
+
+# ---------------------------------------------------------------- fk1
+def _brute_fleiss(ratings, n):
+    """Exact-rational Fleiss kappa replay (one (item, cat) per rating),
+    truncated toward zero at 1e-9 like the engines."""
+    import math
+    from collections import Counter
+
+    per_item = Counter()
+    nij = Counter(ratings)
+    ni = Counter(i for i, _ in ratings)
+    kept = {i for i, c in ni.items() if c == n}
+    n_items = len(kept)
+    ssq = sum(v * v for (i, _), v in nij.items() if i in kept)
+    bj = Counter()
+    for (i, c), v in nij.items():
+        if i in kept:
+            bj[c] += v
+    e = sum(v * v for v in bj.values())
+    a = ssq - n_items * n
+    d1 = n_items * n * (n - 1)
+    d2 = (n_items * n) ** 2
+    trunc = lambda num, den: (
+        math.floor(Fraction(num, den))
+        if num >= 0
+        else -math.floor(Fraction(-num, den))
+    )
+    num = a * d2 - e * d1
+    den = d1 * (d2 - e)
+    return {
+        "n_items": n_items,
+        "n_excluded": len(ni) - n_items,
+        "p_bar_q9": trunc(a * 10**9, d1),
+        "p_e_q9": trunc(e * 10**9, d2),
+        "kappa_q9": 10**9 if den == 0 else trunc(num * 10**9, den),
+    }
+
+
+def _run_fleiss(spark, ratings, n):
+    from etl_oms_spark.operators.classifier import fleiss_kappa
+
+    df = spark.createDataFrame(ratings, "item_id long, category string")
+    return fleiss_kappa(df, n_raters=n).collect()[0].asDict()
+
+
+def test_fleiss_kappa_textbook_example(spark):
+    """Fleiss 1971's worked example (14 items, 5 categories... too big
+    to inline) is replaced by a small hand case with known value:
+    2 items, 2 raters, perfect agreement on different categories ->
+    P_bar = 1, P_e = 0.5, kappa = 1."""
+    ratings = [(1, "a"), (1, "a"), (2, "b"), (2, "b")]
+    got = _run_fleiss(spark, ratings, 2)
+    assert got["p_bar_q9"] == 10**9
+    assert got["p_e_q9"] == 500_000_000
+    assert got["kappa_q9"] == 10**9
+
+
+def test_fleiss_kappa_vs_brute(spark):
+    ratings = (
+        [(1, "a"), (1, "a"), (1, "b")]
+        + [(2, "b"), (2, "b"), (2, "b")]
+        + [(3, "a"), (3, "c"), (3, "b")]
+        + [(4, "c"), (4, "c"), (4, "a")]
+        + [(5, "a"), (5, "a"), (5, "a")]
+        + [(6, "b")]  # one rating only: excluded at n=3
+    )
+    got = _run_fleiss(spark, ratings, 3)
+    want = _brute_fleiss(ratings, 3)
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    assert got["n_excluded"] == 1
+
+
+def test_fleiss_kappa_negative_and_degenerate(spark):
+    # systematic DISagreement: 2 raters always split -> P_bar = 0,
+    # kappa negative (worse than chance)
+    ratings = [(i, c) for i in range(1, 7) for c in ("a", "b")]
+    got = _run_fleiss(spark, ratings, 2)
+    want = _brute_fleiss(ratings, 2)
+    assert got["kappa_q9"] == want["kappa_q9"] < 0
+    assert got["p_bar_q9"] == 0
+    # degenerate: every rating one category -> P_e = 1, pinned kappa = 1
+    ratings = [(i, "a") for i in range(1, 5) for _ in range(2)]
+    got = _run_fleiss(spark, ratings, 2)
+    assert got["kappa_q9"] == 10**9 and got["p_e_q9"] == 10**9
