@@ -11562,6 +11562,130 @@ GROUP BY np, nn
 """
 
 
+def mwu1_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947, with the
+    standard tie correction) between the en and non-en quality-score
+    distributions — the nonparametric location test beside ks1's
+    distribution distance and dr1's PSI. All rank algebra is EXACT
+    integers over the score histogram (never the corpus): with per-bin
+    counts cA/cB, c = cA+cB and cum_before the ranks below the bin,
+    DOUBLED average ranks are integers (2·r̄ = 2·cum_before + c + 1), so
+
+        u2_a   = Σ cA·(2·cum_before + c + 1) − n_a·(n_a+1)   (= 2·U_A)
+        ties   = Σ (c³ − c)
+        Var(U) = n_a·n_b·(n³ − n − ties) / (12·n·(n−1))
+        z      = (u2_a − n_a·n_b) / (2·√Var)
+
+    u2_a and the z numerator are exact BIGINTs; ties/var use
+    decimal(38) (c³ sums pass int64 around n ≈ 2·10⁶ in one bin — the
+    1e6-quantized score domain keeps single-bin counts far below that
+    until ~10¹² docs); z is one double expression from exact integers,
+    quantized half-up at 1e-6. Var = 0 (one group empty or everything
+    tied) pins z_q6 = 0. One bounded-domain window, same shape as
+    auc1/ks1."""
+    return mann_whitney_from_hist(_quality_label_hist(spark, sf_dir))
+
+
+def mann_whitney_from_hist(hist: "DataFrame") -> DataFrame:
+    """mwu1's math over any (sq, n_pos, n_neg) histogram — split out so
+    the unit test can replay it against explicit average-rank
+    assignment on constructed distributions (see mwu1's docstring for
+    the algebra and headroom)."""
+    w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, 0)
+    c = (F.col("n_pos") + F.col("n_neg")).alias("c")
+    cum = hist.select(
+        "sq",
+        F.col("n_pos").alias("ca"),
+        c,
+        (F.sum(F.col("n_pos") + F.col("n_neg")).over(w)).alias("cumc"),
+    )
+    r2 = cum.select(
+        "ca",
+        "c",
+        (
+            F.col("ca")
+            * (2 * (F.col("cumc") - F.col("c")) + F.col("c") + 1)
+        ).alias("r2t"),
+        (
+            F.col("c").cast("decimal(38,0)")
+            * F.col("c").cast("decimal(38,0)")
+            * F.col("c").cast("decimal(38,0)")
+            - F.col("c").cast("decimal(38,0)")
+        ).alias("t3"),
+    )
+    g = r2.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).cast("long").alias("n_b"),
+        F.sum("r2t").cast("long").alias("r2a"),
+        F.sum("t3").cast("decimal(38,0)").alias("ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = (na + nb).cast("decimal(38,0)")
+    u2 = (F.col("r2a") - na * (na + 1)).cast("long")
+    var_num = (
+        na.cast("decimal(38,0)")
+        * nb.cast("decimal(38,0)")
+        * (n * n * n - n - F.col("ties"))
+    ).cast("decimal(38,0)")
+    var = var_num.cast("double") / (
+        F.lit(12.0) * n.cast("double") * (n.cast("double") - F.lit(1.0))
+    )
+    z = (u2.cast("double") - na.cast("double") * nb.cast("double")) / (
+        F.lit(2.0) * F.sqrt(var)
+    )
+    z_q6 = F.when(var_num == 0, F.lit(0)).otherwise(
+        F.floor(z * F.lit(1e6) + F.lit(0.5))
+    ).cast("long")
+    return g.select(
+        "n_a",
+        "n_b",
+        u2.alias("u2_a"),
+        F.col("ties").cast("long").alias("ties_cubed"),
+        z_q6.alias("z_q6"),
+    )
+
+
+MWU1_SQL = f"""
+WITH hist AS (
+{_QHIST_SQL}
+), cum AS (
+    SELECT sq, n_pos AS ca, n_pos + n_neg AS c,
+           SUM(n_pos + n_neg) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW) AS cumc
+    FROM hist
+), r2 AS (
+    SELECT ca, c,
+           ca * (2 * (cumc - c) + c + 1) AS r2t,
+           CAST(c AS HUGEINT) * c * c - c AS t3
+    FROM cum
+), g AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(c - ca) AS BIGINT) AS n_b,
+           CAST(SUM(r2t) AS BIGINT) AS r2a,
+           SUM(t3) AS ties
+    FROM r2
+), f AS (
+    SELECT n_a, n_b, ties,
+           CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(n_a AS HUGEINT) * n_b
+             * (CAST(n_a + n_b AS HUGEINT) * (n_a + n_b) * (n_a + n_b)
+                - (n_a + n_b) - ties) AS var_num
+    FROM g
+)
+SELECT n_a, n_b, u2_a,
+       CAST(ties AS BIGINT) AS ties_cubed,
+       CASE WHEN var_num = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b)
+                / (2.0 * sqrt(CAST(var_num AS DOUBLE)
+                              / (12.0 * CAST(n_a + n_b AS DOUBLE)
+                                 * (CAST(n_a + n_b AS DOUBLE) - 1.0))))
+                * 1000000 + 0.5) AS BIGINT)
+       END AS z_q6
+FROM f
+"""
+
+
 def rb1_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration / reliability diagram for the quality score as an
     en-vs-rest classifier (completes the eval trio with auc1/ks1): ten
@@ -14999,6 +15123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wf1_winnow_matches": wf1_winnow_matches,
         "ari1_cluster_agreement": ari1_cluster_agreement,
         "fk1_annotator_agreement": fk1_annotator_agreement,
+        "mwu1_rank_sum": mwu1_rank_sum,
         # ---- positions 9-30: the 22 stalest exact-oracle rows
         #      (last driver-checked r02) ----
         "a4_guard_derive": a4_guard_derive,
@@ -15038,7 +15163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv1_coverage_curve": cv1_coverage_curve,
         "d8_block_dedup": d8_block_dedup,
         "dq1_profile": dq1_profile,
-        "dr1_drift_psi": dr1_drift_psi,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -15056,7 +15180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- positions 61+: the remaining r03-stale rows — head of
         #      the r11 refill pool (o3/mx2/mx1/kw1 displaced by
         #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1/fn1/ev_hopping/dv1/ds1
-        #      by bs1/ct1/pt1/prf1/mmr1/wf1/ari1/fk1) ----
+        #      /dr1 by bs1/ct1/pt1/prf1/mmr1/wf1/ari1/fk1/mwu1) ----
+        "dr1_drift_psi": dr1_drift_psi,
         "ds1_domain_score": ds1_domain_score,
         "dv1_constraints": dv1_constraints,
         "ev_hopping": ev_hopping,
@@ -15314,6 +15439,7 @@ def oracle_sql() -> dict[str, str]:
         "wf1_winnow_matches": WF1_SQL,
         "ari1_cluster_agreement": ARI1_SQL,
         "fk1_annotator_agreement": FK1_SQL,
+        "mwu1_rank_sum": MWU1_SQL,
         "p2_p3_reconcile": P2_P3_SQL,
         "p6_p7_filters": P6_P7_SQL,
         "j1_dim_join": J1_SQL,

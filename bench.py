@@ -132,6 +132,7 @@ HEADLINE = [
     "mmr1_diversified_topk",
     "wf1_winnow_matches",
     "ari1_cluster_agreement",
+    "fk1_annotator_agreement",
 ]
 
 

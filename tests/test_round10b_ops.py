@@ -731,3 +731,93 @@ def test_fleiss_kappa_negative_and_degenerate(spark):
     ratings = [(i, "a") for i in range(1, 5) for _ in range(2)]
     got = _run_fleiss(spark, ratings, 2)
     assert got["kappa_q9"] == 10**9 and got["p_e_q9"] == 10**9
+
+
+# --------------------------------------------------------------- mwu1
+def _brute_mwu(pairs):
+    """Independent Mann-Whitney replay: explicit sorted rank
+    assignment with average ranks for ties (no histogram algebra),
+    doubled to stay integral, z from the tie-corrected normal
+    approximation."""
+    import math
+
+    ranked = sorted(range(len(pairs)), key=lambda i: pairs[i][0])
+    r2 = [0] * len(pairs)  # doubled ranks
+    i = 0
+    while i < len(ranked):
+        j = i
+        while (
+            j + 1 < len(ranked)
+            and pairs[ranked[j + 1]][0] == pairs[ranked[i]][0]
+        ):
+            j += 1
+        avg2 = (i + 1) + (j + 1)  # 2 * average rank of the tie block
+        for k in range(i, j + 1):
+            r2[ranked[k]] = avg2
+        i = j + 1
+    n_a = sum(1 for _, pos in pairs if pos)
+    n_b = len(pairs) - n_a
+    n = len(pairs)
+    r2a = sum(r for (_, pos), r in zip(pairs, r2) if pos)
+    u2 = r2a - n_a * (n_a + 1)
+    from collections import Counter
+
+    ties = sum(c**3 - c for c in Counter(v for v, _ in pairs).values())
+    var_num = n_a * n_b * (n**3 - n - ties)
+    if var_num == 0:
+        z_q6 = 0
+    else:
+        var = var_num / (12 * n * (n - 1))
+        z = (u2 - n_a * n_b) / (2 * math.sqrt(var))
+        z_q6 = math.floor(z * 1e6 + 0.5)
+    return {
+        "n_a": n_a, "n_b": n_b, "u2_a": u2, "ties_cubed": ties,
+        "z_q6": z_q6,
+    }
+
+
+def _run_mwu(spark, pairs):
+    from collections import Counter
+
+    import __spark_entry__ as entry_mod
+
+    hist = Counter()
+    for v, pos in pairs:
+        hist[v] = (hist[v][0] + pos, hist[v][1] + (1 - pos)) if v in hist else (pos, 1 - pos)
+    rows = [(v, a, b) for v, (a, b) in sorted(hist.items())]
+    df = spark.createDataFrame(rows, "sq long, n_pos long, n_neg long")
+    return entry_mod.mann_whitney_from_hist(df).collect()[0].asDict()
+
+
+def test_mann_whitney_vs_explicit_ranks(spark):
+    pairs = [
+        (10, 1), (10, 0), (10, 1), (25, 0), (25, 0), (40, 1),
+        (40, 1), (40, 1), (40, 0), (55, 0), (70, 1), (70, 0),
+        (85, 1), (99, 0), (99, 0), (99, 0),
+    ]
+    got = _run_mwu(spark, pairs)
+    want = _brute_mwu(pairs)
+    assert got == want
+
+
+def test_mann_whitney_shifted_distributions(spark):
+    """A clearly shifted positive group must give a large positive z;
+    swapping the groups must negate U's direction symmetrically
+    (U_A + U_B = 2*n_a*n_b in doubled units)."""
+    pairs = [(100 + i, 1) for i in range(20)] + [(i, 0) for i in range(20)]
+    got = _run_mwu(spark, pairs)
+    want = _brute_mwu(pairs)
+    assert got == want
+    assert got["z_q6"] > 5_000_000  # z > 5
+    assert got["u2_a"] == 2 * 20 * 20  # all positives above: U_A = n_a*n_b
+    flipped = [(v, 1 - p) for v, p in pairs]
+    got_f = _run_mwu(spark, flipped)
+    assert got_f["u2_a"] == 0
+    assert got_f["z_q6"] == -got["z_q6"]
+
+
+def test_mann_whitney_degenerate_all_tied(spark):
+    pairs = [(7, 1)] * 4 + [(7, 0)] * 5
+    got = _run_mwu(spark, pairs)
+    assert got["z_q6"] == 0  # var_num = 0 pin
+    assert got["ties_cubed"] == 9**3 - 9
