@@ -133,6 +133,7 @@ HEADLINE = [
     "wf1_winnow_matches",
     "ari1_cluster_agreement",
     "fk1_annotator_agreement",
+    "mwu1_rank_sum",
 ]
 
 
