@@ -12084,8 +12084,10 @@ SELECT n, n_clusters, n_labels,
        CAST(greatest(mi_s, 0) // n AS BIGINT) AS mi_q9,
        CAST(h_ai // n AS BIGINT) AS h_cluster_q9,
        CAST(h_bj // n AS BIGINT) AS h_label_q9,
-       CAST(greatest(mi_s, 0) // n AS DOUBLE)
-           / (CAST(h_ai // n + h_bj // n AS DOUBLE) / 2.0) AS nmi
+       CASE WHEN h_ai // n + h_bj // n = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(greatest(mi_s, 0) // n AS DOUBLE)
+                 / (CAST(h_ai // n + h_bj // n AS DOUBLE) / 2.0)
+       END AS nmi
 FROM g
 """
 
@@ -12124,7 +12126,12 @@ def fk1_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(ratings, n_raters=3)
 
 
-_STOP_RE_SQL = "'\\b(the|a|an|and|or|of|to|in|is|it)\\b'"
+# derived from the SAME list the Spark side uses (text.STOPWORDS_EN) so
+# editing the stopword set can never silently break oracle parity
+# (ADVICE r10): one source of truth, two engines
+from etl_oms_spark.operators.text import STOPWORDS_EN as _STOPWORDS_EN
+
+_STOP_RE_SQL = "'\\b(" + "|".join(_STOPWORDS_EN) + ")\\b'"
 
 FK1_SQL = f"""
 WITH r AS (

@@ -499,7 +499,9 @@ def cluster_label_agreement(
     Spark's remainder trick does the same by construction).
     decimal(38) headroom: the cross products are ~n⁴, exact to
     n ≈ 3·10⁹ vectors; degenerate den = 0 (single cluster AND single
-    label) is pinned to ARI = 1.
+    label) is pinned to ARI = 1 — and the SAME case zeroes both
+    entropies, so nmi is pinned to 1.0 there too (trivial identical
+    partitions agree perfectly; 0/0 would otherwise read NaN).
 
     MI/entropy terms are quantized per contingency CELL at 1e-9
     (en1's per-term discipline): t_ij = n_ij·ln(n·n_ij/(a_i·b_j)),
@@ -604,7 +606,15 @@ def cluster_label_agreement(
         mi_q9.cast("long").alias("mi_q9"),
         h_c.cast("long").alias("h_cluster_q9"),
         h_l.cast("long").alias("h_label_q9"),
-        (
+        # degenerate guard (ADVICE r10): single cluster AND single label
+        # zeroes BOTH entropies — the same case ari_q9 pins to 1 — and
+        # 0/0 would yield NaN. Pin nmi = 1.0 when the quantized
+        # denominator is 0 (trivial identical partitions agree
+        # perfectly), mirrored as a CASE in the DuckDB oracle.
+        F.when(
+            F.expr("h_ai div n") + F.expr("h_bj div n") == 0, F.lit(1.0)
+        )
+        .otherwise(
             F.expr("greatest(mi_s, 0L) div n").cast("double")
             / (
                 (
@@ -612,5 +622,6 @@ def cluster_label_agreement(
                 ).cast("double")
                 / F.lit(2.0)
             )
-        ).alias("nmi"),
+        )
+        .alias("nmi"),
     )

@@ -1315,13 +1315,22 @@ def mmr_topk(
     id ASC) is bit-identical on any engine. Round 1 has an empty
     selected set: its MMR is defined as ``lam·rel_q9``.
 
-    Scale shape: the corpus is touched ONCE (broadcast query
-    cross-join → per-query top-k_cand window); everything after —
+    Scale shape (ADVICE r10 — stated precisely): the corpus is SCANNED
+    twice but shuffled narrow and only once. The relevance pass
+    (broadcast query cross-join → per-query top-k_cand window) sends
+    only (query_id, id, rel_q9) through the rank exchange; the
+    ≤ |queries|·k_cand winners then fetch their embedding vectors via a
+    second, broadcast-hash join back to the source scan — map-side, no
+    corpus shuffle. That is the deliberate trade: carrying the wide
+    vector column through the corpus-sized rank exchange would multiply
+    the one unavoidable shuffle's width by the embedding size, while a
+    second columnar scan joined against a broadcast candidate set costs
+    only IO (and prunes to the two needed columns). Everything after —
     pairwise sims among candidates (≤ k_cand² per query) and the
     k_select−1 unrolled selection rounds — runs on
     |queries|·k_cand-bounded frames behind lazy-checkpoint barriers
     (graph.py's lineage-truncation pattern), so the selection never
-    re-scans or re-shuffles the corpus.
+    re-shuffles the corpus.
 
     Returns (query_id, rank, id, rel_q9, mmr_q9) ordered by
     (query_id, rank).

@@ -604,6 +604,16 @@ def test_cluster_agreement_vs_brute(spark):
     assert got["n_clusters"] == 3 and got["n_labels"] == 3
 
 
+def test_cluster_agreement_degenerate_single_partition(spark):
+    """Single cluster AND single label (ADVICE r10): den = 0 pins
+    ari_q9 = 1e9, and both entropies are 0 so nmi is pinned to 1.0
+    (not NaN) — mirrored by the CASE in ARI1_SQL."""
+    got = _run_agreement(spark, [(0, 1), (0, 1), (0, 1)])
+    assert got["ari_q9"] == 10**9
+    assert got["mi_q9"] == got["h_cluster_q9"] == got["h_label_q9"] == 0
+    assert got["nmi"] == 1.0
+
+
 def test_cluster_agreement_perfect_and_negative(spark):
     # perfect agreement: ARI = 1, MI = H(cluster) = H(label)
     perfect = [(c, c) for c in (0, 0, 1, 1, 1, 2)]
