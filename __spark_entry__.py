@@ -12008,6 +12008,82 @@ ORDER BY true_lang, pred_lang
 """
 
 
+def ct1p_rank_langid_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ct1's production twin (VERDICT r10 item 1): identical
+    Cavnar-Trenkle rank-order langid, but trigrams come from only the
+    first 400 NORMALIZED characters of each document — Cavnar-Trenkle's
+    profiles saturate after a few hundred characters, so full-document
+    profiling (ct1's honest linear asymptote, the headline's top single
+    cost) is work nobody would schedule at 100 TB. Same confusion-matrix
+    output; the oracle replays the identical truncation (substr on the
+    normalized text, then the same normalization the trigram builder
+    re-applies) before the trigram unnest."""
+    from etl_oms_spark.operators.text import rank_langid_confusion
+
+    return rank_langid_confusion(
+        _t(spark, sf_dir, "documents"), prefix_chars=400
+    )
+
+
+# the truncated-then-renormalized canonical prefix: substr of the
+# normalized text can expose ONE trailing space, which the Spark side's
+# trigram builder re-normalizes away — so the oracle re-applies the same
+# lower/trim/collapse to the substr (lower+collapse are no-ops on an
+# already-normalized prefix; trim is the load-bearing part)
+_CT1P_NT_SQL = (
+    "regexp_replace(lower(trim(substr("
+    + _NORM_SQL
+    + ", 1, 400))), '\\s+', ' ', 'g')"
+)
+
+CT1P_SQL = f"""
+WITH base AS (
+    SELECT doc_id, lang AS true_lang, {_CT1P_NT_SQL} AS nt FROM documents
+), tri AS (
+    SELECT doc_id, true_lang,
+           unnest(list_transform(range(1, CAST(length(nt) AS BIGINT) - 1),
+                                 i -> substr(nt, CAST(i AS INT), 3))) AS tri
+    FROM base
+), lp AS (
+    SELECT lang, tri, rl FROM (
+        SELECT true_lang AS lang, tri, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY true_lang
+                                  ORDER BY COUNT(*) DESC, tri) AS rl
+        FROM tri GROUP BY true_lang, tri
+    ) WHERE rl <= 20
+), dp AS (
+    SELECT doc_id, tri, rd FROM (
+        SELECT doc_id, tri, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, tri) AS rd
+        FROM tri GROUP BY doc_id, tri
+    ) WHERE rd <= 20
+), np AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS np FROM dp GROUP BY doc_id
+), corr AS (
+    SELECT dp.doc_id, lp.lang,
+           CAST(SUM(abs(dp.rd - lp.rl) - 20) AS BIGINT) AS corr
+    FROM dp JOIN lp USING (tri)
+    GROUP BY 1, 2
+), langs AS (
+    SELECT DISTINCT lang FROM lp
+), dist AS (
+    SELECT np.doc_id, langs.lang,
+           CAST(np.np * 20 + COALESCE(corr.corr, 0) AS BIGINT) AS dist
+    FROM np CROSS JOIN langs
+    LEFT JOIN corr ON corr.doc_id = np.doc_id AND corr.lang = langs.lang
+), pred AS (
+    SELECT doc_id, (min(struct_pack(dist := dist, l := lang))).l AS pred_lang
+    FROM dist GROUP BY doc_id
+)
+SELECT d.lang AS true_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+ORDER BY true_lang, pred_lang
+"""
+
+
 def ari1_cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """External-validity scorecard for the exact k-means partition vs
     the embeddings' ground-truth labels
@@ -15105,89 +15181,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Order matters: the driver's CORRECTNESS check covers the
-        # FIRST 50 entries. Round-10 rotation (VERDICT r09 item 2):
-        # with the never-driver-checked backlog empty, the window's
-        # job is now staleness control — no green row older than ~4
-        # rounds.
-        # ---- positions 1-6: round-10 additions, first driver check ----
-        "uniT_unigram_em": uniT_unigram_em,
-        "pj1c_prefix_jaccard_capped": pj1c_prefix_jaccard_capped,
-        "uni2_unigram_fertility": uni2_unigram_fertility,
-        "jl1_random_projection": jl1_random_projection,
-        "kn1_kneser_ney": kn1_kneser_ney,
-        "iso1_isotonic_calibration": iso1_isotonic_calibration,
-        # ---- positions 7-8: continuity anchors (green every round) ----
+        # FIRST 50 entries. Round-11 rotation (VERDICT r10 item 2):
+        # the window's job is staleness control — new queries first
+        # (first driver check), then the two continuity anchors, then
+        # the stalest exact-oracle rows. The whole r10 window (r10
+        # firsts, the r02 block, the a14..dq1 r03 partial) is freshly
+        # green, so it rotates out behind the rows-only block.
+        # ---- round-11 additions, first driver check ----
+        "ct1p_rank_langid_prefix": ct1p_rank_langid_prefix,
+        # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- positions 9+: round-10 late additions, first driver
-        #      check (each displaces the alphabetically-last r03
-        #      refill entry past the rows-only block) ----
-        "bs1_brier_calibration": bs1_brier_calibration,
-        "ct1_rank_langid": ct1_rank_langid,
-        "pt1_prototype_prune": pt1_prototype_prune,
-        "prf1_rm3_expansion": prf1_rm3_expansion,
-        "mmr1_diversified_topk": mmr1_diversified_topk,
-        "wf1_winnow_matches": wf1_winnow_matches,
-        "ari1_cluster_agreement": ari1_cluster_agreement,
-        "fk1_annotator_agreement": fk1_annotator_agreement,
-        "mwu1_rank_sum": mwu1_rank_sum,
-        # ---- positions 9-30: the 22 stalest exact-oracle rows
-        #      (last driver-checked r02) ----
-        "a4_guard_derive": a4_guard_derive,
-        "cx1_contamination": cx1_contamination,
-        "d6_simhash_portable": d6_simhash_portable,
-        "d7_minhash_portable": d7_minhash_portable,
-        "e1_cosine_topk": e1_cosine_topk,
-        "e4_ivf_topk": e4_ivf_topk,
-        "e5_ann_portable": e5_ann_portable,
-        "e6_neardup_portable": e6_neardup_portable,
-        "e7_kmeans": e7_kmeans,
-        "f11_variant_json": f11_variant_json,
-        "m1_media_metadata": m1_media_metadata,
-        "pk1_token_packing": pk1_token_packing,
-        "q12_late_priority": q12_late_priority,
-        "sd1_semantic_dedup": sd1_semantic_dedup,
-        "sh1_deterministic_shuffle": sh1_deterministic_shuffle,
-        "sp2_stratified_sample": sp2_stratified_sample,
-        "t2_quality_score": t2_quality_score,
-        "t3_language_id": t3_language_id,
-        "t4_fingerprint": t4_fingerprint,
-        "t7_repetition_stats": t7_repetition_stats,
-        "t8_pii_redaction": t8_pii_redaction,
-        "tp2_curation_portable": tp2_curation_portable,
-        # ---- positions 31-50: the 20 alphabetically-first of the 48
-        #      next-stalest rows (last driver-checked r03); uni2/jl1/
-        #      kn1/iso1 displaced o3_topk_per_group, mx2_mix_apply,
-        #      mx1_mix_plan and kw1_keywords to the refill-pool head ----
-        "a14_grouping_sets": a14_grouping_sets,
-        "a15_conditional_aggs": a15_conditional_aggs,
-        "a16_group_percentiles": a16_group_percentiles,
-        "ag1_ordered_string_agg": ag1_ordered_string_agg,
-        "cc1_dup_clusters": cc1_dup_clusters,
-        "cd1_cdc_snapshot": cd1_cdc_snapshot,
-        "cl1_cluster_stats": cl1_cluster_stats,
-        "cs1_centroid_similarity": cs1_centroid_similarity,
-        "cv1_coverage_curve": cv1_coverage_curve,
-        "d8_block_dedup": d8_block_dedup,
-        "dq1_profile": dq1_profile,
-        # ---- positions 51-60: documented rows-only entries, pinned
-        #      permanently BEHIND the window (a no_oracle row would
-        #      waste a driver slot); each has an exact twin or
-        #      pytest-vs-numpy verification ----
-        "a11_approx_distinct": a11_approx_distinct,
-        "d3_minhash_candidates": d3_minhash_candidates,
-        "d4_simhash": d4_simhash,
-        "e2_ann_lsh": e2_ann_lsh,
-        "e3_embedding_neardup": e3_embedding_neardup,
-        "tp1_curation_pipeline": tp1_curation_pipeline,
-        "hl1_sketch_rollup": hl1_sketch_rollup,
-        "pc1_pca_projection": pc1_pca_projection,
-        "e9_pq_topk": e9_pq_topk,
-        "dq2_profile_approx": dq2_profile_approx,
-        # ---- positions 61+: the remaining r03-stale rows — head of
-        #      the r11 refill pool (o3/mx2/mx1/kw1 displaced by
-        #      uni2/jl1/kn1/iso1; ix1/iv1/h1/fz1/fn1/ev_hopping/dv1/ds1
-        #      /dr1 by bs1/ct1/pt1/prf1/mmr1/wf1/ari1/fk1/mwu1) ----
+        # ---- the 37 stalest exact-oracle rows (last driver-checked
+        #      r03 — 8 rounds stale): the nine refill rows displaced
+        #      past the window by r10's late additions (ix1/iv1/h1/fz1/
+        #      fn1/ev_hopping/dv1/ds1/dr1) plus the rest of the r03
+        #      cohort ----
         "dr1_drift_psi": dr1_drift_psi,
         "ds1_domain_score": ds1_domain_score,
         "dv1_constraints": dv1_constraints,
@@ -15197,10 +15206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h1_histogram": h1_histogram,
         "iv1_interval_overlap": iv1_interval_overlap,
         "ix1_global_index": ix1_global_index,
-        "o3_topk_per_group": o3_topk_per_group,
-        "mx2_mix_apply": mx2_mix_apply,
-        "mx1_mix_plan": mx1_mix_plan,
         "kw1_keywords": kw1_keywords,
+        "mx1_mix_plan": mx1_mix_plan,
+        "mx2_mix_apply": mx2_mix_apply,
+        "o3_topk_per_group": o3_topk_per_group,
         "pp1_lm_fluency": pp1_lm_fluency,
         "pp2_perplexity_buckets": pp2_perplexity_buckets,
         "qc1_quality_classifier": qc1_quality_classifier,
@@ -15225,7 +15234,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_rolling_distinct": w6_rolling_distinct,
         "w7_mad_outliers": w7_mad_outliers,
         "wt1_weighted_sample": wt1_weighted_sample,
-        # ---- remainder: green in CORRECTNESS_r05-r09 ----
+        # ---- window fill: the alphabetically-first of the 48
+        #      next-stalest rows (last driver-checked r05); each new
+        #      round-11 query displaces the last of these past 50 ----
+        "a20_abc_analysis": a20_abc_analysis,
+        "an1_revenue_anomalies": an1_revenue_anomalies,
+        "br1_bounce_rate": br1_bounce_rate,
+        "cc2_dup_hubs": cc2_dup_hubs,
+        "ck1_table_checksum": ck1_table_checksum,
+        "cl2_cluster_keywords": cl2_cluster_keywords,
+        "cx2_split_leakage": cx2_split_leakage,
+        "d10_incremental_dedup": d10_incremental_dedup,
+        "d11_minhash_calibration": d11_minhash_calibration,
+        "d12_url_dedup": d12_url_dedup,
+        # ---- positions 51-60: documented rows-only entries, pinned
+        #      permanently BEHIND the window (a no_oracle row would
+        #      waste a driver slot); each has an exact twin or
+        #      pytest-vs-numpy verification ----
+        "a11_approx_distinct": a11_approx_distinct,
+        "d3_minhash_candidates": d3_minhash_candidates,
+        "d4_simhash": d4_simhash,
+        "e2_ann_lsh": e2_ann_lsh,
+        "e3_embedding_neardup": e3_embedding_neardup,
+        "tp1_curation_pipeline": tp1_curation_pipeline,
+        "hl1_sketch_rollup": hl1_sketch_rollup,
+        "pc1_pca_projection": pc1_pca_projection,
+        "e9_pq_topk": e9_pq_topk,
+        "dq2_profile_approx": dq2_profile_approx,
+        # ---- refill-pool head: the remaining r05-stale rows, in
+        #      window order for the r12 rotation ----
+        "d13_dup_rate_by_source": d13_dup_rate_by_source,
+        "d9_priority_dedup": d9_priority_dedup,
+        "dc1_dataset_card": dc1_dataset_card,
+        "dr2_quality_drift": dr2_quality_drift,
+        "e10_cosine_topk_arrow": e10_cosine_topk_arrow,
+        "e8_sq_topk": e8_sq_topk,
+        "em1_embedding_covariance": em1_embedding_covariance,
+        "f13_map_funcs": f13_map_funcs,
+        "fi1_frequent_pairs": fi1_frequent_pairs,
+        "fi2_association_rules": fi2_association_rules,
+        "gn1_revenue_gini": gn1_revenue_gini,
+        "hh1_supplier_concentration": hh1_supplier_concentration,
+        "hn1_hard_negatives": hn1_hard_negatives,
+        "iet1_interpurchase_histogram": iet1_interpurchase_histogram,
+        "ir1_retrieval_report": ir1_retrieval_report,
+        "ln1_lorenz_deciles": ln1_lorenz_deciles,
+        "mm1_media_similarity": mm1_media_similarity,
+        "pf1_top_values": pf1_top_values,
+        "pk2_packing_report": pk2_packing_report,
+        "pr1_pagerank": pr1_pagerank,
+        "qn1_percent_rank": qn1_percent_rank,
+        "qsel1_classifier_topfrac": qsel1_classifier_topfrac,
+        "rfm1_customer_segments": rfm1_customer_segments,
+        "rrf1_rank_fusion": rrf1_rank_fusion,
+        "t10_gopher_gate": t10_gopher_gate,
+        "t12_blocklist_gate": t12_blocklist_gate,
+        "tc1_table_diff": tc1_table_diff,
+        "tj4_asof_tolerance": tj4_asof_tolerance,
+        "tm1_temperature_mix": tm1_temperature_mix,
+        "tm2_temperature_apply": tm2_temperature_apply,
+        "tp3_repair_pipeline": tp3_repair_pipeline,
+        "tp4_release_pipeline": tp4_release_pipeline,
+        "tr1_triangles": tr1_triangles,
+        "u4_llm_annotate": u4_llm_annotate,
+        "un1_unicode_normalize": un1_unicode_normalize,
+        "url1_canonical_urls": url1_canonical_urls,
+        "x1_chi2_keywords": x1_chi2_keywords,
+        "yoy1_revenue_growth": yoy1_revenue_growth,
+        # ---- remainder: green in CORRECTNESS_r07-r10 (the whole r10
+        #      window — r10 firsts, r02 block, a14..dq1 — sits here,
+        #      freshly checked) ----
+        "uniT_unigram_em": uniT_unigram_em,
+        "pj1c_prefix_jaccard_capped": pj1c_prefix_jaccard_capped,
+        "uni2_unigram_fertility": uni2_unigram_fertility,
+        "jl1_random_projection": jl1_random_projection,
+        "kn1_kneser_ney": kn1_kneser_ney,
+        "iso1_isotonic_calibration": iso1_isotonic_calibration,
+        "bs1_brier_calibration": bs1_brier_calibration,
+        "ct1_rank_langid": ct1_rank_langid,
+        "pt1_prototype_prune": pt1_prototype_prune,
+        "prf1_rm3_expansion": prf1_rm3_expansion,
+        "mmr1_diversified_topk": mmr1_diversified_topk,
+        "wf1_winnow_matches": wf1_winnow_matches,
+        "ari1_cluster_agreement": ari1_cluster_agreement,
+        "fk1_annotator_agreement": fk1_annotator_agreement,
+        "mwu1_rank_sum": mwu1_rank_sum,
+        "a4_guard_derive": a4_guard_derive,
+        "cx1_contamination": cx1_contamination,
+        "d6_simhash_portable": d6_simhash_portable,
+        "d7_minhash_portable": d7_minhash_portable,
+        "e1_cosine_topk": e1_cosine_topk,
+        "e4_ivf_topk": e4_ivf_topk,
+        "e5_ann_portable": e5_ann_portable,
+        "e6_neardup_portable": e6_neardup_portable,
+        "e7_kmeans": e7_kmeans,
+        "f11_variant_json": f11_variant_json,
+        "m1_media_metadata": m1_media_metadata,
+        "pk1_token_packing": pk1_token_packing,
+        "q12_late_priority": q12_late_priority,
+        "sd1_semantic_dedup": sd1_semantic_dedup,
+        "sh1_deterministic_shuffle": sh1_deterministic_shuffle,
+        "sp2_stratified_sample": sp2_stratified_sample,
+        "t2_quality_score": t2_quality_score,
+        "t3_language_id": t3_language_id,
+        "t4_fingerprint": t4_fingerprint,
+        "t7_repetition_stats": t7_repetition_stats,
+        "t8_pii_redaction": t8_pii_redaction,
+        "tp2_curation_portable": tp2_curation_portable,
+        "a14_grouping_sets": a14_grouping_sets,
+        "a15_conditional_aggs": a15_conditional_aggs,
+        "a16_group_percentiles": a16_group_percentiles,
+        "ag1_ordered_string_agg": ag1_ordered_string_agg,
+        "cc1_dup_clusters": cc1_dup_clusters,
+        "cd1_cdc_snapshot": cd1_cdc_snapshot,
+        "cl1_cluster_stats": cl1_cluster_stats,
+        "cs1_centroid_similarity": cs1_centroid_similarity,
+        "cv1_coverage_curve": cv1_coverage_curve,
+        "d8_block_dedup": d8_block_dedup,
+        "dq1_profile": dq1_profile,
         "bpe1_bpe_merges": bpe1_bpe_merges,
         "bpe2_bpe_fertility": bpe2_bpe_fertility,
         "sdd1_streaming_dedup": sdd1_streaming_dedup,
@@ -15370,54 +15496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ss2_span_repair": ss2_span_repair,
         "tp5_decontaminated_release": tp5_decontaminated_release,
         "pn1_pseudonymize": pn1_pseudonymize,
-        "un1_unicode_normalize": un1_unicode_normalize,
-        "url1_canonical_urls": url1_canonical_urls,
-        "d9_priority_dedup": d9_priority_dedup,
-        "tm1_temperature_mix": tm1_temperature_mix,
-        "tm2_temperature_apply": tm2_temperature_apply,
-        "hn1_hard_negatives": hn1_hard_negatives,
-        "ir1_retrieval_report": ir1_retrieval_report,
-        "rrf1_rank_fusion": rrf1_rank_fusion,
-        "qsel1_classifier_topfrac": qsel1_classifier_topfrac,
-        "cx2_split_leakage": cx2_split_leakage,
-        "d10_incremental_dedup": d10_incremental_dedup,
-        "mm1_media_similarity": mm1_media_similarity,
-        "t12_blocklist_gate": t12_blocklist_gate,
-        "u4_llm_annotate": u4_llm_annotate,
-        "ck1_table_checksum": ck1_table_checksum,
-        "pk2_packing_report": pk2_packing_report,
-        "d11_minhash_calibration": d11_minhash_calibration,
-        "d12_url_dedup": d12_url_dedup,
-        "f13_map_funcs": f13_map_funcs,
-        "an1_revenue_anomalies": an1_revenue_anomalies,
-        "rfm1_customer_segments": rfm1_customer_segments,
-        "fi2_association_rules": fi2_association_rules,
-        "tp4_release_pipeline": tp4_release_pipeline,
-        "gn1_revenue_gini": gn1_revenue_gini,
-        "ln1_lorenz_deciles": ln1_lorenz_deciles,
-        "cl2_cluster_keywords": cl2_cluster_keywords,
-        "br1_bounce_rate": br1_bounce_rate,
-        "dr2_quality_drift": dr2_quality_drift,
-        "iet1_interpurchase_histogram": iet1_interpurchase_histogram,
-        "hh1_supplier_concentration": hh1_supplier_concentration,
-        "yoy1_revenue_growth": yoy1_revenue_growth,
-        "d13_dup_rate_by_source": d13_dup_rate_by_source,
-        "qn1_percent_rank": qn1_percent_rank,
-        "t10_gopher_gate": t10_gopher_gate,
-        "fi1_frequent_pairs": fi1_frequent_pairs,
-        "pf1_top_values": pf1_top_values,
-        "tc1_table_diff": tc1_table_diff,
-        "tj4_asof_tolerance": tj4_asof_tolerance,
-        "em1_embedding_covariance": em1_embedding_covariance,
-        "tp3_repair_pipeline": tp3_repair_pipeline,
-        "tr1_triangles": tr1_triangles,
-        "pr1_pagerank": pr1_pagerank,
-        "e8_sq_topk": e8_sq_topk,
-        "e10_cosine_topk_arrow": e10_cosine_topk_arrow,
-        "dc1_dataset_card": dc1_dataset_card,
-        "cc2_dup_hubs": cc2_dup_hubs,
-        "x1_chi2_keywords": x1_chi2_keywords,
-        "a20_abc_analysis": a20_abc_analysis,
     }
 
 
@@ -15440,6 +15518,7 @@ def oracle_sql() -> dict[str, str]:
         "iso1_isotonic_calibration": ISO1_SQL,
         "bs1_brier_calibration": BS1_SQL,
         "ct1_rank_langid": CT1_SQL,
+        "ct1p_rank_langid_prefix": CT1P_SQL,
         "pt1_prototype_prune": PT1_SQL,
         "prf1_rm3_expansion": PRF1_SQL,
         "mmr1_diversified_topk": MMR1_SQL,

@@ -134,6 +134,12 @@ HEADLINE = [
     "ari1_cluster_agreement",
     "fk1_annotator_agreement",
     "mwu1_rank_sum",
+    # round-11 additions (appended): ct1p = ct1 on a 400-normalized-char
+    # prefix — the production langid plan (profiles saturate at a few
+    # hundred chars), so the headline's top single cost tracks what
+    # you'd run at 100 TB; exact ct1 stays for the round-over-round
+    # comparison and as the full-document oracle twin
+    "ct1p_rank_langid_prefix",
 ]
 
 

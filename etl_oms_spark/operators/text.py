@@ -454,6 +454,7 @@ def rank_langid_confusion(
     lang_col: str = "lang",
     id_col: str = "doc_id",
     profile_size: int = 20,
+    prefix_chars: int | None = None,
 ) -> DataFrame:
     """Cavnar-Trenkle (1994, public: "N-Gram-Based Text
     Categorization") rank-order language ID, self-scored as a confusion
@@ -462,6 +463,17 @@ def rank_langid_confusion(
     character-trigram rank profiles from the corpus's own labels, score
     every document against every profile by out-of-place distance, and
     report (true_lang, pred_lang, n_docs).
+
+    ``prefix_chars`` is the production form: trigrams come from only
+    the first ``prefix_chars`` characters of the NORMALIZED text —
+    Cavnar-Trenkle's own profiles saturate after a few hundred
+    characters, so classifying (and profiling) full documents buys no
+    accuracy while the trigram explode scales with document length.
+    Truncation happens on the normalized string (then the trigram
+    builder re-normalizes, which can only trim a trailing space the cut
+    exposed), so the semantics are a pure function of the canonical
+    text and an oracle can replay them with substr + the same
+    normalization. ``None`` = full documents (the exact-parity form).
 
     distance(doc, lang) = Σ over the doc's profile trigrams of
     |rank_doc - rank_lang|, with the ``profile_size`` penalty when the
@@ -491,10 +503,15 @@ def rank_langid_confusion(
     from pyspark.sql import Window
 
     p = profile_size
+    src = (
+        F.col(text_col)
+        if prefix_chars is None
+        else F.substring(normalize_text(text_col), 1, int(prefix_chars))
+    )
     tri = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("true_lang"),
-        F.explode(char_trigrams(text_col)).alias("tri"),
+        F.explode(char_trigrams(src)).alias("tri"),
     )
     # Two DIRECT groupBys over the explode, not a shared (doc, lang,
     # tri) pre-aggregation: per-doc trigram counts are mostly 1, so a
@@ -534,7 +551,7 @@ def rank_langid_confusion(
     # doc-profile exchange (measured at sf0.1: 2.51M vs 1.31M shuffle
     # records), while this filter is shuffle-free
     docs_with_profile = df.filter(
-        F.size(char_trigrams(text_col)) >= 1
+        F.size(char_trigrams(src)) >= 1
     ).select(F.col(id_col).alias("doc_id"))
     corr = (
         doc_prof.join(F.broadcast(lang_prof), "tri")

@@ -32,58 +32,52 @@ def test_every_query_has_oracle_or_documented_exception():
     )
 
 
-def test_driver_window_holds_round10_rotation():
-    """Positions 1-50 must stay the round-10 rotation (VERDICT r09 item
-    2): with the never-driver-checked backlog empty, the window's job
-    is staleness control — positions 1-6 the round-10 additions (uniT,
-    pj1c, uni2, jl1, kn1, iso1 — first driver check), 7-8 the two green
-    anchors, 9-30 the 22 stalest exact-oracle rows (last driver-checked
-    r02), 31-50 the 20 alphabetically-first of the 48 next-stalest
-    (r03; the additions displaced o3/mx2/mx1/kw1 to the refill-pool
-    head). New round-11 queries insert right after the anchors, each
-    displacing the least-stale refill entry past position 50 — so the
-    assertion is subset-shaped for the refill blocks. NO rows-only
-    entry may ever sit in the first 50 — a no_oracle row would waste a
-    driver window slot."""
+def test_driver_window_holds_round11_rotation():
+    """Positions 1-50 must stay the round-11 rotation (VERDICT r10 item
+    2): the window's job is staleness control — round-11 additions
+    first (first driver check), then the two green anchors, then the 37
+    stalest exact-oracle rows (last driver-checked r03, 8 rounds
+    stale), then the alphabetically-first of the 48 next-stalest (r05)
+    as fill. New round-11 queries insert before the anchors, each
+    displacing the least-stale r05 fill entry past position 50 — so the
+    assertion is subset-shaped for the fill block. NO rows-only entry
+    may ever sit in the first 50 — a no_oracle row would waste a driver
+    window slot."""
     names = list(entry_mod.queries())
-    assert names[:6] == [
-        "uniT_unigram_em", "pj1c_prefix_jaccard_capped",
-        "uni2_unigram_fertility", "jl1_random_projection",
-        "kn1_kneser_ney", "iso1_isotonic_calibration"]
-    assert names[6:8] == ["q1_pricing_summary", "star_fact_rollup"]
-    r02 = {
-        "a4_guard_derive", "cx1_contamination", "d6_simhash_portable",
-        "d7_minhash_portable", "e1_cosine_topk", "e4_ivf_topk",
-        "e5_ann_portable", "e6_neardup_portable", "e7_kmeans",
-        "f11_variant_json", "m1_media_metadata", "pk1_token_packing",
-        "q12_late_priority", "sd1_semantic_dedup",
-        "sh1_deterministic_shuffle", "sp2_stratified_sample",
-        "t2_quality_score", "t3_language_id", "t4_fingerprint",
-        "t7_repetition_stats", "t8_pii_redaction", "tp2_curation_portable",
-    }
+    r11_new = {"ct1p_rank_langid_prefix"}
+    anchors = ["q1_pricing_summary", "star_fact_rollup"]
+    # additions lead; anchors ride immediately behind them
+    n_new = len(r11_new)
+    assert set(names[:n_new]) == r11_new
+    assert names[n_new : n_new + 2] == anchors
     r03 = {
-        "a14_grouping_sets", "a15_conditional_aggs", "a16_group_percentiles",
-        "ag1_ordered_string_agg", "cc1_dup_clusters", "cd1_cdc_snapshot",
-        "cl1_cluster_stats", "cs1_centroid_similarity", "cv1_coverage_curve",
-        "d8_block_dedup", "dq1_profile", "dr1_drift_psi", "ds1_domain_score",
-        "dv1_constraints", "ev_hopping", "fn1_funnel", "fz1_fuzzy_pairs",
-        "h1_histogram", "iv1_interval_overlap", "ix1_global_index",
+        "dr1_drift_psi", "ds1_domain_score", "dv1_constraints",
+        "ev_hopping", "fn1_funnel", "fz1_fuzzy_pairs", "h1_histogram",
+        "iv1_interval_overlap", "ix1_global_index", "kw1_keywords",
+        "mx1_mix_plan", "mx2_mix_apply", "o3_topk_per_group",
+        "pp1_lm_fluency", "pp2_perplexity_buckets",
+        "qc1_quality_classifier", "r4_pivot_multi", "rs1_resample_ffill",
+        "rt1_retention", "sc1_scd2", "sk1_salted_join", "sk2_skew_report",
+        "sp3_domain_cap", "st1_grouped_stats", "st2_correlation",
+        "st3_entropy", "t9_intra_dedup", "tj3_asof_forward", "ts1_bm25",
+        "v1_vocab_topk", "v2_bigram_merge_rank", "vs1_source_overlap",
+        "w4_winsorize", "w5_range_frame", "w6_rolling_distinct",
+        "w7_mad_outliers", "wt1_weighted_sample",
     }
+    assert len(r03) == 37
     first50 = set(names[:50])
-    # the r02 block must all be inside the window (staleness priority);
-    # the r03 block fills the rest, tail entries displaced by new queries
-    # (uni2/jl1/kn1/iso1 displaced o3_topk_per_group, mx2_mix_apply,
-    # mx1_mix_plan and kw1_keywords to the refill-pool head)
-    assert r02 <= first50, f"stale r02 rows fell out: {r02 - first50}"
-    non_refill = first50 - r02 - r03 - {
-        "uniT_unigram_em", "pj1c_prefix_jaccard_capped",
-        "uni2_unigram_fertility", "jl1_random_projection",
-        "kn1_kneser_ney", "iso1_isotonic_calibration",
-        "q1_pricing_summary", "star_fact_rollup"}
-    # anything else in the window must be a round-11+ addition sitting
-    # between the anchors and the refill (positions 9+)
-    for extra in non_refill:
-        assert 8 <= names.index(extra) < 50 - len(r02), extra
+    # the full r03 cohort must be inside the window (staleness
+    # priority); r05 alphabetical fill takes the remaining slots
+    assert r03 <= first50, f"stale r03 rows fell out: {r03 - first50}"
+    fill = first50 - r03 - r11_new - set(anchors)
+    r05_head = [
+        "a20_abc_analysis", "an1_revenue_anomalies", "br1_bounce_rate",
+        "cc2_dup_hubs", "ck1_table_checksum", "cl2_cluster_keywords",
+        "cx2_split_leakage", "d10_incremental_dedup",
+        "d11_minhash_calibration", "d12_url_dedup",
+    ]
+    # fill must be a prefix of the r05 alphabetical cohort
+    assert fill == set(r05_head[: len(fill)]), fill
     assert not (first50 & KNOWN_ROWS_ONLY), (
         "rows-only entries must never occupy a driver window slot"
     )
