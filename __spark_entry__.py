@@ -14865,47 +14865,87 @@ def _uniT_sql(
     max_word: int = 12,
     max_piece: int = 4,
     vocab_k: int = 64,
-    keep_multi: int = 48,
+    prune_schedule: tuple = (48,),
 ) -> str:
-    """DuckDB replay of uniT: the uni1 prelude, the pass-1 Viterbi DP
-    (tag ``a``) under the initial scores, the hard-EM M-step (usage-
-    ranked top-``keep_multi`` multi-char prune + single-char floor of 1
-    + re-quantized log-probs), and the pass-2 DP (tag ``b``) under the
-    trained scores — every count an exact BIGINT, both unrolled DPs
-    sharing `_uni_viterbi_parts`."""
+    """DuckDB replay of uniT/uniT2: the uni1 prelude, then ONE unrolled
+    Viterbi DP + hard-EM M-step (usage-ranked top-``prune_schedule[r]``
+    multi-char prune + single-char floor of 1 + re-quantized log-probs)
+    PER ROUND, and a final re-segmentation DP under the trained scores
+    — every count an exact BIGINT, all DPs sharing `_uni_viterbi_parts`
+    (tags a, b, c, …). usage_init always reads tag-a (round-1 E-step)."""
+    tags = "abcdefgh"
+    n_rounds = len(prune_schedule)
+    assert n_rounds + 1 <= len(tags)
     parts = _uni_prelude_parts(sample_words, max_word, max_piece, vocab_k)
-    parts += _uni_viterbi_parts("a", "scores", max_word, max_piece)
-    parts.append(
-        f"""multi1 AS MATERIALIZED (
-    SELECT piece, usage AS wt FROM usagea
+    scores_cte = "scores"
+    for r, keep in enumerate(prune_schedule, start=1):
+        tag = tags[r - 1]
+        parts += _uni_viterbi_parts(tag, scores_cte, max_word, max_piece)
+        parts.append(
+            f"""multi{r} AS MATERIALIZED (
+    SELECT piece, usage AS wt FROM usage{tag}
     WHERE length(piece) >= 2
-    ORDER BY usage DESC, piece LIMIT {keep_multi}
-), singles1 AS MATERIALIZED (
+    ORDER BY usage DESC, piece LIMIT {keep}
+), singles{r} AS MATERIALIZED (
     SELECT v.piece, GREATEST(COALESCE(u.usage, 0), 1) AS wt
     FROM (SELECT piece FROM vocab WHERE length(piece) = 1) v
-    LEFT JOIN usagea u ON u.piece = v.piece
-), vocab1 AS MATERIALIZED (
-    SELECT piece, wt FROM multi1
+    LEFT JOIN usage{tag} u ON u.piece = v.piece
+), vocab{r} AS MATERIALIZED (
+    SELECT piece, wt FROM multi{r}
     UNION ALL
-    SELECT piece, wt FROM singles1
-), tot1 AS (SELECT CAST(SUM(wt) AS BIGINT) AS t FROM vocab1),
-scores1 AS MATERIALIZED (
+    SELECT piece, wt FROM singles{r}
+), tot{r} AS (SELECT CAST(SUM(wt) AS BIGINT) AS t FROM vocab{r}),
+scores{r} AS MATERIALIZED (
     SELECT piece, wt,
            CAST(floor(ln(CAST(wt AS DOUBLE) / CAST(t AS DOUBLE))
                       * 1000000 + 0.5) AS BIGINT) AS s
-    FROM vocab1 CROSS JOIN tot1
+    FROM vocab{r} CROSS JOIN tot{r}
 )"""
-    )
-    parts += _uni_viterbi_parts("b", "scores1", max_word, max_piece)
+        )
+        scores_cte = f"scores{r}"
+    final_tag = tags[n_rounds]
+    parts += _uni_viterbi_parts(final_tag, scores_cte, max_word, max_piece)
     ctes = ",\n".join(parts)
     return f"""WITH {ctes}
 SELECT u.piece, s.wt AS em_weight, s.s AS score_q,
        COALESCE(a.usage, 0) AS usage_init, u.usage
-FROM usageb u
-JOIN scores1 s ON s.piece = u.piece
+FROM usage{final_tag} u
+JOIN {scores_cte} s ON s.piece = u.piece
 LEFT JOIN usagea a ON a.piece = u.piece
 ORDER BY u.usage DESC, u.piece
 """
+
+
+def uniT2_unigram_em_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round Unigram-LM EM with a prune schedule toward a target
+    vocabulary (VERDICT r10 item 3; Kudo 2018 §3.2's full recipe
+    iterates EM + prune): two hard-EM rounds on the bounded sample —
+    round 1 keeps the top-48 multi-char pieces by Viterbi usage, round
+    2 re-segments under the round-1 LM and prunes to 32 — then a final
+    re-segmentation under the trained scores. Same bounded-sample
+    scale-flat posture as uniT; the oracle unrolls all THREE Viterbi
+    passes and both M-steps (shared `_uni_viterbi_parts`, tags a/b/c)."""
+    from etl_oms_spark.operators.tokenize import unigram_em_train
+
+    rows = unigram_em_train(
+        _t(spark, sf_dir, "documents"),
+        n_rounds=2,
+        prune_schedule=[48, 32],
+    )
+    return spark.createDataFrame(
+        [
+            (
+                d["piece"],
+                d["em_weight"],
+                d["score_q"],
+                d["usage_init"],
+                d["usage"],
+            )
+            for d in rows
+        ],
+        "piece string, em_weight long, score_q long, usage_init long,"
+        " usage long",
+    ).orderBy(F.desc("usage"), "piece")
 
 
 def uni2_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15189,6 +15229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green, so it rotates out behind the rows-only block.
         # ---- round-11 additions, first driver check ----
         "ct1p_rank_langid_prefix": ct1p_rank_langid_prefix,
+        "uniT2_unigram_em_pruned": uniT2_unigram_em_pruned,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
@@ -15246,7 +15287,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cx2_split_leakage": cx2_split_leakage,
         "d10_incremental_dedup": d10_incremental_dedup,
         "d11_minhash_calibration": d11_minhash_calibration,
-        "d12_url_dedup": d12_url_dedup,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -15262,7 +15302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
         # ---- refill-pool head: the remaining r05-stale rows, in
-        #      window order for the r12 rotation ----
+        #      window order for the r12 rotation (d12 displaced by
+        #      uniT2) ----
+        "d12_url_dedup": d12_url_dedup,
         "d13_dup_rate_by_source": d13_dup_rate_by_source,
         "d9_priority_dedup": d9_priority_dedup,
         "dc1_dataset_card": dc1_dataset_card,
@@ -15511,6 +15553,7 @@ def oracle_sql() -> dict[str, str]:
         "rag1_context_assembly": RAG1_SQL,
         "uni1_unigram_segments": _uni1_sql(),
         "uniT_unigram_em": _uniT_sql(),
+        "uniT2_unigram_em_pruned": _uniT_sql(prune_schedule=(48, 32)),
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

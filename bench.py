@@ -140,6 +140,10 @@ HEADLINE = [
     # you'd run at 100 TB; exact ct1 stays for the round-over-round
     # comparison and as the full-document oracle twin
     "ct1p_rank_langid_prefix",
+    # uniT2 = multi-round EM with a [48, 32] prune schedule — the
+    # full Kudo recipe's cost shape (3 bounded-sample passes, still
+    # scale-flat; uniT's single round stays for comparison)
+    "uniT2_unigram_em_pruned",
 ]
 
 

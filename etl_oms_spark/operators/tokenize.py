@@ -620,6 +620,8 @@ def unigram_em_train(
     sample_words: int = 256,
     keep_multi: int = UNI_EM_KEEP,
     text_col: str = "text",
+    n_rounds: int = 1,
+    prune_schedule: "list[int] | None" = None,
 ) -> list[dict]:
     """EXACT Unigram-LM EM training round (Kudo 2018, "Subword
     Regularization", §3.2) — the piece that makes the unigram member of
@@ -646,49 +648,71 @@ def unigram_em_train(
     3. re-segment under the re-estimated LM (the next E-step, reported
        as the trained tokenizer's usage table).
 
-    Corpus-scale posture: identical to uni1 — the ONE distributed stage
-    is the word-frequency rollup (map-side combined); both EM passes
-    run on the driver-sized top-256 sample, so the cost is scale-flat
-    and the unrolled two-pass DuckDB oracle replays every stage.
+    **Multi-round EM (round 11)**: Kudo's full recipe iterates EM +
+    prune toward a target vocabulary. ``n_rounds``/``prune_schedule``
+    run the E/M cycle that many times — round *r* Viterbi-segments
+    under round *r−1*'s scores, keeps the top ``prune_schedule[r-1]``
+    multi-char pieces by (usage DESC, piece ASC), floors every
+    ORIGINAL single char at max(usage, 1) (the segmentability
+    guarantee must survive every prune), and re-quantizes. The default
+    schedule is ``[keep_multi] * n_rounds``; a decreasing schedule
+    (e.g. [48, 32]) is the prune-toward-target-vocab form. At a
+    converged LM an extra round is a NO-OP: identical usage ranks →
+    identical vocab → identical scores (the fixed-point test).
 
-    Returns, for each piece used by the pass-2 segmentation:
-    ``piece, em_weight`` (the M-step weight), ``score_q`` (the
-    re-estimated quantized log-prob), ``usage_init`` (pass-1 Viterbi
-    count; 0 for a single char unused in pass 1), ``usage`` (pass-2
+    Corpus-scale posture: identical to uni1 — the ONE distributed stage
+    is the word-frequency rollup (map-side combined); ALL EM passes
+    run on the driver-sized top-256 sample, so the cost is scale-flat
+    and the unrolled (n_rounds+1)-pass DuckDB oracle replays every
+    stage.
+
+    Returns, for each piece used by the FINAL segmentation:
+    ``piece, em_weight`` (the last M-step weight), ``score_q`` (the
+    trained quantized log-prob), ``usage_init`` (round-1 E-step Viterbi
+    count; 0 for a single char unused there), ``usage`` (final-pass
     count), ordered by (usage DESC, piece ASC).
     """
-    sample = _uni_word_sample(df, sample_words, text_col)
-    vocab0, score0 = _uni_vocab_scores(sample)
-
-    usage0 = _viterbi_usage(sample, score0)  # E-step
-
-    # M-step + prune: multi-char pieces survive only with usage, capped
-    # at keep_multi; single chars keep a weight floor of 1
-    multi1 = sorted(
-        ((p, u) for p, u in usage0.items() if len(p) >= 2),
-        key=lambda t: (-t[1], t[0]),
-    )[:keep_multi]
-    vocab1 = {p: u for p, u in multi1}
-    vocab1.update(
-        {
-            p: max(usage0.get(p, 0), 1)
-            for p in vocab0
-            if len(p) == 1
-        }
+    schedule = (
+        list(prune_schedule)
+        if prune_schedule is not None
+        else [keep_multi] * n_rounds
     )
-    score1 = _quantized_log_scores(vocab1)
+    if len(schedule) != n_rounds:
+        raise ValueError(
+            f"prune_schedule has {len(schedule)} entries for "
+            f"n_rounds={n_rounds}"
+        )
+    sample = _uni_word_sample(df, sample_words, text_col)
+    vocab0, score = _uni_vocab_scores(sample)
+    singles = [p for p in vocab0 if len(p) == 1]
 
-    usage1 = _viterbi_usage(sample, score1)  # re-segment
+    usage_init: dict[str, int] = {}
+    vocab: dict[str, int] = vocab0
+    for r, keep_r in enumerate(schedule):
+        usage = _viterbi_usage(sample, score)  # E-step
+        if r == 0:
+            usage_init = usage
+        # M-step + prune: multi-char pieces survive only with usage,
+        # capped at this round's budget; single chars keep a floor of 1
+        multi = sorted(
+            ((p, u) for p, u in usage.items() if len(p) >= 2),
+            key=lambda t: (-t[1], t[0]),
+        )[:keep_r]
+        vocab = {p: u for p, u in multi}
+        vocab.update({p: max(usage.get(p, 0), 1) for p in singles})
+        score = _quantized_log_scores(vocab)
+
+    final = _viterbi_usage(sample, score)  # re-segment
     return sorted(
         (
             {
                 "piece": p,
-                "em_weight": vocab1[p],
-                "score_q": score1[p],
-                "usage_init": usage0.get(p, 0),
+                "em_weight": vocab[p],
+                "score_q": score[p],
+                "usage_init": usage_init.get(p, 0),
                 "usage": u,
             }
-            for p, u in usage1.items()
+            for p, u in final.items()
         ),
         key=lambda d: (-d["usage"], d["piece"]),
     )

@@ -33,78 +33,13 @@ from etl_oms_spark.operators.tokenize import (
 
 
 # ------------------------------------------------------------- helpers
-def _word_sample(spark_df) -> list[tuple[str, int]]:
-    from etl_oms_spark.operators.text import tokens
-
-    rows = (
-        spark_df.select(F.explode(tokens("text")).alias("w"))
-        .filter((F.col("w") != "") & (F.length("w") >= 2))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "w")
-        .limit(256)
-        .collect()
-    )
-    return [(r["w"], int(r["n"])) for r in rows]
-
-
-def _initial_vocab(sample) -> dict[str, int]:
-    weights: dict[str, int] = {}
-    for w, n in sample:
-        for ln_ in range(1, UNI_MAX_PIECE + 1):
-            for i in range(len(w) - ln_ + 1):
-                p = w[i : i + ln_]
-                weights[p] = weights.get(p, 0) + n
-    multi = sorted(
-        ((p, c) for p, c in weights.items() if len(p) >= 2),
-        key=lambda t: (-t[1], t[0]),
-    )[:UNI_VOCAB]
-    vocab = dict(multi)
-    vocab.update({p: c for p, c in weights.items() if len(p) == 1})
-    return vocab
-
-
-def _scores(vocab: dict[str, int]) -> dict[str, int]:
-    total = sum(vocab.values())
-    return {
-        p: math.floor(math.log(c / total) * UNI_LOG_SCALE + 0.5)
-        for p, c in vocab.items()
-    }
-
-
-def _brute_usage(sample, score) -> dict[str, int]:
-    """Exhaustive enumeration of every segmentation (vocab pieces only)
-    with the DP's tie order — test_round9_ops' independent oracle,
-    reused for both EM passes."""
-
-    def all_segs(w):
-        if not w:
-            yield []
-            return
-        for ln_ in range(1, min(UNI_MAX_PIECE, len(w)) + 1):
-            head = w[:ln_]
-            if head in score:
-                for rest in all_segs(w[ln_:]):
-                    yield [head] + rest
-
-    usage: dict[str, int] = {}
-    for w, n in sample:
-        if not (2 <= len(w) <= UNI_MAX_WORD):
-            continue
-        best = max(
-            all_segs(w),
-            key=lambda segs: (
-                sum(score[p] for p in segs),
-                -len(segs),
-                tuple(
-                    len(w) - sum(len(p) for p in segs[i:])
-                    for i in range(len(segs) - 1, -1, -1)
-                ),
-            ),
-        )
-        for p in best:
-            usage[p] = usage.get(p, 0) + n
-    return usage
+# shared with tests/test_round11_ops.py (uniT2 multi-round EM) via
+# tests_round10_helpers — one source of truth for the independent
+# enumeration replay
+from tests_round10_helpers import brute_usage as _brute_usage
+from tests_round10_helpers import initial_vocab as _initial_vocab
+from tests_round10_helpers import scores as _scores
+from tests_round10_helpers import word_sample as _word_sample
 
 
 def _brute_em(sample) -> list[tuple]:

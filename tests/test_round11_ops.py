@@ -152,3 +152,104 @@ def test_ct1p_plan_profiles_broadcast_no_smj(spark):
     )
     assert "broadcasthashjoin" in plan
     assert "sortmergejoin" not in plan
+
+
+# ------------------------------------------------------------- uniT2
+def _brute_em_multi(sample, schedule):
+    """Independent multi-round hard-EM replay built on the round-10
+    suite's exhaustive-enumeration segmenter (no DP): initial LM, then
+    per round — enumerate-segment, prune multi-char to the round's
+    budget, floor every ORIGINAL single char at max(usage, 1),
+    re-quantize — then a final enumeration re-segmentation."""
+    from tests_round10_helpers import brute_usage, initial_vocab, scores
+
+    vocab0 = initial_vocab(sample)
+    singles = [p for p in vocab0 if len(p) == 1]
+    score = scores(vocab0)
+    usage_init = None
+    vocab = vocab0
+    for keep in schedule:
+        usage = brute_usage(sample, score)
+        if usage_init is None:
+            usage_init = usage
+        multi = sorted(
+            ((p, u) for p, u in usage.items() if len(p) >= 2),
+            key=lambda t: (-t[1], t[0]),
+        )[:keep]
+        vocab = dict(multi)
+        vocab.update({p: max(usage.get(p, 0), 1) for p in singles})
+        score = scores(vocab)
+    final = brute_usage(sample, score)
+    return sorted(
+        (
+            (p, vocab[p], score[p], usage_init.get(p, 0), u)
+            for p, u in final.items()
+        ),
+        key=lambda t: (-t[4], t[0]),
+    )
+
+
+def test_unigram_em_two_rounds_match_brute(spark):
+    """≥2-round parity (VERDICT r10 item 3): the operator's DP-based
+    multi-round EM must equal the exhaustive-enumeration replay on the
+    real sf0.001 sample, with the decreasing [48, 32] schedule."""
+    from etl_oms_spark.operators.tokenize import unigram_em_train
+    from tests_round10_helpers import word_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [
+        (d["piece"], d["em_weight"], d["score_q"], d["usage_init"], d["usage"])
+        for d in unigram_em_train(docs, n_rounds=2, prune_schedule=[48, 32])
+    ]
+    want = _brute_em_multi(word_sample(docs), [48, 32])
+    assert got == want
+    # the prune schedule bit: no more than 32 multi-char pieces survive
+    assert sum(1 for p, *_ in got if len(p) >= 2) <= 32
+
+
+def test_unigram_em_three_rounds_match_brute(spark):
+    from etl_oms_spark.operators.tokenize import unigram_em_train
+    from tests_round10_helpers import word_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [
+        (d["piece"], d["em_weight"], d["score_q"], d["usage_init"], d["usage"])
+        for d in unigram_em_train(docs, n_rounds=3, prune_schedule=[48, 40, 32])
+    ]
+    assert got == _brute_em_multi(word_sample(docs), [48, 40, 32])
+
+
+def test_unigram_em_fixed_point_extra_round_is_noop(spark):
+    """At a converged LM an extra round changes nothing: a corpus of
+    disjoint two-char words converges after round 1 (each word's best
+    segmentation is its own piece, so usage ranks never move), so
+    n_rounds=3 at a constant schedule equals n_rounds=1 exactly —
+    including usage_init, which always reads the ROUND-1 E-step."""
+    from etl_oms_spark.operators.tokenize import unigram_em_train
+
+    docs = spark.createDataFrame(
+        [("ab ab ab cd cd ef",), ("ab cd cd zq zq zq",)], "text: string"
+    )
+    one = unigram_em_train(docs, n_rounds=1)
+    three = unigram_em_train(docs, n_rounds=3, prune_schedule=[48, 48, 48])
+    assert one == three
+
+
+def test_unigram_em_default_is_single_round(spark):
+    """n_rounds=1 (the default) must be bit-identical to the round-10
+    uniT behavior — uniT's green oracle rows pin the other side."""
+    from etl_oms_spark.operators.tokenize import unigram_em_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert unigram_em_train(docs) == unigram_em_train(
+        docs, n_rounds=1, prune_schedule=[48]
+    )
+
+
+def test_unigram_em_schedule_length_must_match():
+    import pytest
+
+    from etl_oms_spark.operators.tokenize import unigram_em_train
+
+    with pytest.raises(ValueError):
+        unigram_em_train(None, n_rounds=2, prune_schedule=[48])
