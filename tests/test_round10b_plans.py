@@ -97,6 +97,26 @@ def test_wf1_windows_doc_partitioned_and_join_hub_capped(spark):
         assert "doc_id" in m.group(1)
 
 
+def test_wf1_two_windows_share_one_sort_and_exchange(spark):
+    """The round-11 audit outcome (SCALING.md, VERDICT r10 item 6):
+    wf1's lead()-k-gram and rolling-min windows share (doc_id, pos)
+    partitioning/ordering, so Catalyst must stack BOTH Window nodes on
+    ONE Sort over ONE doc-keyed Exchange — two pipelined operators, not
+    two corpus passes. The measured alternative (fully fused
+    interpreted-HOF array form) was 6.5x slower at the 10x decade and
+    is deliberately NOT shipped; this pin keeps the stacked shape from
+    regressing into per-window re-sorts."""
+    from etl_oms_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(winnow_fingerprints(docs))
+    import re
+
+    assert len(re.findall(r"\bwindow\b", plan)) == 2
+    assert len(re.findall(r"\bsort\b", plan)) <= 1
+    assert len(re.findall(r"\bexchange hashpartitioning\(doc_id", plan)) <= 1
+
+
 def test_ari1_contingency_is_domain_sized(spark):
     """ari1's everything-after-the-contingency must run on k x L rows:
     the MI cell join joins the contingency against two BROADCAST
