@@ -15213,6 +15213,296 @@ ORDER BY g.source
 """
 
 
+# ---------------------------------------------------------------------------
+# round-11 operators: Good-Turing mass, clustering internal validity,
+# rank correlation, changepoint detection, conformal calibration
+
+
+def gt1_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimation (operators/vocab.
+    good_turing_counts; Good 1953, Gale & Sampson 1995): the
+    frequency-of-frequencies histogram N_r over the corpus word counts,
+    the plain Turing adjusted count r* = (r+1)·N_{r+1}/N_r and
+    per-word probability per row, and the unseen mass p0 = N_1/T — the
+    smoothing statistic a tokenizer/LM pipeline reads beside hp1's
+    Heaps exponent and zipf1's rank-frequency fit. Pure integer
+    algebra: exact BIGINT histogram, one truncating division per
+    estimator at 1e-9. One map-side-combined word rollup, then a
+    count-domain-sized histogram; the N_{r+1} lookup is a broadcast
+    self-join on that tiny histogram."""
+    from etl_oms_spark.operators.vocab import good_turing_counts
+
+    return good_turing_counts(_t(spark, sf_dir, "documents"))
+
+
+GT1_SQL = f"""
+WITH counts AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    )
+    GROUP BY term
+), hist AS (
+    SELECT tf AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+    FROM counts GROUP BY tf
+), tot AS (
+    SELECT CAST(SUM(r * n_r) AS BIGINT) AS t FROM hist
+), n1 AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT)
+        AS n_1
+    FROM hist
+)
+SELECT CAST(h.r AS BIGINT) AS r, h.n_r,
+       CAST(((h.r + 1) * COALESCE(nx.n_r, 0) * CAST(1000000000 AS HUGEINT))
+            // h.n_r AS BIGINT) AS r_star_q9,
+       CAST(((h.r + 1) * COALESCE(nx.n_r, 0) * CAST(1000000000 AS HUGEINT))
+            // (CAST(h.n_r AS HUGEINT) * t.t) AS BIGINT) AS p_r_q9,
+       CAST((CAST(n1.n_1 AS HUGEINT) * 1000000000) // t.t AS BIGINT)
+           AS p0_q9
+FROM (SELECT * FROM hist ORDER BY r LIMIT 15) h
+LEFT JOIN hist nx ON nx.r = h.r + 1
+CROSS JOIN tot t CROSS JOIN n1
+ORDER BY h.r
+"""
+
+
+def db1_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin internal clustering validity
+    (operators/clustering.davies_bouldin, Davies & Bouldin 1979) over
+    the exact k-means partition — the NO-LABELS validity score beside
+    ari1's label-based ARI/NMI: per-cluster scatter s_i (mean member
+    distance, per-member 1e-6-quantized before the integer sum), the
+    worst separation ratio max_j (s_i+s_j)/d(c_i,c_j) per cluster, and
+    the DB index (mean of the maxima, 1e-9 truncating divisions). One
+    cluster-keyed groupBy; the k² pair table comes from the driver-held
+    centroid list and broadcasts back."""
+    from etl_oms_spark.operators.clustering import (
+        davies_bouldin,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, n_iter=2)
+    return davies_bouldin(kmeans_assign(emb, cents), cents)
+
+
+DB1_SQL = f"""
+WITH RECURSIVE {_kmeans_cte_sql(8, 2)},
+cents AS (SELECT cents FROM it WHERE iter = 2),
+s AS (
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(sqrt(CAST(dist2 AS DOUBLE)) * 1000000
+                                + 0.5) AS HUGEINT))
+                // COUNT(*) AS BIGINT) AS s_q6
+    FROM final_assign GROUP BY cluster
+), cd AS (
+    SELECT i.cid AS ci, j.cid AS cj,
+           CAST(floor(sqrt(CAST((
+               SELECT SUM((c.cents[i.cid + 1][t] - c.cents[j.cid + 1][t])
+                          * (c.cents[i.cid + 1][t] - c.cents[j.cid + 1][t]))
+               FROM generate_series(1, 64) g(t)
+           ) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS d_q6
+    FROM cents c, generate_series(0, 7) i(cid), generate_series(0, 7) j(cid)
+    WHERE i.cid <> j.cid
+), r AS (
+    SELECT cd.ci,
+           CASE WHEN cd.d_q6 = 0 THEN CAST(1000000000000000000 AS BIGINT)
+                ELSE CAST((CAST(si.s_q6 + sj.s_q6 AS HUGEINT) * 1000000000)
+                          // cd.d_q6 AS BIGINT)
+           END AS r_q9
+    FROM cd
+    JOIN s si ON si.cluster = cd.ci
+    JOIN s sj ON sj.cluster = cd.cj
+), dmax AS (
+    SELECT ci AS cluster, CAST(MAX(r_q9) AS BIGINT) AS r_max_q9
+    FROM r GROUP BY ci
+), db AS (
+    SELECT CAST(CAST(SUM(r_max_q9) AS HUGEINT) // COUNT(*) AS BIGINT)
+        AS db_q9
+    FROM dmax
+)
+SELECT CAST(s.cluster AS INT) AS cluster, s.n, s.s_q6,
+       dmax.r_max_q9, db.db_q9
+FROM s JOIN dmax USING (cluster) CROSS JOIN db
+ORDER BY cluster
+"""
+
+
+def sr1_spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between document quality
+    (t2's 1e-6-quantized score) and length (whitespace token count) —
+    operators/classifier.spearman_from_pairs (Spearman 1904; Pearson
+    over average ranks under ties, Kendall 1948 §3). The
+    monotone-association companion to st2's Pearson and mwu1's rank
+    test: all rank algebra is exact integers over the two value-DOMAIN
+    histograms (doubled average ranks, mwu1's trick), Pearson sums are
+    decimal(38), rho is one double expression. Two bounded-domain
+    windows, two broadcast joins, one corpus scan."""
+    from etl_oms_spark.operators.classifier import spearman_from_pairs
+    from etl_oms_spark.operators.text import (
+        quality_score,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.coalesce(
+            F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+            F.lit(-1),
+        ).alias("sq"),
+        whitespace_token_count("text").cast("long").alias("nt"),
+    )
+    return spearman_from_pairs(pairs, "sq", "nt")
+
+
+SR1_SQL = f"""
+WITH p AS (
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) AS sq,
+           CAST({_WS} AS BIGINT) AS nt
+    FROM documents
+), hx AS (
+    SELECT sq, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY sq
+), rx AS (
+    SELECT sq, CAST(2 * SUM(c) OVER (ORDER BY sq ROWS UNBOUNDED PRECEDING)
+                    - c + 1 AS BIGINT) AS r_sq
+    FROM hx
+), hy AS (
+    SELECT nt, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY nt
+), ry AS (
+    SELECT nt, CAST(2 * SUM(c) OVER (ORDER BY nt ROWS UNBOUNDED PRECEDING)
+                    - c + 1 AS BIGINT) AS r_nt
+    FROM hy
+), j AS (
+    SELECT CAST(rx.r_sq AS HUGEINT) AS x, CAST(ry.r_nt AS HUGEINT) AS y
+    FROM p JOIN rx USING (sq) JOIN ry USING (nt)
+), a AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS rho
+FROM a
+"""
+
+
+def cusum1_event_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift changepoint over the daily event-count series
+    (operators/temporal.cusum_changepoint, Page 1954) — the rate-jump
+    monitor beside dr1's PSI and an1's residual outliers. Page's
+    recursion is rewritten as prefix sums minus running extrema (two
+    cumulative windows over the ≤n_days frame, the mwu1
+    histogram-first discipline), deviations scaled by N so every
+    statistic is an exact BIGINT; argmax days tie-break earliest."""
+    from etl_oms_spark.operators.temporal import cusum_changepoint
+
+    return cusum_changepoint(_events(spark, sf_dir))
+
+
+CUSUM1_SQL = """
+WITH days AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS t
+    FROM days
+), e AS (
+    SELECT day, nd, t, CAST(nd * x - t AS BIGINT) AS e
+    FROM days CROSS JOIN tot
+), p AS (
+    SELECT day, nd, t,
+           CAST(SUM(e) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS p
+    FROM e
+), s AS (
+    SELECT day, nd, t,
+           p - LEAST(0, COALESCE(MIN(p) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               AS s_up,
+           GREATEST(0, COALESCE(MAX(p) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               - p AS s_down
+    FROM p
+)
+SELECT CAST(MAX(nd) AS BIGINT) AS n_days, CAST(MAX(t) AS BIGINT) AS total,
+       CAST(MAX(s_up) AS BIGINT) AS s_up_max,
+       (min(struct_pack(ns := -s_up, d := day))).d AS cp_up,
+       CAST(MAX(s_down) AS BIGINT) AS s_down_max,
+       (min(struct_pack(ns := -s_down, d := day))).d AS cp_down
+FROM s
+"""
+
+
+def cf1_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal lower bound on document quality with its
+    finite-sample coverage check (operators/classifier.
+    conformal_lower_bound; Vovk et al. 2005 / Papadopoulos et al. 2002
+    split form) — the distribution-free guarantee beside iso1/bs1:
+    calibration = even doc_ids, α = 1/10, threshold = the
+    ⌊α(n_cal+1)⌋-th smallest 1e-6-quantized quality score (an exact
+    order statistic off the bounded score histogram), coverage measured
+    on the odd-id half. One corpus scan, score-domain windows only."""
+    from etl_oms_spark.operators.classifier import conformal_lower_bound
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.coalesce(
+            F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+            F.lit(-1),
+        ).alias("sq"),
+        (F.col("doc_id") % 2 == 0).alias("is_cal"),
+    )
+    return conformal_lower_bound(scored, "sq", "is_cal", 1, 10)
+
+
+CF1_SQL = f"""
+WITH p AS (
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) AS sq,
+           doc_id % 2 = 0 AS is_cal
+    FROM documents
+), hist AS (
+    SELECT sq AS s, CAST(COUNT(*) AS BIGINT) AS c
+    FROM p WHERE is_cal GROUP BY sq
+), cum AS (
+    SELECT s, CAST(SUM(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum
+    FROM hist
+), nk AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n_cal,
+           GREATEST(CAST(1 AS BIGINT),
+                    CAST(((SUM(c) + 1) * 1) // 10 AS BIGINT)) AS k
+    FROM hist
+), thr AS (
+    SELECT nk.n_cal, nk.k, CAST(MIN(cum.s) AS BIGINT) AS thr
+    FROM cum CROSS JOIN nk
+    WHERE cum.cum >= nk.k
+    GROUP BY nk.n_cal, nk.k
+)
+SELECT thr.n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       thr.k, thr.thr,
+       CAST(SUM(CASE WHEN p.sq >= thr.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       CAST((CAST(SUM(CASE WHEN p.sq >= thr.thr THEN 1 ELSE 0 END)
+                  AS HUGEINT) * 1000000000) // COUNT(*) AS BIGINT)
+           AS coverage_q9
+FROM p CROSS JOIN thr
+WHERE NOT p.is_cal
+GROUP BY thr.n_cal, thr.k, thr.thr
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -15230,6 +15520,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-11 additions, first driver check ----
         "ct1p_rank_langid_prefix": ct1p_rank_langid_prefix,
         "uniT2_unigram_em_pruned": uniT2_unigram_em_pruned,
+        "gt1_good_turing": gt1_good_turing,
+        "db1_davies_bouldin": db1_davies_bouldin,
+        "sr1_spearman_quality_length": sr1_spearman_quality_length,
+        "cusum1_event_changepoint": cusum1_event_changepoint,
+        "cf1_conformal_coverage": cf1_conformal_coverage,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
@@ -15282,11 +15577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "an1_revenue_anomalies": an1_revenue_anomalies,
         "br1_bounce_rate": br1_bounce_rate,
         "cc2_dup_hubs": cc2_dup_hubs,
-        "ck1_table_checksum": ck1_table_checksum,
-        "cl2_cluster_keywords": cl2_cluster_keywords,
-        "cx2_split_leakage": cx2_split_leakage,
-        "d10_incremental_dedup": d10_incremental_dedup,
-        "d11_minhash_calibration": d11_minhash_calibration,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -15303,7 +15593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- refill-pool head: the remaining r05-stale rows, in
         #      window order for the r12 rotation (d12 displaced by
-        #      uniT2) ----
+        #      uniT2/gt1/db1/sr1/cusum1/cf1) ----
+        "ck1_table_checksum": ck1_table_checksum,
+        "cl2_cluster_keywords": cl2_cluster_keywords,
+        "cx2_split_leakage": cx2_split_leakage,
+        "d10_incremental_dedup": d10_incremental_dedup,
+        "d11_minhash_calibration": d11_minhash_calibration,
         "d12_url_dedup": d12_url_dedup,
         "d13_dup_rate_by_source": d13_dup_rate_by_source,
         "d9_priority_dedup": d9_priority_dedup,
@@ -15554,6 +15849,11 @@ def oracle_sql() -> dict[str, str]:
         "uni1_unigram_segments": _uni1_sql(),
         "uniT_unigram_em": _uniT_sql(),
         "uniT2_unigram_em_pruned": _uniT_sql(prune_schedule=(48, 32)),
+        "gt1_good_turing": GT1_SQL,
+        "db1_davies_bouldin": DB1_SQL,
+        "sr1_spearman_quality_length": SR1_SQL,
+        "cusum1_event_changepoint": CUSUM1_SQL,
+        "cf1_conformal_coverage": CF1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

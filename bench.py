@@ -144,6 +144,15 @@ HEADLINE = [
     # full Kudo recipe's cost shape (3 bounded-sample passes, still
     # scale-flat; uniT's single round stays for comparison)
     "uniT2_unigram_em_pruned",
+    # round-11 batch 2: Good-Turing unseen mass, Davies-Bouldin
+    # internal validity, Spearman rank correlation, CUSUM changepoint,
+    # split-conformal coverage — all histogram-/domain-sized after one
+    # corpus (or day-rollup) pass
+    "gt1_good_turing",
+    "db1_davies_bouldin",
+    "sr1_spearman_quality_length",
+    "cusum1_event_changepoint",
+    "cf1_conformal_coverage",
 ]
 
 

@@ -507,3 +507,173 @@ def fleiss_kappa(
         _floordiv_dec(F.col("e") * k1e9, d2).cast("long").alias("p_e_q9"),
         kappa_q9.alias("kappa_q9"),
     )
+
+
+def spearman_from_pairs(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between two integer
+    columns (public: Spearman 1904; with ties the estimator is Pearson
+    over AVERAGE ranks, not the 6Σd² shortcut — Kendall 1948 §3) — the
+    monotone-association companion to st2's Pearson and mwu1's rank-sum
+    location test: does document quality rise with length, with no
+    linearity assumption?
+
+    Rank algebra is mwu1's: per-value histograms give DOUBLED average
+    ranks as exact integers (2·r̄(v) = 2·cum_below + c + 1, one bounded
+    window over each value DOMAIN, never the corpus), each document
+    fetches its two doubled ranks via broadcast joins, and Pearson over
+    (2rx, 2ry) is exact decimal(38) sums with ONE double expression at
+    the end:
+
+        ρ = (n·Σxy − Σx·Σy) / √(n·Σx² − (Σx)²) / √(n·Σy² − (Σy)²)
+
+    (the doubling cancels — ρ is scale-invariant). n·Σxy ≈ 4n⁴ passes
+    decimal(38) to n ≈ 2·10⁹ rows (ari1's headroom argument). Constant
+    x or y (zero variance) pins rho = 0.0 on both engines. Returns one
+    row: (n, rho).
+
+    Scale shape: two map-side-combined value-domain groupBys, two
+    broadcast joins back to the one corpus scan, one global aggregate.
+    """
+    from pyspark.sql import Window
+
+    def ranks(col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .select(
+                col,
+                (
+                    2 * F.sum("c").over(w) - F.col("c") + 1
+                ).cast("long").alias(f"r_{col}"),
+            )
+        )
+
+    d38 = "decimal(38,0)"
+    joined = (
+        df.select(x_col, y_col)
+        .join(F.broadcast(ranks(x_col)), x_col)
+        .join(F.broadcast(ranks(y_col)), y_col)
+        .select(
+            F.col(f"r_{x_col}").cast(d38).alias("rx"),
+            F.col(f"r_{y_col}").cast(d38).alias("ry"),
+        )
+    )
+    a = joined.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("rx").cast(d38).alias("sx"),
+        F.sum("ry").cast(d38).alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast(d38).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast(d38).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast(d38).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        )
+        .alias("rho"),
+    )
+
+
+def conformal_lower_bound(
+    df: DataFrame,
+    score_col: str = "sq",
+    cal_col: str = "is_cal",
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal lower prediction bound with finite-sample
+    coverage (public: Vovk et al. 2005, "Algorithmic Learning in a
+    Random World"; Papadopoulos et al. 2002 split/inductive form; Lei
+    et al. 2018 popularized the quantile recipe) — the
+    distribution-free guarantee layer over the quality classifier,
+    beside iso1's calibration and bs1's scorecard: from a calibration
+    split, the threshold q̂ such that P(score ≥ q̂) ≥ 1 − α for
+    exchangeable future documents.
+
+    The split-conformal quantile is an ORDER STATISTIC, so everything
+    is exact integers over the 1e6-quantized score domain:
+
+        k        = max(1, ⌊α·(n_cal + 1)⌋)       (exact: (n_cal+1)·αn // αd)
+        q̂        = k-th smallest calibration score
+                   (min score whose cumulative histogram count ≥ k)
+        coverage = #{test: score ≥ q̂} / n_test   (1e-9 truncating div)
+
+    Scale shape: ONE corpus scan feeds both splits (conditional
+    aggregates), the calibration histogram is score-domain-sized and
+    its cumulative window bounded (mwu1's discipline), and the
+    threshold broadcasts back to the test-side aggregate. Returns one
+    row: (n_cal, n_test, k, thr, n_covered, coverage_q9).
+    """
+    from pyspark.sql import Window
+
+    cal = df.filter(F.col(cal_col)).select(F.col(score_col).alias("s"))
+    hist = cal.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "s", F.sum("c").over(wcum).cast("long").alias("cum")
+    )
+    ncal = hist.agg(F.sum("c").cast("long").alias("n_cal"))
+    ka = ((F.col("n_cal") + 1) * alpha_num).cast("decimal(38,0)")
+    kd = F.lit(alpha_den).cast("decimal(38,0)")
+    k = ncal.select(
+        "n_cal",
+        F.greatest(
+            F.lit(1).cast("long"),
+            ((ka - ka % kd) / kd).cast("long"),
+        ).alias("k"),
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(k))
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.first("k").alias("k"),
+            F.min("s").cast("long").alias("thr"),
+        )
+    )
+    test = df.filter(~F.col(cal_col)).select(
+        F.col(score_col).alias("s")
+    )
+    k9 = F.lit(1_000_000_000).cast("decimal(38,0)")
+    return (
+        test.crossJoin(F.broadcast(thr))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.first("k").alias("k"),
+            F.first("thr").alias("thr"),
+            F.sum(F.when(F.col("s") >= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            "n_cal",
+            "n_test",
+            "k",
+            "thr",
+            "n_covered",
+            (
+                (
+                    F.col("n_covered").cast("decimal(38,0)") * k9
+                    - (F.col("n_covered").cast("decimal(38,0)") * k9)
+                    % F.col("n_test").cast("decimal(38,0)")
+                )
+                / F.col("n_test").cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("coverage_q9"),
+        )
+    )

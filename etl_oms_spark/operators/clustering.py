@@ -625,3 +625,118 @@ def cluster_label_agreement(
         )
         .alias("nmi"),
     )
+
+
+def davies_bouldin(
+    assigned: DataFrame,
+    centroids: "list[list[int]]",
+) -> DataFrame:
+    """Davies-Bouldin internal clustering validity (public: Davies &
+    Bouldin 1979, IEEE TPAMI) — the no-labels companion to
+    cluster_label_agreement's ARI/NMI: how separated are the k-means
+    clusters relative to their own scatter?
+
+        s_i  = mean member distance to centroid i
+        R_ij = (s_i + s_j) / d(c_i, c_j)
+        DB   = (1/k) Σ_i max_{j≠i} R_ij        (lower is better)
+
+    Exactness: dist2 and the centroid coordinates are exact integers,
+    so every distance is sqrt(exact int) — one correctly-rounded IEEE
+    double per value, quantized half-up at 1e-6 BEFORE any aggregation
+    (en1's per-term discipline: s_i sums exact longs, never doubles).
+    R_ij and DB are then single truncating divisions at 1e-9 over
+    integer sums (the ari1 contract). Identical centroid pair
+    (d_q6 = 0) pins R_ij to 10^18 — the degenerate dominates the max
+    on both engines instead of dividing by zero. decimal(38) carries
+    the s_i sums (Σ per-member 1e6-quantized distances ~ n·1.6e13
+    passes int64 only to ~10^5 members).
+
+    Scale shape: ONE cluster-keyed groupBy over the assignment; the
+    k² pair table is computed driver-side from the k·dim centroid
+    list every distributed k-means already holds (kmeans_fit's
+    contract) and broadcast back. Returns one row per non-empty
+    cluster: (cluster, n, s_q6, r_max_q9, db_q9) with db_q9 repeated
+    (gt1's summary-on-every-row pattern), ordered by cluster.
+    """
+    import math
+
+    spark = assigned.sparkSession
+    k = len(centroids)
+    mq6 = F.floor(
+        F.sqrt(F.col("dist2").cast("double")) * F.lit(1e6) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    s = (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(mq6).cast("decimal(38,0)").alias("sm"),
+        )
+        .select(
+            "cluster",
+            "n",
+            _divtrunc(F.col("sm"), F.col("n").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("s_q6"),
+        )
+    )
+    pairs = []
+    for i in range(k):
+        for j in range(k):
+            if i == j:
+                continue
+            d2 = sum(
+                (a - b) * (a - b)
+                for a, b in zip(centroids[i], centroids[j])
+            )
+            pairs.append(
+                (i, j, int(math.floor(math.sqrt(d2) * 1e6 + 0.5)))
+            )
+    cd = spark.createDataFrame(pairs, "ci int, cj int, d_q6 long")
+    si = s.select(
+        F.col("cluster").alias("ci"), F.col("s_q6").alias("si_q6")
+    )
+    sj = s.select(
+        F.col("cluster").alias("cj"), F.col("s_q6").alias("sj_q6")
+    )
+    k9 = F.lit(1_000_000_000).cast("decimal(38,0)")
+    r = (
+        cd.join(F.broadcast(si), "ci")
+        .join(F.broadcast(sj), "cj")
+        .select(
+            "ci",
+            F.when(
+                F.col("d_q6") == 0, F.lit(10**18).cast("long")
+            )
+            .otherwise(
+                _divtrunc(
+                    (F.col("si_q6") + F.col("sj_q6")).cast("decimal(38,0)")
+                    * k9,
+                    F.col("d_q6").cast("decimal(38,0)"),
+                ).cast("long")
+            )
+            .alias("r_q9"),
+        )
+    )
+    dmax = r.groupBy(F.col("ci").alias("cluster")).agg(
+        F.max("r_q9").alias("r_max_q9")
+    )
+    db = dmax.agg(
+        _divtrunc(
+            F.sum("r_max_q9").cast("decimal(38,0)"),
+            F.count(F.lit(1)).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("db_q9")
+    )
+    return (
+        s.join(dmax, "cluster")
+        .crossJoin(F.broadcast(db))
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n",
+            "s_q6",
+            "r_max_q9",
+            "db_q9",
+        )
+        .orderBy("cluster")
+    )

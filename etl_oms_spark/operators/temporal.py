@@ -449,3 +449,96 @@ def time_weighted_avg(
             ).alias("tw_avg"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-count series
+    (public: Page 1954, "Continuous inspection schemes", Biometrika —
+    the classic sequential shift detector; here the retrospective
+    whole-series form) — the level-SHIFT monitor beside dr1's PSI
+    (distribution drift) and an1's residual outliers: did the event
+    rate jump, and on which day?
+
+    Page's recursion S_t = max(0, S_{t-1} + (x_t − μ)) is NOT a
+    sequential dependence an engine must replay row-by-row: with
+    deviations e_t and prefix sums P_t = Σ_{i≤t} e_i,
+
+        S_t = P_t − min(0, min_{t'<t} P_{t'})        (upward shifts)
+        S'_t = max(0, max_{t'<t} P_{t'}) − P_t       (downward shifts)
+
+    so the whole statistic is TWO cumulative windows over the
+    day-domain frame (prefix sum + running extremum) — the same
+    histogram-first discipline as mwu1/ks1, never a corpus-sized
+    window. To keep everything exact integers the deviations are
+    scaled by the day count: e_t = N·x_t − T (T = total events), so
+    every S is an exact BIGINT in N·events units and μ never becomes
+    a double. The changepoint per direction is the argmax day with
+    earliest-day tie-break (min over (−S, day) structs).
+
+    Returns one row: n_days, total, s_up_max, cp_up, s_down_max,
+    cp_down — S maxima in N·events units and their dates. A flat
+    series pins both maxima to 0 (and the changepoint to the first
+    day). Scale: one map-side-combined day rollup; all windows run on
+    the ≤n_days frame.
+    """
+    days = (
+        df.select(F.to_date(F.col(ts_col)).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    tot = days.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("t"),
+    )
+    e = days.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "nd",
+        "t",
+        (F.col("nd") * F.col("x") - F.col("t")).cast("long").alias("e"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    p = e.select(
+        "day",
+        "nd",
+        "t",
+        F.sum("e").over(wcum).cast("long").alias("p"),
+    )
+    s = p.select(
+        "day",
+        "nd",
+        "t",
+        (
+            F.col("p")
+            - F.least(
+                F.lit(0).cast("long"),
+                F.coalesce(F.min("p").over(wprev), F.lit(0)).cast("long"),
+            )
+        ).alias("s_up"),
+        (
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.coalesce(F.max("p").over(wprev), F.lit(0)).cast("long"),
+            )
+            - F.col("p")
+        ).alias("s_down"),
+    )
+    return s.agg(
+        F.first("nd").alias("n_days"),
+        F.first("t").alias("total"),
+        F.max("s_up").cast("long").alias("s_up_max"),
+        F.min(
+            F.struct((-F.col("s_up")).alias("ns"), F.col("day").alias("d"))
+        )["d"].alias("cp_up"),
+        F.max("s_down").cast("long").alias("s_down_max"),
+        F.min(
+            F.struct(
+                (-F.col("s_down")).alias("ns"), F.col("day").alias("d")
+            )
+        )["d"].alias("cp_down"),
+    )

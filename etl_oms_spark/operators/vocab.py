@@ -308,3 +308,98 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min("n").alias("cms_estimate"))
     )
+
+
+def good_turing_counts(
+    df: DataFrame,
+    max_r: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Good-Turing frequency re-estimation over the corpus vocabulary
+    (public: Good 1953, "The population frequencies of species"; Gale &
+    Sampson 1995 popularized the recipe for LM smoothing) — the unseen-
+    mass estimate a tokenizer/LM pipeline wants beside hp1's Heaps
+    exponent and zipf1's rank-frequency fit: how much probability mass
+    belongs to words we have NOT seen, and what an r-count word's
+    frequency SHOULD be.
+
+    From the word-count table, the frequency-of-frequencies histogram
+    N_r (how many distinct words occur exactly r times), then the plain
+    Turing estimate per row (r ≤ ``max_r``, the head where the raw
+    estimator is usable before Gale-Sampson smoothing is needed):
+
+        r*      = (r + 1) · N_{r+1} / N_r        (adjusted count)
+        p_r     = r* / T                          (per-word probability)
+        p0      = N_1 / T                         (total unseen mass)
+
+    with T = total token occurrences. Everything is pure integer
+    algebra: N_r and T are exact BIGINT aggregates, and the published
+    estimators are single ratios of integer products, so ONE truncating
+    division quantizes each to 1e-9 (r_star_q9 = (r+1)·N_{r+1}·1e9 //
+    N_r, the ari1 contract) — N_{r+1} = 0 (a histogram gap) yields the
+    mathematically-correct r* = 0, never NULL. p0_q9 rides every row
+    (the single-row summary the caller reads off row 1).
+
+    The report keeps the ``max_r`` LOWEST occupied r rows (ORDER BY r
+    LIMIT max_r), not r ≤ max_r: Good-Turing's usable head is the
+    low-frequency end of whatever histogram the corpus actually has,
+    and a corpus whose rarest word still occurs thousands of times
+    (small closed vocabularies) must report those rows rather than an
+    empty frame.
+
+    Scale shape: ONE map-side-combined word rollup (the module
+    docstring's skew note applies), then a count-DOMAIN-sized histogram
+    (≤ distinct r values ≪ corpus); the N_{r+1} lookup is a self-join
+    on the tiny histogram. Returns (r, n_r, r_star_q9, p_r_q9, p0_q9),
+    ordered by r.
+    """
+    counts = vocab_counts(df, text_col, id_col).select("term", "tf")
+    hist = counts.groupBy(F.col("tf").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    tot = hist.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("t")
+    )
+    nxt = hist.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    # aggregate, not filter: a corpus with no singleton words must yield
+    # n_1 = 0 on a 1-row frame, never an empty frame that would zero the
+    # cross join
+    n1 = hist.agg(
+        F.coalesce(F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0))
+        .cast("long")
+        .alias("n_1")
+    )
+    k9 = F.lit(1_000_000_000).cast("decimal(38,0)")
+    num = (
+        (F.col("r") + 1).cast("decimal(38,0)")
+        * F.coalesce(F.col("n_r1"), F.lit(0)).cast("decimal(38,0)")
+        * k9
+    )
+    den_r = F.col("n_r").cast("decimal(38,0)")
+    den_p = den_r * F.col("t").cast("decimal(38,0)")
+
+    def trunc_div(a, b):
+        # all operands non-negative here, so DuckDB // and this agree
+        return ((a - a % b) / b).cast("long")
+
+    return (
+        hist.orderBy("r")
+        .limit(max_r)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            trunc_div(num, den_r).alias("r_star_q9"),
+            trunc_div(num, den_p).alias("p_r_q9"),
+            trunc_div(
+                F.col("n_1").cast("decimal(38,0)") * k9,
+                F.col("t").cast("decimal(38,0)"),
+            ).alias("p0_q9"),
+        )
+        .orderBy("r")
+    )

@@ -44,7 +44,12 @@ def test_driver_window_holds_round11_rotation():
     may ever sit in the first 50 — a no_oracle row would waste a driver
     window slot."""
     names = list(entry_mod.queries())
-    r11_new = {"ct1p_rank_langid_prefix", "uniT2_unigram_em_pruned"}
+    r11_new = {
+        "ct1p_rank_langid_prefix", "uniT2_unigram_em_pruned",
+        "gt1_good_turing", "db1_davies_bouldin",
+        "sr1_spearman_quality_length", "cusum1_event_changepoint",
+        "cf1_conformal_coverage",
+    }
     anchors = ["q1_pricing_summary", "star_fact_rollup"]
     # additions lead; anchors ride immediately behind them
     n_new = len(r11_new)

@@ -253,3 +253,339 @@ def test_unigram_em_schedule_length_must_match():
 
     with pytest.raises(ValueError):
         unigram_em_train(None, n_rounds=2, prune_schedule=[48])
+
+
+# ------------------------------------------------------------- gt1
+def test_good_turing_vs_brute(spark):
+    """Exact-Fraction replay of the frequency-of-frequencies histogram
+    and all three Turing estimators on the real sf0.001 corpus."""
+    from collections import Counter
+    from math import floor
+
+    from etl_oms_spark.operators.vocab import good_turing_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = [
+        (r["r"], r["n_r"], r["r_star_q9"], r["p_r_q9"], r["p0_q9"])
+        for r in good_turing_counts(docs).collect()
+    ]
+    words = Counter()
+    for row in docs.select("text").collect():
+        t = row["text"]
+        if t is None:
+            continue
+        words.update(_norm(t).split(" "))
+    hist = Counter(words.values())
+    t_tot = sum(r * n for r, n in hist.items())
+    n_1 = hist.get(1, 0)
+    want = []
+    for r in sorted(hist)[:15]:
+        n_r = hist[r]
+        n_r1 = hist.get(r + 1, 0)
+        want.append(
+            (
+                r,
+                n_r,
+                ((r + 1) * n_r1 * 10**9) // n_r,
+                ((r + 1) * n_r1 * 10**9) // (n_r * t_tot),
+                (n_1 * 10**9) // t_tot,
+            )
+        )
+    assert got == want
+    assert len(got) == 15
+
+
+def test_good_turing_textbook_counts(spark):
+    """Hand case: corpus 'a a a b b c' -> N_1=1 (c), N_2=1 (b), N_3=1
+    (a), T=6; r*=2·1/1=2 for r=1, r*=3 for r=2, r*=0 for r=3 (no N_4);
+    p0 = 1/6."""
+    from etl_oms_spark.operators.vocab import good_turing_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    got = {
+        r["r"]: (r["n_r"], r["r_star_q9"], r["p0_q9"])
+        for r in good_turing_counts(docs).collect()
+    }
+    third = 10**9 // 6
+    assert got == {
+        1: (1, 2 * 10**9, third),
+        2: (1, 3 * 10**9, third),
+        3: (1, 0, third),
+    }
+
+
+# ------------------------------------------------------------- db1
+def test_davies_bouldin_vs_brute(spark):
+    """Replay the full DB computation in Python (math.sqrt + integer
+    floors) from the engine's own k-means assignment on sf0.001."""
+    import math
+
+    from etl_oms_spark.operators.clustering import (
+        davies_bouldin,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, n_iter=2)
+    assigned = kmeans_assign(emb, cents)
+    got = {
+        r["cluster"]: (r["n"], r["s_q6"], r["r_max_q9"], r["db_q9"])
+        for r in davies_bouldin(assigned, cents).collect()
+    }
+    rows = assigned.select("cluster", "dist2").collect()
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(r["cluster"], []).append(r["dist2"])
+    s = {
+        c: sum(int(math.floor(math.sqrt(d) * 1e6 + 0.5)) for d in ds)
+        // len(ds)
+        for c, ds in by_c.items()
+    }
+    n = {c: len(ds) for c, ds in by_c.items()}
+    rmax = {}
+    for i in s:
+        best = None
+        for j in s:
+            if i == j:
+                continue
+            d2 = sum(
+                (a - b) ** 2 for a, b in zip(cents[i], cents[j])
+            )
+            dq6 = int(math.floor(math.sqrt(d2) * 1e6 + 0.5))
+            rij = (
+                10**18 if dq6 == 0 else ((s[i] + s[j]) * 10**9) // dq6
+            )
+            best = rij if best is None else max(best, rij)
+        rmax[i] = best
+    db = sum(rmax.values()) // len(rmax)
+    want = {c: (n[c], s[c], rmax[c], db) for c in s}
+    assert got == want
+
+
+def test_davies_bouldin_separated_beats_overlapping(spark):
+    """Sanity direction: two tight far-apart clusters must score a
+    LOWER DB index than two overlapping ones."""
+    from etl_oms_spark.operators.clustering import davies_bouldin
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, cluster int, dist2 long"
+        )
+
+    cents_far = [[0, 0], [1_000_000, 0]]
+    tight = frame([(1, 0, 4), (2, 0, 9), (3, 1, 1), (4, 1, 16)])
+    db_far = davies_bouldin(tight, cents_far).collect()[0]["db_q9"]
+    cents_near = [[0, 0], [2_000, 0]]
+    spread = frame(
+        [(1, 0, 4_000_000), (2, 0, 9_000_000),
+         (3, 1, 1_000_000), (4, 1, 16_000_000)]
+    )
+    db_near = davies_bouldin(spread, cents_near).collect()[0]["db_q9"]
+    assert db_far < db_near
+
+
+# ------------------------------------------------------------- sr1
+def _brute_spearman(pairs):
+    """Average-rank Spearman with exact Fractions: rank maps built by
+    explicit sorting, rho as a float at the end."""
+    from fractions import Fraction
+
+    def avg_ranks(vals):
+        s = sorted(vals)
+        first = {}
+        for i, v in enumerate(s):
+            first.setdefault(v, i)
+        cnt = {}
+        for v in s:
+            cnt[v] = cnt.get(v, 0) + 1
+        # average rank of v = first(v)+1 .. first(v)+cnt(v) mean
+        return {
+            v: Fraction(2 * first[v] + cnt[v] + 1, 2) for v in cnt
+        }
+    xs = [x for x, _ in pairs]
+    ys = [y for _, y in pairs]
+    rx = avg_ranks(xs)
+    ry = avg_ranks(ys)
+    n = len(pairs)
+    sx = sum(rx[x] for x in xs)
+    sy = sum(ry[y] for y in ys)
+    sxy = sum(rx[x] * ry[y] for x, y in pairs)
+    sxx = sum(rx[x] ** 2 for x in xs)
+    syy = sum(ry[y] ** 2 for y in ys)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx == 0 or vy == 0:
+        return 0.0
+    import math
+
+    return float(n * sxy - sx * sy) / (
+        math.sqrt(float(vx)) * math.sqrt(float(vy))
+    )
+
+
+def test_spearman_vs_brute_with_ties(spark):
+    from etl_oms_spark.operators.classifier import spearman_from_pairs
+
+    pairs = [(1, 5), (1, 7), (2, 7), (3, 9), (3, 9), (4, 12), (5, 11)]
+    got = spearman_from_pairs(
+        spark.createDataFrame(pairs, "x long, y long"), "x", "y"
+    ).collect()[0]
+    want = _brute_spearman(pairs)
+    assert got["n"] == len(pairs)
+    assert abs(got["rho"] - want) < 1e-12
+
+
+def test_spearman_monotone_and_constant_pins(spark):
+    from etl_oms_spark.operators.classifier import spearman_from_pairs
+
+    mono = [(i, i * i) for i in range(1, 9)]  # monotone, nonlinear
+    got = spearman_from_pairs(
+        spark.createDataFrame(mono, "x long, y long"), "x", "y"
+    ).collect()[0]
+    assert abs(got["rho"] - 1.0) < 1e-12
+    anti = [(i, -i * i) for i in range(1, 9)]
+    got = spearman_from_pairs(
+        spark.createDataFrame(anti, "x long, y long"), "x", "y"
+    ).collect()[0]
+    assert abs(got["rho"] + 1.0) < 1e-12
+    const = [(i, 7) for i in range(1, 9)]  # zero variance -> pinned 0
+    got = spearman_from_pairs(
+        spark.createDataFrame(const, "x long, y long"), "x", "y"
+    ).collect()[0]
+    assert got["rho"] == 0.0
+
+
+# ------------------------------------------------------------- cusum1
+def _brute_cusum(day_counts):
+    """Page's literal recursion S_t = max(0, S_{t-1} + e_t), both
+    directions, argmax with earliest-day ties — the sequential form the
+    operator's prefix-sum/running-extremum identity must reproduce."""
+    days = sorted(day_counts)
+    n = len(days)
+    t = sum(day_counts.values())
+    s_up = s_down = 0
+    best_up = (0, days[0])
+    best_down = (0, days[0])
+    for d in days:
+        e = n * day_counts[d] - t
+        s_up = max(0, s_up + e)
+        s_down = max(0, s_down - e)
+        if s_up > best_up[0]:
+            best_up = (s_up, d)
+        if s_down > best_down[0]:
+            best_down = (s_down, d)
+    return n, t, best_up, best_down
+
+
+def test_cusum_vs_page_recursion(spark):
+    """A series with a level shift: the windowed identity must equal
+    the literal Page recursion, and the changepoint must land on the
+    shift."""
+    import datetime
+
+    from etl_oms_spark.operators.temporal import cusum_changepoint
+
+    base = datetime.datetime(2024, 1, 1)
+    counts = [10] * 10 + [25] * 10  # upward shift at day 10
+    rows = []
+    eid = 0
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(days=i)),)
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = cusum_changepoint(df).collect()[0]
+    day_counts = {
+        (base + datetime.timedelta(days=i)).date(): c
+        for i, c in enumerate(counts)
+    }
+    n, t, up, down = _brute_cusum(day_counts)
+    assert (got["n_days"], got["total"]) == (n, t)
+    assert (got["s_up_max"], got["cp_up"]) == up
+    assert (got["s_down_max"], got["cp_down"]) == down
+    # the up-changepoint is in the shifted regime, where S_up peaks
+    assert got["cp_up"].day >= 11
+
+
+def test_cusum_flat_series_pins_zero(spark):
+    import datetime
+
+    from etl_oms_spark.operators.temporal import cusum_changepoint
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for i in range(7):
+        for _ in range(5):
+            rows.append((eid, base + datetime.timedelta(days=i)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = cusum_changepoint(df).collect()[0]
+    assert got["s_up_max"] == got["s_down_max"] == 0
+    assert got["cp_up"] == got["cp_down"] == base.date()
+
+
+def test_cusum_on_real_events_matches_brute(spark):
+    import __spark_entry__ as entry_mod
+    from etl_oms_spark.operators.temporal import cusum_changepoint
+
+    ev = entry_mod._events(spark, "/root/testdata/sf0.001")
+    got = cusum_changepoint(ev).collect()[0]
+    from pyspark.sql import functions as F
+
+    days = {
+        r["day"]: r["c"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n, t, up, down = _brute_cusum(days)
+    assert (got["n_days"], got["total"]) == (n, t)
+    assert (got["s_up_max"], got["cp_up"]) == up
+    assert (got["s_down_max"], got["cp_down"]) == down
+
+
+# ------------------------------------------------------------- cf1
+def test_conformal_vs_brute_order_statistic(spark):
+    """Explicit sort replay: threshold = k-th smallest calibration
+    score, k = max(1, floor((n+1)/10)); coverage counted by hand."""
+    from etl_oms_spark.operators.classifier import conformal_lower_bound
+
+    cal = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4]
+    test = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    rows = [(s, True) for s in cal] + [(s, False) for s in test]
+    got = conformal_lower_bound(
+        spark.createDataFrame(rows, "sq long, is_cal boolean"),
+        "sq",
+        "is_cal",
+        1,
+        10,
+    ).collect()[0]
+    k = max(1, (len(cal) + 1) // 10)
+    thr = sorted(cal)[k - 1]
+    covered = sum(1 for s in test if s >= thr)
+    assert got["n_cal"] == len(cal) and got["n_test"] == len(test)
+    assert got["k"] == k and got["thr"] == thr
+    assert got["n_covered"] == covered
+    assert got["coverage_q9"] == covered * 10**9 // len(test)
+
+
+def test_conformal_k_floor_pins_one(spark):
+    """Tiny calibration set (n+1 < alpha_den): k must clamp to 1 so the
+    threshold is the calibration MINIMUM, never an empty quantile."""
+    from etl_oms_spark.operators.classifier import conformal_lower_bound
+
+    rows = [(5, True), (7, True), (3, True), (4, False), (2, False)]
+    got = conformal_lower_bound(
+        spark.createDataFrame(rows, "sq long, is_cal boolean"),
+        "sq",
+        "is_cal",
+        1,
+        10,
+    ).collect()[0]
+    assert got["k"] == 1 and got["thr"] == 3
+    assert got["n_covered"] == 1  # only 4 >= 3
+    assert got["coverage_q9"] == 10**9 // 2
