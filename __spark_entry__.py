@@ -15503,6 +15503,235 @@ GROUP BY thr.n_cal, thr.k, thr.thr
 """
 
 
+def ot1_wasserstein_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the en and non-en
+    quality-score distributions (public: the 1-D closed form W1 =
+    ∫|F_A − F_B| dx — Vallender 1974; the "how far", integral companion
+    to ks1's "how high" max-gap): over the shared score histogram,
+    Σ over consecutive bins of |CDF_pos − CDF_neg| · bin gap. Exact
+    integers end-to-end: the CDF difference is |cp·nn − cn·np| (ks1's
+    cross-multiplied form), the gap is the next-bin sq delta (LEAD over
+    the bounded histogram; the last bin's difference is identically 0),
+    and ONE truncating division at the end lands w1_q9 in 1e-9 score
+    units (scaled·1e9 / (np·nn·1e6) = scaled·1000 // (np·nn)).
+    decimal(38) carries the Σ (≈ n²·1e6·bins). Same bounded-domain
+    window as ks1/mwu1 — never the corpus."""
+    hist = _quality_label_hist(spark, sf_dir)
+    wc = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("sq")
+    cum = hist.select(
+        "sq",
+        F.sum("n_pos").over(wc).cast("decimal(38,0)").alias("cp"),
+        F.sum("n_neg").over(wc).cast("decimal(38,0)").alias("cn"),
+        (F.lead("sq").over(wl) - F.col("sq"))
+        .cast("decimal(38,0)")
+        .alias("gap"),
+    )
+    tot = hist.agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum("n_neg").cast("long").alias("nn"),
+    )
+    d38 = "decimal(38,0)"
+    term = (
+        F.abs(
+            F.col("cp") * F.col("nn").cast(d38)
+            - F.col("cn") * F.col("np").cast(d38)
+        )
+        * F.col("gap")
+    )
+    scaled = F.coalesce(
+        F.sum(F.when(F.col("gap").isNotNull(), term)),
+        F.lit(0).cast(d38),
+    )
+    num = scaled * F.lit(1000).cast(d38)
+    den = F.first("np").cast(d38) * F.first("nn").cast(d38)
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("np").alias("n_pos"),
+            F.first("nn").alias("n_neg"),
+            ((num - num % den) / den).cast("long").alias("w1_q9"),
+        )
+    )
+
+
+OT1_SQL = f"""
+WITH hist AS (
+{_QHIST_SQL}
+), cum AS (
+    SELECT sq,
+           CAST(SUM(n_pos) OVER (ORDER BY sq ROWS UNBOUNDED PRECEDING)
+                AS HUGEINT) AS cp,
+           CAST(SUM(n_neg) OVER (ORDER BY sq ROWS UNBOUNDED PRECEDING)
+                AS HUGEINT) AS cn,
+           CAST(LEAD(sq) OVER (ORDER BY sq) - sq AS HUGEINT) AS gap
+    FROM hist
+), tot AS (
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS np, CAST(SUM(n_neg) AS BIGINT) AS nn
+    FROM hist
+)
+SELECT tot.np AS n_pos, tot.nn AS n_neg,
+       CAST((COALESCE(SUM(CASE WHEN gap IS NOT NULL
+                 THEN abs(cp * tot.nn - cn * tot.np) * gap END), 0) * 1000)
+            // (CAST(tot.np AS HUGEINT) * tot.nn) AS BIGINT) AS w1_q9
+FROM cum CROSS JOIN tot
+GROUP BY tot.np, tot.nn
+"""
+
+
+def qq1_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Q-Q table: the nine deciles of the en vs non-en
+    quality-score distributions as EXACT nearest-rank order statistics
+    (q_p = min score whose cumulative count ≥ ⌈p·n/10⌉; for integers
+    cum ≥ ⌈p·n/10⌉ ⟺ 10·cum ≥ p·n, so NO division appears anywhere)
+    off the shared bounded histogram — the full-distribution comparison
+    ks1 (max gap) and ot1 (integral) summarize to one number. Nine
+    broadcast rank targets against the cumulative histogram; one
+    conditional-min aggregate per group."""
+    hist = _quality_label_hist(spark, sf_dir)
+    wc = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "sq",
+        F.sum("n_pos").over(wc).cast("long").alias("cp"),
+        F.sum("n_neg").over(wc).cast("long").alias("cn"),
+    )
+    tot = hist.agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum("n_neg").cast("long").alias("nn"),
+    )
+    ps = spark.range(1, 10).select(F.col("id").cast("long").alias("p"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ps))
+        .groupBy("p")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cp") * 10 >= F.col("p") * F.col("np"),
+                    F.col("sq"),
+                )
+            )
+            .cast("long")
+            .alias("q_pos"),
+            F.min(
+                F.when(
+                    F.col("cn") * 10 >= F.col("p") * F.col("nn"),
+                    F.col("sq"),
+                )
+            )
+            .cast("long")
+            .alias("q_neg"),
+        )
+        .orderBy("p")
+    )
+
+
+QQ1_SQL = f"""
+WITH hist AS (
+{_QHIST_SQL}
+), cum AS (
+    SELECT sq,
+           CAST(SUM(n_pos) OVER (ORDER BY sq ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cp,
+           CAST(SUM(n_neg) OVER (ORDER BY sq ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cn
+    FROM hist
+), tot AS (
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS np, CAST(SUM(n_neg) AS BIGINT) AS nn
+    FROM hist
+)
+SELECT CAST(p AS BIGINT) AS p,
+       CAST(MIN(CASE WHEN cp * 10 >= p * np THEN sq END) AS BIGINT)
+           AS q_pos,
+       CAST(MIN(CASE WHEN cn * 10 >= p * nn THEN sq END) AS BIGINT)
+           AS q_neg
+FROM cum CROSS JOIN tot CROSS JOIN generate_series(1, 9) g(p)
+GROUP BY p
+ORDER BY p
+"""
+
+
+def eta1_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation ratio η² of document quality across sources (public:
+    Pearson's correlation ratio / the one-way-ANOVA effect size
+    SS_between/SS_total) — "how much of the quality variance do source
+    labels explain?", the categorical companion to sr1's rank
+    correlation and js1's divergence. With per-source sums S_g over the
+    1e-6-quantized scores and n·multiplied-through algebra:
+
+        η² = (n·Σ_g S_g²/n_g − S²) / (n·Σx² − S²)
+
+    the only non-integer, Σ S_g²/n_g, is quantized per GROUP at 1e-9
+    by one truncating division each (b_g = S_g²·1e9 // n_g — signed:
+    S_g can be negative but S_g² is not, so operands stay
+    non-negative), summed exactly, and η² is ONE double expression
+    from decimal(38) integers (headroom to n ≈ 3·10⁸; zero total
+    variance pins 0.0). One map-side-combined source rollup — the
+    groups frame is source-domain-sized."""
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    d38 = "decimal(38,0)"
+    g = d.select(F.col("source").alias("g"), sq.alias("x")).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("qg"),
+    )
+    sg2 = (F.col("sg").cast(d38) * F.col("sg").cast(d38)) * F.lit(
+        1_000_000_000
+    ).cast(d38)
+    bg = (sg2 - sg2 % F.col("ng").cast(d38)) / F.col("ng").cast(d38)
+    a = g.agg(
+        F.sum("ng").cast(d38).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("sg").cast(d38).alias("s"),
+        F.sum("qg").cast(d38).alias("q"),
+        F.sum(bg).cast(d38).alias("b"),
+    )
+    k9 = F.lit(1_000_000_000).cast(d38)
+    num = F.col("n") * F.col("b") - k9 * F.col("s") * F.col("s")
+    den = k9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        "n_groups",
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("eta2"),
+    )
+
+
+ETA1_SQL = f"""
+WITH p AS (
+    SELECT source AS g,
+           COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) AS x
+    FROM documents
+), grp AS (
+    SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng,
+           CAST(SUM(x) AS HUGEINT) AS sg,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qg
+    FROM p GROUP BY g
+), a AS (
+    SELECT CAST(SUM(ng) AS HUGEINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(sg) AS HUGEINT) AS s,
+           CAST(SUM(qg) AS HUGEINT) AS q,
+           CAST(SUM((sg * sg * 1000000000) // ng) AS HUGEINT) AS b
+    FROM grp
+)
+SELECT CAST(n AS BIGINT) AS n, n_groups,
+       CASE WHEN 1000000000 * (n * q - s * s) = 0 THEN 0.0
+            ELSE CAST(n * b - 1000000000 * s * s AS DOUBLE)
+                 / CAST(1000000000 * (n * q - s * s) AS DOUBLE)
+       END AS eta2
+FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -15525,6 +15754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sr1_spearman_quality_length": sr1_spearman_quality_length,
         "cusum1_event_changepoint": cusum1_event_changepoint,
         "cf1_conformal_coverage": cf1_conformal_coverage,
+        "ot1_wasserstein_quality": ot1_wasserstein_quality,
+        "qq1_quality_deciles": qq1_quality_deciles,
+        "eta1_quality_by_source": eta1_quality_by_source,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
@@ -15574,9 +15806,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      next-stalest rows (last driver-checked r05); each new
         #      round-11 query displaces the last of these past 50 ----
         "a20_abc_analysis": a20_abc_analysis,
-        "an1_revenue_anomalies": an1_revenue_anomalies,
-        "br1_bounce_rate": br1_bounce_rate,
-        "cc2_dup_hubs": cc2_dup_hubs,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -15593,7 +15822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- refill-pool head: the remaining r05-stale rows, in
         #      window order for the r12 rotation (d12 displaced by
-        #      uniT2/gt1/db1/sr1/cusum1/cf1) ----
+        #      uniT2/gt1/db1/sr1/cusum1/cf1/ot1/qq1/eta1) ----
+        "an1_revenue_anomalies": an1_revenue_anomalies,
+        "br1_bounce_rate": br1_bounce_rate,
+        "cc2_dup_hubs": cc2_dup_hubs,
         "ck1_table_checksum": ck1_table_checksum,
         "cl2_cluster_keywords": cl2_cluster_keywords,
         "cx2_split_leakage": cx2_split_leakage,
@@ -15854,6 +16086,9 @@ def oracle_sql() -> dict[str, str]:
         "sr1_spearman_quality_length": SR1_SQL,
         "cusum1_event_changepoint": CUSUM1_SQL,
         "cf1_conformal_coverage": CF1_SQL,
+        "ot1_wasserstein_quality": OT1_SQL,
+        "qq1_quality_deciles": QQ1_SQL,
+        "eta1_quality_by_source": ETA1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

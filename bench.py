@@ -153,6 +153,12 @@ HEADLINE = [
     "sr1_spearman_quality_length",
     "cusum1_event_changepoint",
     "cf1_conformal_coverage",
+    # round-11 batch 3: distribution-shift completions over the shared
+    # score histogram (W1 integral, Q-Q deciles) + variance explained
+    # by source
+    "ot1_wasserstein_quality",
+    "qq1_quality_deciles",
+    "eta1_quality_by_source",
 ]
 
 

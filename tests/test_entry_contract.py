@@ -48,7 +48,8 @@ def test_driver_window_holds_round11_rotation():
         "ct1p_rank_langid_prefix", "uniT2_unigram_em_pruned",
         "gt1_good_turing", "db1_davies_bouldin",
         "sr1_spearman_quality_length", "cusum1_event_changepoint",
-        "cf1_conformal_coverage",
+        "cf1_conformal_coverage", "ot1_wasserstein_quality",
+        "qq1_quality_deciles", "eta1_quality_by_source",
     }
     anchors = ["q1_pricing_summary", "star_fact_rollup"]
     # additions lead; anchors ride immediately behind them

@@ -589,3 +589,159 @@ def test_conformal_k_floor_pins_one(spark):
     assert got["k"] == 1 and got["thr"] == 3
     assert got["n_covered"] == 1  # only 4 >= 3
     assert got["coverage_q9"] == 10**9 // 2
+
+
+# ------------------------------------------------------------- ot1/qq1/eta1
+def _qhist(spark, sf="/root/testdata/sf0.001"):
+    import __spark_entry__ as entry_mod
+
+    return {
+        r["sq"]: (r["n_pos"], r["n_neg"])
+        for r in entry_mod._quality_label_hist(spark, sf).collect()
+    }
+
+
+def test_wasserstein_vs_brute(spark):
+    """Fraction replay of the 1-D closed form Σ|F_A−F_B|·gap on the
+    real sf0.001 histogram."""
+    from fractions import Fraction
+
+    import __spark_entry__ as entry_mod
+
+    hist = _qhist(spark)
+    got = entry_mod.ot1_wasserstein_quality(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    sqs = sorted(hist)
+    np_ = sum(p for p, _ in hist.values())
+    nn = sum(n for _, n in hist.values())
+    cp = cn = 0
+    w1 = Fraction(0)
+    for i, s in enumerate(sqs[:-1]):
+        cp += hist[s][0]
+        cn += hist[s][1]
+        gap = sqs[i + 1] - s
+        w1 += abs(Fraction(cp, np_) - Fraction(cn, nn)) * gap
+    # w1 is in sq units (1e6·score); engine reports 1e-9 score units
+    want = (w1.numerator * 1000) // (w1.denominator)  # 1e9/1e6
+    # brute scaled the SUM of per-bin |cp·nn−cn·np|·gap by ONE division;
+    # engine divides the integer SUM once too — recompute identically:
+    scaled = sum(
+        abs(
+            (sum(hist[x][0] for x in sqs[: i + 1])) * nn
+            - (sum(hist[x][1] for x in sqs[: i + 1])) * np_
+        )
+        * (sqs[i + 1] - sqs[i])
+        for i in range(len(sqs) - 1)
+    )
+    assert got["n_pos"] == np_ and got["n_neg"] == nn
+    assert got["w1_q9"] == (scaled * 1000) // (np_ * nn) == want
+    assert got["w1_q9"] > 0
+
+
+def test_wasserstein_identical_distributions_zero(spark):
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    # build a symmetric corpus: every text appears once as en, once as fr
+    texts = ["the cat sat", "a long document about joins", "short", "x y z w"]
+    rows = [(i, t, "en") for i, t in enumerate(texts)] + [
+        (i + 10, t, "fr") for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.createOrReplaceTempView("___ot1_tmp")
+    # reuse the operator body on a constructed hist
+    from etl_oms_spark.operators.text import quality_score
+
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    hist = (
+        df.select(sq.alias("sq"),
+                  F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"))
+        .groupBy("sq")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
+        )
+    )
+    import __spark_entry__ as em
+
+    orig = em._quality_label_hist
+    try:
+        em._quality_label_hist = lambda s, d: hist
+        got = em.ot1_wasserstein_quality(spark, "unused").collect()[0]
+    finally:
+        em._quality_label_hist = orig
+    assert got["w1_q9"] == 0
+
+
+def test_qq_deciles_vs_brute(spark):
+    import __spark_entry__ as entry_mod
+
+    hist = _qhist(spark)
+    got = {
+        r["p"]: (r["q_pos"], r["q_neg"])
+        for r in entry_mod.qq1_quality_deciles(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    pos = sorted(
+        s for s, (p, _) in hist.items() for _ in range(p)
+    )
+    neg = sorted(
+        s for s, (_, n) in hist.items() for _ in range(n)
+    )
+    want = {}
+    for p in range(1, 10):
+        kp = -(-p * len(pos) // 10)  # ceil
+        kn = -(-p * len(neg) // 10)
+        want[p] = (pos[kp - 1], neg[kn - 1])
+    assert got == want
+
+
+def test_eta_squared_vs_brute_and_pins(spark):
+    """Fraction replay (with the engine's per-group 1e-9 trunc) on
+    sf0.001 + the two direction pins: groups=copies-of-one-value each
+    give eta2=1; a single group gives eta2=0 (between-variance 0)."""
+    import __spark_entry__ as entry_mod
+
+    got = entry_mod.eta1_quality_by_source(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    from etl_oms_spark.operators.text import quality_score
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    rows = d.select(F.col("source"), sq.alias("x")).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["source"], []).append(r["x"])
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    q = sum(x * x for v in groups.values() for x in v)
+    b = sum((sum(v) ** 2 * 10**9) // len(v) for v in groups.values())
+    num = n * b - 10**9 * s * s
+    den = 10**9 * (n * q - s * s)
+    assert got["n"] == n and got["n_groups"] == len(groups)
+    assert abs(got["eta2"] - float(num) / float(den)) < 1e-15
+    assert 0.0 <= got["eta2"] <= 1.0
+    # pins on constructed frames
+    def eta(rows):
+        import __spark_entry__ as em
+
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        df.write.mode("overwrite").parquet("/tmp/eta1_tmp/documents.parquet")
+        return em.eta1_quality_by_source(spark, "/tmp/eta1_tmp").collect()[0]
+
+    perfect = [(1, "aaa bbb", "s1"), (2, "aaa bbb", "s1"),
+               (3, "completely different words here now", "s2"),
+               (4, "completely different words here now", "s2")]
+    assert abs(eta(perfect)["eta2"] - 1.0) < 1e-9
+    single = [(1, "aaa bbb", "s1"), (2, "other words", "s1")]
+    assert eta(single)["eta2"] == 0.0
