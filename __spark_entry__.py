@@ -15732,6 +15732,88 @@ FROM a
 """
 
 
+def scs1_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM rate monitor: the daily event counts are
+    maintained by a Structured Streaming tumbling-window aggregation
+    (streaming/events.windowed_total_counts — availableNow, append
+    mode, parquet sink, checkpoint), then Page's changepoint statistic
+    runs over the emitted day-domain frame
+    (operators/temporal.cusum_from_daily) — exactly how a production
+    monitor works: the STREAM maintains the bounded histogram, the
+    monitor recomputes the O(n_days) windows per trigger. Exactness
+    argument (ssw1's sentinel dance, same phases): phase 1 streams the
+    real events under a watermark delay longer than the span (nothing
+    is late, nothing drops); two far-future sentinel appends + restarts
+    on the same checkpoint advance the watermark past the last real
+    day's window END (delay + 86400 s margin) and supply the follow-up
+    micro-batch append mode needs to flush, so every real day's count
+    is emitted exactly once; sentinel windows (start > real max ts) are
+    filtered. The emitted counts then EQUAL the batch day rollup, so
+    cusum1's oracle is this query's oracle too (the sdd1 twin pattern).
+    Day-domain result materialized eagerly; temp dirs removed."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_oms_spark.operators.temporal import cusum_from_daily
+    from etl_oms_spark.streaming.events import windowed_total_counts
+
+    ev = _events(spark, sf_dir).select("event_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="scs1_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "daily")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.write.mode("overwrite").parquet(src)
+        bounds = spark.read.parquet(src).agg(
+            F.min("ts").alias("mn"), F.max("ts").alias("mx")
+        ).collect()[0]
+        span_sec = int((bounds["mx"] - bounds["mn"]).total_seconds())
+        delay_sec = span_sec + 3600
+
+        def run_phase() -> None:
+            stream = spark.readStream.schema(
+                spark.read.parquet(src).schema
+            ).parquet(src)
+            q = (
+                windowed_total_counts(
+                    stream, window="1 day",
+                    watermark=f"{delay_sec} seconds",
+                )
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_phase()
+        # sentinels: watermark = sentinel_ts - delay must pass the END
+        # of the last real day window (up to 86400 s after mx)
+        for extra in (delay_sec + 86400 + 3600, delay_sec + 86400 + 7200):
+            spark.createDataFrame([(-1,)], "event_id long").select(
+                "event_id",
+                (
+                    F.lit(bounds["mx"]) + F.make_interval(secs=F.lit(extra))
+                ).alias("ts"),
+            ).write.mode("append").parquet(src)
+            run_phase()
+        daily = (
+            spark.read.parquet(out)
+            .filter(F.col("window_start") <= F.lit(bounds["mx"]))
+            .select(
+                F.to_date("window_start").alias("day"),
+                F.col("n").cast("long").alias("x"),
+            )
+        )
+        result = cusum_from_daily(daily)
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -15757,6 +15839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ot1_wasserstein_quality": ot1_wasserstein_quality,
         "qq1_quality_deciles": qq1_quality_deciles,
         "eta1_quality_by_source": eta1_quality_by_source,
+        "scs1_streaming_cusum": scs1_streaming_cusum,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
@@ -15805,7 +15888,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- window fill: the alphabetically-first of the 48
         #      next-stalest rows (last driver-checked r05); each new
         #      round-11 query displaces the last of these past 50 ----
-        "a20_abc_analysis": a20_abc_analysis,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -15822,7 +15904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- refill-pool head: the remaining r05-stale rows, in
         #      window order for the r12 rotation (d12 displaced by
-        #      uniT2/gt1/db1/sr1/cusum1/cf1/ot1/qq1/eta1) ----
+        #      uniT2/gt1/db1/sr1/cusum1/cf1/ot1/qq1/eta1/scs1) ----
+        "a20_abc_analysis": a20_abc_analysis,
         "an1_revenue_anomalies": an1_revenue_anomalies,
         "br1_bounce_rate": br1_bounce_rate,
         "cc2_dup_hubs": cc2_dup_hubs,
@@ -16089,6 +16172,7 @@ def oracle_sql() -> dict[str, str]:
         "ot1_wasserstein_quality": OT1_SQL,
         "qq1_quality_deciles": QQ1_SQL,
         "eta1_quality_by_source": ETA1_SQL,
+        "scs1_streaming_cusum": CUSUM1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

@@ -159,6 +159,9 @@ HEADLINE = [
     "ot1_wasserstein_quality",
     "qq1_quality_deciles",
     "eta1_quality_by_source",
+    # scs1: the streaming-maintained daily histogram + the same CUSUM
+    # monitor — fixed state-store/checkpoint cost like sdd1/ssw1
+    "scs1_streaming_cusum",
 ]
 
 

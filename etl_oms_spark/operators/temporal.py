@@ -489,6 +489,14 @@ def cusum_changepoint(
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
     )
+    return cusum_from_daily(days)
+
+
+def cusum_from_daily(days: DataFrame) -> DataFrame:
+    """cusum_changepoint's monitor over an already-built (day, x) daily
+    count frame — split out so a STREAMING count maintainer (scs1:
+    tumbling-window Structured Streaming aggregation) feeds the same
+    exact windows; see cusum_changepoint for the algebra."""
     tot = days.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("x").cast("long").alias("t"),

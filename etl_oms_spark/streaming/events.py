@@ -393,3 +393,20 @@ def foreach_batch_incremental_dedup(
         )
 
     return apply
+
+
+def windowed_total_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time TOTAL counts (no grouping key beyond the
+    window) — the daily-rate series a streaming monitor (scs1 CUSUM)
+    maintains; identical plan batch/streaming, watermark evicts
+    finalized windows in append mode."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )

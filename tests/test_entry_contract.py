@@ -50,6 +50,7 @@ def test_driver_window_holds_round11_rotation():
         "sr1_spearman_quality_length", "cusum1_event_changepoint",
         "cf1_conformal_coverage", "ot1_wasserstein_quality",
         "qq1_quality_deciles", "eta1_quality_by_source",
+        "scs1_streaming_cusum",
     }
     anchors = ["q1_pricing_summary", "star_fact_rollup"]
     # additions lead; anchors ride immediately behind them

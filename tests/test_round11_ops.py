@@ -745,3 +745,16 @@ def test_eta_squared_vs_brute_and_pins(spark):
     assert abs(eta(perfect)["eta2"] - 1.0) < 1e-9
     single = [(1, "aaa bbb", "s1"), (2, "other words", "s1")]
     assert eta(single)["eta2"] == 0.0
+
+
+# ------------------------------------------------------------- scs1
+def test_streaming_cusum_equals_batch(spark):
+    """The streamed daily histogram must reproduce the batch rollup
+    exactly (watermark > span: nothing late, nothing dropped; sentinel
+    dance flushes every real window), so scs1 == cusum1 row-for-row."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    got = entry_mod.scs1_streaming_cusum(spark, sf).collect()
+    want = entry_mod.cusum1_event_changepoint(spark, sf).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
