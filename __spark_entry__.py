@@ -11435,6 +11435,14 @@ def _quality_label_hist(spark: SparkSession, sf_dir: str):
             F.sum("pos").cast("long").alias("n_pos"),
             (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n_neg"),
         )
+        # the histogram is domain-sized but every consumer (auc1/ks1/
+        # mwu1/ot1/qq1) references it several times — cum windows AND
+        # totals — and each reference re-derives the full corpus
+        # lineage without this barrier (round-11 plan audit: ks1/ot1
+        # planned TWO parquet scans, gt1's sibling shape four). The
+        # lazy checkpoint truncates lineage so the corpus is scanned
+        # ONCE per query (iso1's lesson, commit c9b7144).
+        .localCheckpoint(eager=False)
     )
 
 

@@ -618,8 +618,13 @@ def conformal_lower_bound(
     from pyspark.sql import Window
 
     cal = df.filter(F.col(cal_col)).select(F.col(score_col).alias("s"))
-    hist = cal.groupBy("s").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # score-domain-sized, referenced three times (cum window, n_cal,
+    # threshold probe): the lazy checkpoint keeps the calibration-side
+    # corpus scan at ONE (the test half is its own scan by necessity)
+    hist = (
+        cal.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     wcum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(

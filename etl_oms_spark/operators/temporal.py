@@ -488,6 +488,9 @@ def cusum_changepoint(
         df.select(F.to_date(F.col(ts_col)).alias("day"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        # day-domain-sized, referenced twice (totals + windows): the
+        # lazy checkpoint keeps the corpus scan at ONE
+        .localCheckpoint(eager=False)
     )
     return cusum_from_daily(days)
 

@@ -355,8 +355,14 @@ def good_turing_counts(
     ordered by r.
     """
     counts = vocab_counts(df, text_col, id_col).select("term", "tf")
-    hist = counts.groupBy(F.col("tf").alias("r")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_r")
+    # lazy checkpoint: hist is count-domain-sized but referenced four
+    # times (rows, N_{r+1} lookup, T, N_1) — without the barrier each
+    # reference re-derives the corpus word rollup (measured: 4 parquet
+    # scans; with it, 1)
+    hist = (
+        counts.groupBy(F.col("tf").alias("r"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+        .localCheckpoint(eager=False)
     )
     tot = hist.agg(
         F.sum(F.col("r") * F.col("n_r")).cast("long").alias("t")
