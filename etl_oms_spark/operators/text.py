@@ -503,15 +503,37 @@ def rank_langid_confusion(
     from pyspark.sql import Window
 
     p = profile_size
-    src = (
-        F.col(text_col)
+    # HOIST the canonical text into a projected ATTRIBUTE before the
+    # trigram transform (round-11 plan audit): a transform lambda
+    # re-evaluates its captured subtree PER ELEMENT, so inlining
+    # normalize_text into char_trigrams pays the whitespace regex once
+    # per TRIGRAM, not once per document — measured 6.5x on the sf0.1
+    # explode (13.2s -> 2.0s; the prefix form's double normalization
+    # made it 2x worse still). Spark does not collapse this projection
+    # into the Generate's lambda.
+    nt = (
+        normalize_text(text_col)
         if prefix_chars is None
-        else F.substring(normalize_text(text_col), 1, int(prefix_chars))
+        else normalize_text(
+            F.substring(normalize_text(text_col), 1, int(prefix_chars))
+        )
     )
-    tri = df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("true_lang"),
-        F.explode(char_trigrams(src)).alias("tri"),
+        nt.alias("__nt"),
+    )
+    tri_col = F.when(
+        F.coalesce(F.length("__nt"), F.lit(0)) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length("__nt") - F.lit(2)),
+            lambda i: F.substring(F.col("__nt"), i, 3),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = base.select(
+        "doc_id",
+        "true_lang",
+        F.explode(tri_col).alias("tri"),
     )
     # Two DIRECT groupBys over the explode, not a shared (doc, lang,
     # tri) pre-aggregation: per-doc trigram counts are mostly 1, so a
@@ -550,9 +572,13 @@ def rank_langid_confusion(
     # doc_prof.distinct(): that re-consumes (and re-shuffles) the whole
     # doc-profile exchange (measured at sf0.1: 2.51M vs 1.31M shuffle
     # records), while this filter is shuffle-free
-    docs_with_profile = df.filter(
-        F.size(char_trigrams(src)) >= 1
-    ).select(F.col(id_col).alias("doc_id"))
+    # a doc has >= 1 trigram iff its canonical text has >= 3 chars —
+    # length() on the hoisted attribute, never a size(transform(...))
+    # that would rebuild the whole trigram array per row just to test
+    # emptiness
+    docs_with_profile = base.filter(
+        F.coalesce(F.length("__nt"), F.lit(0)) >= 3
+    ).select("doc_id")
     corr = (
         doc_prof.join(F.broadcast(lang_prof), "tri")
         .groupBy("doc_id", "lang")
