@@ -22,7 +22,7 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import ensure_parallelism
+from ..util import ensure_parallelism, let_
 from .text import fingerprint_md5, normalize_text, tokens
 
 
@@ -61,13 +61,21 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     Built with sequence/transform/slice — array expressions, no explode yet,
     no UDF. Documents shorter than k words yield their whole text as the
     single shingle.
+
+    The token array is let_-bound (util.let_) so the per-shingle lambda
+    references a VARIABLE, not the tokenize subtree — captured subtrees
+    re-evaluate per element, which made every shingle pay the normalize
+    regex (measured 8.5x on the sf0.1 explode: 3.4s -> 0.4s, round 11).
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        )
+
+    return let_(tokens(col), body)
 
 
 def minhash_signatures(
@@ -442,10 +450,22 @@ def block_dedup(
     toks = tokens(text_col)
     n = F.size(toks)
     n_blocks = F.greatest(F.ceil(n / F.lit(block_words)), F.lit(1)).cast("long")
-    block_arr = F.transform(
-        F.sequence(F.lit(1), n_blocks),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, (i - F.lit(1)) * block_words + F.lit(1), block_words)
+    # let_-bound (util.let_): a captured subtree re-evaluates per
+    # element, so without the binding every block re-tokenized the
+    # whole document (the round-11 shingles lesson)
+    block_arr = let_(
+        tokens(text_col),
+        lambda tk: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.ceil(F.size(tk) / F.lit(block_words)), F.lit(1)
+                ).cast("long"),
+            ),
+            lambda i: F.concat_ws(
+                " ",
+                F.slice(tk, (i - F.lit(1)) * block_words + F.lit(1), block_words),
+            ),
         ),
     )
     base = ensure_parallelism(df, id_col).select(
@@ -745,10 +765,22 @@ def dup_block_rate(
     toks = tokens(text_col)
     n = F.size(toks)
     n_blocks = F.greatest(F.ceil(n / F.lit(block_words)), F.lit(1)).cast("long")
-    block_arr = F.transform(
-        F.sequence(F.lit(1), n_blocks),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, (i - F.lit(1)) * block_words + F.lit(1), block_words)
+    # let_-bound (util.let_): a captured subtree re-evaluates per
+    # element, so without the binding every block re-tokenized the
+    # whole document (the round-11 shingles lesson)
+    block_arr = let_(
+        tokens(text_col),
+        lambda tk: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    F.ceil(F.size(tk) / F.lit(block_words)), F.lit(1)
+                ).cast("long"),
+            ),
+            lambda i: F.concat_ws(
+                " ",
+                F.slice(tk, (i - F.lit(1)) * block_words + F.lit(1), block_words),
+            ),
         ),
     )
     blocks = ensure_parallelism(df, id_col).select(

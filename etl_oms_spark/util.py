@@ -189,3 +189,24 @@ def plan_stats(df: DataFrame) -> dict:
         # simple-mode plans mark codegen stages with "*(n)" prefixes
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
     }
+
+
+def let_(value: Column, body) -> Column:
+    """Bind ``value`` once per row and build an expression over it —
+    the lambda-variable let-binding for higher-order functions.
+
+    A Spark HOF lambda body re-evaluates any captured SUBTREE per
+    element: ``transform(seq, i -> f(expensive_expr, i))`` computes
+    ``expensive_expr`` once per output element, not once per row
+    (measured in round 11: the whitespace-normalize regex inside the
+    trigram/shingle builders cost 6-8x the whole operator). Wrapping
+    the subtree as the element of a single-element array and passing
+    it through ``transform`` turns it into a lambda VARIABLE, which
+    nested lambdas reference by value:
+
+        let_(tokens(col), lambda toks: transform(idx, i -> slice(toks, i, k)))
+
+    evaluates ``tokens(col)`` exactly once per row. ``body`` receives
+    the bound Column and returns the result expression.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
