@@ -15443,9 +15443,11 @@ WITH days AS (
 )
 SELECT CAST(MAX(nd) AS BIGINT) AS n_days, CAST(MAX(t) AS BIGINT) AS total,
        CAST(MAX(s_up) AS BIGINT) AS s_up_max,
-       (min(struct_pack(ns := -s_up, d := day))).d AS cp_up,
+       CAST((min(struct_pack(ns := -s_up, d := day))).d AS TIMESTAMP)
+           AS cp_up,
        CAST(MAX(s_down) AS BIGINT) AS s_down_max,
-       (min(struct_pack(ns := -s_down, d := day))).d AS cp_down
+       CAST((min(struct_pack(ns := -s_down, d := day))).d AS TIMESTAMP)
+           AS cp_down
 FROM s
 """
 

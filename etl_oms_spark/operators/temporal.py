@@ -539,17 +539,25 @@ def cusum_from_daily(days: DataFrame) -> DataFrame:
             - F.col("p")
         ).alias("s_down"),
     )
+    # changepoint days surface as TIMESTAMP (midnight), the repo-wide
+    # date-column convention: Spark DateType reaches pandas as object
+    # dtype while DuckDB DATE arrives as datetime64 — a dtype-audit
+    # mismatch even when every value agrees (round-11 dtype audit)
     return s.agg(
         F.first("nd").alias("n_days"),
         F.first("t").alias("total"),
         F.max("s_up").cast("long").alias("s_up_max"),
         F.min(
             F.struct((-F.col("s_up")).alias("ns"), F.col("day").alias("d"))
-        )["d"].alias("cp_up"),
+        )["d"]
+        .cast("timestamp")
+        .alias("cp_up"),
         F.max("s_down").cast("long").alias("s_down_max"),
         F.min(
             F.struct(
                 (-F.col("s_down")).alias("ns"), F.col("day").alias("d")
             )
-        )["d"].alias("cp_down"),
+        )["d"]
+        .cast("timestamp")
+        .alias("cp_down"),
     )

@@ -504,8 +504,9 @@ def test_cusum_vs_page_recursion(spark):
     }
     n, t, up, down = _brute_cusum(day_counts)
     assert (got["n_days"], got["total"]) == (n, t)
-    assert (got["s_up_max"], got["cp_up"]) == up
-    assert (got["s_down_max"], got["cp_down"]) == down
+    # cp days surface as midnight timestamps (the repo date convention)
+    assert (got["s_up_max"], got["cp_up"].date()) == up
+    assert (got["s_down_max"], got["cp_down"].date()) == down
     # the up-changepoint is in the shifted regime, where S_up peaks
     assert got["cp_up"].day >= 11
 
@@ -525,7 +526,7 @@ def test_cusum_flat_series_pins_zero(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp")
     got = cusum_changepoint(df).collect()[0]
     assert got["s_up_max"] == got["s_down_max"] == 0
-    assert got["cp_up"] == got["cp_down"] == base.date()
+    assert got["cp_up"].date() == got["cp_down"].date() == base.date()
 
 
 def test_cusum_on_real_events_matches_brute(spark):
@@ -544,8 +545,8 @@ def test_cusum_on_real_events_matches_brute(spark):
     }
     n, t, up, down = _brute_cusum(days)
     assert (got["n_days"], got["total"]) == (n, t)
-    assert (got["s_up_max"], got["cp_up"]) == up
-    assert (got["s_down_max"], got["cp_down"]) == down
+    assert (got["s_up_max"], got["cp_up"].date()) == up
+    assert (got["s_down_max"], got["cp_down"].date()) == down
 
 
 # ------------------------------------------------------------- cf1
