@@ -15775,6 +15775,7 @@ def scs1_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = os.path.join(tmp, "daily")
         ckpt = os.path.join(tmp, "ckpt")
         ev.write.mode("overwrite").parquet(src)
+        src_schema = spark.read.parquet(src).schema
         bounds = spark.read.parquet(src).agg(
             F.min("ts").alias("mn"), F.max("ts").alias("mx")
         ).collect()[0]
@@ -15782,9 +15783,7 @@ def scs1_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay_sec = span_sec + 3600
 
         def run_phase() -> None:
-            stream = spark.readStream.schema(
-                spark.read.parquet(src).schema
-            ).parquet(src)
+            stream = spark.readStream.schema(src_schema).parquet(src)
             q = (
                 windowed_total_counts(
                     stream, window="1 day",
@@ -15803,11 +15802,19 @@ def scs1_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sentinels: watermark = sentinel_ts - delay must pass the END
         # of the last real day window (up to 86400 s after mx)
         for extra in (delay_sec + 86400 + 3600, delay_sec + 86400 + 7200):
-            spark.createDataFrame([(-1,)], "event_id long").select(
-                "event_id",
+            # sentinel columns CAST to the CAPTURED source schema (not a
+            # literal DDL): a differently-typed events table (int32
+            # event_id, say) must not yield mixed-schema parquet files
+            # under the fixed-schema streaming read
+            spark.range(1).select(
+                F.lit(-1)
+                .cast(src_schema["event_id"].dataType)
+                .alias("event_id"),
                 (
                     F.lit(bounds["mx"]) + F.make_interval(secs=F.lit(extra))
-                ).alias("ts"),
+                )
+                .cast(src_schema["ts"].dataType)
+                .alias("ts"),
             ).write.mode("append").parquet(src)
             run_phase()
         daily = (

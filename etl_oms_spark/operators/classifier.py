@@ -614,6 +614,12 @@ def conformal_lower_bound(
     its cumulative window bounded (mwu1's discipline), and the
     threshold broadcasts back to the test-side aggregate. Returns one
     row: (n_cal, n_test, k, thr, n_covered, coverage_q9).
+
+    Degenerate splits are pinned (not oracle territory — the CF1 oracle
+    presumes both splits non-empty): an EMPTY calibration split yields
+    n_cal=0, k=1, thr=NULL, n_covered=NULL, coverage_q9=NULL (no
+    threshold exists, so coverage is undefined); an EMPTY test split
+    yields n_test=0 and coverage_q9=NULL.
     """
     from pyspark.sql import Window
 
@@ -630,7 +636,9 @@ def conformal_lower_bound(
     cum = hist.select(
         "s", F.sum("c").over(wcum).cast("long").alias("cum")
     )
-    ncal = hist.agg(F.sum("c").cast("long").alias("n_cal"))
+    ncal = hist.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_cal")
+    )
     ka = ((F.col("n_cal") + 1) * alpha_num).cast("decimal(38,0)")
     kd = F.lit(alpha_den).cast("decimal(38,0)")
     k = ncal.select(
@@ -640,45 +648,55 @@ def conformal_lower_bound(
             ((ka - ka % kd) / kd).cast("long"),
         ).alias("k"),
     )
-    thr = (
+    # probe and carrier split so an EMPTY calibration split still
+    # yields ONE row (thr=NULL) instead of an all-NULL agg row that
+    # loses n_cal/k — k always has one row; the probe agg always has
+    # one row (min over empty = NULL)
+    thr_probe = (
         cum.crossJoin(F.broadcast(k))
         .filter(F.col("cum") >= F.col("k"))
-        .agg(
-            F.first("n_cal").alias("n_cal"),
-            F.first("k").alias("k"),
-            F.min("s").cast("long").alias("thr"),
-        )
+        .agg(F.min("s").cast("long").alias("thr"))
     )
+    thr = k.crossJoin(F.broadcast(thr_probe))
     test = df.filter(~F.col(cal_col)).select(
         F.col(score_col).alias("s")
     )
     k9 = F.lit(1_000_000_000).cast("decimal(38,0)")
+    # test aggregated on its own, then joined to the always-one-row
+    # carrier: an EMPTY test split must not NULL out n_cal/k/thr via
+    # first() over zero rows
+    test_agg = test.crossJoin(F.broadcast(thr.select("thr"))).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("s") >= F.col("thr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+    )
     return (
-        test.crossJoin(F.broadcast(thr))
-        .agg(
-            F.first("n_cal").alias("n_cal"),
-            F.count(F.lit(1)).cast("long").alias("n_test"),
-            F.first("k").alias("k"),
-            F.first("thr").alias("thr"),
-            F.sum(F.when(F.col("s") >= F.col("thr"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_covered"),
-        )
+        thr.crossJoin(F.broadcast(test_agg))
         .select(
             "n_cal",
             "n_test",
             "k",
             "thr",
-            "n_covered",
-            (
-                (
-                    F.col("n_covered").cast("decimal(38,0)") * k9
-                    - (F.col("n_covered").cast("decimal(38,0)") * k9)
-                    % F.col("n_test").cast("decimal(38,0)")
-                )
-                / F.col("n_test").cast("decimal(38,0)")
+            # no threshold (empty calibration split) → coverage column
+            # pinned NULL, not a spurious 0 count
+            F.when(F.col("thr").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.col("n_covered"))
+            .alias("n_covered"),
+            F.when(
+                F.col("thr").isNull() | (F.col("n_test") == 0),
+                F.lit(None).cast("long"),
             )
-            .cast("long")
+            .otherwise(
+                (
+                    (
+                        F.col("n_covered").cast("decimal(38,0)") * k9
+                        - (F.col("n_covered").cast("decimal(38,0)") * k9)
+                        % F.col("n_test").cast("decimal(38,0)")
+                    )
+                    / F.col("n_test").cast("decimal(38,0)")
+                ).cast("long")
+            )
             .alias("coverage_q9"),
         )
     )

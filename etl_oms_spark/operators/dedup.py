@@ -762,9 +762,6 @@ def dup_block_rate(
     classification joins those two COUNT frames — never the instance
     frame (the nv1 lesson: joining exploded data back is the scale trap).
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    n_blocks = F.greatest(F.ceil(n / F.lit(block_words)), F.lit(1)).cast("long")
     # let_-bound (util.let_): a captured subtree re-evaluates per
     # element, so without the binding every block re-tokenized the
     # whole document (the round-11 shingles lesson)

@@ -499,7 +499,15 @@ def cusum_from_daily(days: DataFrame) -> DataFrame:
     """cusum_changepoint's monitor over an already-built (day, x) daily
     count frame — split out so a STREAMING count maintainer (scs1:
     tumbling-window Structured Streaming aggregation) feeds the same
-    exact windows; see cusum_changepoint for the algebra."""
+    exact windows; see cusum_changepoint for the algebra.
+
+    Note the per-row s_up/s_down values are the UNCLAMPED prefix-sum
+    identity (p_t minus the running extremum of strictly-previous
+    prefix sums) and can go negative where Page's recursion clamps each
+    step to 0; only the reported MAXIMA and their argmax days coincide
+    with Page's S_t (provably — the last clamp before the max
+    contributes 0). Do not expose per-row s_up/s_down as Page's
+    statistic."""
     tot = days.agg(
         F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("x").cast("long").alias("t"),

@@ -592,6 +592,49 @@ def test_conformal_k_floor_pins_one(spark):
     assert got["coverage_q9"] == 10**9 // 2
 
 
+def test_conformal_empty_calibration_split_pinned(spark):
+    """ADVICE r11: an empty calibration split must yield ONE well-formed
+    row — n_cal=0, k=1 (the clamp), thr/n_covered/coverage_q9 NULL —
+    never an all-NULL agg row or a spurious 0 coverage."""
+    from etl_oms_spark.operators.classifier import conformal_lower_bound
+
+    rows = [(4, False), (2, False), (9, False)]
+    out = conformal_lower_bound(
+        spark.createDataFrame(rows, "sq long, is_cal boolean"),
+        "sq",
+        "is_cal",
+        1,
+        10,
+    ).collect()
+    assert len(out) == 1
+    got = out[0]
+    assert got["n_cal"] == 0 and got["k"] == 1
+    assert got["n_test"] == 3
+    assert got["thr"] is None
+    assert got["n_covered"] is None and got["coverage_q9"] is None
+
+
+def test_conformal_empty_test_split_pinned(spark):
+    """ADVICE r11: an empty test split must keep n_cal/k/thr intact and
+    pin n_test=0, coverage_q9=NULL (no divide-by-zero NULL leakage into
+    the other columns)."""
+    from etl_oms_spark.operators.classifier import conformal_lower_bound
+
+    rows = [(5, True), (7, True), (3, True)]
+    out = conformal_lower_bound(
+        spark.createDataFrame(rows, "sq long, is_cal boolean"),
+        "sq",
+        "is_cal",
+        1,
+        10,
+    ).collect()
+    assert len(out) == 1
+    got = out[0]
+    assert got["n_cal"] == 3 and got["k"] == 1 and got["thr"] == 3
+    assert got["n_test"] == 0
+    assert got["coverage_q9"] is None
+
+
 # ------------------------------------------------------------- ot1/qq1/eta1
 def _qhist(spark, sf="/root/testdata/sf0.001"):
     import __spark_entry__ as entry_mod
