@@ -523,8 +523,7 @@ def spearman_from_pairs(
 
     Rank algebra is mwu1's: per-value histograms give DOUBLED average
     ranks as exact integers (2·r̄(v) = 2·cum_below + c + 1, one bounded
-    window over each value DOMAIN, never the corpus), each document
-    fetches its two doubled ranks via broadcast joins, and Pearson over
+    window over each value DOMAIN, never the corpus), and Pearson over
     (2rx, 2ry) is exact decimal(38) sums with ONE double expression at
     the end:
 
@@ -535,41 +534,72 @@ def spearman_from_pairs(
     x or y (zero variance) pins rho = 0.0 on both engines. Returns one
     row: (n, rho).
 
-    Scale shape: two map-side-combined value-domain groupBys, two
-    broadcast joins back to the one corpus scan, one global aggregate.
+    Scale shape (VERDICT r11 item 4): ONE map-side-combined corpus scan
+    builds the JOINT (x, y) value histogram behind a lazy-checkpoint
+    barrier; both marginal histograms, their doubled-rank windows, and
+    the count-weighted Pearson rollup all derive from that DOMAIN-sized
+    frame — the former three column-pruned corpus scans (two marginal
+    groupBys + the pair join) collapse to one.
     """
     from pyspark.sql import Window
+
+    joint = (
+        df.groupBy(
+            F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
 
     def ranks(col: str) -> DataFrame:
         w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
         return (
-            df.groupBy(col)
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            joint.groupBy(col)
+            .agg(F.sum("__c").cast("long").alias("__cc"))
             .select(
                 col,
                 (
-                    2 * F.sum("c").over(w) - F.col("c") + 1
+                    2 * F.sum("__cc").over(w) - F.col("__cc") + 1
                 ).cast("long").alias(f"r_{col}"),
             )
         )
 
     d38 = "decimal(38,0)"
     joined = (
-        df.select(x_col, y_col)
-        .join(F.broadcast(ranks(x_col)), x_col)
-        .join(F.broadcast(ranks(y_col)), y_col)
+        joint.join(F.broadcast(ranks("__x")), "__x")
+        .join(F.broadcast(ranks("__y")), "__y")
         .select(
-            F.col(f"r_{x_col}").cast(d38).alias("rx"),
-            F.col(f"r_{y_col}").cast(d38).alias("ry"),
+            F.col("__c").cast(d38).alias("c"),
+            F.col("r___x").cast(d38).alias("rx"),
+            F.col("r___y").cast(d38).alias("ry"),
         )
     )
+    # coalesce keeps the empty-input pin (n=0, rho=0.0) now that n is a
+    # weighted sum rather than a count
+    zero = F.lit(0).cast(d38)
     a = joined.agg(
-        F.count(F.lit(1)).cast(d38).alias("n"),
-        F.sum("rx").cast(d38).alias("sx"),
-        F.sum("ry").cast(d38).alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).cast(d38).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).cast(d38).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast(d38).alias("syy"),
+        F.coalesce(F.sum("c"), zero).cast(d38).alias("n"),
+        F.coalesce(F.sum(F.col("c") * F.col("rx")), zero)
+        .cast(d38)
+        .alias("sx"),
+        F.coalesce(F.sum(F.col("c") * F.col("ry")), zero)
+        .cast(d38)
+        .alias("sy"),
+        F.coalesce(
+            F.sum(F.col("c") * F.col("rx") * F.col("ry")), zero
+        )
+        .cast(d38)
+        .alias("sxy"),
+        F.coalesce(
+            F.sum(F.col("c") * F.col("rx") * F.col("rx")), zero
+        )
+        .cast(d38)
+        .alias("sxx"),
+        F.coalesce(
+            F.sum(F.col("c") * F.col("ry") * F.col("ry")), zero
+        )
+        .cast(d38)
+        .alias("syy"),
     )
     vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")

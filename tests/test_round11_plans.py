@@ -29,16 +29,20 @@ def test_gt1_single_word_rollup_then_domain_joins(spark):
 
 def test_sr1_rank_maps_broadcast_no_smj(spark):
     """sr1's doubled-rank maps are value-domain-sized and must BROADCAST
-    back to the corpus scan: a shuffle join keyed on sq/nt would ship
-    the corpus twice. The only windows run over the two histograms."""
+    back to the JOINT histogram; the corpus is scanned exactly ONCE
+    (VERDICT r11 item 4 — the joint (sq, nt) rollup behind a
+    lazy-checkpoint barrier replaced the former three column-pruned
+    corpus passes; marginals, rank windows, and the count-weighted
+    Pearson rollup all run on the domain-sized frame)."""
     import __spark_entry__ as entry_mod
 
     plan = _plan(entry_mod.sr1_spearman_quality_length(spark, SF_DIR))
     assert "sortmergejoin" not in plan
     assert "broadcasthashjoin" in plan
-    # three column-pruned passes by design (two histogram rollups + the
-    # rank-fetch pass) — each map-side-combined, never more
-    assert plan.count("scan parquet") <= 3
+    # one corpus scan inside the barrier; everything downstream reads
+    # the checkpointed RDD
+    assert plan.count("scan parquet") <= 1
+    assert "existingrdd" in plan or plan.count("scan parquet") == 1
 
 
 def test_cusum1_windows_over_day_domain_only(spark):
