@@ -136,12 +136,17 @@ def deterministic_shuffle(
     )
 
 
+AUTO_SHARD = "__auto__"
+
+
 def pack_sequences(
     df: DataFrame,
     token_count_col: str,
     budget: int,
     order_col: str = "doc_id",
-    shard_col: str | None = None,
+    shard_col: str | None = AUTO_SHARD,
+    num_shards: int = 32,
+    salt: str = "pack",
 ) -> DataFrame:
     """Streaming context-window packing: assign each document to a
     training sequence so every sequence holds ~``budget`` tokens, in
@@ -150,22 +155,42 @@ def pack_sequences(
     LLM pre-training batches (documents may straddle two sequences; the
     tokenizer-side splitter handles the cut).
 
-    One running-sum window, partitioned by ``shard_col`` when given (the
-    scale path: shuffle-shard first via `deterministic_shuffle`, then pack
-    each shard independently) — unsharded packing of a whole corpus is a
-    SINGLE-PARTITION window that serializes the corpus through one task,
-    so ``shard_col=None`` warns (same policy as ngram dedup's ``max_df``)
-    and is only for small inputs / oracle twins.
+    One running-sum window, partitioned by shard — the zero-config form
+    is the 100 TB-safe one (VERDICT r11 item 5):
+
+    - ``shard_col=AUTO_SHARD`` (default): derive a deterministic
+      ``pack_shard`` (md5 of salt|order_col, mod ``num_shards`` — the
+      `deterministic_shuffle` bucket expression) and pack each shard
+      independently in parallel. Same corpus → same packing on any
+      cluster, any partitioning.
+    - ``shard_col=<name>``: pack within caller-provided shards (the
+      pre-sharded path: `deterministic_shuffle` then pass ``"shard"``).
+    - ``shard_col=None``: EXPLICIT opt-in to one global packing — a
+      SINGLE-PARTITION window that serializes the corpus through one
+      task, so it warns (only for small inputs / oracle twins).
     """
     import warnings
 
     from pyspark.sql import Window
 
-    if shard_col is None:
+    if shard_col == AUTO_SHARD:
+        hexp = F.md5(
+            F.concat_ws("|", F.lit(salt), F.col(order_col).cast("string"))
+        )
+        df = df.withColumn(
+            "pack_shard",
+            (
+                F.conv(F.substring(hexp, 1, 15), 16, 10).cast("long")
+                % num_shards
+            ).cast("int"),
+        )
+        shard_col = "pack_shard"
+    elif shard_col is None:
         warnings.warn(
             "pack_sequences: shard_col=None packs the whole input through a "
             "single-partition window — fine for small data, serializing at "
-            "scale. Shard first (deterministic_shuffle) and pass shard_col.",
+            "scale. Use the default auto-shard, or shard first "
+            "(deterministic_shuffle) and pass shard_col.",
             stacklevel=2,
         )
     parts = [shard_col] if shard_col else []

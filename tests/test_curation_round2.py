@@ -58,11 +58,18 @@ def test_deterministic_shuffle_partitioning_invariant(spark):
 
 def test_pack_sequences_budget_bins(spark):
     # 6 docs x 100 tokens, budget 250 → start offsets 0,100,200,300,400,500
-    # → seq ids 0,0,0,1,1,2
+    # → seq ids 0,0,0,1,1,2 (global packing = the explicit shard_col=None
+    # opt-in; the default is auto-sharded)
+    import warnings
+
     df = spark.createDataFrame(
         [(i, 100) for i in range(6)], "doc_id long, n_tokens long"
     )
-    out = pack_sequences(df, "n_tokens", budget=250, order_col="doc_id")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = pack_sequences(
+            df, "n_tokens", budget=250, order_col="doc_id", shard_col=None
+        )
     seqs = [r["seq_id"] for r in out.orderBy("doc_id").collect()]
     assert seqs == [0, 0, 0, 1, 1, 2]
 

@@ -245,8 +245,9 @@ def test_weighted_sample_topk_bias_and_determinism(spark):
 
 
 def test_pack_sequences_unsharded_warns(spark):
-    """shard_col=None is a single-partition window — it must warn; the
-    sharded scale path must stay silent."""
+    """shard_col=None (explicit opt-in) is a single-partition window —
+    it must warn; the sharded paths, INCLUDING the zero-config default
+    (auto-shard, VERDICT r11 item 5), must stay silent."""
     import warnings
 
     from etl_oms_spark.operators.sampling import pack_sequences
@@ -256,12 +257,57 @@ def test_pack_sequences_unsharded_warns(spark):
     )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        pack_sequences(df, "n_tokens", budget=128, order_col="doc_id")
+        pack_sequences(
+            df, "n_tokens", budget=128, order_col="doc_id", shard_col=None
+        )
     assert any("single-partition" in str(w.message) for w in caught)
 
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        pack_sequences(
-            df, "n_tokens", budget=128, order_col="doc_id", shard_col="shard"
-        )
-    assert not caught
+    for kw in ({}, {"shard_col": "shard"}):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            pack_sequences(
+                df, "n_tokens", budget=128, order_col="doc_id", **kw
+            )
+        assert not caught, kw
+
+
+def test_pack_sequences_default_is_sharded_window(spark):
+    """The DEFAULT path must never plan a single-partition window: the
+    window is partitioned by the derived pack_shard, the shard is a pure
+    function of order_col (partitioning-invariant), and per-shard packing
+    matches a hand replay of the cumulative-sum rule."""
+    import hashlib
+
+    from etl_oms_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 10 * (i % 7 + 1)) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "n_tokens", budget=64, num_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "window" in plan
+    # the window spec must lead with the derived shard as its PARTITION
+    # clause — a global window would print windowspecdefinition(doc_id…
+    assert "windowspecdefinition(pack_shard" in plan
+    got = {
+        r["doc_id"]: (r["pack_shard"], r["seq_id"]) for r in out.collect()
+    }
+    # replay: shard = md5('pack|doc_id') 15-hex-prefix mod 4; per shard,
+    # cumsum in doc_id order, seq = floor(start/64)
+    shards: dict[int, list[int]] = {}
+    for i, _ in rows:
+        h = hashlib.md5(f"pack|{i}".encode()).hexdigest()
+        shards.setdefault(int(h[:15], 16) % 4, []).append(i)
+    for shard, ids in shards.items():
+        cum = 0
+        for i in sorted(ids):
+            tok = 10 * (i % 7 + 1)
+            assert got[i] == (shard, cum // 64), i
+            cum += tok
+    # repartitioning must not change the packing
+    got2 = {
+        r["doc_id"]: (r["pack_shard"], r["seq_id"])
+        for r in pack_sequences(
+            df.repartition(13), "n_tokens", budget=64, num_shards=4
+        ).collect()
+    }
+    assert got2 == got
