@@ -85,7 +85,12 @@ HEADLINE = [
     "bfs1_copurchase_hops",
     "bf1_bloom_decontamination",
     "ss1_repeated_substrings",
-    "pj1_prefix_jaccard",
+    # pj1_prefix_jaccard LEFT the headline in round 12 (composition
+    # policy, COVERAGE.md): its capped production twin pj1c carries the
+    # PPJoin cost signal here; the exact form still runs 4x per close in
+    # the sweeps and its idle cost is pinned in SCALING.md (round-12
+    # retime: warm median 21.6s with a +-10s contention envelope - 12%
+    # of headline wall and the single largest noise source).
     "sj1_stream_stream_join",
     "ss2_span_repair",
     "tp5_decontaminated_release",
