@@ -15831,6 +15831,105 @@ def scs1_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def sps1_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor (VERDICT r11 item 6 — scs1's pattern
+    applied to dr1): the per-day VALUE histogram of event cents is
+    maintained by a Structured Streaming tumbling-window aggregation
+    (streaming/events.windowed_value_counts — availableNow, append mode,
+    parquet sink, checkpoint; state keyed on (day, value)), then the
+    Population Stability Index runs over the emitted day×value frame
+    with dr1's exact algebra (operators/validate.psi_from_value_counts:
+    same bucket edges, Laplace smoothing, 1e-9-quantized contributions).
+    Exactness (ssw1/scs1's sentinel dance): watermark delay > span means
+    nothing is late; two far-future sentinel appends + restarts on the
+    same checkpoint flush every real day's histogram exactly once;
+    sentinel windows (start > real max ts) are filtered. Summed per
+    (value, side-of-cut), the streamed daily histograms EQUAL dr1's
+    batch value rollup — day windows are midnight-aligned and the cut is
+    a day boundary — so DR1_SQL is this query's oracle too (the
+    sdd1/scs1 shared-oracle twin pattern). Day×value-domain result
+    materialized eagerly; temp dirs removed."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_oms_spark.operators.validate import psi_from_value_counts
+    from etl_oms_spark.streaming.events import windowed_value_counts
+
+    ev = _events(spark, sf_dir).select(
+        "ts", _cents(F.col("value")).alias("cents")
+    )
+    tmp = tempfile.mkdtemp(prefix="sps1_")
+    try:
+        src = os.path.join(tmp, "src")
+        out = os.path.join(tmp, "hist")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.write.mode("overwrite").parquet(src)
+        src_schema = spark.read.parquet(src).schema
+        bounds = spark.read.parquet(src).agg(
+            F.min("ts").alias("mn"), F.max("ts").alias("mx")
+        ).collect()[0]
+        span_sec = int((bounds["mx"] - bounds["mn"]).total_seconds())
+        delay_sec = span_sec + 3600
+
+        def run_phase() -> None:
+            stream = spark.readStream.schema(src_schema).parquet(src)
+            q = (
+                windowed_value_counts(
+                    stream, "cents", window="1 day",
+                    watermark=f"{delay_sec} seconds",
+                )
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_phase()
+        # sentinels built from the CAPTURED source schema (scs1's ADVICE
+        # lesson); watermark = sentinel_ts - delay must pass the END of
+        # the last real day window
+        for extra in (delay_sec + 86400 + 3600, delay_sec + 86400 + 7200):
+            spark.range(1).select(
+                (
+                    F.lit(bounds["mx"]) + F.make_interval(secs=F.lit(extra))
+                )
+                .cast(src_schema["ts"].dataType)
+                .alias("ts"),
+                F.lit(0).cast(src_schema["cents"].dataType).alias("cents"),
+            ).write.mode("append").parquet(src)
+            run_phase()
+        cut = F.lit("2024-01-08").cast("timestamp")
+        vcounts = (
+            spark.read.parquet(out)
+            .filter(F.col("window_start") <= F.lit(bounds["mx"]))
+            .groupBy("v")
+            .agg(
+                F.sum(
+                    F.when(F.col("window_start") < cut, F.col("n")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("n_base"),
+                F.sum(
+                    F.when(
+                        F.col("window_start") >= cut, F.col("n")
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("n_cur"),
+            )
+        )
+        result = psi_from_value_counts(vcounts).orderBy("bucket")
+        return spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -15857,6 +15956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qq1_quality_deciles": qq1_quality_deciles,
         "eta1_quality_by_source": eta1_quality_by_source,
         "scs1_streaming_cusum": scs1_streaming_cusum,
+        "sps1_streaming_psi": sps1_streaming_psi,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
@@ -16190,6 +16290,10 @@ def oracle_sql() -> dict[str, str]:
         "qq1_quality_deciles": QQ1_SQL,
         "eta1_quality_by_source": ETA1_SQL,
         "scs1_streaming_cusum": CUSUM1_SQL,
+        # sps1 streams the daily value histogram; summed per side it
+        # equals dr1's batch rollup (watermark > span), so dr1's oracle
+        # is sps1's oracle (the sdd1/scs1 shared-oracle twin pattern)
+        "sps1_streaming_psi": DR1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

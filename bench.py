@@ -167,6 +167,10 @@ HEADLINE = [
     # scs1: the streaming-maintained daily histogram + the same CUSUM
     # monitor — fixed state-store/checkpoint cost like sdd1/ssw1
     "scs1_streaming_cusum",
+    # round-12 additions (appended)
+    # sps1: the streaming-maintained daily VALUE histogram + dr1's PSI
+    # algebra — completes the drift suite's streaming story
+    "sps1_streaming_psi",
 ]
 
 

@@ -119,8 +119,10 @@ def psi_drift(
     total is bit-stable on any partitioning/engine; the conventional
     >0.2 "significant drift" threshold applies to the (double) total.
 
-    Cost: one scalar min/max over the union + one bucketed count per
-    side — two scans of arithmetic into buckets-sized aggregates.
+    Cost: ONE map-side-combined value rollup over the union (round 12 —
+    formerly a bounds scan plus a bucketing scan); bounds, bucket edges
+    and the PSI algebra all run on the value-DOMAIN frame via
+    `psi_from_value_counts`.
     """
     tagged = base.select(F.col(value_col).cast("long").alias("__v")).withColumn(
         "__side", F.lit(0)
@@ -129,18 +131,39 @@ def psi_drift(
             "__side", F.lit(1)
         )
     )
-    bounds = tagged.agg(
-        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    vcounts = tagged.groupBy(F.col("__v").alias("v")).agg(
+        F.count_if(F.col("__side") == 0).alias("n_base"),
+        F.count_if(F.col("__side") == 1).alias("n_cur"),
+    )
+    return psi_from_value_counts(vcounts, n_buckets)
+
+
+def psi_from_value_counts(
+    vcounts: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """psi_drift's algebra over an already-built per-VALUE count frame
+    ``(v, n_base, n_cur)`` — split out so a STREAMING histogram
+    maintainer (sps1: tumbling daily value counts kept by Structured
+    Streaming) feeds the identical bucket edges, Laplace smoothing and
+    quantized contributions. Everything here is value-DOMAIN-sized:
+    bounds, bucket rollup, totals, and the final buckets-sized result.
+    """
+    vcounts = vcounts.localCheckpoint(eager=False)
+    bounds = vcounts.agg(
+        F.min("v").alias("__lo"), F.max("v").alias("__hi")
     )
     span = F.col("__hi") - F.col("__lo") + F.lit(1)
-    idx = F.floor((F.col("__v") - F.col("__lo")) * F.lit(n_buckets) / span).cast("int")
+    idx = F.floor(
+        (F.col("v") - F.col("__lo")) * F.lit(n_buckets) / span
+    ).cast("int")
     counts = (
-        tagged.crossJoin(F.broadcast(bounds))
-        .select(idx.alias("bucket"), "__side")
+        vcounts.crossJoin(F.broadcast(bounds))
+        .select(idx.alias("bucket"), "n_base", "n_cur")
         .groupBy("bucket")
         .agg(
-            F.count_if(F.col("__side") == 0).alias("n_base"),
-            F.count_if(F.col("__side") == 1).alias("n_cur"),
+            F.sum("n_base").alias("n_base"),
+            F.sum("n_cur").alias("n_cur"),
         )
     )
     totals = counts.agg(

@@ -410,3 +410,28 @@ def windowed_total_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "n")
     )
+
+
+def windowed_value_counts(
+    events: DataFrame,
+    value_col: str,
+    window: str = "1 day",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time VALUE histogram: per (window, value) counts —
+    the daily distribution snapshot a streaming drift monitor (sps1 PSI)
+    maintains. State is keyed on (window, value): bounded by the value
+    DOMAIN per day, evicted as the watermark finalizes windows. Summing
+    the emitted daily histograms over any period reproduces that
+    period's batch value histogram exactly (nothing late, nothing
+    dropped under watermark > span), which is what makes a shared batch
+    oracle possible."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(
+            F.window("ts", window).alias("w"),
+            F.col(value_col).alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "v", "n")
+    )
