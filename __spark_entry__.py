@@ -15930,6 +15930,294 @@ def sps1_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def mk2_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test over the daily event-count
+    series (operators/temporal.mann_kendall_trend; Mann 1945, Kendall
+    1948, Hirsch et al. 1982 tie correction) — the nonparametric "is
+    the rate drifting?" beside cusum1's level-shift and lr1's
+    parametric slope. S and the ×18-scaled tie-corrected variance are
+    exact BIGINTs off the day-domain pair join and tie histogram; Z is
+    one double expression."""
+    from etl_oms_spark.operators.temporal import mann_kendall_trend
+
+    return mann_kendall_trend(_events(spark, sf_dir))
+
+
+MK2_SQL = """
+WITH days AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), sstat AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN b.x > a.x THEN 1
+                                  WHEN b.x < a.x THEN -1
+                                  ELSE 0 END), 0) AS BIGINT) AS s
+    FROM days a JOIN days b ON a.day < b.day
+), ties AS (
+    SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM days GROUP BY x
+), base AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n_days,
+           CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+    FROM ties
+)
+SELECT n_days, s,
+       CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+            AS BIGINT) AS var18,
+       CASE WHEN s = 0
+              OR n_days * (n_days - 1) * (2 * n_days + 5) - tie_term = 0
+            THEN 0.0
+            ELSE CAST(s - (CASE WHEN s > 0 THEN 1 ELSE -1 END) AS DOUBLE)
+                 / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                             - tie_term AS DOUBLE) / 18.0)
+       END AS z
+FROM base CROSS JOIN sstat
+"""
+
+
+def ts2_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of the daily event-count series
+    (operators/temporal.theil_sen_trend; Theil 1950, Sen 1968): the
+    MEDIAN pairwise slope, 29%-breakdown companion to lr1's
+    least-squares line. Slopes quantized exactly ((Δx·1e9) trunc-div
+    Δdays — DuckDB // semantics), median = qq1's divisionless
+    nearest-rank order statistic over the slope-domain cumulative
+    histogram."""
+    from etl_oms_spark.operators.temporal import theil_sen_trend
+
+    return theil_sen_trend(_events(spark, sf_dir))
+
+
+TS2_SQL = """
+WITH days AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+), p AS (
+    SELECT ((b.x - a.x) * 1000000000) // CAST(b.day - a.day AS BIGINT)
+               AS slope_q9
+    FROM days a JOIN days b ON a.day < b.day
+), h AS (
+    SELECT slope_q9, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY 1
+), m AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS m FROM h),
+cum AS (
+    SELECT slope_q9,
+           SUM(c) OVER (ORDER BY slope_q9 ROWS UNBOUNDED PRECEDING) AS cum
+    FROM h
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM days),
+med AS (
+    SELECT CAST(MIN(slope_q9) AS BIGINT) AS slope_q9
+    FROM cum CROSS JOIN m WHERE 2 * cum >= m
+)
+SELECT n_days, m AS n_pairs, slope_q9
+FROM nd CROSS JOIN m CROSS JOIN med
+"""
+
+
+def kp1_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two cheap document gates
+    (operators/classifier.cohens_kappa; Cohen 1960): rater A =
+    blocklist-clean (t12's C4-style badword pass), rater B = quality
+    score ≥ 0.5 (t2's quantized score) — the two-rater agreement audit
+    beside fk1's Fleiss kappa. Do the gates agree beyond their base
+    rates, i.e. is the blocklist adding signal over the quality score?
+    All exact: 2×2 conditional counts off ONE corpus scan, po/pe/kappa
+    single signed truncating divisions at 1e-9."""
+    from etl_oms_spark.operators.classifier import cohens_kappa
+    from etl_oms_spark.operators.text import quality_score, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    clean = F.coalesce(
+        F.size(
+            F.array_intersect(
+                tokens("text"), F.array(*[F.lit(w) for w in _BLOCKLIST])
+            )
+        )
+        == 0,
+        F.lit(False),
+    )
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    return cohens_kappa(
+        d.select(clean.alias("a"), (sq >= 500000).alias("b")), "a", "b"
+    )
+
+
+KP1_SQL = f"""
+WITH p AS (
+    SELECT COALESCE(len(list_intersect(
+               list_distinct(string_split({_NORM_SQL}, ' ')),
+               ['slow', 'big'])) = 0, FALSE) AS a,
+           COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) >= 500000 AS b
+    FROM documents
+), c AS (
+    SELECT
+      CAST(COALESCE(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS n11,
+      CAST(COALESCE(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS n10,
+      CAST(COALESCE(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS n01,
+      CAST(COALESCE(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS n00
+    FROM p
+), k AS (
+    SELECT n11, n10, n01, n00,
+           n11 + n10 + n01 + n00 AS n,
+           n11 + n00 AS agree,
+           (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+    FROM c
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       CASE WHEN n = 0 THEN NULL
+            ELSE CAST((agree * 1000000000) // n AS BIGINT) END AS po_q9,
+       CASE WHEN n = 0 THEN NULL
+            ELSE CAST((pe_num * 1000000000) // (n * n) AS BIGINT)
+       END AS pe_q9,
+       CASE WHEN n = 0 THEN NULL
+            WHEN n * n - pe_num = 0 THEN 1000000000
+            ELSE CAST(((n * agree - pe_num) * 1000000000)
+                      // (n * n - pe_num) AS BIGINT)
+       END AS kappa_q9
+FROM k
+"""
+
+
+def crv1_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between document source and language
+    (operators/validate.cramers_v; Cramér 1946 §21.9) — the
+    nominal-nominal member of the association suite (st2
+    numeric-numeric, eta1 categorical-numeric, sr1/kt1 rank): does the
+    source distribution pin the language mix? χ² is exact-rational per
+    cell ((n·O − r·c)²/(n·r·c), STAGED 1e-9 quantization so headroom
+    holds to n ≈ 2·10⁹), V one double expression."""
+    from etl_oms_spark.operators.validate import cramers_v
+
+    return cramers_v(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+CRV1_SQL = """
+WITH cells AS (
+    SELECT source AS a, lang AS b, CAST(COUNT(*) AS HUGEINT) AS o
+    FROM documents GROUP BY 1, 2
+), ra AS (SELECT a, CAST(SUM(o) AS HUGEINT) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(SUM(o) AS HUGEINT) AS cb FROM cells GROUP BY b),
+tot AS (SELECT CAST(COALESCE(SUM(o), 0) AS HUGEINT) AS n FROM cells),
+dims AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS n_cols,
+           (SELECT n FROM tot) AS n
+), j AS (
+    SELECT (n * o - ra.ra * cb.cb) AS dev,
+           n * ra.ra * cb.cb AS bb,
+           ra.ra * cb.cb AS rc,
+           n AS nn
+    FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+), chi AS (
+    -- observed-cells rewrite of the FULL-table chi-square (empty cells
+    -- contribute only their expectation, and the expectations over all
+    -- R*C cells sum to n, added back in the final select)
+    SELECT CAST(COALESCE(SUM(
+               ((dev * dev) // bb) * 1000000000
+               + (((dev * dev) % bb) * 1000000000) // bb
+               - (rc * 1000000000) // nn), 0)
+           AS HUGEINT) AS chi_part
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n, n_rows, n_cols,
+       CAST(GREATEST(chi_part + n * 1000000000, 0) AS BIGINT) AS chi2_q9,
+       CASE WHEN n = 0 OR LEAST(n_rows, n_cols) <= 1 THEN 0.0
+            ELSE sqrt((CAST(GREATEST(chi_part + n * 1000000000, 0)
+                            AS DOUBLE) / 1000000000.0)
+                      / CAST(n * (LEAST(n_rows, n_cols) - 1) AS DOUBLE))
+       END AS v
+FROM dims CROSS JOIN chi
+"""
+
+
+def kt1_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kendall τ-b between quality decile and
+    length-magnitude buckets (operators/classifier.
+    kendall_tau_b_from_cells; Kendall 1945, contingency-table form) —
+    the concordance companion to sr1's Spearman over the same two
+    signals, on GROUPED data: x = fixed-edge quality decile (sq //
+    100000 capped at 9, −1 for null text — no bounds pass needed), y =
+    decimal digit count of the whitespace token count (an exact
+    integer log bucket both engines compute identically). One
+    map-side-combined corpus rollup to the ≤11×8 contingency table;
+    C/D from the tiny cell self-join, ties from the marginals — all
+    exact BIGINTs, τ-b one double expression."""
+    from etl_oms_spark.operators.classifier import (
+        kendall_tau_b_from_cells,
+    )
+    from etl_oms_spark.operators.text import (
+        quality_score,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    xb = F.when(sq < 0, F.lit(-1).cast("long")).otherwise(
+        F.least(
+            ((sq - sq % 100000) / 100000).cast("long"), F.lit(9).cast("long")
+        )
+    )
+    yb = F.length(
+        whitespace_token_count("text").cast("long").cast("string")
+    ).cast("long")
+    cells = (
+        d.select(xb.alias("x"), yb.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return kendall_tau_b_from_cells(cells)
+
+
+KT1_SQL = f"""
+WITH p AS (
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) AS sq,
+           CAST({_WS} AS BIGINT) AS nt
+    FROM documents
+), bk AS (
+    SELECT CASE WHEN sq < 0 THEN -1
+                ELSE LEAST(sq // 100000, 9) END AS x,
+           CAST(length(CAST(nt AS VARCHAR)) AS BIGINT) AS y
+    FROM p
+), cells AS (
+    SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS c FROM bk GROUP BY 1, 2
+), pr AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN a.c * b.c
+                                  ELSE 0 END), 0) AS HUGEINT) AS conc,
+           CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN a.c * b.c
+                                  ELSE 0 END), 0) AS HUGEINT) AS disc
+    FROM cells a JOIN cells b ON b.x > a.x
+), tx AS (
+    SELECT CAST(COALESCE(SUM(t * (t - 1)), 0) AS HUGEINT) AS tx
+    FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)
+), uy AS (
+    SELECT CAST(COALESCE(SUM(t * (t - 1)), 0) AS HUGEINT) AS uy
+    FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)
+), tot AS (SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS n FROM cells)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(conc AS BIGINT) AS conc, CAST(disc AS BIGINT) AS disc,
+       CAST(n * (n - 1) - tx AS BIGINT) AS d1,
+       CAST(n * (n - 1) - uy AS BIGINT) AS d2,
+       CASE WHEN n * (n - 1) - tx = 0 OR n * (n - 1) - uy = 0 THEN 0.0
+            ELSE 2.0 * CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST(n * (n - 1) - tx AS DOUBLE)
+                        * CAST(n * (n - 1) - uy AS DOUBLE))
+       END AS tau_b
+FROM tot CROSS JOIN tx CROSS JOIN uy CROSS JOIN pr
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -15957,6 +16245,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eta1_quality_by_source": eta1_quality_by_source,
         "scs1_streaming_cusum": scs1_streaming_cusum,
         "sps1_streaming_psi": sps1_streaming_psi,
+        "mk2_mann_kendall": mk2_mann_kendall,
+        "ts2_theil_sen": ts2_theil_sen,
+        "kp1_cohens_kappa": kp1_cohens_kappa,
+        "crv1_cramers_v": crv1_cramers_v,
+        "kt1_kendall_tau": kt1_kendall_tau,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
@@ -16294,6 +16587,11 @@ def oracle_sql() -> dict[str, str]:
         # equals dr1's batch rollup (watermark > span), so dr1's oracle
         # is sps1's oracle (the sdd1/scs1 shared-oracle twin pattern)
         "sps1_streaming_psi": DR1_SQL,
+        "mk2_mann_kendall": MK2_SQL,
+        "ts2_theil_sen": TS2_SQL,
+        "kp1_cohens_kappa": KP1_SQL,
+        "crv1_cramers_v": CRV1_SQL,
+        "kt1_kendall_tau": KT1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

@@ -171,6 +171,14 @@ HEADLINE = [
     # sps1: the streaming-maintained daily VALUE histogram + dr1's PSI
     # algebra — completes the drift suite's streaming story
     "sps1_streaming_psi",
+    # trend tests over the day-domain (pair joins never touch the
+    # corpus), association suite completions (contingency-/confusion-
+    # sized algebra after one corpus scan each)
+    "mk2_mann_kendall",
+    "ts2_theil_sen",
+    "kp1_cohens_kappa",
+    "crv1_cramers_v",
+    "kt1_kendall_tau",
 ]
 
 

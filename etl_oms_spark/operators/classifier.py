@@ -730,3 +730,180 @@ def conformal_lower_bound(
             .alias("coverage_q9"),
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement between two BINARY
+    raters (public: Cohen 1960) — the two-rater companion to fk1's
+    Fleiss kappa: how much do two cheap document gates agree beyond
+    what their base rates force?
+
+    With the 2×2 confusion (n11, n10, n01, n00), marginals a1/a0 (rater
+    A) and b1/b0 (rater B), kappa is exactly rational:
+
+        kappa = (n·(n11 + n00) − (a1·b1 + a0·b0))
+                / (n² − (a1·b1 + a0·b0))
+
+    so po/pe/kappa are all single truncating divisions at 1e-9
+    (`_floordiv_dec` — signed: kappa < 0 when agreement is below
+    chance, and truncation matches DuckDB ``//``). Perfect forced
+    agreement (pe = 1, zero denominator) pins kappa_q9 = 1e9, the
+    fk1 convention. Returns one row:
+    (n, n11, n10, n01, n00, po_q9, pe_q9, kappa_q9).
+
+    Scale shape: ONE map-side-combined corpus scan into four
+    conditional counts; everything after is scalar algebra.
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    cell = lambda pa, pb: F.coalesce(  # noqa: E731
+        F.sum(
+            F.when((a == F.lit(pa)) & (b == F.lit(pb)), 1).otherwise(0)
+        ),
+        F.lit(0),
+    ).cast("long")
+    conf = df.agg(
+        cell(True, True).alias("n11"),
+        cell(True, False).alias("n10"),
+        cell(False, True).alias("n01"),
+        cell(False, False).alias("n00"),
+    )
+    d38 = "decimal(38,0)"
+    n11, n10, n01, n00 = (
+        F.col(c).cast(d38) for c in ("n11", "n10", "n01", "n00")
+    )
+    n = n11 + n10 + n01 + n00
+    agree = n11 + n00
+    pe_num = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    num = n * agree - pe_num
+    den = n * n - pe_num
+    k9 = F.lit(1_000_000_000).cast(d38)
+    return conf.select(
+        n.cast("long").alias("n"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(n == 0, F.lit(None).cast("long"))
+        .otherwise(_floordiv_dec(agree * k9, n).cast("long"))
+        .alias("po_q9"),
+        F.when(n == 0, F.lit(None).cast("long"))
+        .otherwise(_floordiv_dec(pe_num * k9, n * n).cast("long"))
+        .alias("pe_q9"),
+        F.when(n == 0, F.lit(None).cast("long"))
+        .when(den == 0, F.lit(1_000_000_000))
+        .otherwise(_floordiv_dec(num * k9, den).cast("long"))
+        .alias("kappa_q9"),
+    )
+
+
+def kendall_tau_b_from_cells(
+    cells: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    count_col: str = "c",
+) -> DataFrame:
+    """Tie-corrected Kendall τ-b over a CONTINGENCY table (public:
+    Kendall 1945 for τ-b; the contingency form is the standard
+    grouped-data recipe, e.g. Agresti, "Analysis of Ordinal Categorical
+    Data") — the concordance companion to sr1's Spearman: τ counts
+    order agreements pair-by-pair, so it is robust where Spearman's
+    rank-variance algebra is leveraged by outlying ranks.
+
+    Over cells (x, y, c):
+
+        C  = Σ c_ij · c_i'j'  over i' > i, j' > j   (concordant pairs)
+        D  = Σ c_ij · c_i'j'  over i' > i, j' < j   (discordant pairs)
+        d1 = n(n−1) − Σ_x t_x(t_x−1)   (2·(n0−n1), row-tie corrected)
+        d2 = n(n−1) − Σ_y u_y(u_y−1)
+        τb = 2(C − D) / √(d1·d2)
+
+    C/D/d1/d2 are exact BIGINTs (headroom n ≤ 3·10⁹); τb is ONE double
+    expression, pinned 0.0 when either tie-corrected variance is 0
+    (constant margin). Returns one row: (n, conc, disc, d1, d2, tau_b).
+
+    Scale shape: the contingency frame is DOMAIN-sized (callers build
+    it with one map-side-combined corpus rollup), so the pair self-join
+    is cells² — trivial and broadcast; marginals are two more
+    domain-sized groupBys off the same checkpointed frame.
+    """
+    cells = cells.select(
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+        F.col(count_col).cast("long").alias("__c"),
+    ).localCheckpoint(eager=False)
+    d38 = "decimal(38,0)"
+    b = cells.select(
+        F.col("__x").alias("__x2"),
+        F.col("__y").alias("__y2"),
+        F.col("__c").alias("__c2"),
+    )
+    pairs = cells.join(F.broadcast(b), F.col("__x2") > F.col("__x")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__y2") > F.col("__y"),
+                    F.col("__c").cast(d38) * F.col("__c2").cast(d38),
+                ).otherwise(F.lit(0).cast(d38))
+            ),
+            F.lit(0).cast(d38),
+        ).alias("conc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__y2") < F.col("__y"),
+                    F.col("__c").cast(d38) * F.col("__c2").cast(d38),
+                ).otherwise(F.lit(0).cast(d38))
+            ),
+            F.lit(0).cast(d38),
+        ).alias("disc"),
+    )
+
+    def tie_sum(col: str, alias: str):
+        t = F.col("__t").cast(d38)
+        return (
+            cells.groupBy(col)
+            .agg(F.sum("__c").cast(d38).alias("__t"))
+            .agg(
+                F.coalesce(F.sum(t * (t - 1)), F.lit(0).cast(d38)).alias(
+                    alias
+                )
+            )
+        )
+
+    tot = cells.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast(d38).alias("n")
+    )
+    nn = F.col("n")
+    base = (
+        tot.crossJoin(F.broadcast(tie_sum("__x", "tx")))
+        .crossJoin(F.broadcast(tie_sum("__y", "uy")))
+        .crossJoin(F.broadcast(pairs))
+        .select(
+            nn.cast("long").alias("n"),
+            F.col("conc").cast("long").alias("conc"),
+            F.col("disc").cast("long").alias("disc"),
+            (nn * (nn - 1) - F.col("tx")).cast("long").alias("d1"),
+            (nn * (nn - 1) - F.col("uy")).cast("long").alias("d2"),
+        )
+    )
+    return base.select(
+        "n",
+        "conc",
+        "disc",
+        "d1",
+        "d2",
+        F.when((F.col("d1") == 0) | (F.col("d2") == 0), F.lit(0.0))
+        .otherwise(
+            2.0
+            * (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(
+                F.col("d1").cast("double") * F.col("d2").cast("double")
+            )
+        )
+        .alias("tau_b"),
+    )

@@ -569,3 +569,158 @@ def cusum_from_daily(days: DataFrame) -> DataFrame:
         .cast("timestamp")
         .alias("cp_down"),
     )
+
+
+def _daily_counts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """One map-side-combined day rollup behind a lazy-checkpoint
+    barrier — the shared corpus→day-domain collapse every trend/shift
+    monitor here starts from (cusum/Mann-Kendall/Theil-Sen)."""
+    return (
+        df.select(F.to_date(F.col(ts_col)).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def mann_kendall_trend(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Mann-Kendall monotone-trend test over the daily event-count
+    series (public: Mann 1945, Kendall 1948; Hirsch et al. 1982 for the
+    tie-corrected variance) — the nonparametric "is the rate drifting
+    up or down at all?" companion to cusum's level-shift and lr1's
+    parametric slope: no linearity or distribution assumption, pure
+    sign algebra.
+
+        S    = Σ_{i<j} sgn(x_j − x_i)                 (exact BIGINT)
+        VarS = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18  (t = tie sizes)
+        Z    = (S − sgn(S)) / √VarS                    (normal approx)
+
+    Everything before Z is exact integers: S from the day-pair sign
+    sum, the variance carried ×18 (``var18``) so the tie term never
+    divides. Z is ONE double expression (exact ints → one sqrt/div);
+    Z pins 0.0 when S = 0 or VarS = 0 (n < 2 or all-tied series).
+
+    Scale shape: one corpus scan collapses to the day rollup
+    (`_daily_counts` barrier); the pair sum is a day-domain self-join
+    (≤ n_days² pairs — years of days is thousands of rows), the tie
+    histogram a day-domain groupBy. Returns one row:
+    (n_days, s, var18, z).
+    """
+    days = _daily_counts(df, ts_col)
+    pairs = days.select(F.col("day").alias("d1"), F.col("x").alias("x1")).join(
+        days.select(F.col("day").alias("d2"), F.col("x").alias("x2")),
+        F.col("d1") < F.col("d2"),
+    )
+    s_agg = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("x2") > F.col("x1"), 1)
+                .when(F.col("x2") < F.col("x1"), -1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s")
+    )
+    t = F.col("t")
+    ties = days.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    base = ties.agg(
+        F.sum("t").cast("long").alias("n_days"),
+        F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+        .cast("long")
+        .alias("tie_term"),
+    )
+    n = F.col("n_days")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("long")
+    zden = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    return (
+        base.crossJoin(F.broadcast(s_agg))
+        .select("n_days", "s", var18.alias("var18"))
+        .select(
+            "n_days",
+            "s",
+            "var18",
+            F.when((F.col("s") == 0) | (F.col("var18") == 0), F.lit(0.0))
+            .otherwise(
+                (
+                    F.col("s")
+                    - F.when(F.col("s") > 0, 1).otherwise(-1)
+                ).cast("double")
+                / zden
+            )
+            .alias("z"),
+        )
+    )
+
+
+def theil_sen_from_daily(days: DataFrame, q: int = 1_000_000_000) -> DataFrame:
+    """Theil-Sen slope estimator over a (day, x) daily series (public:
+    Theil 1950, Sen 1968) — the median of all pairwise slopes, the
+    robust (29%-breakdown) companion to lr1's least-squares line.
+
+    Slopes are quantized exactly: slope_q9 = (x_j − x_i)·1e9 trunc-div
+    (days between) — `_floordiv_dec`'s signed truncation, matching
+    DuckDB ``//`` — and the median is qq1's nearest-rank order
+    statistic with NO division: the smallest slope whose cumulative
+    count reaches ⌈m/2⌉ (2·cum ≥ m over the slope-domain cumulative
+    histogram). Returns one row: (n_days, n_pairs, slope_q9) — NULL
+    slope when fewer than two days.
+
+    Scale shape: day-domain self-join (≤ n_days² pairs), slope-domain
+    histogram + one bounded cumulative window. Never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    from .classifier import _floordiv_dec
+
+    days = days.localCheckpoint(eager=False)
+    d38 = "decimal(38,0)"
+    pairs = (
+        days.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+        .join(
+            days.select(F.col("day").alias("d2"), F.col("x").alias("x2")),
+            F.col("d1") < F.col("d2"),
+        )
+        .select(
+            _floordiv_dec(
+                (F.col("x2") - F.col("x1")).cast(d38) * F.lit(q).cast(d38),
+                F.datediff(F.col("d2"), F.col("d1")).cast(d38),
+            )
+            .cast("long")
+            .alias("slope_q9")
+        )
+    )
+    hist = (
+        pairs.groupBy("slope_q9")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    m = hist.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("m"))
+    nd = days.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    wcum = Window.orderBy("slope_q9").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "slope_q9", F.sum("c").over(wcum).cast("long").alias("cum")
+    )
+    med = (
+        cum.crossJoin(F.broadcast(m))
+        .filter(2 * F.col("cum") >= F.col("m"))
+        .agg(F.min("slope_q9").cast("long").alias("slope_q9"))
+    )
+    return (
+        nd.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_days",
+            F.col("m").alias("n_pairs"),
+            "slope_q9",
+        )
+    )
+
+
+def theil_sen_trend(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """`theil_sen_from_daily` over the raw event stream (one corpus
+    scan via the `_daily_counts` barrier)."""
+    return theil_sen_from_daily(_daily_counts(df, ts_col))

@@ -181,3 +181,115 @@ def psi_from_value_counts(
             F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast("long").alias("psi_q9"),
         )
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns (public:
+    Cramér 1946, §21.9) — the nominal-nominal companion to eta1
+    (categorical→numeric) and st2 (numeric-numeric): how strongly does
+    source predict language?
+
+        χ² = Σ_cells (O − E)²/E,  E = r_a·c_b/n
+           = Σ_cells (n·O − r_a·c_b)² / (n·r_a·c_b)     (exact rational)
+        V  = √( χ² / (n·(min(R,C) − 1)) )
+
+    The sum runs over ALL R×C cells including EMPTY ones (an empty
+    cell contributes E = r·c/n). Empty cells are never materialized:
+    since Σ_all-cells E = n,
+
+        χ² = Σ_observed [ (n·O − r·c)²/(n·r·c) − r·c/n ] + n
+
+    so one pass over the OBSERVED cells suffices (the same device as
+    ks1's complement trick). Per-cell contributions are quantized at
+    1e-9: the squared term by the STAGED exact division (q·1e9 +
+    (rem·1e9)//B — floor(A·1e9/B) without ever forming A·1e9, so
+    decimal(38)/HUGEINT headroom holds to n ≈ 2·10⁹), the subtracted
+    expectation by one truncating division. Floor artifacts can leave
+    the total a few 1e-9 below 0 on exactly-independent tables —
+    clamped to 0. chi2_q9 is emitted as BIGINT (valid while χ² ≤
+    9.2·10⁹, i.e. any corpus below ~10⁹ rows); V is ONE double
+    expression. Degenerate tables (n = 0 or a single-row/column table)
+    pin V = 0.0. Returns one row: (n, n_rows, n_cols, chi2_q9, v).
+
+    Scale shape: ONE map-side-combined corpus scan into the (A×B)
+    contingency table behind a lazy-checkpoint barrier; marginals,
+    totals and the χ² rollup are all contingency-domain-sized with
+    broadcast joins.
+    """
+    cells = (
+        df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cb"))
+    tot = cells.agg(
+        F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("n")
+    )
+    dims = (
+        ra.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .crossJoin(
+            F.broadcast(
+                cb.agg(F.count(F.lit(1)).cast("long").alias("n_cols"))
+            )
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    d38 = "decimal(38,0)"
+    k9 = F.lit(1_000_000_000).cast(d38)
+    j = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot.select(F.col("n").alias("__n"))))
+    )
+    nn = F.col("__n").cast(d38)
+    dev = nn * F.col("o").cast(d38) - F.col("ra").cast(d38) * F.col(
+        "cb"
+    ).cast(d38)
+    a_ = dev * dev
+    b_ = nn * F.col("ra").cast(d38) * F.col("cb").cast(d38)
+    q = (a_ - a_ % b_) / b_
+    rc9 = F.col("ra").cast(d38) * F.col("cb").cast(d38) * k9
+    contrib = (
+        q.cast(d38) * k9
+        + (((a_ % b_) * k9 - ((a_ % b_) * k9) % b_) / b_).cast(d38)
+        # minus this cell's expectation (r·c/n)·1e9 — the observed-cells
+        # rewrite of the full-table sum (empty cells contribute only E,
+        # and Σ_all E = n is added back below)
+        - ((rc9 - rc9 % nn) / nn).cast(d38)
+    )
+    chi = j.agg(
+        F.coalesce(F.sum(contrib), F.lit(0).cast(d38))
+        .cast(d38)
+        .alias("__chi_part")
+    )
+    kmin = F.least(F.col("n_rows"), F.col("n_cols"))
+    return (
+        dims.crossJoin(F.broadcast(chi))
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            F.greatest(
+                (
+                    F.col("__chi_part")
+                    + F.col("n").cast(d38) * k9
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("chi2_q9"),
+            F.when(
+                (F.col("n") == 0) | (kmin <= 1), F.lit(0.0)
+            )
+            .otherwise(
+                F.sqrt(
+                    (F.col("chi2_q9").cast("double") / F.lit(1e9))
+                    / (F.col("n") * (kmin - 1)).cast("double")
+                )
+            )
+            .alias("v"),
+        )
+    )

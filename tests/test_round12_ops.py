@@ -47,3 +47,280 @@ def test_windowed_value_counts_batch_equals_raw_rollup(spark):
         ("2024-01-01 00:00:00", 7): 1,
         ("2024-01-02 00:00:00", 5): 1,
     }
+
+
+# ------------------------------------------------------------- mk2
+def test_mann_kendall_vs_brute_replay(spark):
+    """Literal S/VarS replay on a shifted daily series: sign sum over
+    all day pairs, Hirsch tie correction, Z from the textbook formula."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.temporal import mann_kendall_trend
+
+    # 6 days: counts 2,2,3,5,5,7 (ties at 2 and 5) => upward trend
+    counts = {1: 2, 2: 2, 3: 3, 4: 5, 5: 5, 6: 7}
+    rows = [
+        (f"2024-01-0{d} 0{i}:00:00",)
+        for d, c in counts.items()
+        for i in range(c)
+    ]
+    df = spark.createDataFrame(rows, "ts_s string").select(
+        F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = mann_kendall_trend(df).collect()[0]
+    xs = [counts[d] for d in sorted(counts)]
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    n = len(xs)
+    tie_sizes = [2, 2]  # two groups of 2 tied days
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in tie_sizes)
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    z = (s - 1) / math.sqrt(var18 / 18.0)
+    assert got["n_days"] == n and got["s"] == s
+    assert got["var18"] == var18
+    assert got["z"] == z
+
+
+def test_mann_kendall_flat_series_pins_zero(spark):
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.temporal import mann_kendall_trend
+
+    rows = [(f"2024-01-0{d} 00:00:00",) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, "ts_s string").select(
+        F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = mann_kendall_trend(df).collect()[0]
+    # every day has count 1: S = 0 AND all-tied variance = 0
+    assert got["s"] == 0 and got["var18"] == 0 and got["z"] == 0.0
+
+
+# ------------------------------------------------------------- ts2
+def test_theil_sen_vs_brute_replay(spark):
+    """Median pairwise slope replay, including the signed trunc-div
+    quantization and the lower-median nearest-rank rule."""
+    from etl_oms_spark.operators.temporal import theil_sen_from_daily
+
+    import datetime
+
+    days = [(datetime.date(2024, 1, d), x) for d, x in
+            [(1, 10), (2, 13), (4, 9), (7, 30)]]
+    df = spark.createDataFrame(days, "day date, x long")
+    got = theil_sen_from_daily(df).collect()[0]
+    slopes = []
+    for i in range(len(days)):
+        for j in range(i + 1, len(days)):
+            dx = days[j][1] - days[i][1]
+            dd = (days[j][0] - days[i][0]).days
+            q, r = divmod(abs(dx) * 10**9, dd)
+            slopes.append((q if dx >= 0 else -q))  # trunc toward zero
+    slopes.sort()
+    m = len(slopes)
+    med = slopes[(m + 1) // 2 - 1]  # lower median, 1-based ceil(m/2)
+    assert got["n_days"] == 4 and got["n_pairs"] == m
+    assert got["slope_q9"] == med
+
+
+def test_theil_sen_single_day_pins_null(spark):
+    import datetime
+
+    from etl_oms_spark.operators.temporal import theil_sen_from_daily
+
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), 5)], "day date, x long"
+    )
+    got = theil_sen_from_daily(df).collect()[0]
+    assert got["n_days"] == 1 and got["n_pairs"] == 0
+    assert got["slope_q9"] is None
+
+
+# ------------------------------------------------------------- kp1
+def test_cohens_kappa_textbook(spark):
+    """Cohen 1960's worked shape: confusion (20,5,10,15) → po/pe/kappa
+    replayed with Fractions."""
+    from fractions import Fraction
+
+    from etl_oms_spark.operators.classifier import cohens_kappa
+
+    rows = (
+        [(True, True)] * 20
+        + [(True, False)] * 5
+        + [(False, True)] * 10
+        + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    got = cohens_kappa(df, "a", "b").collect()[0]
+    n = 50
+    po = Fraction(20 + 15, n)
+    pe = Fraction(25 * 30 + 25 * 20, n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert (got["n"], got["n11"], got["n10"], got["n01"], got["n00"]) == (
+        50, 20, 5, 10, 15,
+    )
+    assert got["po_q9"] == int(po * 10**9)
+    assert got["pe_q9"] == int(pe * 10**9)
+    # trunc toward zero for the (here positive) kappa
+    assert got["kappa_q9"] == int(kappa * 10**9)
+
+
+def test_cohens_kappa_degenerates(spark):
+    from etl_oms_spark.operators.classifier import cohens_kappa
+
+    # below-chance agreement: kappa < 0 (signed truncation contract)
+    rows = [(True, False)] * 30 + [(False, True)] * 30 + [(True, True)] * 1
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    got = cohens_kappa(df, "a", "b").collect()[0]
+    assert got["kappa_q9"] < 0
+    # forced agreement (both raters constant True): pe = 1 -> pin 1e9
+    dfc = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    assert cohens_kappa(dfc, "a", "b").collect()[0]["kappa_q9"] == 10**9
+    # empty input: n = 0, rates NULL
+    dfe = spark.createDataFrame([], "a boolean, b boolean")
+    g = cohens_kappa(dfe, "a", "b").collect()[0]
+    assert g["n"] == 0 and g["kappa_q9"] is None and g["po_q9"] is None
+
+
+# ------------------------------------------------------------- crv1
+def test_cramers_v_perfect_and_independent(spark):
+    """Perfect association pins V = 1; an exactly independent table
+    pins chi2 = 0, V = 0; a hand 2x2 replays with Fractions."""
+    import math
+    from fractions import Fraction
+
+    from etl_oms_spark.operators.validate import cramers_v
+
+    perfect = spark.createDataFrame(
+        [("a", "x")] * 10 + [("b", "y")] * 10, "s string, l string"
+    )
+    got = cramers_v(perfect, "s", "l").collect()[0]
+    assert got["v"] == 1.0
+    indep = spark.createDataFrame(
+        [("a", "x")] * 6 + [("a", "y")] * 6
+        + [("b", "x")] * 3 + [("b", "y")] * 3,
+        "s string, l string",
+    )
+    got = cramers_v(indep, "s", "l").collect()[0]
+    assert got["chi2_q9"] == 0 and got["v"] == 0.0
+    hand = spark.createDataFrame(
+        [("a", "x")] * 12 + [("a", "y")] * 4
+        + [("b", "x")] * 6 + [("b", "y")] * 10,
+        "s string, l string",
+    )
+    got = cramers_v(hand, "s", "l").collect()[0]
+    n = 32
+    obs = [(12, 16, 18), (4, 16, 14), (6, 16, 18), (10, 16, 14)]
+    chi2 = sum(
+        (Fraction((n * o - r * c) ** 2, n * r * c) for o, r, c in obs),
+        Fraction(0),
+    )
+    # engine quantization: per observed cell, floor((nO-rc)^2*1e9/(nrc))
+    # minus floor(rc*1e9/n), plus the global n*1e9 expectation total
+    chi2_q9 = (
+        sum(
+            (n * o - r * c) ** 2 * 10**9 // (n * r * c)
+            - r * c * 10**9 // n
+            for o, r, c in obs
+        )
+        + n * 10**9
+    )
+    assert got["chi2_q9"] == chi2_q9
+    assert got["v"] == math.sqrt((chi2_q9 / 1e9) / (n * 1))
+    assert abs(got["v"] - math.sqrt(float(chi2) / n)) < 1e-8
+
+
+def test_cramers_v_counts_empty_cells(spark):
+    """Zero cells of the contingency table contribute their expectation
+    (the full-table chi-square, not the observed-cells-only one): a
+    perfectly diagonal 3x3 with UNOBSERVED off-diagonal cells must reach
+    chi2 = n*(k-1) exactly — the V = 1.0 certificate."""
+    from etl_oms_spark.operators.validate import cramers_v
+
+    rows = (
+        [("a", "x")] * 4 + [("b", "y")] * 7 + [("c", "z")] * 9
+    )
+    got = cramers_v(
+        spark.createDataFrame(rows, "s string, l string"), "s", "l"
+    ).collect()[0]
+    n = 20
+    assert got["chi2_q9"] == n * 2 * 10**9  # chi2 = n*(k-1), k = 3
+    assert got["v"] == 1.0
+
+
+def test_cramers_v_single_column_pins_zero(spark):
+    from etl_oms_spark.operators.validate import cramers_v
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "x")] * 3, "s string, l string"
+    )
+    got = cramers_v(df, "s", "l").collect()[0]
+    assert got["n_cols"] == 1 and got["v"] == 0.0
+
+
+# ------------------------------------------------------------- kt1
+def test_kendall_tau_b_vs_brute_replay(spark):
+    """τ-b replay from raw pairs on a small table with ties — C, D and
+    both tie corrections computed by hand."""
+    import math
+
+    from etl_oms_spark.operators.classifier import (
+        kendall_tau_b_from_cells,
+    )
+
+    raw = [(0, 1), (0, 1), (0, 2), (1, 1), (1, 3), (2, 2), (2, 3), (2, 3)]
+    cells = {}
+    for xy in raw:
+        cells[xy] = cells.get(xy, 0) + 1
+    df = spark.createDataFrame(
+        [(x, y, c) for (x, y), c in cells.items()], "x long, y long, c long"
+    )
+    got = kendall_tau_b_from_cells(df).collect()[0]
+    conc = disc = 0
+    for i in range(len(raw)):
+        for j in range(i + 1, len(raw)):
+            dx = raw[j][0] - raw[i][0]
+            dy = raw[j][1] - raw[i][1]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n = len(raw)
+    tx = sum(
+        t * (t - 1)
+        for t in [sum(c for (x, _), c in cells.items() if x == v)
+                  for v in {x for x, _ in raw}]
+    )
+    uy = sum(
+        t * (t - 1)
+        for t in [sum(c for (_, y), c in cells.items() if y == v)
+                  for v in {y for _, y in raw}]
+    )
+    d1 = n * (n - 1) - tx
+    d2 = n * (n - 1) - uy
+    assert (got["n"], got["conc"], got["disc"]) == (n, conc, disc)
+    assert (got["d1"], got["d2"]) == (d1, d2)
+    assert got["tau_b"] == 2.0 * (conc - disc) / math.sqrt(
+        float(d1) * float(d2)
+    )
+
+
+def test_kendall_tau_b_pins(spark):
+    from etl_oms_spark.operators.classifier import (
+        kendall_tau_b_from_cells,
+    )
+
+    # perfect concordance: tau = 1
+    df = spark.createDataFrame(
+        [(0, 0, 3), (1, 1, 4), (2, 2, 5)], "x long, y long, c long"
+    )
+    assert kendall_tau_b_from_cells(df).collect()[0]["tau_b"] == 1.0
+    # constant x margin: d1 = 0 -> pinned 0.0
+    dfc = spark.createDataFrame(
+        [(0, 0, 3), (0, 1, 4)], "x long, y long, c long"
+    )
+    got = kendall_tau_b_from_cells(dfc).collect()[0]
+    assert got["d1"] == 0 and got["tau_b"] == 0.0
