@@ -16226,24 +16226,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Order matters: the driver's CORRECTNESS check covers the
-        # FIRST 50 entries. Round-11 rotation (VERDICT r10 item 2):
-        # the window's job is staleness control — new queries first
-        # (first driver check), then the two continuity anchors, then
-        # the stalest exact-oracle rows. The whole r10 window (r10
-        # firsts, the r02 block, the a14..dq1 r03 partial) is freshly
-        # green, so it rotates out behind the rows-only block.
-        # ---- round-11 additions, first driver check ----
-        "ct1p_rank_langid_prefix": ct1p_rank_langid_prefix,
-        "uniT2_unigram_em_pruned": uniT2_unigram_em_pruned,
-        "gt1_good_turing": gt1_good_turing,
-        "db1_davies_bouldin": db1_davies_bouldin,
-        "sr1_spearman_quality_length": sr1_spearman_quality_length,
-        "cusum1_event_changepoint": cusum1_event_changepoint,
-        "cf1_conformal_coverage": cf1_conformal_coverage,
-        "ot1_wasserstein_quality": ot1_wasserstein_quality,
-        "qq1_quality_deciles": qq1_quality_deciles,
-        "eta1_quality_by_source": eta1_quality_by_source,
-        "scs1_streaming_cusum": scs1_streaming_cusum,
+        # FIRST 50 entries. Round-12 rotation (VERDICT r11 item 1):
+        # staleness control — round-12 additions first (first driver
+        # check), then the two continuity anchors, then the stalest
+        # exact-oracle rows (the r05 cohort).
+        # ---- round-12 additions, first driver check ----
         "sps1_streaming_psi": sps1_streaming_psi,
         "mk2_mann_kendall": mk2_mann_kendall,
         "ts2_theil_sen": ts2_theil_sen,
@@ -16253,68 +16240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- the 37 stalest exact-oracle rows (last driver-checked
-        #      r03 — 8 rounds stale): the nine refill rows displaced
-        #      past the window by r10's late additions (ix1/iv1/h1/fz1/
-        #      fn1/ev_hopping/dv1/ds1/dr1) plus the rest of the r03
-        #      cohort ----
-        "dr1_drift_psi": dr1_drift_psi,
-        "ds1_domain_score": ds1_domain_score,
-        "dv1_constraints": dv1_constraints,
-        "ev_hopping": ev_hopping,
-        "fn1_funnel": fn1_funnel,
-        "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
-        "h1_histogram": h1_histogram,
-        "iv1_interval_overlap": iv1_interval_overlap,
-        "ix1_global_index": ix1_global_index,
-        "kw1_keywords": kw1_keywords,
-        "mx1_mix_plan": mx1_mix_plan,
-        "mx2_mix_apply": mx2_mix_apply,
-        "o3_topk_per_group": o3_topk_per_group,
-        "pp1_lm_fluency": pp1_lm_fluency,
-        "pp2_perplexity_buckets": pp2_perplexity_buckets,
-        "qc1_quality_classifier": qc1_quality_classifier,
-        "r4_pivot_multi": r4_pivot_multi,
-        "rs1_resample_ffill": rs1_resample_ffill,
-        "rt1_retention": rt1_retention,
-        "sc1_scd2": sc1_scd2,
-        "sk1_salted_join": sk1_salted_join,
-        "sk2_skew_report": sk2_skew_report,
-        "sp3_domain_cap": sp3_domain_cap,
-        "st1_grouped_stats": st1_grouped_stats,
-        "st2_correlation": st2_correlation,
-        "st3_entropy": st3_entropy,
-        "t9_intra_dedup": t9_intra_dedup,
-        "tj3_asof_forward": tj3_asof_forward,
-        "ts1_bm25": ts1_bm25,
-        "v1_vocab_topk": v1_vocab_topk,
-        "v2_bigram_merge_rank": v2_bigram_merge_rank,
-        "vs1_source_overlap": vs1_source_overlap,
-        "w4_winsorize": w4_winsorize,
-        "w5_range_frame": w5_range_frame,
-        "w6_rolling_distinct": w6_rolling_distinct,
-        "w7_mad_outliers": w7_mad_outliers,
-        "wt1_weighted_sample": wt1_weighted_sample,
-        # ---- window fill: the alphabetically-first of the 48
-        #      next-stalest rows (last driver-checked r05); each new
-        #      round-11 query displaces the last of these past 50 ----
-        # ---- positions 51-60: documented rows-only entries, pinned
-        #      permanently BEHIND the window (a no_oracle row would
-        #      waste a driver slot); each has an exact twin or
-        #      pytest-vs-numpy verification ----
-        "a11_approx_distinct": a11_approx_distinct,
-        "d3_minhash_candidates": d3_minhash_candidates,
-        "d4_simhash": d4_simhash,
-        "e2_ann_lsh": e2_ann_lsh,
-        "e3_embedding_neardup": e3_embedding_neardup,
-        "tp1_curation_pipeline": tp1_curation_pipeline,
-        "hl1_sketch_rollup": hl1_sketch_rollup,
-        "pc1_pca_projection": pc1_pca_projection,
-        "e9_pq_topk": e9_pq_topk,
-        "dq2_profile_approx": dq2_profile_approx,
-        # ---- refill-pool head: the remaining r05-stale rows, in
-        #      window order for the r12 rotation (d12 displaced by
-        #      uniT2/gt1/db1/sr1/cusum1/cf1/ot1/qq1/eta1/scs1) ----
+        # ---- window fill, positions 9-50: the 42 alphabetically-first
+        #      of the 48 exact-oracle rows last driver-checked in r05
+        #      (7 rounds stale; a20 leads — it was the row displaced at
+        #      the r11 close) ----
         "a20_abc_analysis": a20_abc_analysis,
         "an1_revenue_anomalies": an1_revenue_anomalies,
         "br1_bounce_rate": br1_bounce_rate,
@@ -16357,15 +16286,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tm2_temperature_apply": tm2_temperature_apply,
         "tp3_repair_pipeline": tp3_repair_pipeline,
         "tp4_release_pipeline": tp4_release_pipeline,
+        # ---- positions 51-60: documented rows-only entries, pinned
+        #      permanently BEHIND the window (a no_oracle row would
+        #      waste a driver slot); each has an exact twin or
+        #      pytest-vs-numpy verification ----
+        "a11_approx_distinct": a11_approx_distinct,
+        "d3_minhash_candidates": d3_minhash_candidates,
+        "d4_simhash": d4_simhash,
+        "e2_ann_lsh": e2_ann_lsh,
+        "e3_embedding_neardup": e3_embedding_neardup,
+        "tp1_curation_pipeline": tp1_curation_pipeline,
+        "hl1_sketch_rollup": hl1_sketch_rollup,
+        "pc1_pca_projection": pc1_pca_projection,
+        "e9_pq_topk": e9_pq_topk,
+        "dq2_profile_approx": dq2_profile_approx,
+        # ---- refill-pool head: the six r05 rows displaced past 50 by
+        #      the round-12 additions — they lead the r13 window fill ----
         "tr1_triangles": tr1_triangles,
         "u4_llm_annotate": u4_llm_annotate,
         "un1_unicode_normalize": un1_unicode_normalize,
         "url1_canonical_urls": url1_canonical_urls,
         "x1_chi2_keywords": x1_chi2_keywords,
         "yoy1_revenue_growth": yoy1_revenue_growth,
-        # ---- remainder: green in CORRECTNESS_r07-r10 (the whole r10
-        #      window — r10 firsts, r02 block, a14..dq1 — sits here,
-        #      freshly checked) ----
+        # ---- remainder: the round-11 window (r11 firsts + the full r03
+        #      cohort) is freshly green in CORRECTNESS_r11 and rotates
+        #      out behind the pool ----
+        "ct1p_rank_langid_prefix": ct1p_rank_langid_prefix,
+        "uniT2_unigram_em_pruned": uniT2_unigram_em_pruned,
+        "gt1_good_turing": gt1_good_turing,
+        "db1_davies_bouldin": db1_davies_bouldin,
+        "sr1_spearman_quality_length": sr1_spearman_quality_length,
+        "cusum1_event_changepoint": cusum1_event_changepoint,
+        "cf1_conformal_coverage": cf1_conformal_coverage,
+        "ot1_wasserstein_quality": ot1_wasserstein_quality,
+        "qq1_quality_deciles": qq1_quality_deciles,
+        "eta1_quality_by_source": eta1_quality_by_source,
+        "scs1_streaming_cusum": scs1_streaming_cusum,
+        "dr1_drift_psi": dr1_drift_psi,
+        "ds1_domain_score": ds1_domain_score,
+        "dv1_constraints": dv1_constraints,
+        "ev_hopping": ev_hopping,
+        "fn1_funnel": fn1_funnel,
+        "fz1_fuzzy_pairs": fz1_fuzzy_pairs,
+        "h1_histogram": h1_histogram,
+        "iv1_interval_overlap": iv1_interval_overlap,
+        "ix1_global_index": ix1_global_index,
+        "kw1_keywords": kw1_keywords,
+        "mx1_mix_plan": mx1_mix_plan,
+        "mx2_mix_apply": mx2_mix_apply,
+        "o3_topk_per_group": o3_topk_per_group,
+        "pp1_lm_fluency": pp1_lm_fluency,
+        "pp2_perplexity_buckets": pp2_perplexity_buckets,
+        "qc1_quality_classifier": qc1_quality_classifier,
+        "r4_pivot_multi": r4_pivot_multi,
+        "rs1_resample_ffill": rs1_resample_ffill,
+        "rt1_retention": rt1_retention,
+        "sc1_scd2": sc1_scd2,
+        "sk1_salted_join": sk1_salted_join,
+        "sk2_skew_report": sk2_skew_report,
+        "sp3_domain_cap": sp3_domain_cap,
+        "st1_grouped_stats": st1_grouped_stats,
+        "st2_correlation": st2_correlation,
+        "st3_entropy": st3_entropy,
+        "t9_intra_dedup": t9_intra_dedup,
+        "tj3_asof_forward": tj3_asof_forward,
+        "ts1_bm25": ts1_bm25,
+        "v1_vocab_topk": v1_vocab_topk,
+        "v2_bigram_merge_rank": v2_bigram_merge_rank,
+        "vs1_source_overlap": vs1_source_overlap,
+        "w4_winsorize": w4_winsorize,
+        "w5_range_frame": w5_range_frame,
+        "w6_rolling_distinct": w6_rolling_distinct,
+        "w7_mad_outliers": w7_mad_outliers,
+        "wt1_weighted_sample": wt1_weighted_sample,
         "uniT_unigram_em": uniT_unigram_em,
         "pj1c_prefix_jaccard_capped": pj1c_prefix_jaccard_capped,
         "uni2_unigram_fertility": uni2_unigram_fertility,

@@ -32,59 +32,49 @@ def test_every_query_has_oracle_or_documented_exception():
     )
 
 
-def test_driver_window_holds_round11_rotation():
-    """Positions 1-50 must stay the round-11 rotation (VERDICT r10 item
-    2): the window's job is staleness control — round-11 additions
-    first (first driver check), then the two green anchors, then the 37
-    stalest exact-oracle rows (last driver-checked r03, 8 rounds
-    stale), then the alphabetically-first of the 48 next-stalest (r05)
-    as fill. New round-11 queries insert before the anchors, each
-    displacing the least-stale r05 fill entry past position 50 — so the
-    assertion is subset-shaped for the fill block. NO rows-only entry
-    may ever sit in the first 50 — a no_oracle row would waste a driver
-    window slot."""
+def test_driver_window_holds_round12_rotation():
+    """Positions 1-50 must stay the round-12 rotation (VERDICT r11 item
+    1): the window's job is staleness control — round-12 additions
+    first (first driver check), then the two green anchors, then the 42
+    alphabetically-first of the 48 exact-oracle rows last driver-checked
+    in r05 (a20 leads; the six alphabetically-last r05 rows are
+    displaced to the refill head and lead the r13 fill). NO rows-only
+    entry may ever sit in the first 50 — a no_oracle row would waste a
+    driver window slot."""
     names = list(entry_mod.queries())
-    r11_new = {
-        "ct1p_rank_langid_prefix", "uniT2_unigram_em_pruned",
-        "gt1_good_turing", "db1_davies_bouldin",
-        "sr1_spearman_quality_length", "cusum1_event_changepoint",
-        "cf1_conformal_coverage", "ot1_wasserstein_quality",
-        "qq1_quality_deciles", "eta1_quality_by_source",
-        "scs1_streaming_cusum",
-    }
+    r12_new = [
+        "sps1_streaming_psi", "mk2_mann_kendall", "ts2_theil_sen",
+        "kp1_cohens_kappa", "crv1_cramers_v", "kt1_kendall_tau",
+    ]
     anchors = ["q1_pricing_summary", "star_fact_rollup"]
-    # additions lead; anchors ride immediately behind them
-    n_new = len(r11_new)
-    assert set(names[:n_new]) == r11_new
-    assert names[n_new : n_new + 2] == anchors
-    r03 = {
-        "dr1_drift_psi", "ds1_domain_score", "dv1_constraints",
-        "ev_hopping", "fn1_funnel", "fz1_fuzzy_pairs", "h1_histogram",
-        "iv1_interval_overlap", "ix1_global_index", "kw1_keywords",
-        "mx1_mix_plan", "mx2_mix_apply", "o3_topk_per_group",
-        "pp1_lm_fluency", "pp2_perplexity_buckets",
-        "qc1_quality_classifier", "r4_pivot_multi", "rs1_resample_ffill",
-        "rt1_retention", "sc1_scd2", "sk1_salted_join", "sk2_skew_report",
-        "sp3_domain_cap", "st1_grouped_stats", "st2_correlation",
-        "st3_entropy", "t9_intra_dedup", "tj3_asof_forward", "ts1_bm25",
-        "v1_vocab_topk", "v2_bigram_merge_rank", "vs1_source_overlap",
-        "w4_winsorize", "w5_range_frame", "w6_rolling_distinct",
-        "w7_mad_outliers", "wt1_weighted_sample",
-    }
-    assert len(r03) == 37
-    first50 = set(names[:50])
-    # the full r03 cohort must be inside the window (staleness
-    # priority); r05 alphabetical fill takes the remaining slots
-    assert r03 <= first50, f"stale r03 rows fell out: {r03 - first50}"
-    fill = first50 - r03 - r11_new - set(anchors)
-    r05_head = [
+    r05 = [
         "a20_abc_analysis", "an1_revenue_anomalies", "br1_bounce_rate",
         "cc2_dup_hubs", "ck1_table_checksum", "cl2_cluster_keywords",
         "cx2_split_leakage", "d10_incremental_dedup",
         "d11_minhash_calibration", "d12_url_dedup",
+        "d13_dup_rate_by_source", "d9_priority_dedup",
+        "dc1_dataset_card", "dr2_quality_drift", "e10_cosine_topk_arrow",
+        "e8_sq_topk", "em1_embedding_covariance", "f13_map_funcs",
+        "fi1_frequent_pairs", "fi2_association_rules", "gn1_revenue_gini",
+        "hh1_supplier_concentration", "hn1_hard_negatives",
+        "iet1_interpurchase_histogram", "ir1_retrieval_report",
+        "ln1_lorenz_deciles", "mm1_media_similarity", "pf1_top_values",
+        "pk2_packing_report", "pr1_pagerank", "qn1_percent_rank",
+        "qsel1_classifier_topfrac", "rfm1_customer_segments",
+        "rrf1_rank_fusion", "t10_gopher_gate", "t12_blocklist_gate",
+        "tc1_table_diff", "tj4_asof_tolerance", "tm1_temperature_mix",
+        "tm2_temperature_apply", "tp3_repair_pipeline",
+        "tp4_release_pipeline", "tr1_triangles", "u4_llm_annotate",
+        "un1_unicode_normalize", "url1_canonical_urls",
+        "x1_chi2_keywords", "yoy1_revenue_growth",
     ]
-    # fill must be a prefix of the r05 alphabetical cohort
-    assert fill == set(r05_head[: len(fill)]), fill
+    assert len(r05) == 48 and r05 == sorted(r05)
+    n_new = len(r12_new)
+    assert names[:n_new] == r12_new
+    assert names[n_new : n_new + 2] == anchors
+    fill_n = 50 - n_new - 2
+    assert names[n_new + 2 : 50] == r05[:fill_n]
+    first50 = set(names[:50])
     assert not (first50 & KNOWN_ROWS_ONLY), (
         "rows-only entries must never occupy a driver window slot"
     )
@@ -93,6 +83,8 @@ def test_driver_window_holds_round11_rotation():
     # the documented rows-only entries ride directly behind the window,
     # pinned out of any future window by position
     assert set(names[50:60]) == KNOWN_ROWS_ONLY
+    # the displaced r05 tail leads the refill pool (r13's first fill)
+    assert names[60 : 60 + (48 - fill_n)] == r05[fill_n:]
 
 
 def test_readme_counts_match_catalog():
