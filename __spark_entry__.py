@@ -16218,6 +16218,81 @@ FROM tot CROSS JOIN tx CROSS JOIN uy CROSS JOIN pr
 """
 
 
+def cld1_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between the en and non-en
+    quality-score distributions (public: Cliff 1993) — the MAGNITUDE
+    companion to mwu1's significance test, off the same shared score
+    histogram: δ = (#(A>B) − #(A<B)) / (n_A·n_B), with the pair counts
+    exact BIGINTs from one cumulative window over the score DOMAIN
+    (never the corpus): #(A>B) = Σ n_pos·cum_neg_below, and
+    #(A<B) = n_A·n_B − Σ n_pos·cum_neg_at_or_below. delta_q9 is one
+    signed truncating division (DuckDB // parity); an empty side pins
+    NULL."""
+    from pyspark.sql import Window
+
+    hist = _quality_label_hist(spark, sf_dir)
+    w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, 0)
+    wb = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, -1)
+    d38 = "decimal(38,0)"
+    cum = hist.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(wb), F.lit(0)).alias("cb"),
+        F.sum("n_neg").over(w).alias("cle"),
+    )
+    a = cum.agg(
+        F.coalesce(F.sum("n_pos"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("n_neg"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.col("n_pos").cast(d38) * F.col("cb").cast(d38)),
+                   F.lit(0).cast(d38)).alias("s_gt"),
+        F.coalesce(F.sum(F.col("n_pos").cast(d38) * F.col("cle").cast(d38)),
+                   F.lit(0).cast(d38)).alias("s_le"),
+    )
+    nab = F.col("n_a").cast(d38) * F.col("n_b").cast(d38)
+    gt = F.col("s_gt")
+    lt = nab - F.col("s_le")
+    k9 = F.lit(1_000_000_000).cast(d38)
+    num = (gt - lt) * k9
+    return a.select(
+        "n_a",
+        "n_b",
+        gt.cast("long").alias("n_gt"),
+        lt.cast("long").alias("n_lt"),
+        F.when(nab == 0, F.lit(None).cast("long"))
+        .otherwise(((num - num % nab) / nab).cast("long"))
+        .alias("delta_q9"),
+    )
+
+
+CLD1_SQL = f"""
+WITH hist AS (
+{_QHIST_SQL}
+), cum AS (
+    SELECT n_pos, n_neg,
+           CAST(COALESCE(SUM(n_neg) OVER (
+               ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS HUGEINT) AS cb,
+           CAST(SUM(n_neg) OVER (
+               ORDER BY sq ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cle
+    FROM hist
+), a AS (
+    SELECT CAST(COALESCE(SUM(n_pos), 0) AS HUGEINT) AS n_a,
+           CAST(COALESCE(SUM(n_neg), 0) AS HUGEINT) AS n_b,
+           CAST(COALESCE(SUM(n_pos * cb), 0) AS HUGEINT) AS s_gt,
+           CAST(COALESCE(SUM(n_pos * cle), 0) AS HUGEINT) AS s_le
+    FROM cum
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(s_gt AS BIGINT) AS n_gt,
+       CAST(n_a * n_b - s_le AS BIGINT) AS n_lt,
+       CASE WHEN n_a * n_b = 0 THEN NULL
+            ELSE CAST(((s_gt - (n_a * n_b - s_le)) * 1000000000)
+                      // (n_a * n_b) AS BIGINT)
+       END AS delta_q9
+FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -16228,8 +16303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Order matters: the driver's CORRECTNESS check covers the
         # FIRST 50 entries. Round-12 rotation (VERDICT r11 item 1):
         # staleness control — round-12 additions first (first driver
-        # check), then the two continuity anchors, then the stalest
-        # exact-oracle rows (the r05 cohort).
+        # check), then the two continuity anchors, then the 41
+        # alphabetically-first of the 48 r05-stale rows.
         # ---- round-12 additions, first driver check ----
         "sps1_streaming_psi": sps1_streaming_psi,
         "mk2_mann_kendall": mk2_mann_kendall,
@@ -16237,6 +16312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kp1_cohens_kappa": kp1_cohens_kappa,
         "crv1_cramers_v": crv1_cramers_v,
         "kt1_kendall_tau": kt1_kendall_tau,
+        "cld1_cliffs_delta": cld1_cliffs_delta,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
@@ -16285,7 +16361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tm1_temperature_mix": tm1_temperature_mix,
         "tm2_temperature_apply": tm2_temperature_apply,
         "tp3_repair_pipeline": tp3_repair_pipeline,
-        "tp4_release_pipeline": tp4_release_pipeline,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -16302,6 +16377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- refill-pool head: the six r05 rows displaced past 50 by
         #      the round-12 additions — they lead the r13 window fill ----
+        "tp4_release_pipeline": tp4_release_pipeline,
         "tr1_triangles": tr1_triangles,
         "u4_llm_annotate": u4_llm_annotate,
         "un1_unicode_normalize": un1_unicode_normalize,
@@ -16585,6 +16661,7 @@ def oracle_sql() -> dict[str, str]:
         "kp1_cohens_kappa": KP1_SQL,
         "crv1_cramers_v": CRV1_SQL,
         "kt1_kendall_tau": KT1_SQL,
+        "cld1_cliffs_delta": CLD1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

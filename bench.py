@@ -179,6 +179,8 @@ HEADLINE = [
     "kp1_cohens_kappa",
     "crv1_cramers_v",
     "kt1_kendall_tau",
+    # cld1: Cliff's delta effect size off the shared score histogram
+    "cld1_cliffs_delta",
 ]
 
 

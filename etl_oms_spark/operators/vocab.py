@@ -409,3 +409,4 @@ def good_turing_counts(
         )
         .orderBy("r")
     )
+

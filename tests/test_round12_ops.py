@@ -324,3 +324,63 @@ def test_kendall_tau_b_pins(spark):
     )
     got = kendall_tau_b_from_cells(dfc).collect()[0]
     assert got["d1"] == 0 and got["tau_b"] == 0.0
+
+
+# ------------------------------------------------------------- cld1
+def test_cliffs_delta_vs_brute_pairs(spark):
+    """Brute replay: collect every (score, lang) at sf0.001 and count
+    A>B / A<B pairs literally; delta = signed trunc-div at 1e-9."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.text import quality_score
+
+    got = entry_mod.cld1_cliffs_delta(spark, SF).collect()[0]
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    rows = d.select(
+        sq.alias("sq"), (F.col("lang") == "en").alias("en")
+    ).collect()
+    a = sorted(r["sq"] for r in rows if r["en"])
+    b = sorted(r["sq"] for r in rows if not r["en"])
+    import bisect
+
+    gt = sum(bisect.bisect_left(b, x) for x in a)  # b values < x
+    lt = sum(len(b) - bisect.bisect_right(b, x) for x in a)
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    assert (got["n_gt"], got["n_lt"]) == (gt, lt)
+    num = (gt - lt) * 10**9
+    den = len(a) * len(b)
+    trunc = abs(num) // den * (1 if num >= 0 else -1)
+    assert got["delta_q9"] == trunc
+
+
+def test_cliffs_delta_pins(spark):
+    """Disjoint distributions pin delta to ±1e9; an empty side pins
+    NULL — exercised through a monkeypatched histogram."""
+    import __spark_entry__ as entry_mod
+
+    def fake_hist(rows):
+        def h(spark_, sf_):
+            return spark.createDataFrame(
+                rows, "sq long, n_pos long, n_neg long"
+            )
+        return h
+
+    orig = entry_mod._quality_label_hist
+    try:
+        # all A above all B -> delta = +1
+        entry_mod._quality_label_hist = fake_hist(
+            [(1, 0, 5), (10, 7, 0)]
+        )
+        got = entry_mod.cld1_cliffs_delta(spark, SF).collect()[0]
+        assert got["delta_q9"] == 10**9 and got["n_gt"] == 35
+        # empty B side -> NULL
+        entry_mod._quality_label_hist = fake_hist([(1, 3, 0)])
+        got = entry_mod.cld1_cliffs_delta(spark, SF).collect()[0]
+        assert got["delta_q9"] is None
+    finally:
+        entry_mod._quality_label_hist = orig

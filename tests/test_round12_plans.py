@@ -95,3 +95,15 @@ def test_dr1_value_rollup_single_scan(spark):
     # The value-domain algebra must sit on the checkpointed frame.
     assert "existingrdd" in plan
     assert "sortmergejoin" not in plan
+
+
+def test_cld1_windows_on_histogram(spark):
+    """cld1 shares _quality_label_hist: one corpus scan inside the
+    barrier; both cumulative windows and the pair algebra run on the
+    score-domain frame."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.cld1_cliffs_delta(spark, SF_DIR))
+    assert plan.count("scan parquet") <= 1
+    assert "existingrdd" in plan or plan.count("scan parquet") == 1
+    assert "sortmergejoin" not in plan
