@@ -16293,6 +16293,143 @@ FROM a
 """
 
 
+def dlg1_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong standard error of auc1's exact ROC-AUC (public: DeLong,
+    DeLong & Clarke-Pearson 1988; Sun & Xu 2014 for the placement-value
+    formulation) — the confidence layer over the quality-as-classifier
+    suite: AUC ± z·SE is the report line every eval ships.
+
+    Placement values off the shared score histogram, all exact
+    integers: each positive in bin v has DOUBLED placement
+    q = 2·cum_neg_below + n_neg_at (units of 2·n_neg), each negative
+    r = 2·pos_above + n_pos_at (units of 2·n_pos); AUC = mean
+    placement on either side (the doubled sums coincide: Σn_pos·q =
+    Σn_neg·r = u2 — asserted in pytest). DeLong's components are the
+    SAMPLE variances of the placements:
+
+        S10 = (m·Σq²w − (Σqw)²) / (m(m−1)·4n²)     (w = bin weights)
+        S01 = (n·Σr²w − (Σrw)²) / (n(n−1)·4m²)
+        SE  = √(S10/m + S01/n)
+
+    The variance numerators are exact decimal(38) sums; SE is ONE
+    double expression with identical association on both engines.
+    m < 2 or n < 2 pins SE NULL. Both cumulative windows share ONE
+    sort over the ≤1e6-bin histogram (the wf1 shared-exchange fact).
+    Returns one row: (n_pos, n_neg, u2, auc, se)."""
+    hist = _quality_label_hist(spark, sf_dir)
+    wb = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, -1)
+    d38 = "decimal(38,0)"
+    cum = hist.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(wb), F.lit(0)).alias("cnb"),
+        F.coalesce(F.sum("n_pos").over(wb), F.lit(0)).alias("cpb"),
+    )
+    tot = cum.agg(
+        F.coalesce(F.sum("n_pos"), F.lit(0)).cast("long").alias("m"),
+        F.coalesce(F.sum("n_neg"), F.lit(0)).cast("long").alias("n"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    q = (2 * F.col("cnb") + F.col("n_neg")).cast(d38)
+    r = (
+        2 * (F.col("m") - F.col("cpb") - F.col("n_pos"))
+        + F.col("n_pos")
+    ).cast(d38)
+    a = j.agg(
+        F.first("m").alias("m"),
+        F.first("n").alias("n"),
+        F.coalesce(F.sum(F.col("n_pos").cast(d38) * q), F.lit(0).cast(d38))
+        .alias("b"),
+        F.coalesce(
+            F.sum(F.col("n_pos").cast(d38) * q * q), F.lit(0).cast(d38)
+        ).alias("aa"),
+        F.coalesce(F.sum(F.col("n_neg").cast(d38) * r), F.lit(0).cast(d38))
+        .alias("d"),
+        F.coalesce(
+            F.sum(F.col("n_neg").cast(d38) * r * r), F.lit(0).cast(d38)
+        ).alias("cc"),
+    )
+    md = F.col("m").cast("double")
+    nd = F.col("n").cast("double")
+    s10num = (F.col("m").cast(d38) * F.col("aa") - F.col("b") * F.col("b"))
+    s01num = (F.col("n").cast(d38) * F.col("cc") - F.col("d") * F.col("d"))
+    term1 = s10num.cast("double") / (
+        F.lit(4.0) * md * md * (md - F.lit(1.0)) * nd * nd
+    )
+    term2 = s01num.cast("double") / (
+        F.lit(4.0) * nd * nd * (nd - F.lit(1.0)) * md * md
+    )
+    return a.select(
+        F.col("m").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        F.col("b").cast("long").alias("u2"),
+        F.when((F.col("m") == 0) | (F.col("n") == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.col("b").cast("double") / (F.lit(2.0) * md * nd)
+        )
+        .alias("auc"),
+        F.when(
+            (F.col("m") < 2) | (F.col("n") < 2),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.sqrt(term1 + term2))
+        .alias("se"),
+    )
+
+
+DLG1_SQL = f"""
+WITH hist AS (
+{_QHIST_SQL}
+), cum AS (
+    SELECT n_pos, n_neg,
+           CAST(COALESCE(SUM(n_neg) OVER (
+               ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS HUGEINT) AS cnb,
+           CAST(COALESCE(SUM(n_pos) OVER (
+               ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS HUGEINT) AS cpb
+    FROM hist
+), tot AS (
+    SELECT CAST(COALESCE(SUM(n_pos), 0) AS HUGEINT) AS m,
+           CAST(COALESCE(SUM(n_neg), 0) AS HUGEINT) AS n
+    FROM cum
+), a AS (
+    SELECT m, n,
+           CAST(COALESCE(SUM(n_pos * (2 * cnb + n_neg)), 0)
+                AS HUGEINT) AS b,
+           CAST(COALESCE(SUM(n_pos * (2 * cnb + n_neg)
+                                   * (2 * cnb + n_neg)), 0)
+                AS HUGEINT) AS aa,
+           CAST(COALESCE(SUM(n_neg * (2 * (m - cpb - n_pos) + n_pos)), 0)
+                AS HUGEINT) AS d,
+           CAST(COALESCE(SUM(n_neg * (2 * (m - cpb - n_pos) + n_pos)
+                                   * (2 * (m - cpb - n_pos) + n_pos)), 0)
+                AS HUGEINT) AS cc
+    FROM cum CROSS JOIN tot
+    GROUP BY m, n
+)
+SELECT CAST(m AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+       CAST(b AS BIGINT) AS u2,
+       CASE WHEN m = 0 OR n = 0 THEN NULL
+            ELSE CAST(b AS DOUBLE)
+                 / (2.0 * CAST(m AS DOUBLE) * CAST(n AS DOUBLE))
+       END AS auc,
+       CASE WHEN m < 2 OR n < 2 THEN NULL
+            ELSE sqrt(
+                CAST(m * aa - b * b AS DOUBLE)
+                / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                   * (CAST(m AS DOUBLE) - 1.0)
+                   * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                + CAST(n * cc - d * d AS DOUBLE)
+                / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - 1.0)
+                   * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+            )
+       END AS se
+FROM a
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -16303,7 +16440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Order matters: the driver's CORRECTNESS check covers the
         # FIRST 50 entries. Round-12 rotation (VERDICT r11 item 1):
         # staleness control — round-12 additions first (first driver
-        # check), then the two continuity anchors, then the 41
+        # check), then the two continuity anchors, then the 40
         # alphabetically-first of the 48 r05-stale rows.
         # ---- round-12 additions, first driver check ----
         "sps1_streaming_psi": sps1_streaming_psi,
@@ -16313,6 +16450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crv1_cramers_v": crv1_cramers_v,
         "kt1_kendall_tau": kt1_kendall_tau,
         "cld1_cliffs_delta": cld1_cliffs_delta,
+        "dlg1_auc_delong_se": dlg1_auc_delong_se,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
@@ -16360,7 +16498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tj4_asof_tolerance": tj4_asof_tolerance,
         "tm1_temperature_mix": tm1_temperature_mix,
         "tm2_temperature_apply": tm2_temperature_apply,
-        "tp3_repair_pipeline": tp3_repair_pipeline,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -16377,6 +16514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- refill-pool head: the six r05 rows displaced past 50 by
         #      the round-12 additions — they lead the r13 window fill ----
+        "tp3_repair_pipeline": tp3_repair_pipeline,
         "tp4_release_pipeline": tp4_release_pipeline,
         "tr1_triangles": tr1_triangles,
         "u4_llm_annotate": u4_llm_annotate,
@@ -16662,6 +16800,7 @@ def oracle_sql() -> dict[str, str]:
         "crv1_cramers_v": CRV1_SQL,
         "kt1_kendall_tau": KT1_SQL,
         "cld1_cliffs_delta": CLD1_SQL,
+        "dlg1_auc_delong_se": DLG1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

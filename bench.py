@@ -181,6 +181,8 @@ HEADLINE = [
     "kt1_kendall_tau",
     # cld1: Cliff's delta effect size off the shared score histogram
     "cld1_cliffs_delta",
+    # dlg1: DeLong SE for auc1's exact AUC — same shared histogram
+    "dlg1_auc_delong_se",
 ]
 
 

@@ -384,3 +384,78 @@ def test_cliffs_delta_pins(spark):
         assert got["delta_q9"] is None
     finally:
         entry_mod._quality_label_hist = orig
+
+
+# ------------------------------------------------------------- dlg1
+def test_delong_se_vs_brute_placements(spark):
+    """Brute DeLong replay at sf0.001: placement values per positive /
+    negative computed literally, sample variances, SE by the textbook
+    formula; also pins the doubled-placement identity Σq·w == Σr·w == u2
+    (both equal 2·m·n·AUC)."""
+    import math
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.operators.text import quality_score
+
+    got = entry_mod.dlg1_auc_delong_se(spark, SF).collect()[0]
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    rows = d.select(
+        sq.alias("sq"), (F.col("lang") == "en").alias("en")
+    ).collect()
+    pos = sorted(r["sq"] for r in rows if r["en"])
+    neg = sorted(r["sq"] for r in rows if not r["en"])
+    m, n = len(pos), len(neg)
+    import bisect
+
+    # doubled placements: q = 2*(neg below) + (neg tied)
+    qs = [
+        2 * bisect.bisect_left(neg, v)
+        + (bisect.bisect_right(neg, v) - bisect.bisect_left(neg, v))
+        for v in pos
+    ]
+    rs = [
+        2 * (m - bisect.bisect_right(pos, v))
+        + (bisect.bisect_right(pos, v) - bisect.bisect_left(pos, v))
+        for v in neg
+    ]
+    assert sum(qs) == sum(rs) == got["u2"]
+    assert got["n_pos"] == m and got["n_neg"] == n
+    assert got["auc"] == sum(qs) / (2.0 * m * n)
+    s10num = m * sum(q * q for q in qs) - sum(qs) ** 2
+    s01num = n * sum(r * r for r in rs) - sum(rs) ** 2
+    se = math.sqrt(
+        s10num / (4.0 * m * m * (m - 1.0) * n * n)
+        + s01num / (4.0 * n * n * (n - 1.0) * m * m)
+    )
+    # identical exact integers; the double combination may associate
+    # differently in this replay than in the engine's single expression
+    assert abs(got["se"] - se) < 1e-15
+    # cross-check the variance definition: placements p=q/(2n), sample var
+    ps = [q / (2.0 * n) for q in qs]
+    mean = sum(ps) / m
+    s10 = sum((p - mean) ** 2 for p in ps) / (m - 1)
+    assert abs(s10num / (4.0 * m * (m - 1.0) * n * n) - s10) < 1e-9
+
+
+def test_delong_se_degenerate_class_pins_null(spark):
+    """A single-member class (m < 2) has no sample variance: SE NULL,
+    AUC still defined — exercised through a monkeypatched histogram."""
+    import __spark_entry__ as entry_mod
+
+    orig = entry_mod._quality_label_hist
+    try:
+        entry_mod._quality_label_hist = lambda s_, sf_: spark.createDataFrame(
+            [(1, 1, 0), (5, 0, 4)], "sq long, n_pos long, n_neg long"
+        )
+        got = entry_mod.dlg1_auc_delong_se(spark, SF).collect()[0]
+        assert got["n_pos"] == 1 and got["se"] is None
+        # the one positive (sq=1) sits below all 4 negatives: AUC = 0
+        assert got["auc"] == 0.0
+    finally:
+        entry_mod._quality_label_hist = orig

@@ -107,3 +107,18 @@ def test_cld1_windows_on_histogram(spark):
     assert plan.count("scan parquet") <= 1
     assert "existingrdd" in plan or plan.count("scan parquet") == 1
     assert "sortmergejoin" not in plan
+
+
+def test_dlg1_two_windows_share_one_sort(spark):
+    """dlg1's two cumulative windows (pos + neg prefix sums) share ONE
+    Window node over the checkpointed histogram (the wf1 fact: same
+    partition/order spec => same exchange+sort); one corpus scan."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.dlg1_auc_delong_se(spark, SF_DIR))
+    assert plan.count("scan parquet") <= 1
+    assert "existingrdd" in plan or plan.count("scan parquet") == 1
+    assert "sortmergejoin" not in plan
+    # exactly ONE physical Window operator evaluating both specs
+    assert plan.count("window [") == 1
+    assert plan.count("windowspecdefinition") == 2
