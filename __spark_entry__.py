@@ -16430,6 +16430,118 @@ FROM a
 """
 
 
+def rbo1_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO@10, p=9/10) between rrf1's two rankers —
+    the BM25 lexical top-10 and the dense cosine top-10 for probe
+    vector 0 (operators/search.rbo_from_ranks; Webber, Moffat & Zobel
+    2010): the ranker-AGREEMENT audit beside rrf1's fusion. With
+    p = 9/10 every term is exactly rational ((1−p)p^{d−1} = 9^{d−1}/10^d),
+    so RBO is pure integer algebra — no floating pow — quantized at
+    1e-12. All cost lives in the two upstream rankers; the RBO tail is
+    k²-sized."""
+    from etl_oms_spark.operators.search import bm25_topk, rbo_from_ranks
+    from etl_oms_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["join", "hash", "window", "spark"], k=10)
+    wlex = Window.orderBy(F.col("score_q").desc(), F.col("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(wlex).alias("rank"))
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = cosine_topk(emb, probe, k=10)
+    wden = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    dense_r = dense.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wden).alias("rank"),
+    )
+    return rbo_from_ranks(lex_r, dense_r, k=10)
+
+
+_RBO_DEPTHS = ", ".join(
+    f"({d}, {9 ** (d - 1)}, {10 ** (12 - d)})" for d in range(1, 11)
+)
+
+RBO1_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS t FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+gstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_len
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE term IN {_BM25_TERMS}
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored_bm AS (
+    SELECT tf.doc_id,
+           CAST(floor(
+             ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+             * CAST(tf * 880 * total_len AS DOUBLE)
+             / CAST(tf * 400 * total_len + 120 * total_len
+                    + 360 * dl.dl * n_docs AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS term_q
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN gstats
+),
+bm AS (
+    SELECT doc_id, CAST(SUM(term_q) AS BIGINT) AS score_q
+    FROM scored_bm GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id LIMIT 10
+),
+bmr AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rank
+    FROM bm
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+    SELECT e.vec_id,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='qv.qe')}) AS dot,
+           SUM({_QE.format(v='e.embedding')} * {_QE.format(v='e.embedding')}) AS na,
+           SUM({_QE.format(v='qv.qe')} * {_QE.format(v='qv.qe')}) AS nb
+    FROM embeddings e, qv, range(1, 65) t(i)
+    GROUP BY e.vec_id
+),
+den AS (
+    SELECT vec_id,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+    FROM pairs
+    ORDER BY cosine DESC, vec_id LIMIT 10
+),
+denr AS (
+    SELECT vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+    FROM den
+),
+ov AS (
+    SELECT bmr.rank AS ra, denr.rank AS rb
+    FROM bmr JOIN denr USING (doc_id)
+),
+depths(d, p9, p10) AS (VALUES {_RBO_DEPTHS}),
+xd AS (
+    SELECT d, p9, p10,
+           CAST(COALESCE(SUM(CASE WHEN ra <= d AND rb <= d THEN 1
+                                  ELSE 0 END), 0) AS BIGINT) AS x
+    FROM depths LEFT JOIN ov ON TRUE
+    GROUP BY d, p9, p10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(MAX(CASE WHEN d = 10 THEN x END) AS BIGINT) AS overlap_at_k,
+       CAST(COALESCE(SUM((CAST(x AS HUGEINT) * p9 * p10) // d), 0)
+            AS BIGINT) AS rbo_q12
+FROM xd
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -16440,7 +16552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Order matters: the driver's CORRECTNESS check covers the
         # FIRST 50 entries. Round-12 rotation (VERDICT r11 item 1):
         # staleness control — round-12 additions first (first driver
-        # check), then the two continuity anchors, then the 40
+        # check), then the two continuity anchors, then the 39
         # alphabetically-first of the 48 r05-stale rows.
         # ---- round-12 additions, first driver check ----
         "sps1_streaming_psi": sps1_streaming_psi,
@@ -16451,6 +16563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kt1_kendall_tau": kt1_kendall_tau,
         "cld1_cliffs_delta": cld1_cliffs_delta,
         "dlg1_auc_delong_se": dlg1_auc_delong_se,
+        "rbo1_rank_overlap": rbo1_rank_overlap,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
@@ -16497,7 +16610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc1_table_diff": tc1_table_diff,
         "tj4_asof_tolerance": tj4_asof_tolerance,
         "tm1_temperature_mix": tm1_temperature_mix,
-        "tm2_temperature_apply": tm2_temperature_apply,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -16514,6 +16626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq2_profile_approx": dq2_profile_approx,
         # ---- refill-pool head: the six r05 rows displaced past 50 by
         #      the round-12 additions — they lead the r13 window fill ----
+        "tm2_temperature_apply": tm2_temperature_apply,
         "tp3_repair_pipeline": tp3_repair_pipeline,
         "tp4_release_pipeline": tp4_release_pipeline,
         "tr1_triangles": tr1_triangles,
@@ -16801,6 +16914,7 @@ def oracle_sql() -> dict[str, str]:
         "kt1_kendall_tau": KT1_SQL,
         "cld1_cliffs_delta": CLD1_SQL,
         "dlg1_auc_delong_se": DLG1_SQL,
+        "rbo1_rank_overlap": RBO1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

@@ -183,6 +183,8 @@ HEADLINE = [
     "cld1_cliffs_delta",
     # dlg1: DeLong SE for auc1's exact AUC — same shared histogram
     "dlg1_auc_delong_se",
+    # rbo1: ranker-agreement audit over rrf1's two rankers (k2-sized tail)
+    "rbo1_rank_overlap",
 ]
 
 

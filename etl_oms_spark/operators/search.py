@@ -331,3 +331,85 @@ def prf_expansion(
         .filter(F.col("rnk") <= k_terms)
         .orderBy("qid", "rnk")
     )
+
+
+def rbo_from_ranks(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-biased overlap between two top-k rankings (public: Webber,
+    Moffat & Zobel 2010, "A similarity measure for indefinite
+    rankings") — the ranking-SIMILARITY companion to rrf1's fusion and
+    the ndcg/mrr/ap effectiveness metrics: how much do two rankers
+    agree, weighted toward the top?
+
+        RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d
+
+    With the canonical p = 9/10 every term is EXACTLY rational:
+    (1−p)·p^{d−1} = 9^{d−1}/10^d, so
+
+        term_q12 = X_d · 9^{d−1} · 10^{12−d} // d      (exact integers)
+
+    — no floating pow, no ln; the 10 (d, 9^{d−1}, 10^{12−d}) constants
+    are driver-side literals (requires k ≤ 12 so 10^{12−d} stays
+    integral; k=10 canonical). X_d = |top-d(A) ∩ top-d(B)| comes from
+    the ≤k-row join of the two rank lists against a k-row depth frame.
+    Returns one row: (k, overlap_at_k, rbo_q12) — rbo_q12/1e12 ∈ [0,1],
+    1e12 ⇔ identical top-k prefixes.
+
+    Scale shape: the two inputs are already top-k frames (TakeOrdered
+    upstream); everything here is k- and k²-sized.
+    """
+    if not 1 <= k <= 12:
+        raise ValueError(f"k must be in [1, 12] (10^(12-d) integrality), got {k}")
+    spark = a.sparkSession
+    d38 = "decimal(38,0)"
+    ov = (
+        a.select(F.col(id_col).alias("__id"), F.col(rank_col).alias("ra"))
+        .filter(F.col("ra") <= k)
+        .join(
+            b.select(
+                F.col(id_col).alias("__id"), F.col(rank_col).alias("rb")
+            ).filter(F.col("rb") <= k),
+            "__id",
+        )
+    )
+    depths = spark.createDataFrame(
+        [(d, 9 ** (d - 1), 10 ** (12 - d)) for d in range(1, k + 1)],
+        "d long, p9 long, p10 long",
+    )
+    xd = (
+        depths.join(F.broadcast(ov), F.lit(True), "left")
+        .groupBy("d", "p9", "p10")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("ra") <= F.col("d"))
+                        & (F.col("rb") <= F.col("d")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    num = (
+        F.col("x").cast(d38) * F.col("p9").cast(d38) * F.col("p10").cast(d38)
+    )
+    dd = F.col("d").cast(d38)
+    term = (num - num % dd) / dd
+    return xd.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.max(F.when(F.col("d") == k, F.col("x"))).cast("long").alias(
+            "overlap_at_k"
+        ),
+        F.coalesce(F.sum(term.cast(d38)), F.lit(0).cast(d38))
+        .cast("long")
+        .alias("rbo_q12"),
+    )

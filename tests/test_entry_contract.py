@@ -35,7 +35,7 @@ def test_every_query_has_oracle_or_documented_exception():
 def test_driver_window_holds_round12_rotation():
     """Positions 1-50 must stay the round-12 rotation (VERDICT r11 item
     1): the window's job is staleness control — round-12 additions
-    first (first driver check), then the two green anchors, then the 40
+    first (first driver check), then the two green anchors, then the 39
     alphabetically-first of the 48 exact-oracle rows last driver-checked
     in r05 (a20 leads; the six alphabetically-last r05 rows are
     displaced to the refill head and lead the r13 fill). NO rows-only
@@ -45,7 +45,7 @@ def test_driver_window_holds_round12_rotation():
     r12_new = [
         "sps1_streaming_psi", "mk2_mann_kendall", "ts2_theil_sen",
         "kp1_cohens_kappa", "crv1_cramers_v", "kt1_kendall_tau",
-        "cld1_cliffs_delta", "dlg1_auc_delong_se",
+        "cld1_cliffs_delta", "dlg1_auc_delong_se", "rbo1_rank_overlap",
     ]
     anchors = ["q1_pricing_summary", "star_fact_rollup"]
     r05 = [

@@ -459,3 +459,48 @@ def test_delong_se_degenerate_class_pins_null(spark):
         assert got["auc"] == 0.0
     finally:
         entry_mod._quality_label_hist = orig
+
+
+# ------------------------------------------------------------- rbo1
+def test_rbo_vs_brute_fractions(spark):
+    """Fraction replay of Webber et al.'s truncated RBO on constructed
+    rankings with partial overlap — per-depth X_d counted by hand,
+    (1-p)p^(d-1)X_d/d summed exactly, floor-quantized at 1e-12 per
+    term (the engine's per-term truncation)."""
+    from etl_oms_spark.operators.search import rbo_from_ranks
+
+    a = [(i, r) for r, i in enumerate([1, 2, 3, 4, 5], start=1)]
+    b = [(i, r) for r, i in enumerate([2, 1, 6, 3, 7], start=1)]
+    dfa = spark.createDataFrame(a, "doc_id long, rank long")
+    dfb = spark.createDataFrame(b, "doc_id long, rank long")
+    got = rbo_from_ranks(dfa, dfb, k=5).collect()[0]
+    ra = {i: r for i, r in a}
+    rb = {i: r for i, r in b}
+    want = 0
+    for d in range(1, 6):
+        x = sum(
+            1 for i in ra if ra[i] <= d and i in rb and rb[i] <= d
+        )
+        want += x * 9 ** (d - 1) * 10 ** (12 - d) // d
+        if d == 5:
+            x5 = x
+    assert got["k"] == 5 and got["overlap_at_k"] == x5
+    assert got["rbo_q12"] == want
+
+
+def test_rbo_pins(spark):
+    """Identical prefixes pin rbo to Σ(1-p)p^(d-1) (the truncated
+    geometric mass — NOT 1e12 for finite k); disjoint rankings pin 0."""
+    from etl_oms_spark.operators.search import rbo_from_ranks
+
+    same = spark.createDataFrame(
+        [(i, i) for i in range(1, 11)], "doc_id long, rank long"
+    )
+    got = rbo_from_ranks(same, same, k=10).collect()[0]
+    mass = sum(10 ** (12 - d) * 9 ** (d - 1) * d // d for d in range(1, 11))
+    assert got["rbo_q12"] == mass  # = (1-p)·Σp^(d-1)·d/d·1e12 exactly
+    disj = spark.createDataFrame(
+        [(100 + i, i) for i in range(1, 11)], "doc_id long, rank long"
+    )
+    got = rbo_from_ranks(same, disj, k=10).collect()[0]
+    assert got["rbo_q12"] == 0 and got["overlap_at_k"] == 0

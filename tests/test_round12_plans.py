@@ -122,3 +122,13 @@ def test_dlg1_two_windows_share_one_sort(spark):
     # exactly ONE physical Window operator evaluating both specs
     assert plan.count("window [") == 1
     assert plan.count("windowspecdefinition") == 2
+
+
+def test_rbo1_no_smj_tail(spark):
+    """rbo1's RBO tail must stay k²-sized: the depth×overlap join is a
+    broadcast (never SMJ); upstream cost is the two rankers."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.rbo1_rank_overlap(spark, SF_DIR))
+    assert "sortmergejoin" not in plan
+    assert "broadcast" in plan
