@@ -16542,6 +16542,424 @@ FROM xd
 """
 
 
+
+# ---------------------------------------------------------------------------
+# round-13 additions: 13-gram decontamination, quality-canonical dedup,
+# Kruskal-Wallis, Matthews correlation, Cochran-Armitage, Ljung-Box,
+# Lin's concordance
+
+
+def x13_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram test-set decontamination (the Gopher / GPT-3 / Llama-2
+    production recipe; operators/dedup.ngram_decontaminate): train docs
+    whose distinct 13-grams overlap the benchmark side's gram set, with
+    the per-doc hit fraction and the >= 80% contamination flag. The
+    benchmark here is sp1's md5 'test' split of the same corpus (the
+    cx2 framing, lexical instead of embedding) so the oracle is
+    self-contained; a real run passes the eval-suite grams, which are
+    TINY -- AQE broadcasts them and the probe is map-side. ONE corpus
+    scan: the exploded gram frame carries the split label and is
+    lazily checkpointed, so the bench-distinct and the train
+    totals/hits all reuse it (sr1's one-scan lesson)."""
+    from etl_oms_spark.operators.dedup import ngram_decontaminate, shingles
+    from etl_oms_spark.operators.sampling import _md5_bucket
+    from etl_oms_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    is_test = _md5_bucket(F.col("doc_id"), "split") < 200_000
+    g = (
+        d.filter(
+            F.coalesce(F.length(normalize_text("text")), F.lit(0)) > 0
+        )
+        .select(
+            "doc_id",
+            is_test.alias("is_test"),
+            F.explode(shingles("text", 13)).alias("gram"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bench = g.filter(F.col("is_test")).select("gram")
+    train = g.filter(~F.col("is_test")).select("doc_id", "gram")
+    return ngram_decontaminate(train, bench, threshold_q6=800_000).orderBy(
+        "doc_id"
+    )
+
+
+X13_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks,
+           CAST('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)),
+                1, 15) AS BIGINT) % 1000000 < 200000 AS is_test
+    FROM documents
+    WHERE COALESCE(length({_NORM_SQL}), 0) > 0
+), grams AS (
+    SELECT DISTINCT doc_id, is_test,
+           array_to_string(toks[i:i+12], ' ') AS gram
+    FROM (SELECT doc_id, is_test, toks,
+                 unnest(generate_series(1, greatest(len(toks) - 12, 1))) AS i
+          FROM toked)
+), bench AS (SELECT DISTINCT gram FROM grams WHERE is_test),
+tr AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM bench))
+                AS BIGINT) AS hit_grams
+    FROM grams WHERE NOT is_test GROUP BY doc_id
+)
+SELECT doc_id, n_grams, hit_grams,
+       (hit_grams * 1000000) // n_grams AS hit_frac_q6,
+       (hit_grams * 1000000) // n_grams >= 800000 AS contaminated
+FROM tr WHERE hit_grams > 0
+ORDER BY doc_id
+"""
+
+
+def d14_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the highest-QUALITY member per duplicate
+    group (operators/dedup.quality_canonical_dedup) instead of d1's
+    min-id: within a canonical-fingerprint group the raw texts differ
+    in case/whitespace/punctuation, so t2's quantized quality score
+    breaks the tie toward the member a curation run should train on
+    (min doc_id on exact score ties keeps the choice total). Same
+    single fingerprint shuffle as d1 -- the window partition is
+    dup-group-sized."""
+    from etl_oms_spark.operators.dedup import quality_canonical_dedup
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    return quality_canonical_dedup(d, sq).orderBy("doc_id")
+
+
+D14_SQL = f"""
+WITH p AS (
+    SELECT doc_id,
+           COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) AS q,
+           {_NORM_SQL} AS fp
+    FROM documents
+), r AS (
+    SELECT doc_id, q,
+           ROW_NUMBER() OVER (PARTITION BY fp
+                              ORDER BY q DESC, doc_id ASC) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count
+    FROM p
+)
+SELECT doc_id, dup_count, q AS quality_q6
+FROM r WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def kwh1_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H across the five language groups'
+    quality-score distributions (operators/classifier.
+    kruskal_wallis_from_hist; Kruskal & Wallis 1952) -- the k-group
+    extension of mwu1's two-sample rank test: is quality flat across
+    languages, judged purely on ranks? One map-side-combined corpus
+    rollup to the (score-bin, lang) histogram; all rank algebra runs
+    over the bounded score domain with mwu1's doubled-rank integers and
+    crv1's staged 1e-9 division."""
+    from etl_oms_spark.operators.classifier import kruskal_wallis_from_hist
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    hist = (
+        d.select(sq.alias("sq"), F.col("lang").alias("g"))
+        .groupBy("sq", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return kruskal_wallis_from_hist(hist)
+
+
+KWH1_SQL = f"""
+WITH hist AS (
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) AS sq,
+           lang AS g, CAST(COUNT(*) AS HUGEINT) AS c
+    FROM documents GROUP BY 1, 2
+), bysq AS (
+    SELECT sq, SUM(c) AS ct FROM hist GROUP BY sq
+), cum AS (
+    SELECT sq, ct,
+           SUM(ct) OVER (ORDER BY sq ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - ct AS cumb
+    FROM bysq
+), contrib AS (
+    SELECT h.g, h.c, h.c * (2 * cum.cumb + cum.ct + 1) AS r2t
+    FROM hist h JOIN cum ON h.sq = cum.sq
+), grp AS (
+    SELECT g, SUM(c) AS ng, SUM(r2t) AS r2g FROM contrib GROUP BY g
+), ties AS (
+    SELECT CAST(COALESCE(SUM(ct * ct * ct - ct), 0) AS HUGEINT) AS ties
+    FROM bysq
+), tot AS (
+    SELECT CAST(COALESCE(SUM(ng), 0) AS HUGEINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM grp
+), terms AS (
+    SELECT CAST(COALESCE(SUM(
+               ((3 * r2g * r2g) // (ng * n * (n + 1))) * 1000000000
+               + (((3 * r2g * r2g) % (ng * n * (n + 1))) * 1000000000)
+                 // (ng * n * (n + 1))), 0) AS HUGEINT) AS sum_q9
+    FROM grp CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n, n_groups,
+       CAST(ties AS BIGINT) AS ties_cubed,
+       CASE WHEN n = 0 THEN NULL
+            ELSE CAST(sum_q9 - 3 * (n + 1) * 1000000000 AS BIGINT)
+       END AS h_q9,
+       CASE WHEN n = 0 THEN NULL
+            WHEN (n * n * n - n) - ties = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                CAST(sum_q9 - 3 * (n + 1) * 1000000000 AS DOUBLE)
+                / 1000000000.0
+                * (CAST(n * n * n - n AS DOUBLE)
+                   / CAST((n * n * n - n) - ties AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT)
+       END AS h_tied_q6
+FROM tot CROSS JOIN ties CROSS JOIN terms
+"""
+
+
+def mcc1_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation of the quality gate (score >= 0.5) against
+    the en-vs-rest label (operators/classifier.matthews_corr; Matthews
+    1975) -- the imbalance-honest effect size beside kp1's agreement
+    and auc1's ranking view of the SAME classifier framing. One
+    map-side-combined corpus scan to the 2x2 confusion; mcc_q6 is one
+    double expression from exact integers with the split-sqrt device
+    (two exact n^2-bounded pair products, never the 4-way product)."""
+    from etl_oms_spark.operators.classifier import matthews_corr
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    return matthews_corr(
+        d.select(
+            F.coalesce(F.col("lang") == "en", F.lit(False)).alias("t"),
+            (sq >= 500_000).alias("p"),
+        ),
+        "t",
+        "p",
+    )
+
+
+MCC1_SQL = f"""
+WITH p AS (
+    SELECT COALESCE(lang = 'en', FALSE) AS t,
+           COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) >= 500000 AS pr
+    FROM documents
+), c AS (
+    SELECT
+      CAST(COALESCE(SUM(CASE WHEN t AND pr THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS tp,
+      CAST(COALESCE(SUM(CASE WHEN t AND NOT pr THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS fn,
+      CAST(COALESCE(SUM(CASE WHEN NOT t AND pr THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS fp,
+      CAST(COALESCE(SUM(CASE WHEN NOT t AND NOT pr THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS tn
+    FROM p
+)
+SELECT CAST(tp + fn + fp + tn AS BIGINT) AS n,
+       CAST(tp AS BIGINT) AS tp, CAST(fn AS BIGINT) AS fn,
+       CAST(fp AS BIGINT) AS fp, CAST(tn AS BIGINT) AS tn,
+       CASE WHEN (tp + fp) * (tp + fn) = 0 OR (tn + fn) * (tn + fp) = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                CAST(tp * tn - fp * fn AS DOUBLE)
+                / (sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE))
+                   * sqrt(CAST((tn + fn) * (tn + fp) AS DOUBLE)))
+                * 1000000 + 0.5) AS BIGINT)
+       END AS mcc_q6
+FROM c
+"""
+
+
+def ca1_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test of the en-share across ordered
+    quality deciles (operators/validate.cochran_armitage; Cochran 1954,
+    Armitage 1955) -- the ordered-groups member of the association
+    suite (crv1 nominal, eta1 categorical-numeric, kt1 rank): does the
+    positive rate trend MONOTONICALLY with the decile? Buckets are
+    kt1's fixed-edge deciles (sq // 100000 capped at 9, -1 for null
+    text) used directly as the integer scores; one corpus rollup to the
+    <= 11-cell table, exact decimal(38) sums, z one double expression."""
+    from etl_oms_spark.operators.validate import cochran_armitage
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    xb = F.when(sq < 0, F.lit(-1).cast("long")).otherwise(
+        F.least(
+            ((sq - sq % 100000) / 100000).cast("long"), F.lit(9).cast("long")
+        )
+    )
+    pos = F.when(
+        F.coalesce(F.col("lang") == "en", F.lit(False)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return cochran_armitage(
+        d.select(xb.alias("w"), pos.alias("pos")), "w", "pos"
+    )
+
+
+CA1_SQL = f"""
+WITH p AS (
+    SELECT CASE WHEN sq < 0 THEN -1 ELSE LEAST(sq // 100000, 9) END AS w,
+           CASE WHEN COALESCE(lang = 'en', FALSE) THEN 1 ELSE 0 END AS pos
+    FROM (SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                          AS BIGINT), -1) AS sq, lang
+          FROM documents)
+), cells AS (
+    SELECT w, CAST(COUNT(*) AS HUGEINT) AS nj,
+           CAST(COALESCE(SUM(pos), 0) AS HUGEINT) AS rj
+    FROM p GROUP BY w
+), agg AS (
+    SELECT CAST(COALESCE(SUM(nj), 0) AS HUGEINT) AS n,
+           CAST(COALESCE(SUM(rj), 0) AS HUGEINT) AS r,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COALESCE(SUM(w * nj), 0) AS HUGEINT) AS sw,
+           CAST(COALESCE(SUM(w * rj), 0) AS HUGEINT) AS swr,
+           CAST(COALESCE(SUM(w * w * nj), 0) AS HUGEINT) AS sw2
+    FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r, n_groups,
+       CAST(n * swr - r * sw AS BIGINT) AS trend_num,
+       CASE WHEN r * (n - r) * (n * sw2 - sw * sw) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                CAST(n * swr - r * sw AS DOUBLE)
+                / sqrt(CAST(r * (n - r) * (n * sw2 - sw * sw) AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                * 1000000 + 0.5) AS BIGINT)
+       END AS z_q6
+FROM agg
+"""
+
+
+def lb1_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test over the daily revenue series
+    (operators/temporal.ljung_box; Ljung & Box 1978) -- the scalar
+    verdict on acf1's per-lag diagnostic: are the first 10
+    autocorrelations JOINTLY white? Same exact integer centering and
+    bounded-grid lag join as acf1; each lag term is quantized to an
+    exact BIGINT BEFORE the sum so Q is order-free."""
+    from etl_oms_spark.operators.temporal import ljung_box
+
+    return ljung_box(
+        _daily_revk(spark, sf_dir).select("t", "rev_k"), max_lag=10
+    )
+
+
+LB1_SQL = f"""
+WITH {_SERIES_SQL},
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(rev_k), 0) AS BIGINT) AS s
+    FROM series
+),
+y AS (
+    SELECT t, n, CAST(n * rev_k - s AS HUGEINT) AS y
+    FROM series CROSS JOIN tot
+),
+den AS (SELECT CAST(COALESCE(SUM(y * y), 0) AS HUGEINT) AS den FROM y),
+lags AS (SELECT CAST(range AS BIGINT) + 1 AS lag FROM range(0, 10)),
+num AS (
+    SELECT lag, SUM(a.y * b.y2) AS num, MAX(a.n) AS n
+    FROM y a CROSS JOIN lags
+    JOIN (SELECT t AS t2, y AS y2 FROM y) b ON a.t + lag = b.t2
+    GROUP BY lag
+), terms AS (
+    SELECT n,
+           CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(
+                    (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                    * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                    / CAST(n - lag AS DOUBLE)
+                    * 1000000000000.0 + 0.5) AS BIGINT)
+           END AS tq12
+    FROM num CROSS JOIN den WHERE n > lag
+), g AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n_days, CAST(10 AS INT) AS h,
+           CAST(COALESCE(SUM(tq12), 0) AS BIGINT) AS q_sum_q12
+    FROM terms
+)
+SELECT n_days, h, q_sum_q12,
+       CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0)
+       * CAST(q_sum_q12 AS DOUBLE) / 1000000000000.0 AS q_lb
+FROM g
+"""
+
+
+def ccc1_lins_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance between t2's quality score and the pure
+    length-based scorer, both on the 1e6 scale (operators/classifier.
+    lins_ccc; Lin 1989) -- the agreement statistic that punishes BOTH
+    scatter and bias where Pearson (st2) forgives a systematic offset:
+    could the cheap length score substitute for the full quality
+    score? Exactly rational in six decimal(38) sums off ONE corpus
+    scan (q9 headroom ~3*10^8 docs; past that, pre-aggregate the
+    (x, y) joint histogram first -- the sums are identical)."""
+    from etl_oms_spark.operators.classifier import lins_ccc
+    from etl_oms_spark.operators.text import (
+        quality_score,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    x = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(0),
+    )
+    y = F.least(
+        whitespace_token_count("text").cast("long") * 10000,
+        F.lit(1_000_000).cast("long"),
+    )
+    return lins_ccc(d.select(x.alias("x"), y.alias("y")), "x", "y")
+
+
+CCC1_SQL = f"""
+WITH p AS (
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), 0) AS x,
+           LEAST(CAST({_WS} AS BIGINT) * 10000, 1000000) AS y
+    FROM documents
+), m AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS sx,
+           CAST(COALESCE(SUM(y), 0) AS HUGEINT) AS sy,
+           CAST(COALESCE(SUM(x * x), 0) AS HUGEINT) AS sxx,
+           CAST(COALESCE(SUM(y * y), 0) AS HUGEINT) AS syy,
+           CAST(COALESCE(SUM(x * y), 0) AS HUGEINT) AS sxy
+    FROM p
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+       CASE WHEN n = 0 THEN NULL
+            WHEN n * sxx - sx * sx + n * syy - sy * sy
+                 + (sx - sy) * (sx - sy) = 0
+            THEN CAST(1000000000 AS BIGINT)
+            ELSE CAST((2 * (n * sxy - sx * sy) * 1000000000)
+                      // (n * sxx - sx * sx + n * syy - sy * sy
+                          + (sx - sy) * (sx - sy)) AS BIGINT)
+       END AS ccc_q9
+FROM m
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -16550,11 +16968,102 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Order matters: the driver's CORRECTNESS check covers the
-        # FIRST 50 entries. Round-12 rotation (VERDICT r11 item 1):
-        # staleness control — round-12 additions first (first driver
-        # check), then the two continuity anchors, then the 39
-        # alphabetically-first of the 48 r05-stale rows.
-        # ---- round-12 additions, first driver check ----
+        # FIRST 50 entries. Round-13 rotation (VERDICT r12 item 1):
+        # staleness control — round-13 additions first (first driver
+        # check), then the two continuity anchors, then the 9 r05 rows
+        # displaced at the r12 close, then the 32 alphabetically-first
+        # of the 48 r07-stale rows.
+        # ---- round-13 additions, first driver check ----
+        "x13_ngram_decontamination": x13_ngram_decontamination,
+        "d14_quality_canonical": d14_quality_canonical,
+        "kwh1_kruskal_wallis": kwh1_kruskal_wallis,
+        "mcc1_matthews_corr": mcc1_matthews_corr,
+        "ca1_cochran_armitage": ca1_cochran_armitage,
+        "lb1_ljung_box": lb1_ljung_box,
+        "ccc1_lins_concordance": ccc1_lins_concordance,
+        # ---- continuity anchors (green every round) ----
+        "q1_pricing_summary": q1_pricing_summary,
+        "star_fact_rollup": star_fact_rollup,
+        # ---- window fill, positions 10-50: the 41 rows = the 9 r05
+        #      rows displaced past the window by the round-12 additions
+        #      (they led the refill pool), then the 32 alphabetically-
+        #      first of the 48 exact-oracle rows last driver-checked in
+        #      r07 (6 rounds stale; a17 leads) ----
+        "tm2_temperature_apply": tm2_temperature_apply,
+        "tp3_repair_pipeline": tp3_repair_pipeline,
+        "tp4_release_pipeline": tp4_release_pipeline,
+        "tr1_triangles": tr1_triangles,
+        "u4_llm_annotate": u4_llm_annotate,
+        "un1_unicode_normalize": un1_unicode_normalize,
+        "url1_canonical_urls": url1_canonical_urls,
+        "x1_chi2_keywords": x1_chi2_keywords,
+        "yoy1_revenue_growth": yoy1_revenue_growth,
+        "a17_trimmed_mean": a17_trimmed_mean,
+        "a18_hierarchy_share": a18_hierarchy_share,
+        "a19_group_mode": a19_group_mode,
+        "at1_last_touch": at1_last_touch,
+        "bf1_bloom_decontamination": bf1_bloom_decontamination,
+        "bfs1_copurchase_hops": bfs1_copurchase_hops,
+        "cal1_calendar_dim": cal1_calendar_dim,
+        "cm1_cms_heavyhitters": cm1_cms_heavyhitters,
+        "cp1_compaction_plan": cp1_compaction_plan,
+        "csd1_cluster_size_histogram": csd1_cluster_size_histogram,
+        "er1_entity_resolution": er1_entity_resolution,
+        "fn2_cohort_funnel": fn2_cohort_funnel,
+        "ga1_activity_islands": ga1_activity_islands,
+        "h2_time_heatmap": h2_time_heatmap,
+        "hl2_exact_rollup": hl2_exact_rollup,
+        "hw1_holt_forecast": hw1_holt_forecast,
+        "im1_mode_impute": im1_mode_impute,
+        "ivm1_incremental_rollup": ivm1_incremental_rollup,
+        "je1_join_explosion": je1_join_explosion,
+        "ka1_k_anonymity": ka1_k_anonymity,
+        "kc1_kcore": kc1_kcore,
+        "knn1_label_transfer": knn1_label_transfer,
+        "lp1_label_propagation": lp1_label_propagation,
+        "lr1_revenue_trend": lr1_revenue_trend,
+        "lt1_conversion_latency": lt1_conversion_latency,
+        "mk1_event_transitions": mk1_event_transitions,
+        "nv1_ngram_novelty": nv1_ngram_novelty,
+        "o4_topk_with_ties": o4_topk_with_ties,
+        "pa1_top_paths": pa1_top_paths,
+        "pj1_prefix_jaccard": pj1_prefix_jaccard,
+        "pm1_pmi_collocations": pm1_pmi_collocations,
+        "pn1_pseudonymize": pn1_pseudonymize,
+        # ---- positions 51-60: documented rows-only entries, pinned
+        #      permanently BEHIND the window (a no_oracle row would
+        #      waste a driver slot); each has an exact twin or
+        #      pytest-vs-numpy verification ----
+        "a11_approx_distinct": a11_approx_distinct,
+        "d3_minhash_candidates": d3_minhash_candidates,
+        "d4_simhash": d4_simhash,
+        "e2_ann_lsh": e2_ann_lsh,
+        "e3_embedding_neardup": e3_embedding_neardup,
+        "tp1_curation_pipeline": tp1_curation_pipeline,
+        "hl1_sketch_rollup": hl1_sketch_rollup,
+        "pc1_pca_projection": pc1_pca_projection,
+        "e9_pq_topk": e9_pq_topk,
+        "dq2_profile_approx": dq2_profile_approx,
+        # ---- refill-pool head: the 16 r07 rows displaced past 50 by
+        #      the round-13 additions — they lead the r14 window fill ----
+        "ps1_supply_relation": ps1_supply_relation,
+        "qa1_revenue_momentum": qa1_revenue_momentum,
+        "rc1_order_reconciliation": rc1_order_reconciliation,
+        "rr1_reorder_rate": rr1_reorder_rate,
+        "sc2_pit_join": sc2_pit_join,
+        "sj1_stream_stream_join": sj1_stream_stream_join,
+        "so1_set_ops": so1_set_ops,
+        "ss1_repeated_substrings": ss1_repeated_substrings,
+        "ss2_span_repair": ss2_span_repair,
+        "stp1_streaming_ingest": stp1_streaming_ingest,
+        "t11_dup_block_rate": t11_dup_block_rate,
+        "tp5_decontaminated_release": tp5_decontaminated_release,
+        "tw1_time_weighted_avg": tw1_time_weighted_avg,
+        "uq1_user_similarity": uq1_user_similarity,
+        "zf1_zipf_slope": zf1_zipf_slope,
+        "zo1_zorder_key": zo1_zorder_key,
+        # ---- remainder: rotated-out cohorts (the r12 window, the r05
+        #      fill, and younger rows) in their prior relative order ----
         "sps1_streaming_psi": sps1_streaming_psi,
         "mk2_mann_kendall": mk2_mann_kendall,
         "ts2_theil_sen": ts2_theil_sen,
@@ -16564,13 +17073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cld1_cliffs_delta": cld1_cliffs_delta,
         "dlg1_auc_delong_se": dlg1_auc_delong_se,
         "rbo1_rank_overlap": rbo1_rank_overlap,
-        # ---- continuity anchors (green every round) ----
-        "q1_pricing_summary": q1_pricing_summary,
-        "star_fact_rollup": star_fact_rollup,
-        # ---- window fill, positions 9-50: the 42 alphabetically-first
-        #      of the 48 exact-oracle rows last driver-checked in r05
-        #      (7 rounds stale; a20 leads — it was the row displaced at
-        #      the r11 close) ----
         "a20_abc_analysis": a20_abc_analysis,
         "an1_revenue_anomalies": an1_revenue_anomalies,
         "br1_bounce_rate": br1_bounce_rate,
@@ -16610,34 +17112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc1_table_diff": tc1_table_diff,
         "tj4_asof_tolerance": tj4_asof_tolerance,
         "tm1_temperature_mix": tm1_temperature_mix,
-        # ---- positions 51-60: documented rows-only entries, pinned
-        #      permanently BEHIND the window (a no_oracle row would
-        #      waste a driver slot); each has an exact twin or
-        #      pytest-vs-numpy verification ----
-        "a11_approx_distinct": a11_approx_distinct,
-        "d3_minhash_candidates": d3_minhash_candidates,
-        "d4_simhash": d4_simhash,
-        "e2_ann_lsh": e2_ann_lsh,
-        "e3_embedding_neardup": e3_embedding_neardup,
-        "tp1_curation_pipeline": tp1_curation_pipeline,
-        "hl1_sketch_rollup": hl1_sketch_rollup,
-        "pc1_pca_projection": pc1_pca_projection,
-        "e9_pq_topk": e9_pq_topk,
-        "dq2_profile_approx": dq2_profile_approx,
-        # ---- refill-pool head: the six r05 rows displaced past 50 by
-        #      the round-12 additions — they lead the r13 window fill ----
-        "tm2_temperature_apply": tm2_temperature_apply,
-        "tp3_repair_pipeline": tp3_repair_pipeline,
-        "tp4_release_pipeline": tp4_release_pipeline,
-        "tr1_triangles": tr1_triangles,
-        "u4_llm_annotate": u4_llm_annotate,
-        "un1_unicode_normalize": un1_unicode_normalize,
-        "url1_canonical_urls": url1_canonical_urls,
-        "x1_chi2_keywords": x1_chi2_keywords,
-        "yoy1_revenue_growth": yoy1_revenue_growth,
-        # ---- remainder: the round-11 window (r11 firsts + the full r03
-        #      cohort) is freshly green in CORRECTNESS_r11 and rotates
-        #      out behind the pool ----
         "ct1p_rank_langid_prefix": ct1p_rank_langid_prefix,
         "uniT2_unigram_em_pruned": uniT2_unigram_em_pruned,
         "gt1_good_turing": gt1_good_turing,
@@ -16830,54 +17304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_avg_quantity_filter": q17_avg_quantity_filter,
         "a8_rollup": a8_rollup,
         "w2_window_frames": w2_window_frames,
-        "ga1_activity_islands": ga1_activity_islands,
-        "mk1_event_transitions": mk1_event_transitions,
-        "tw1_time_weighted_avg": tw1_time_weighted_avg,
-        "zo1_zorder_key": zo1_zorder_key,
-        "cp1_compaction_plan": cp1_compaction_plan,
-        "nv1_ngram_novelty": nv1_ngram_novelty,
-        "so1_set_ops": so1_set_ops,
-        "hl2_exact_rollup": hl2_exact_rollup,
-        "h2_time_heatmap": h2_time_heatmap,
-        "ps1_supply_relation": ps1_supply_relation,
-        "qa1_revenue_momentum": qa1_revenue_momentum,
-        "t11_dup_block_rate": t11_dup_block_rate,
-        "zf1_zipf_slope": zf1_zipf_slope,
-        "a17_trimmed_mean": a17_trimmed_mean,
-        "a18_hierarchy_share": a18_hierarchy_share,
-        "o4_topk_with_ties": o4_topk_with_ties,
-        "a19_group_mode": a19_group_mode,
-        "im1_mode_impute": im1_mode_impute,
-        "uq1_user_similarity": uq1_user_similarity,
-        "fn2_cohort_funnel": fn2_cohort_funnel,
-        "cm1_cms_heavyhitters": cm1_cms_heavyhitters,
-        "cal1_calendar_dim": cal1_calendar_dim,
-        "lp1_label_propagation": lp1_label_propagation,
-        "knn1_label_transfer": knn1_label_transfer,
-        "lt1_conversion_latency": lt1_conversion_latency,
-        "rc1_order_reconciliation": rc1_order_reconciliation,
-        "rr1_reorder_rate": rr1_reorder_rate,
-        "stp1_streaming_ingest": stp1_streaming_ingest,
-        "er1_entity_resolution": er1_entity_resolution,
-        "ivm1_incremental_rollup": ivm1_incremental_rollup,
-        "kc1_kcore": kc1_kcore,
-        "pa1_top_paths": pa1_top_paths,
-        "hw1_holt_forecast": hw1_holt_forecast,
-        "je1_join_explosion": je1_join_explosion,
-        "at1_last_touch": at1_last_touch,
-        "ka1_k_anonymity": ka1_k_anonymity,
-        "csd1_cluster_size_histogram": csd1_cluster_size_histogram,
-        "bf1_bloom_decontamination": bf1_bloom_decontamination,
-        "ss1_repeated_substrings": ss1_repeated_substrings,
-        "bfs1_copurchase_hops": bfs1_copurchase_hops,
-        "lr1_revenue_trend": lr1_revenue_trend,
-        "sj1_stream_stream_join": sj1_stream_stream_join,
-        "pj1_prefix_jaccard": pj1_prefix_jaccard,
-        "sc2_pit_join": sc2_pit_join,
-        "pm1_pmi_collocations": pm1_pmi_collocations,
-        "ss2_span_repair": ss2_span_repair,
-        "tp5_decontaminated_release": tp5_decontaminated_release,
-        "pn1_pseudonymize": pn1_pseudonymize,
     }
 
 
@@ -16915,6 +17341,13 @@ def oracle_sql() -> dict[str, str]:
         "cld1_cliffs_delta": CLD1_SQL,
         "dlg1_auc_delong_se": DLG1_SQL,
         "rbo1_rank_overlap": RBO1_SQL,
+        "x13_ngram_decontamination": X13_SQL,
+        "d14_quality_canonical": D14_SQL,
+        "kwh1_kruskal_wallis": KWH1_SQL,
+        "mcc1_matthews_corr": MCC1_SQL,
+        "ca1_cochran_armitage": CA1_SQL,
+        "lb1_ljung_box": LB1_SQL,
+        "ccc1_lins_concordance": CCC1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

@@ -185,6 +185,23 @@ HEADLINE = [
     "dlg1_auc_delong_se",
     # rbo1: ranker-agreement audit over rrf1's two rankers (k2-sized tail)
     "rbo1_rank_overlap",
+    # round-13 additions (appended)
+    # x13: the 13-gram decontamination gate — one checkpointed shingle
+    # explode + a gram semi join (class C bounded-candidate; a real
+    # benchmark side broadcasts)
+    "x13_ngram_decontamination",
+    # d14: quality-aware canonical dedup — d1's single fingerprint
+    # shuffle with a window instead of a groupBy
+    "d14_quality_canonical",
+    # corpus-linear single-scan statistics (class B): contingency-/
+    # confusion-/moment-sized algebra after one pass
+    "kwh1_kruskal_wallis",
+    "mcc1_matthews_corr",
+    "ca1_cochran_armitage",
+    "ccc1_lins_concordance",
+    # lb1: acf1's bounded day-grid shape (class A-fixed after the day
+    # rollup)
+    "lb1_ljung_box",
 ]
 
 
@@ -301,9 +318,21 @@ def main() -> None:
     # LAST ~2000 chars of stdout, and the 70-query line outgrew it in
     # r04/r05 ("parsed": null). The printed line keeps the contract
     # shape but includes only as many of the slowest queries as fit the
-    # capture window; bench_full.json always holds the complete dict.
+    # capture window; the full-dict file always holds the complete dict.
+    #
+    # Output-path provenance (VERDICT r12 item 2): the committed idle
+    # record is bench_full.json, written ONLY when the run explicitly
+    # claims idle provenance via SPARK_GRAFT_BENCH_OUT=bench_full.json
+    # (the round-close procedure, which also records loadavg/steal).
+    # Any other invocation — in particular the driver's post-close
+    # contended run — defaults to bench_full.latest.json, so the
+    # committed idle artifact at HEAD is never shadowed again (it was,
+    # three rounds running: r10-r12).
+    out_name = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", "bench_full.latest.json"
+    )
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        os.path.dirname(os.path.abspath(__file__)), out_name
     )
     with open(full_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
@@ -314,7 +343,7 @@ def main() -> None:
         compact = dict(payload)
         compact["queries"] = dict(sorted(slowest[:k]))
         compact["queries_omitted"] = len(timings) - k
-        compact["queries_full"] = "bench_full.json"
+        compact["queries_full"] = out_name
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) <= 1800:
             break

@@ -907,3 +907,245 @@ def kendall_tau_b_from_cells(
         )
         .alias("tau_b"),
     )
+
+
+def matthews_corr(
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Matthews correlation coefficient for a binary classifier (public:
+    Matthews 1975; the balanced single-number confusion summary) — the
+    effect-size companion to kp1's chance-corrected agreement: kappa
+    asks "do the gates agree beyond base rates", MCC asks "how well
+    does the prediction CORRELATE with the truth" and stays honest
+    under class imbalance where accuracy saturates.
+
+    With the 2×2 confusion (tp, fn, fp, tn) and marginals
+    p1 = tp+fp, t1 = tp+fn, p0 = tn+fn, t0 = tn+fp:
+
+        MCC = (tp·tn − fp·fn) / √(p1·t1·p0·t0)
+
+    The numerator and all four marginals are exact BIGINT/decimal(38)
+    off ONE map-side-combined corpus scan. The √ product would pass
+    decimal(38) around n ≈ 3·10⁹ if formed whole, so it is split into
+    two exact decimal(38) pair-products (each ≤ n²) cast to double —
+    √(p1·t1)·√(p0·t0), the identical expression on both engines. Any
+    zero marginal (degenerate truth or prediction margin) pins
+    mcc_q6 = 0, the scikit-learn convention. Returns one row:
+    (n, tp, fn, fp, tn, mcc_q6).
+    """
+    t = F.col(truth_col).cast("boolean")
+    p = F.col(pred_col).cast("boolean")
+    cell = lambda pt, pp: F.coalesce(  # noqa: E731
+        F.sum(
+            F.when((t == F.lit(pt)) & (p == F.lit(pp)), 1).otherwise(0)
+        ),
+        F.lit(0),
+    ).cast("long")
+    conf = df.agg(
+        cell(True, True).alias("tp"),
+        cell(True, False).alias("fn"),
+        cell(False, True).alias("fp"),
+        cell(False, False).alias("tn"),
+    )
+    d38 = "decimal(38,0)"
+    tp, fn, fp, tn = (
+        F.col(c).cast(d38) for c in ("tp", "fn", "fp", "tn")
+    )
+    num = tp * tn - fp * fn
+    pt1 = (tp + fp) * (tp + fn)
+    pt0 = (tn + fn) * (tn + fp)
+    return conf.select(
+        (tp + fn + fp + tn).cast("long").alias("n"),
+        "tp",
+        "fn",
+        "fp",
+        "tn",
+        F.when((pt1 == 0) | (pt0 == 0), F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                num.cast("double")
+                / (F.sqrt(pt1.cast("double")) * F.sqrt(pt0.cast("double")))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("mcc_q6"),
+    )
+
+
+def kruskal_wallis_from_hist(
+    hist: DataFrame,
+    sq_col: str = "sq",
+    group_col: str = "g",
+    count_col: str = "c",
+) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H test over a per-group score
+    HISTOGRAM (public: Kruskal & Wallis 1952) — the k-group extension
+    of mwu1's two-sample rank test: do the k populations share a
+    location, judged purely on ranks?
+
+    Input is (sq, g, c): per-(score-bin, group) counts — one map-side-
+    combined corpus rollup; everything below runs over the bounded
+    score domain, never the corpus (the a13 histogram-first lesson).
+    With per-bin totals ct and cum_before the ranks below the bin,
+    DOUBLED average ranks are integers (mwu1's device), so the doubled
+    per-group rank sum r2_g = Σ_bins c_g·(2·cum_before + ct + 1) is an
+    exact integer, and
+
+        H = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1)
+          = Σ_g 3·r2_g²/(n_g·n·(n+1)) − 3(n+1)          (r2_g = 2R_g)
+
+    Each group term is quantized at 1e-9 by the STAGED exact division
+    (q·1e9 + (rem·1e9)//B, crv1's device — decimal(38) headroom holds
+    to n ≈ 10⁹ since 3·r2_g² ≤ 12n⁴). The tie correction divides by
+    1 − Σ(ct³−ct)/(n³−n); h_tied_q6 is ONE double expression from the
+    exact integers, half-up at 1e-6, pinned 0 when everything is tied
+    (correction denominator 0). n = 0 pins both statistics NULL.
+    Returns one row: (n, n_groups, ties_cubed, h_q9, h_tied_q6).
+    """
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    cells = hist.select(
+        F.col(sq_col).alias("__sq"),
+        F.col(group_col).alias("__g"),
+        F.col(count_col).cast("long").alias("__c"),
+    ).localCheckpoint(eager=False)
+    by_sq = cells.groupBy("__sq").agg(F.sum("__c").alias("__ct"))
+    w = Window.orderBy("__sq").rowsBetween(Window.unboundedPreceding, 0)
+    cum = by_sq.select(
+        "__sq",
+        "__ct",
+        (F.sum("__ct").over(w) - F.col("__ct")).alias("__cumb"),
+    )
+    contrib = cells.join(cum, "__sq").select(
+        "__g",
+        "__c",
+        (
+            F.col("__c").cast(d38)
+            * (2 * F.col("__cumb").cast(d38) + F.col("__ct").cast(d38) + 1)
+        ).alias("__r2t"),
+    )
+    grp = contrib.groupBy("__g").agg(
+        F.sum("__c").cast(d38).alias("__ng"),
+        F.sum("__r2t").cast(d38).alias("__r2g"),
+    )
+    ties = by_sq.agg(
+        F.coalesce(
+            F.sum(
+                F.col("__ct").cast(d38)
+                * F.col("__ct").cast(d38)
+                * F.col("__ct").cast(d38)
+                - F.col("__ct").cast(d38)
+            ),
+            F.lit(0).cast(d38),
+        ).alias("ties")
+    )
+    tot = grp.agg(
+        F.coalesce(F.sum("__ng"), F.lit(0).cast(d38)).cast(d38).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    k9 = F.lit(1_000_000_000).cast(d38)
+    a_num = 3 * F.col("__r2g") * F.col("__r2g")
+    b_den = F.col("__ng") * F.col("n") * (F.col("n") + 1)
+    terms = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                # staged floor(3·r2_g²·1e9 / (n_g·n·(n+1))): quotient
+                # then remainder, so the 1e9 scale never multiplies the
+                # full numerator (decimal(38) headroom to n ≈ 1e9)
+                _floordiv_dec(a_num, b_den).cast(d38) * k9
+                + _floordiv_dec((a_num % b_den) * k9, b_den).cast(d38)
+            ).alias("__tq9")
+        )
+        .agg(
+            F.coalesce(F.sum("__tq9"), F.lit(0).cast(d38)).alias("__sum_q9")
+        )
+    )
+    nn = F.col("n")
+    corr_den = nn * nn * nn - nn
+    corr_num = corr_den - F.col("ties")
+    h_q9 = (F.col("__sum_q9") - 3 * (nn + 1) * k9).cast("long")
+    return (
+        tot.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            nn.cast("long").alias("n"),
+            "n_groups",
+            F.col("ties").cast("long").alias("ties_cubed"),
+            F.when(nn == 0, F.lit(None).cast("long"))
+            .otherwise(h_q9)
+            .alias("h_q9"),
+            F.when(nn == 0, F.lit(None).cast("long"))
+            .when(corr_num == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    h_q9.cast("double")
+                    / F.lit(1e9)
+                    * (corr_den.cast("double") / corr_num.cast("double"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("h_tied_q6"),
+        )
+    )
+
+
+def lins_ccc(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Lin's concordance correlation coefficient between two integer-
+    quantized scores on the same scale (public: Lin 1989) — the
+    agreement statistic that punishes BOTH scatter and bias, where
+    Pearson forgives a systematic offset: do two quality scorers
+    actually produce interchangeable numbers?
+
+    With population moments, CCC is exactly rational in the raw sums:
+
+        ccc = 2·(n·Σxy − Σx·Σy)
+              / (n·Σx² − (Σx)² + n·Σy² − (Σy)² + (Σx − Σy)²)
+
+    All five sums are exact decimal(38) off ONE map-side-combined
+    corpus scan (headroom: scores ≤ 1e6 keep n·Σxy below 1e38 until
+    n ≈ 10¹³ rows); ccc_q9 is one signed truncating division
+    (`_floordiv_dec`, DuckDB ``//`` parity). A zero denominator means
+    both scores are constant AND equal — perfect agreement, pinned
+    ccc_q9 = 1e9. n = 0 pins NULL. Returns one row:
+    (n, sum_x, sum_y, ccc_q9).
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast(d38)
+    y = F.col(y_col).cast(d38)
+    mom = df.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.coalesce(F.sum(x), F.lit(0).cast(d38)).alias("sx"),
+        F.coalesce(F.sum(y), F.lit(0).cast(d38)).alias("sy"),
+        F.coalesce(F.sum(x * x), F.lit(0).cast(d38)).alias("sxx"),
+        F.coalesce(F.sum(y * y), F.lit(0).cast(d38)).alias("syy"),
+        F.coalesce(F.sum(x * y), F.lit(0).cast(d38)).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = 2 * (n * F.col("sxy") - sx * sy)
+    den = (
+        n * F.col("sxx")
+        - sx * sx
+        + n * F.col("syy")
+        - sy * sy
+        + (sx - sy) * (sx - sy)
+    )
+    k9 = F.lit(1_000_000_000).cast(d38)
+    return mom.select(
+        n.cast("long").alias("n"),
+        sx.cast("long").alias("sum_x"),
+        sy.cast("long").alias("sum_y"),
+        F.when(n == 0, F.lit(None).cast("long"))
+        .when(den == 0, F.lit(1_000_000_000))
+        .otherwise(_floordiv_dec(num * k9, den).cast("long"))
+        .alias("ccc_q9"),
+    )

@@ -1270,3 +1270,116 @@ def winnow_match_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram test-set decontamination (x13) + quality-aware canonicalization
+
+
+def doc_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+) -> DataFrame:
+    """Distinct word k-shingles per document, exploded to (id, gram)
+    rows — the decontamination feed. Reuses the let_-bound shingle
+    builder (one normalize pass per doc, not per shingle); documents
+    shorter than k words contribute their whole normalized text as a
+    single gram, so short eval items still match their verbatim
+    copies. NULL/empty texts contribute nothing."""
+    return (
+        ensure_parallelism(df, id_col)
+        .filter(F.coalesce(F.length(normalize_text(text_col)), F.lit(0)) > 0)
+        .select(F.col(id_col), F.explode(shingles(text_col, k)).alias("gram"))
+    )
+
+
+def ngram_decontaminate(
+    train_grams: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str = "doc_id",
+    threshold_q6: int = 800_000,
+) -> DataFrame:
+    """Shingle-level test-set decontamination (the Gopher / GPT-3 /
+    Llama-2 production recipe, all public): a training document is
+    contaminated when ≥ threshold of its distinct 13-grams appear in
+    the benchmark set. Doc-level exact matching (bf1) misses partial
+    inclusions; split-leakage (cx2) audits embeddings — this is the
+    standard lexical overlap gate between them.
+
+    Inputs are exploded (id, gram) frames (`doc_ngrams`). Per train
+    doc: total = its distinct-gram count, hits = grams found in the
+    DISTINCT benchmark gram set (left-semi join — never widens rows),
+    hit_frac_q6 = ⌊hits·1e6/total⌋ exact. Only docs with ≥ 1 hit are
+    returned — the audit list a curation run quarantines.
+
+    Scale shape: one groupBy for totals, one semi join + groupBy for
+    hits, both key-parallel on the gram/id hash. A REAL benchmark side
+    is tiny (eval suites, not corpora) — AQE broadcasts it and the
+    probe is map-side; the synthetic oracle feeds a corpus-sized split
+    as the benchmark, which simply makes the semi join a shuffle join.
+    Returns (id, n_grams, hit_grams, hit_frac_q6, contaminated).
+    """
+    totals = train_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    bench = bench_grams.select("gram").distinct()
+    hits = (
+        train_grams.join(bench, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("hit_grams"))
+    )
+    frac = (F.col("hit_grams") * 1_000_000 - (F.col("hit_grams") * 1_000_000) % F.col("n_grams")) / F.col("n_grams")
+    return (
+        totals.join(hits, id_col)
+        .select(
+            id_col,
+            "n_grams",
+            "hit_grams",
+            frac.cast("long").alias("hit_frac_q6"),
+        )
+        .withColumn(
+            "contaminated", F.col("hit_frac_q6") >= F.lit(threshold_q6)
+        )
+    )
+
+
+def quality_canonical_dedup(
+    df: DataFrame,
+    score: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the HIGHEST-QUALITY representative per
+    duplicate group instead of d1's min-id: raw texts differing only in
+    case/whitespace/punctuation collapse to one canonical fingerprint,
+    and the survivor is the member a curation pipeline would rather
+    train on (ties broken min-id, so the choice is total and
+    deterministic). ``score`` is any integer-quantized per-row quality
+    column expression (callers pass t2's 1e-6-quantized score).
+
+    One window over the fingerprint partition (same single shuffle as
+    the groupBy form — the key is the md5 fingerprint, so the partition
+    sizes are dup-group-sized and skew-free for real corpora).
+    Returns (id, dup_count, quality_q6) for the surviving rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    wo = w.orderBy(F.col("__q").desc(), F.col(id_col).asc())
+    return (
+        df.select(
+            F.col(id_col),
+            fingerprint_md5(text_col).alias("__fp"),
+            score.alias("__q"),
+        )
+        .withColumn("__rn", F.row_number().over(wo))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("dup_count").cast("long").alias("dup_count"),
+            F.col("__q").cast("long").alias("quality_q6"),
+        )
+    )

@@ -174,6 +174,14 @@ def pack_sequences(
     from pyspark.sql import Window
 
     if shard_col == AUTO_SHARD:
+        if "pack_shard" in df.columns:
+            # silently clobbering a caller's own pack_shard would change
+            # their data AND their packing (ADVICE r12): make them choose
+            raise ValueError(
+                "pack_sequences: input already has a 'pack_shard' column; "
+                "pass shard_col='pack_shard' to pack within it, or rename "
+                "it before relying on the auto-shard default"
+            )
         hexp = F.md5(
             F.concat_ws("|", F.lit(salt), F.col(order_col).cast("string"))
         )

@@ -357,8 +357,11 @@ def rbo_from_ranks(
     are driver-side literals (requires k ≤ 12 so 10^{12−d} stays
     integral; k=10 canonical). X_d = |top-d(A) ∩ top-d(B)| comes from
     the ≤k-row join of the two rank lists against a k-row depth frame.
-    Returns one row: (k, overlap_at_k, rbo_q12) — rbo_q12/1e12 ∈ [0,1],
-    1e12 ⇔ identical top-k prefixes.
+    Returns one row: (k, overlap_at_k, rbo_q12). This is the TRUNCATED
+    RBO@k (no extrapolation tail), so identical top-k prefixes yield
+    (1−p^k)·1e12 — ≈ 6.513e11 at k=10 — and the range is
+    [0, (1−p^k)·1e12], NOT [0, 1e12] (test_rbo_pins pins exactly this);
+    divide by (1−p^k) if a normalized [0,1] agreement score is wanted.
 
     Scale shape: the two inputs are already top-k frames (TakeOrdered
     upstream); everything here is k- and k²-sized.

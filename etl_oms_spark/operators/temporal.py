@@ -724,3 +724,104 @@ def theil_sen_trend(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """`theil_sen_from_daily` over the raw event stream (one corpus
     scan via the `_daily_counts` barrier)."""
     return theil_sen_from_daily(_daily_counts(df, ts_col))
+
+
+def ljung_box(
+    series: DataFrame,
+    t_col: str = "t",
+    v_col: str = "rev_k",
+    max_lag: int = 10,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test over a daily series
+    (public: Ljung & Box 1978) — the scalar verdict on acf1's
+    autocorrelation diagnostic: are the first h autocorrelations
+    JOINTLY consistent with white noise?
+
+        Q = n(n+2) · Σ_{k=1..h} ρ̂_k² / (n−k)
+
+    The series is centered through exact integers (acf1's device:
+    y_t = n·x_t − S, so no float mean ever exists) and each ρ̂_k is ONE
+    double division of exact decimal(38) sums. Summing h doubles is
+    order-sensitive, so each lag term is quantized FIRST
+    (t_k = ⌊ρ̂_k²/(n−k)·1e12 + 0.5⌋, an exact BIGINT ≤ 1e12/(n−h)) and
+    Q reported from the order-free integer sum: q_sum_q12 = Σt_k,
+    q_lb = n(n+2)·q_sum_q12/1e12 (n(n+2)·Σt_k fits int64 for any daily
+    span below ~10⁵ years). Lags with n ≤ k contribute nothing; a
+    constant series (den = 0) pins Q = 0. Returns one row:
+    (n_days, h, q_sum_q12, q_lb).
+
+    Scale shape: identical to acf1 — the lag equi-join runs on the
+    bounded daily grid (~2400 rows at any corpus size), the 10-row lag
+    frame broadcast.
+    """
+    d38 = "decimal(38,0)"
+    ser = series.select(
+        F.col(t_col).alias("t"), F.col(v_col).alias("v")
+    )
+    tot = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("v"), F.lit(0)).alias("s"),
+    )
+    y = ser.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n",
+        (F.col("n") * F.col("v") - F.col("s")).cast(d38).alias("y"),
+    )
+    den = y.agg(
+        F.coalesce(F.sum(F.col("y") * F.col("y")), F.lit(0).cast(d38)).alias(
+            "den"
+        )
+    )
+    spark = series.sparkSession
+    lags = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    lagged = y.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    num = (
+        y.crossJoin(F.broadcast(lags))
+        .join(lagged, F.col("t") + F.col("lag") == F.col("t2"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("y") * F.col("y2")).alias("num"),
+            F.max("n").alias("n"),
+        )
+    )
+    terms = (
+        num.crossJoin(F.broadcast(den))
+        .filter(F.col("n") > F.col("lag"))
+        .select(
+            "n",
+            F.when(F.col("den") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    (
+                        F.col("num").cast("double")
+                        / F.col("den").cast("double")
+                    )
+                    * (
+                        F.col("num").cast("double")
+                        / F.col("den").cast("double")
+                    )
+                    / (F.col("n") - F.col("lag")).cast("double")
+                    * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .alias("tq12"),
+        )
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.lit(max_lag).cast("int").alias("h"),
+        F.coalesce(F.sum("tq12"), F.lit(0)).cast("long").alias("q_sum_q12"),
+    ).select(
+        "n_days",
+        "h",
+        "q_sum_q12",
+        (
+            F.col("n_days").cast("double")
+            * (F.col("n_days").cast("double") + F.lit(2.0))
+            * F.col("q_sum_q12").cast("double")
+            / F.lit(1e12)
+        ).alias("q_lb"),
+    )

@@ -293,3 +293,75 @@ def cramers_v(
             .alias("v"),
         )
     )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    pos_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test across ORDERED groups (public:
+    Cochran 1954, Armitage 1955) — the missing member between crv1
+    (nominal×nominal) and mk2 (trend in a series): does a binary rate
+    rise or fall MONOTONICALLY with an ordered bucket, e.g. does the
+    positive-class share trend with the quality decile?
+
+    Input is per-row (w, pos) with w the integer group score and pos
+    0/1. One map-side-combined rollup to the ≤k-cell table, then with
+    N = Σn_j, R = Σr_j, Sw = Σw·n_j, Swr = Σw·r_j, Sw2 = Σw²·n_j:
+
+        T   = Σw·r_j − R·Sw/N            (the trend statistic)
+        A   = N·Swr − R·Sw               (= N·T, exact and signed)
+        Var = R(N−R)·(N·Sw2 − Sw²)/N³
+        z   = T/√Var = A / √(R(N−R)(N·Sw2 − Sw²)/N)
+
+    A and the variance product are exact decimal(38) (headroom to
+    N ≈ 10⁹ with single-digit scores, the crv1 class); z_q6 is ONE
+    double expression from exact integers, half-up at 1e-6, pinned 0
+    when the variance is 0 (constant outcome or a single group).
+    Returns one row: (n, r, n_groups, trend_num, z_q6).
+    """
+    d38 = "decimal(38,0)"
+    cells = (
+        df.select(
+            F.col(score_col).cast("long").alias("__w"),
+            F.col(pos_col).cast("long").alias("__p"),
+        )
+        .groupBy("__w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.coalesce(F.sum("__p"), F.lit(0)).cast("long").alias("__r"),
+        )
+    )
+    w = F.col("__w").cast(d38)
+    agg = cells.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast(d38).alias("n"),
+        F.coalesce(F.sum("__r"), F.lit(0)).cast(d38).alias("r"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(F.sum(w * F.col("__n")), F.lit(0).cast(d38)).alias("sw"),
+        F.coalesce(F.sum(w * F.col("__r")), F.lit(0).cast(d38)).alias("swr"),
+        F.coalesce(F.sum(w * w * F.col("__n")), F.lit(0).cast(d38)).alias(
+            "sw2"
+        ),
+    )
+    n, r = F.col("n"), F.col("r")
+    a_num = n * F.col("swr") - r * F.col("sw")
+    var_prod = (
+        r * (n - r) * (n * F.col("sw2") - F.col("sw") * F.col("sw"))
+    )
+    return agg.select(
+        n.cast("long").alias("n"),
+        r.cast("long").alias("r"),
+        "n_groups",
+        a_num.cast("long").alias("trend_num"),
+        F.when(var_prod == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                a_num.cast("double")
+                / F.sqrt(var_prod.cast("double") / n.cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("z_q6"),
+    )

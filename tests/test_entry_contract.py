@@ -32,49 +32,58 @@ def test_every_query_has_oracle_or_documented_exception():
     )
 
 
-def test_driver_window_holds_round12_rotation():
-    """Positions 1-50 must stay the round-12 rotation (VERDICT r11 item
-    1): the window's job is staleness control — round-12 additions
-    first (first driver check), then the two green anchors, then the 39
-    alphabetically-first of the 48 exact-oracle rows last driver-checked
-    in r05 (a20 leads; the six alphabetically-last r05 rows are
-    displaced to the refill head and lead the r13 fill). NO rows-only
-    entry may ever sit in the first 50 — a no_oracle row would waste a
-    driver window slot."""
+def test_driver_window_holds_round13_rotation():
+    """Positions 1-50 must stay the round-13 rotation (VERDICT r12 item
+    1): the window's job is staleness control — round-13 additions
+    first (first driver check), then the two green anchors, then the 9
+    r05 rows displaced at the r12 close (they led the refill pool),
+    then the 32 alphabetically-first of the 48 exact-oracle rows last
+    driver-checked in r07 (a17 leads; the 16 alphabetically-last r07
+    rows are displaced to the refill head and lead the r14 fill). NO
+    rows-only entry may ever sit in the first 50 — a no_oracle row
+    would waste a driver window slot."""
     names = list(entry_mod.queries())
-    r12_new = [
-        "sps1_streaming_psi", "mk2_mann_kendall", "ts2_theil_sen",
-        "kp1_cohens_kappa", "crv1_cramers_v", "kt1_kendall_tau",
-        "cld1_cliffs_delta", "dlg1_auc_delong_se", "rbo1_rank_overlap",
+    r13_new = [
+        "x13_ngram_decontamination", "d14_quality_canonical",
+        "kwh1_kruskal_wallis", "mcc1_matthews_corr",
+        "ca1_cochran_armitage", "lb1_ljung_box", "ccc1_lins_concordance",
     ]
     anchors = ["q1_pricing_summary", "star_fact_rollup"]
-    r05 = [
-        "a20_abc_analysis", "an1_revenue_anomalies", "br1_bounce_rate",
-        "cc2_dup_hubs", "ck1_table_checksum", "cl2_cluster_keywords",
-        "cx2_split_leakage", "d10_incremental_dedup",
-        "d11_minhash_calibration", "d12_url_dedup",
-        "d13_dup_rate_by_source", "d9_priority_dedup",
-        "dc1_dataset_card", "dr2_quality_drift", "e10_cosine_topk_arrow",
-        "e8_sq_topk", "em1_embedding_covariance", "f13_map_funcs",
-        "fi1_frequent_pairs", "fi2_association_rules", "gn1_revenue_gini",
-        "hh1_supplier_concentration", "hn1_hard_negatives",
-        "iet1_interpurchase_histogram", "ir1_retrieval_report",
-        "ln1_lorenz_deciles", "mm1_media_similarity", "pf1_top_values",
-        "pk2_packing_report", "pr1_pagerank", "qn1_percent_rank",
-        "qsel1_classifier_topfrac", "rfm1_customer_segments",
-        "rrf1_rank_fusion", "t10_gopher_gate", "t12_blocklist_gate",
-        "tc1_table_diff", "tj4_asof_tolerance", "tm1_temperature_mix",
+    displaced_r05 = [
         "tm2_temperature_apply", "tp3_repair_pipeline",
         "tp4_release_pipeline", "tr1_triangles", "u4_llm_annotate",
         "un1_unicode_normalize", "url1_canonical_urls",
         "x1_chi2_keywords", "yoy1_revenue_growth",
     ]
-    assert len(r05) == 48 and r05 == sorted(r05)
-    n_new = len(r12_new)
-    assert names[:n_new] == r12_new
+    r07 = [
+        "a17_trimmed_mean", "a18_hierarchy_share", "a19_group_mode",
+        "at1_last_touch", "bf1_bloom_decontamination",
+        "bfs1_copurchase_hops", "cal1_calendar_dim",
+        "cm1_cms_heavyhitters", "cp1_compaction_plan",
+        "csd1_cluster_size_histogram", "er1_entity_resolution",
+        "fn2_cohort_funnel", "ga1_activity_islands", "h2_time_heatmap",
+        "hl2_exact_rollup", "hw1_holt_forecast", "im1_mode_impute",
+        "ivm1_incremental_rollup", "je1_join_explosion",
+        "ka1_k_anonymity", "kc1_kcore", "knn1_label_transfer",
+        "lp1_label_propagation", "lr1_revenue_trend",
+        "lt1_conversion_latency", "mk1_event_transitions",
+        "nv1_ngram_novelty", "o4_topk_with_ties", "pa1_top_paths",
+        "pj1_prefix_jaccard", "pm1_pmi_collocations",
+        "pn1_pseudonymize", "ps1_supply_relation",
+        "qa1_revenue_momentum", "rc1_order_reconciliation",
+        "rr1_reorder_rate", "sc2_pit_join", "sj1_stream_stream_join",
+        "so1_set_ops", "ss1_repeated_substrings", "ss2_span_repair",
+        "stp1_streaming_ingest", "t11_dup_block_rate",
+        "tp5_decontaminated_release", "tw1_time_weighted_avg",
+        "uq1_user_similarity", "zf1_zipf_slope", "zo1_zorder_key",
+    ]
+    assert len(r07) == 48 and r07 == sorted(r07)
+    n_new = len(r13_new)
+    assert names[:n_new] == r13_new
     assert names[n_new : n_new + 2] == anchors
     fill_n = 50 - n_new - 2
-    assert names[n_new + 2 : 50] == r05[:fill_n]
+    fill = displaced_r05 + r07[: fill_n - len(displaced_r05)]
+    assert names[n_new + 2 : 50] == fill
     first50 = set(names[:50])
     assert not (first50 & KNOWN_ROWS_ONLY), (
         "rows-only entries must never occupy a driver window slot"
@@ -84,8 +93,9 @@ def test_driver_window_holds_round12_rotation():
     # the documented rows-only entries ride directly behind the window,
     # pinned out of any future window by position
     assert set(names[50:60]) == KNOWN_ROWS_ONLY
-    # the displaced r05 tail leads the refill pool (r13's first fill)
-    assert names[60 : 60 + (48 - fill_n)] == r05[fill_n:]
+    # the displaced r07 tail leads the refill pool (r14's first fill)
+    n_disp = len(r07) - (fill_n - len(displaced_r05))
+    assert names[60 : 60 + n_disp] == r07[fill_n - len(displaced_r05):]
 
 
 def test_readme_counts_match_catalog():

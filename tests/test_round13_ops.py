@@ -1,0 +1,302 @@
+"""Round-13 operators: brute-force replays and semantic pins for the
+13-gram decontamination gate, quality-canonical dedup, and the
+Kruskal-Wallis / Matthews / Cochran-Armitage / Ljung-Box / Lin's-CCC
+statistics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- kwh1
+def _kw_brute(groups: dict[str, list[int]]):
+    """Literal Kruskal-Wallis with average ranks and tie correction."""
+    allv = sorted(v for vs in groups.values() for v in vs)
+    n = len(allv)
+    # average rank per value
+    rank = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        rank[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    h = 0.0
+    for vs in groups.values():
+        rg = sum(rank[v] for v in vs)
+        h += rg * rg / len(vs)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    from collections import Counter
+
+    ties = sum(c**3 - c for c in Counter(allv).values())
+    corr = 1 - ties / (n**3 - n)
+    return h, (h / corr if corr else 0.0), ties
+
+
+def test_kruskal_wallis_vs_brute_replay(spark):
+    from etl_oms_spark.operators.classifier import kruskal_wallis_from_hist
+
+    groups = {
+        "a": [1, 2, 2, 5, 7, 7, 7],
+        "b": [2, 3, 3, 8, 9],
+        "c": [1, 1, 4, 6, 6, 10, 11, 12],
+    }
+    rows = [
+        (v, g, sum(1 for x in vs if x == v))
+        for g, vs in groups.items()
+        for v in sorted(set(vs))
+    ]
+    hist = spark.createDataFrame(rows, "sq long, g string, c long")
+    got = kruskal_wallis_from_hist(hist).collect()[0]
+    h, h_tied, ties = _kw_brute(groups)
+    assert got["n"] == 20
+    assert got["n_groups"] == 3
+    assert got["ties_cubed"] == ties
+    assert abs(got["h_q9"] / 1e9 - h) < 2e-8
+    assert abs(got["h_tied_q6"] / 1e6 - h_tied) < 2e-5
+
+
+def test_kruskal_wallis_single_group_is_zero(spark):
+    """One group: every rank belongs to it, H collapses to 0 exactly
+    (up to the 1e-9 staged-floor artifact on each group term)."""
+    from etl_oms_spark.operators.classifier import kruskal_wallis_from_hist
+
+    hist = spark.createDataFrame(
+        [(1, "a", 3), (2, "a", 4), (5, "a", 2)], "sq long, g string, c long"
+    )
+    got = kruskal_wallis_from_hist(hist).collect()[0]
+    assert abs(got["h_q9"]) <= 1
+    assert abs(got["h_tied_q6"]) <= 1
+
+
+# ------------------------------------------------------------- mcc1
+def test_matthews_corr_vs_direct(spark):
+    from etl_oms_spark.operators.classifier import matthews_corr
+
+    # tp=4 fn=2 fp=1 tn=5
+    rows = (
+        [(True, True)] * 4
+        + [(True, False)] * 2
+        + [(False, True)] * 1
+        + [(False, False)] * 5
+    )
+    df = spark.createDataFrame(rows, "t boolean, p boolean")
+    got = matthews_corr(df, "t", "p").collect()[0]
+    assert (got["tp"], got["fn"], got["fp"], got["tn"]) == (4, 2, 1, 5)
+    want = (4 * 5 - 1 * 2) / math.sqrt((4 + 1) * (4 + 2) * (5 + 2) * (5 + 1))
+    assert abs(got["mcc_q6"] / 1e6 - want) < 2e-6
+
+
+def test_matthews_corr_degenerate_margin_pins_zero(spark):
+    from etl_oms_spark.operators.classifier import matthews_corr
+
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (True, True)], "t boolean, p boolean"
+    )
+    got = matthews_corr(df, "t", "p").collect()[0]
+    assert got["mcc_q6"] == 0  # no negative truths: tn+fp margin is 0
+
+
+# ------------------------------------------------------------- ca1
+def test_cochran_armitage_vs_direct(spark):
+    from etl_oms_spark.operators.validate import cochran_armitage
+
+    # dose groups 0/1/2 with rising positive rates
+    data = [(0, 10, 1), (1, 10, 4), (2, 10, 8)]  # (w, n_j, r_j)
+    rows = []
+    for w, nj, rj in data:
+        rows += [(w, 1)] * rj + [(w, 0)] * (nj - rj)
+    df = spark.createDataFrame(rows, "w long, pos long")
+    got = cochran_armitage(df, "w", "pos").collect()[0]
+    n = sum(nj for _, nj, _ in data)
+    r = sum(rj for _, _, rj in data)
+    sw = sum(w * nj for w, nj, _ in data)
+    swr = sum(w * rj for w, _, rj in data)
+    sw2 = sum(w * w * nj for w, nj, _ in data)
+    a = n * swr - r * sw
+    var_prod = r * (n - r) * (n * sw2 - sw * sw)
+    z = a / math.sqrt(var_prod / n)
+    assert got["n"] == n and got["r"] == r and got["n_groups"] == 3
+    assert got["trend_num"] == a
+    assert abs(got["z_q6"] / 1e6 - z) < 2e-6
+    # a genuinely rising trend must be strongly positive
+    assert got["z_q6"] > 2_000_000
+
+
+def test_cochran_armitage_constant_outcome_pins_zero(spark):
+    from etl_oms_spark.operators.validate import cochran_armitage
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 1)], "w long, pos long"
+    )
+    got = cochran_armitage(df, "w", "pos").collect()[0]
+    assert got["z_q6"] == 0  # r = n: variance 0
+
+
+# ------------------------------------------------------------- lb1
+def test_ljung_box_vs_direct(spark):
+    from etl_oms_spark.operators.temporal import ljung_box
+
+    vals = [3, 7, 4, 9, 1, 6, 8, 2, 5, 10, 4, 7, 3, 8]
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t long, rev_k long"
+    )
+    h = 4
+    got = ljung_box(df, max_lag=h).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    den = sum((v - mean) ** 2 for v in vals)
+    q = 0.0
+    for k in range(1, h + 1):
+        rho = (
+            sum((vals[t] - mean) * (vals[t + k] - mean) for t in range(n - k))
+            / den
+        )
+        q += rho * rho / (n - k)
+    q *= n * (n + 2)
+    assert got["n_days"] == n and got["h"] == h
+    assert abs(got["q_lb"] - q) < 1e-4
+
+
+def test_ljung_box_constant_series_is_zero(spark):
+    from etl_oms_spark.operators.temporal import ljung_box
+
+    df = spark.createDataFrame(
+        [(t, 5) for t in range(20)], "t long, rev_k long"
+    )
+    got = ljung_box(df, max_lag=5).collect()[0]
+    assert got["q_sum_q12"] == 0
+    assert got["q_lb"] == 0.0
+
+
+# ------------------------------------------------------------- ccc1
+def test_lins_ccc_identity_and_shift(spark):
+    from etl_oms_spark.operators.classifier import lins_ccc
+
+    xs = [10, 20, 30, 40, 50]
+    same = spark.createDataFrame([(x, x) for x in xs], "x long, y long")
+    assert lins_ccc(same, "x", "y").collect()[0]["ccc_q9"] == 10**9
+
+    shifted = spark.createDataFrame(
+        [(x, x + 15) for x in xs], "x long, y long"
+    )
+    got = lins_ccc(shifted, "x", "y").collect()[0]
+    n = len(xs)
+    mx = sum(xs) / n
+    my = mx + 15
+    sxy = sum((x - mx) * (x + 15 - my) for x in xs) / n
+    sx2 = sum((x - mx) ** 2 for x in xs) / n
+    want = 2 * sxy / (sx2 + sx2 + 15**2)
+    assert abs(got["ccc_q9"] / 1e9 - want) < 2e-9
+    # bias punished: Pearson here is 1.0, CCC strictly below
+    assert got["ccc_q9"] < 10**9
+
+
+def test_lins_ccc_constant_equal_pins_one(spark):
+    from etl_oms_spark.operators.classifier import lins_ccc
+
+    df = spark.createDataFrame([(7, 7), (7, 7)], "x long, y long")
+    assert lins_ccc(df, "x", "y").collect()[0]["ccc_q9"] == 10**9
+
+
+# ------------------------------------------------------------- x13
+def test_ngram_decontaminate_exact_copy_and_partial(spark):
+    """An exact 13+-token copy of a benchmark doc is 100% contaminated;
+    a doc sharing only a prefix has the matching fraction; a disjoint
+    doc does not appear in the report."""
+    from etl_oms_spark.operators.dedup import doc_ngrams, ngram_decontaminate
+
+    bench_text = " ".join(f"w{i}" for i in range(20))  # 8 13-grams
+    half = " ".join(f"w{i}" for i in range(13)) + " zz yy xx"
+    other = " ".join(f"q{i}" for i in range(20))
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, bench_text), (2, half), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(
+            doc_ngrams(train), doc_ngrams(bench)
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["n_grams"] == 8 and got[1]["hit_grams"] == 8
+    assert got[1]["hit_frac_q6"] == 1_000_000 and got[1]["contaminated"]
+    # doc 2 has 16 tokens -> 4 13-grams, exactly one (w0..w12) in bench
+    assert got[2]["n_grams"] == 4 and got[2]["hit_grams"] == 1
+    assert got[2]["hit_frac_q6"] == 250_000 and not got[2]["contaminated"]
+
+
+def test_ngram_decontaminate_short_doc_whole_text_gram(spark):
+    """Docs under 13 tokens fall back to their whole normalized text as
+    the single gram — a verbatim short eval item still matches."""
+    from etl_oms_spark.operators.dedup import doc_ngrams, ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "Short  Eval Item")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [(1, "short eval item"), (2, "different tiny doc")],
+        "doc_id long, text string",
+    )
+    got = ngram_decontaminate(doc_ngrams(train), doc_ngrams(bench)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["doc_id"] == 1 and r["contaminated"]
+
+
+# ------------------------------------------------------------- d14
+def test_quality_canonical_keeps_best_scoring_member(spark):
+    """Within a canonical-fingerprint group the survivor is the max-
+    score member (min id on ties), NOT d1's min id."""
+    from etl_oms_spark.operators.dedup import quality_canonical_dedup
+
+    rows = [
+        (1, "Hello   World", 10),  # same fingerprint, low score
+        (2, "hello world", 90),    # same fingerprint, best score
+        (3, "HELLO WORLD", 90),    # tie on score -> loses to min id 2
+        (4, "unique doc", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    got = {
+        r["doc_id"]: r
+        for r in quality_canonical_dedup(df, F.col("q")).collect()
+    }
+    assert set(got) == {2, 4}
+    assert got[2]["dup_count"] == 3 and got[2]["quality_q6"] == 90
+    assert got[4]["dup_count"] == 1
+
+
+def test_d14_survivors_partition_same_groups_as_d1(spark):
+    """d14 and d1 must agree on the GROUPS (same fingerprint, same
+    dup_count multiset) even when they disagree on the representative."""
+    import __spark_entry__ as entry_mod
+
+    d1 = entry_mod.d1_exact_dedup(spark, SF)
+    d14 = entry_mod.d14_quality_canonical(spark, SF)
+    c1 = sorted(r["dup_count"] for r in d1.collect())
+    c14 = sorted(r["dup_count"] for r in d14.collect())
+    assert c1 == c14
+
+
+# ------------------------------------------------------- pack_shard guard
+def test_pack_sequences_rejects_preexisting_pack_shard(spark):
+    """AUTO_SHARD must refuse to clobber a caller's own pack_shard
+    column (ADVICE r12) — and packing WITHIN it must stay available."""
+    import pytest
+
+    from etl_oms_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10, 0), (2, 10, 1)], "doc_id long, n_tok long, pack_shard int"
+    )
+    with pytest.raises(ValueError, match="pack_shard"):
+        pack_sequences(df, "n_tok", budget=16)
+    # explicit shard_col over the caller's column still works
+    out = pack_sequences(df, "n_tok", budget=16, shard_col="pack_shard")
+    assert out.count() == 2
