@@ -16960,6 +16960,400 @@ FROM m
 """
 
 
+def mcn1_mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between the quality gate (score >= 0.5,
+    mcc1's predictor) and the length gate (n_chars >= 200) on the SAME
+    documents (operators/classifier.mcnemar_test; McNemar 1947) -- do
+    the two curation gates pass different fractions, judged on the
+    discordant docs only? One map-side-combined corpus scan to the
+    paired 2x2; chi2 and the continuity-corrected form are exact
+    remainder-trick rationals of BIGINTs, no doubles anywhere."""
+    from etl_oms_spark.operators.classifier import mcnemar_test
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    return mcnemar_test(
+        d.select(
+            (sq >= 500_000).alias("a"),
+            F.coalesce(F.col("n_chars") >= 200, F.lit(False)).alias("b"),
+        ),
+        "a",
+        "b",
+    )
+
+
+MCN1_SQL = f"""
+WITH p AS (
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) >= 500000 AS a,
+           COALESCE(n_chars >= 200, FALSE) AS b
+    FROM documents
+), c AS (
+    SELECT
+      CAST(COALESCE(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS both,
+      CAST(COALESCE(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS a_only,
+      CAST(COALESCE(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS b_only,
+      CAST(COALESCE(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END), 0)
+           AS HUGEINT) AS neither
+    FROM p
+)
+SELECT CAST(both + a_only + b_only + neither AS BIGINT) AS n,
+       CAST(both AS BIGINT) AS both, CAST(a_only AS BIGINT) AS a_only,
+       CAST(b_only AS BIGINT) AS b_only,
+       CAST(neither AS BIGINT) AS neither,
+       CASE WHEN a_only + b_only = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST((a_only - b_only) * (a_only - b_only) * 1000000
+                      // (a_only + b_only) AS BIGINT)
+       END AS chi2_q6,
+       CASE WHEN a_only + b_only = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(GREATEST(ABS(a_only - b_only) - 1,
+                               CAST(0 AS HUGEINT))
+                      * GREATEST(ABS(a_only - b_only) - 1,
+                                 CAST(0 AS HUGEINT)) * 1000000
+                      // (a_only + b_only) AS BIGINT)
+       END AS chi2_cc_q6
+FROM c
+"""
+
+
+def aov1_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of the quality score across sources (operators/
+    classifier.anova_f; Fisher 1925) -- the parametric companion to
+    kwh1's rank test and eta1's effect size on the SAME
+    categorical-to-numeric framing: do the source means differ beyond
+    within-source variance? One map-side-combined corpus scan to the
+    per-source moment triples; SSB/SSW land as exact staged-q9
+    decimals, F is one double expression on the k-row domain frame.
+    Null-text docs (sq < 0 sentinel) are excluded."""
+    from etl_oms_spark.operators.classifier import anova_f
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    return anova_f(
+        d.select(F.col("source").alias("g"), sq.alias("x")).filter(
+            F.col("x") >= 0
+        ),
+        "g",
+        "x",
+    )
+
+
+AOV1_SQL = f"""
+WITH p AS (
+    SELECT source AS g,
+           COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) AS x
+    FROM documents
+), f AS (SELECT g, CAST(x AS HUGEINT) AS x FROM p WHERE x >= 0),
+per AS (
+    SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng,
+           CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS sg,
+           CAST(COALESCE(SUM(x * x), 0) AS HUGEINT) AS qg
+    FROM f GROUP BY g
+), terms AS (
+    SELECT ng, sg, qg,
+           ((sg * sg) // ng) * 1000000000
+           + (((sg * sg) % ng) * 1000000000) // ng AS sg2q9
+    FROM per
+), agg AS (
+    SELECT CAST(COALESCE(SUM(ng), 0) AS HUGEINT) AS n,
+           CAST(COUNT(*) AS HUGEINT) AS k,
+           CAST(COALESCE(SUM(sg), 0) AS HUGEINT) AS s,
+           CAST(COALESCE(SUM(qg), 0) AS HUGEINT) AS q,
+           CAST(COALESCE(SUM(sg2q9), 0) AS HUGEINT) AS ssum
+    FROM terms
+), ss AS (
+    SELECT n, k,
+           GREATEST(ssum - (((s * s) // n) * 1000000000
+                            + (((s * s) % n) * 1000000000) // n),
+                    CAST(0 AS HUGEINT)) AS ssb,
+           GREATEST(q * 1000000000 - ssum, CAST(0 AS HUGEINT)) AS ssw
+    FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CASE WHEN k < 2 THEN CAST(0 AS BIGINT)
+            ELSE CAST(ssb // ((k - 1) * 1000) AS BIGINT) END AS msb_q6,
+       CASE WHEN n <= k THEN CAST(0 AS BIGINT)
+            ELSE CAST(ssw // ((n - k) * 1000) AS BIGINT) END AS msw_q6,
+       CASE WHEN k < 2 OR n <= k OR ssw = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                CAST(ssb AS DOUBLE) * CAST(n - k AS DOUBLE)
+                / (CAST(ssw AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT)
+       END AS f_q6
+FROM ss
+"""
+
+
+def wt1_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between en and non-en token counts
+    (operators/classifier.welch_t; Welch 1947) -- the parametric
+    companion to mwu1's rank test and cld1's ordinal effect size on
+    the SAME two-group framing, with the Welch-Satterthwaite df. One
+    conditional-aggregation corpus scan to both moment triples; t and
+    df are single double expressions over exact decimals."""
+    from etl_oms_spark.operators.classifier import welch_t
+    from etl_oms_spark.operators.text import whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return welch_t(
+        d.select(
+            F.coalesce(F.col("lang") == "en", F.lit(False)).alias("f"),
+            whitespace_token_count("text").cast("long").alias("x"),
+        ),
+        "f",
+        "x",
+    )
+
+
+WT1_SQL = f"""
+WITH p AS (
+    SELECT COALESCE(lang = 'en', FALSE) AS f,
+           CAST({_WS} AS HUGEINT) AS x
+    FROM documents
+), m AS (
+    SELECT
+      CAST(COALESCE(SUM(CASE WHEN f THEN 1 ELSE 0 END), 0) AS HUGEINT)
+          AS n1,
+      CAST(COALESCE(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END), 0)
+          AS HUGEINT) AS n2,
+      CAST(COALESCE(SUM(CASE WHEN f THEN x END), 0) AS HUGEINT) AS s1,
+      CAST(COALESCE(SUM(CASE WHEN NOT f THEN x END), 0) AS HUGEINT) AS s2,
+      CAST(COALESCE(SUM(CASE WHEN f THEN x * x END), 0) AS HUGEINT) AS q1,
+      CAST(COALESCE(SUM(CASE WHEN NOT f THEN x * x END), 0) AS HUGEINT)
+          AS q2
+    FROM p
+), a AS (
+    SELECT n1, n2, s1, s2,
+           CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+           / CAST(n1 * n1 * (n1 - 1) AS DOUBLE) AS a1,
+           CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+           / CAST(n2 * n2 * (n2 - 1) AS DOUBLE) AS a2,
+           (n1 < 2 OR n2 < 2
+            OR (n1 * q1 - s1 * s1 = 0 AND n2 * q2 - s2 * s2 = 0))
+               AS degen
+    FROM m
+)
+SELECT CAST(n1 AS BIGINT) AS n_true, CAST(n2 AS BIGINT) AS n_false,
+       CAST(s1 AS BIGINT) AS sum_true, CAST(s2 AS BIGINT) AS sum_false,
+       CASE WHEN degen THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                / sqrt(a1 + a2) * 1000000.0 + 0.5) AS BIGINT)
+       END AS t_q6,
+       CASE WHEN degen THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                ((a1 + a2) * (a1 + a2))
+                / (a1 * a1 / CAST(n1 - 1 AS DOUBLE)
+                   + a2 * a2 / CAST(n2 - 1 AS DOUBLE))
+                * 1000.0 + 0.5) AS BIGINT)
+       END AS df_q3
+FROM a
+"""
+
+
+def jt1_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered trend of token count across the
+    fixed-edge quality deciles (operators/validate.
+    jonckheere_terpstra; Jonckheere 1954 / Terpstra 1952) -- the
+    k-group monotone-shift companion to kt1's concordance and ca1's
+    binary-rate trend over the same decile ordering. One
+    map-side-combined corpus rollup to the (decile, token-count)
+    histogram; the doubled pair statistic comes from per-group
+    cumulative counts on the dense value grid -- value-DOMAIN work,
+    never pairs over rows. Null-text docs (sq < 0) are excluded."""
+    from etl_oms_spark.operators.text import (
+        quality_score,
+        whitespace_token_count,
+    )
+    from etl_oms_spark.operators.validate import jonckheere_terpstra
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    hist = (
+        d.select(
+            sq.alias("sq"),
+            whitespace_token_count("text").cast("long").alias("v"),
+        )
+        .filter(F.col("sq") >= 0)
+        .select(
+            F.least(
+                ((F.col("sq") - F.col("sq") % 100000) / 100000).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("g"),
+            "v",
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return jonckheere_terpstra(hist)
+
+
+JT1_SQL = f"""
+WITH p AS (
+    SELECT COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) AS sq,
+           CAST({_WS} AS BIGINT) AS v
+    FROM documents
+), h AS (
+    SELECT LEAST(sq // 100000, 9) AS g, v,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM p WHERE sq >= 0 GROUP BY 1, 2
+), vals AS (SELECT DISTINCT v FROM h),
+grps AS (SELECT DISTINCT g FROM h),
+grid AS (
+    SELECT grps.g, vals.v, COALESCE(h.c, 0) AS c
+    FROM grps CROSS JOIN vals
+    LEFT JOIN h ON h.g = grps.g AND h.v = vals.v
+), cum AS (
+    SELECT g, v, c,
+           COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+    FROM grid
+), pr AS (
+    SELECT CAST(COALESCE(SUM(CAST(hj.c AS HUGEINT)
+               * (2 * CAST(lo.cum AS HUGEINT) + lo.c)), 0) AS HUGEINT)
+               AS u2
+    FROM cum lo JOIN h hj ON lo.v = hj.v AND lo.g < hj.g
+), sizes AS (
+    SELECT g, CAST(SUM(c) AS HUGEINT) AS ng FROM h GROUP BY g
+), mom AS (
+    SELECT CAST(COALESCE(SUM(ng), 0) AS HUGEINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COALESCE(SUM(ng * ng), 0) AS HUGEINT) AS sn2,
+           CAST(COALESCE(SUM(ng * ng * (2 * ng + 3)), 0) AS HUGEINT)
+               AS sn23
+    FROM sizes
+)
+SELECT CAST(n AS BIGINT) AS n, n_groups,
+       CAST(u2 AS BIGINT) AS u2,
+       CAST(n * n - sn2 AS BIGINT) AS mu4,
+       CASE WHEN n * n * (2 * n + 3) - sn23 <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                CAST(2 * u2 - (n * n - sn2) AS DOUBLE)
+                / (4.0 * sqrt(
+                    CAST(n * n * (2 * n + 3) - sn23 AS DOUBLE) / 72.0))
+                * 1000000.0 + 0.5) AS BIGINT)
+       END AS z_q6
+FROM mom CROSS JOIN pr
+"""
+
+
+def dw1_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson lag-1 serial correlation of the daily revenue
+    series (operators/temporal.durbin_watson; Durbin & Watson 1950) --
+    the first-lag companion to lb1's joint whiteness verdict over the
+    SAME exactly-centered day grid. The statistic is a fully exact
+    rational (the mean cancels in the differences; acf1's integer
+    centering handles the denominator), quantized by one
+    remainder-trick division -- no doubles anywhere."""
+    from etl_oms_spark.operators.temporal import durbin_watson
+
+    return durbin_watson(_daily_revk(spark, sf_dir).select("t", "rev_k"))
+
+
+DW1_SQL = f"""
+WITH {_SERIES_SQL},
+tot AS (
+    SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(COALESCE(SUM(rev_k), 0) AS HUGEINT) AS s,
+           CAST(COALESCE(SUM(CAST(rev_k AS HUGEINT) * rev_k), 0)
+                AS HUGEINT) AS q
+    FROM series
+), d2 AS (
+    SELECT CAST(COALESCE(SUM(
+               CAST(b.rev_k - a.rev_k AS HUGEINT)
+               * CAST(b.rev_k - a.rev_k AS HUGEINT)), 0) AS HUGEINT)
+               AS diff2
+    FROM series a JOIN series b ON b.t = a.t + 1
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(diff2 AS BIGINT) AS diff2,
+       CASE WHEN n * q - s * s = 0 OR n < 2 THEN CAST(0 AS BIGINT)
+            ELSE CAST(
+                ((diff2 * n) // (n * q - s * s)) * 1000000000
+                + (((diff2 * n) % (n * q - s * s)) * 1000000000)
+                  // (n * q - s * s) AS BIGINT)
+       END AS dw_q9
+FROM tot CROSS JOIN d2
+"""
+
+
+def rns1_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of the daily revenue series about its
+    nearest-rank median (operators/temporal.runs_test; Wald &
+    Wolfowitz 1940) -- the distribution-free randomness companion to
+    dw1 on the SAME day grid: too few above/below-median runs means
+    persistence, too many means oscillation. Median, sign sequence and
+    the lag window all run on the bounded daily grid; z is one double
+    expression over exact integers."""
+    from etl_oms_spark.operators.temporal import runs_test
+
+    return runs_test(_daily_revk(spark, sf_dir).select("t", "rev_k"))
+
+
+RNS1_SQL = f"""
+WITH {_SERIES_SQL},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM series),
+med AS (
+    SELECT rev_k AS med
+    FROM (SELECT rev_k,
+                 ROW_NUMBER() OVER (ORDER BY rev_k, t) AS r
+          FROM series) CROSS JOIN tot
+    WHERE r = (n_days + 1) // 2
+), sgn AS (
+    SELECT t, CAST(rev_k > med AS INT) AS sgn
+    FROM series CROSS JOIN med
+    WHERE rev_k <> med
+), rn AS (
+    SELECT CAST(COALESCE(SUM(CAST(sgn AS BIGINT)), 0) AS HUGEINT)
+               AS n_above,
+           CAST(COALESCE(SUM(1 - CAST(sgn AS BIGINT)), 0) AS HUGEINT)
+               AS n_below,
+           CAST(COALESCE(SUM(CASE WHEN prev IS NULL OR prev <> sgn
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_runs
+    FROM (SELECT sgn, LAG(sgn) OVER (ORDER BY t) AS prev FROM sgn)
+)
+SELECT n_days,
+       CAST(n_above AS BIGINT) AS n_above,
+       CAST(n_below AS BIGINT) AS n_below,
+       n_runs AS runs,
+       CASE WHEN n_above + n_below < 2
+                 OR 2 * n_above * n_below
+                    * (2 * n_above * n_below - (n_above + n_below)) <= 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                (CAST(n_runs AS DOUBLE)
+                 - (CAST(2 * n_above * n_below AS DOUBLE)
+                    / CAST(n_above + n_below AS DOUBLE) + 1.0))
+                / sqrt(
+                    CAST(2 * n_above * n_below
+                         * (2 * n_above * n_below - (n_above + n_below))
+                         AS DOUBLE)
+                    / CAST((n_above + n_below) * (n_above + n_below)
+                           * (n_above + n_below - 1) AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT)
+       END AS z_q6
+FROM tot CROSS JOIN rn
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -16971,7 +17365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries. Round-13 rotation (VERDICT r12 item 1):
         # staleness control — round-13 additions first (first driver
         # check), then the two continuity anchors, then the 9 r05 rows
-        # displaced at the r12 close, then the 32 alphabetically-first
+        # displaced at the r12 close, then the 26 alphabetically-first
         # of the 48 r07-stale rows.
         # ---- round-13 additions, first driver check ----
         "x13_ngram_decontamination": x13_ngram_decontamination,
@@ -16981,12 +17375,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ca1_cochran_armitage": ca1_cochran_armitage,
         "lb1_ljung_box": lb1_ljung_box,
         "ccc1_lins_concordance": ccc1_lins_concordance,
+        "mcn1_mcnemar_gates": mcn1_mcnemar_gates,
+        "aov1_anova_f": aov1_anova_f,
+        "wt1_welch_t": wt1_welch_t,
+        "jt1_jonckheere": jt1_jonckheere,
+        "dw1_durbin_watson": dw1_durbin_watson,
+        "rns1_runs_test": rns1_runs_test,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- window fill, positions 10-50: the 41 rows = the 9 r05
+        # ---- window fill, positions 16-50: the 35 rows = the 9 r05
         #      rows displaced past the window by the round-12 additions
-        #      (they led the refill pool), then the 32 alphabetically-
+        #      (they led the refill pool), then the 26 alphabetically-
         #      first of the 48 exact-oracle rows last driver-checked in
         #      r07 (6 rounds stale; a17 leads) ----
         "tm2_temperature_apply": tm2_temperature_apply,
@@ -17024,12 +17424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lr1_revenue_trend": lr1_revenue_trend,
         "lt1_conversion_latency": lt1_conversion_latency,
         "mk1_event_transitions": mk1_event_transitions,
-        "nv1_ngram_novelty": nv1_ngram_novelty,
-        "o4_topk_with_ties": o4_topk_with_ties,
-        "pa1_top_paths": pa1_top_paths,
-        "pj1_prefix_jaccard": pj1_prefix_jaccard,
-        "pm1_pmi_collocations": pm1_pmi_collocations,
-        "pn1_pseudonymize": pn1_pseudonymize,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -17044,8 +17438,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
-        # ---- refill-pool head: the 16 r07 rows displaced past 50 by
+        # ---- refill-pool head: the 22 r07 rows displaced past 50 by
         #      the round-13 additions — they lead the r14 window fill ----
+        "nv1_ngram_novelty": nv1_ngram_novelty,
+        "o4_topk_with_ties": o4_topk_with_ties,
+        "pa1_top_paths": pa1_top_paths,
+        "pj1_prefix_jaccard": pj1_prefix_jaccard,
+        "pm1_pmi_collocations": pm1_pmi_collocations,
+        "pn1_pseudonymize": pn1_pseudonymize,
         "ps1_supply_relation": ps1_supply_relation,
         "qa1_revenue_momentum": qa1_revenue_momentum,
         "rc1_order_reconciliation": rc1_order_reconciliation,
@@ -17348,6 +17748,12 @@ def oracle_sql() -> dict[str, str]:
         "ca1_cochran_armitage": CA1_SQL,
         "lb1_ljung_box": LB1_SQL,
         "ccc1_lins_concordance": CCC1_SQL,
+        "mcn1_mcnemar_gates": MCN1_SQL,
+        "aov1_anova_f": AOV1_SQL,
+        "wt1_welch_t": WT1_SQL,
+        "jt1_jonckheere": JT1_SQL,
+        "dw1_durbin_watson": DW1_SQL,
+        "rns1_runs_test": RNS1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

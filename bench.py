@@ -202,6 +202,15 @@ HEADLINE = [
     # lb1: acf1's bounded day-grid shape (class A-fixed after the day
     # rollup)
     "lb1_ljung_box",
+    # round-13 second batch: McNemar / ANOVA / Welch / Jonckheere are
+    # one-scan class-B contingency/moment algebra; dw1/rns1 are day-
+    # domain shapes off the shared daily rollup
+    "mcn1_mcnemar_gates",
+    "aov1_anova_f",
+    "wt1_welch_t",
+    "jt1_jonckheere",
+    "dw1_durbin_watson",
+    "rns1_runs_test",
 ]
 
 

@@ -1149,3 +1149,226 @@ def lins_ccc(
         .otherwise(_floordiv_dec(num * k9, den).cast("long"))
         .alias("ccc_q9"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """McNemar's test for two PAIRED binary gates on the same rows
+    (public: McNemar 1947) — the within-subjects companion to kp1/mcc1:
+    those ask how well two signals agree or correlate; McNemar asks
+    whether gate A passes a DIFFERENT fraction than gate B, judged only
+    on the discordant pairs (rows where exactly one gate fires).
+
+    With the paired 2×2 (both, a_only, b_only, neither):
+
+        χ²   = (b − c)² / (b + c)          b = a_only, c = b_only
+        χ²cc = (|b − c| − 1)² / (b + c)    (Edwards continuity corr.)
+
+    Both statistics are exact rationals of BIGINTs off ONE
+    map-side-combined corpus scan; they are emitted as 1e-6-quantized
+    BIGINTs via the exact remainder-trick division (numerators are
+    ≤ n²·1e6 — decimal(38) headroom to n ≈ 10¹⁵). No discordant pairs
+    (b + c = 0) pins both to 0; |b − c| ≤ 1 pins the corrected form
+    to 0 (the correction clamps at zero, the standard convention).
+    Returns one row: (n, both, a_only, b_only, neither, chi2_q6,
+    chi2_cc_q6).
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    cell = lambda pa, pb: F.coalesce(  # noqa: E731
+        F.sum(
+            F.when((a == F.lit(pa)) & (b == F.lit(pb)), 1).otherwise(0)
+        ),
+        F.lit(0),
+    ).cast("long")
+    conf = df.agg(
+        cell(True, True).alias("both"),
+        cell(True, False).alias("a_only"),
+        cell(False, True).alias("b_only"),
+        cell(False, False).alias("neither"),
+    )
+    d38 = "decimal(38,0)"
+    bo = F.col("a_only").cast(d38)
+    co = F.col("b_only").cast(d38)
+    disc = bo + co
+    k6 = F.lit(1_000_000).cast(d38)
+    dev = bo - co
+    adev = F.abs(dev)
+    adev1 = F.greatest(adev - 1, F.lit(0).cast(d38))
+    return conf.select(
+        (F.col("both") + F.col("a_only") + F.col("b_only") + F.col("neither"))
+        .cast("long")
+        .alias("n"),
+        "both",
+        "a_only",
+        "b_only",
+        "neither",
+        F.when(disc == 0, F.lit(0).cast("long"))
+        .otherwise(_floordiv_dec(dev * dev * k6, disc).cast("long"))
+        .alias("chi2_q6"),
+        F.when(disc == 0, F.lit(0).cast("long"))
+        .otherwise(_floordiv_dec(adev1 * adev1 * k6, disc).cast("long"))
+        .alias("chi2_cc_q6"),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+) -> DataFrame:
+    """One-way ANOVA F over an INTEGER response (public: Fisher 1925)
+    — the parametric companion to kwh1's rank test on the same k-group
+    question: do the group MEANS differ, judged on variance decomposed
+    between vs within groups?
+
+        SSB = Σ_g S_g²/n_g − S²/N      SSW = Q − Σ_g S_g²/n_g
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    One map-side-combined corpus scan to the per-group moment triple
+    (n_g, S_g = Σx, Q_g = Σx²); everything below runs on the k-row
+    domain frame. Each S_g²/n_g term and S²/N are quantized at 1e-9 by
+    the STAGED exact division (q·1e9 + (rem·1e9) trunc-div n — never
+    forming S_g²·1e9, so decimal(38) holds while S_g² < 10³⁸, i.e.
+    x ≤ 1e6-scaled responses to N ≈ 10¹³ rows). SSB can land a few
+    1e-9 below 0 on exactly-equal group means from the floor artifacts
+    — clamped to 0. The EMITTED sums of squares are the MEAN squares
+    msb_q6 = ⌊SSB·1e9/((k−1)·1e3)⌋ and msw_q6 = ⌊SSW·1e9/((N−k)·1e3)⌋:
+    mean squares are variance-scaled, so the q6 BIGINTs are
+    N-INDEPENDENT (raw SS·1e9 overflows int64 on any real corpus —
+    caught at sf0.01). F is ONE double expression from the exact q9
+    sums; degenerate designs (k < 2, N ≤ k, or SSW = 0) pin the
+    affected outputs to 0. Returns one row:
+    (n, k, msb_q6, msw_q6, f_q6).
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast(d38)
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast(d38).alias("ng"),
+        F.coalesce(F.sum(x), F.lit(0).cast(d38)).alias("sg"),
+        F.coalesce(F.sum(x * x), F.lit(0).cast(d38)).alias("qg"),
+    )
+    k9 = F.lit(1_000_000_000).cast(d38)
+
+    def staged_q9(num2: Column, den: Column) -> Column:
+        # floor(num2·1e9/den) without forming num2·1e9: exact while
+        # num2 itself fits decimal(38)
+        q = _floordiv_dec(num2, den)
+        return q * k9 + _floordiv_dec((num2 % den) * k9, den)
+
+    agg = per.agg(
+        F.coalesce(F.sum("ng"), F.lit(0).cast(d38)).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum("sg"), F.lit(0).cast(d38)).alias("s"),
+        F.coalesce(F.sum("qg"), F.lit(0).cast(d38)).alias("q"),
+        F.coalesce(
+            F.sum(staged_q9(F.col("sg") * F.col("sg"), F.col("ng"))),
+            F.lit(0).cast(d38),
+        ).alias("sum_sg2_q9"),
+    )
+    n, k = F.col("n"), F.col("k").cast(d38)
+    ssb = F.greatest(
+        F.col("sum_sg2_q9") - staged_q9(F.col("s") * F.col("s"), n),
+        F.lit(0).cast(d38),
+    )
+    ssw = F.greatest(
+        F.col("q") * k9 - F.col("sum_sg2_q9"), F.lit(0).cast(d38)
+    )
+    f_expr = (
+        ssb.cast("double")
+        * (n - k).cast("double")
+        / (ssw.cast("double") * (k - 1).cast("double"))
+    )
+    k3 = F.lit(1_000).cast(d38)
+    return agg.select(
+        n.cast("long").alias("n"),
+        "k",
+        F.when(F.col("k") < 2, F.lit(0).cast("long"))
+        .otherwise(_floordiv_dec(ssb, (k - 1) * k3).cast("long"))
+        .alias("msb_q6"),
+        F.when(n <= k, F.lit(0).cast("long"))
+        .otherwise(_floordiv_dec(ssw, (n - k) * k3).cast("long"))
+        .alias("msw_q6"),
+        F.when(
+            (F.col("k") < 2) | (n <= k) | (ssw == 0), F.lit(0).cast("long")
+        )
+        .otherwise(
+            F.floor(f_expr * F.lit(1e6) + F.lit(0.5)).cast("long")
+        )
+        .alias("f_q6"),
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    flag_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t (public: Welch 1947) with
+    the Welch–Satterthwaite degrees of freedom — the parametric
+    companion to mwu1's rank test and cld1's ordinal effect size on the
+    same two-group framing, robust to the variance imbalance a
+    pooled-variance t assumes away.
+
+    One map-side-combined corpus scan to both groups' exact moment
+    triples (n_i, S_i, Q_i) via conditional aggregation. With the exact
+    decimal variance numerator v_i = n_i·Q_i − S_i², the per-group
+    squared standard error is the ONE double expression
+    a_i = v_i / (n_i²·(n_i−1)), and
+
+        t  = (S₁/n₁ − S₂/n₂) / √(a₁ + a₂)
+        df = (a₁ + a₂)² / (a₁²/(n₁−1) + a₂²/(n₂−1))
+
+    — both single double expressions over exact integers, identical on
+    both engines. Degenerate framings (either n_i < 2, or a₁ + a₂ = 0)
+    pin t_q6 = 0 and df_q3 = 0. Returns one row:
+    (n_true, n_false, sum_true, sum_false, t_q6, df_q3).
+    """
+    d38 = "decimal(38,0)"
+    flag = F.col(flag_col).cast("boolean")
+    x = F.col(x_col).cast(d38)
+    side = lambda pf, e: F.coalesce(  # noqa: E731
+        F.sum(F.when(flag == F.lit(pf), e)), F.lit(0).cast(d38)
+    )
+    mom = df.agg(
+        side(True, F.lit(1).cast(d38)).alias("n1"),
+        side(False, F.lit(1).cast(d38)).alias("n2"),
+        side(True, x).alias("s1"),
+        side(False, x).alias("s2"),
+        side(True, x * x).alias("q1"),
+        side(False, x * x).alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    a1 = (n1 * F.col("q1") - F.col("s1") * F.col("s1")).cast("double") / (
+        n1 * n1 * (n1 - 1)
+    ).cast("double")
+    a2 = (n2 * F.col("q2") - F.col("s2") * F.col("s2")).cast("double") / (
+        n2 * n2 * (n2 - 1)
+    ).cast("double")
+    t_expr = (
+        F.col("s1").cast("double") / n1.cast("double")
+        - F.col("s2").cast("double") / n2.cast("double")
+    ) / F.sqrt(a1 + a2)
+    df_expr = ((a1 + a2) * (a1 + a2)) / (
+        a1 * a1 / (n1 - 1).cast("double") + a2 * a2 / (n2 - 1).cast("double")
+    )
+    # the zero-variance pin must be part of the CASE: with a1+a2 = 0 the
+    # t expression is ±Inf/NaN and an ANSI-mode cast to long would throw
+    v1 = n1 * F.col("q1") - F.col("s1") * F.col("s1")
+    v2 = n2 * F.col("q2") - F.col("s2") * F.col("s2")
+    degenerate = (n1 < 2) | (n2 < 2) | ((v1 == 0) & (v2 == 0))
+    return mom.select(
+        n1.cast("long").alias("n_true"),
+        n2.cast("long").alias("n_false"),
+        F.col("s1").cast("long").alias("sum_true"),
+        F.col("s2").cast("long").alias("sum_false"),
+        F.when(degenerate, F.lit(0).cast("long"))
+        .otherwise(F.floor(t_expr * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        .alias("t_q6"),
+        F.when(degenerate, F.lit(0).cast("long"))
+        .otherwise(F.floor(df_expr * F.lit(1e3) + F.lit(0.5)).cast("long"))
+        .alias("df_q3"),
+    )

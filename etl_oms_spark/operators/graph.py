@@ -31,8 +31,8 @@ def connected_components(
     ``edges`` is an undirected pair list; returns (id, component) with
     component = the minimum node id in each component.
 
-    **Eager at construction**: this function runs the label-propagation
-    loop (and therefore EXECUTES the caller's full upstream edge plan via
+    **Eager at construction**: this function runs the contraction loop
+    (and therefore EXECUTES the caller's full upstream edge plan via
     an eager ``localCheckpoint``) as soon as it is called — the returned
     DataFrame is the already-converged label table, not a lazy plan.
     Callers building plans speculatively (e.g. for ``explain()`` only)
@@ -41,98 +41,154 @@ def connected_components(
     iteration 0 and the first convergence check (measured 43 s → 17 s
     warm on pj1 at sf0.1 from checkpointing first).
 
-    Each round is (a) one neighbor-min propagation (join labels across
-    edges + min per node) and (b) one pointer-jumping step (adopt the
-    label OF my label — the path-doubling contraction that large-star /
-    small-star CC [Kiveris et al., "Connected Components in MapReduce and
-    Beyond"] performs on the edge list, applied here to the label forest).
-    Propagation alone needs O(diameter) rounds; with doubling the
-    unresolved chain length halves per round, so convergence is
-    O(log diameter) — a 200-hop duplicate chain closes in ~8 rounds
-    (test_graph_directory covers depth ≫ max_iterations). Every frame is
-    localCheckpoint-ed per round: lineage stays flat, and the per-round
-    cost is one edges-sized join + two labels-sized joins.
+    Algorithm: alternating large-star / small-star edge contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    2014 — adopted round 13 over the previous min-label+pointer-jumping
+    loop on measured evidence, SCALING.md round-13 CC section):
+
+    - large-star(u): with m = min(N(u) ∪ {u}), re-hang every STRICTLY
+      LARGER neighbor on m — emit (v, m) for v ∈ N(u), v > u.
+    - small-star(u): orient edges (hi, lo); with m = min of u's smaller
+      neighbors, emit (lo, m) for each smaller neighbor plus (u, m).
+      Each small-star round then adds pointer-jump SHORTCUT edges
+      (u, p(v)) for every surviving edge (u, v) whose root v is itself
+      a child — the path-doubling device that keeps deep chains
+      O(log diameter) in practice (see the inline measurement).
+
+    Each round is one node-keyed min aggregate plus one edges⋈mins
+    join on the CURRENT edge set — and the edge set CONTRACTS
+    geometrically (measured on pj1's 10.5M-pair dup graph at the 10×
+    decade: 10.5M → 260k → 37k → 32k fixpoint), so rounds after the
+    first cost domain-sized work. The previous label-propagation loop
+    re-joined the FULL edge list every round (O(rounds·|E|) shuffle);
+    this one moves O(|E|) in round 0 and the contracted remainder
+    afterwards — the property that matters at 100 TB. Convergence
+    (Kiveris Thm. 1/2): the alternation reaches the star fixpoint —
+    every edge (node, component-min) — in O(log² n) rounds; real dup
+    graphs (near-cliques + short chains) take 2-4 alternation cycles.
+    The loop stops when the edge-set signature (count + hash sum) is
+    unchanged through a full large+small cycle, checked only after
+    small-star rounds so the surviving orientation is always
+    (child, root). Every frame is localCheckpoint-ed per round:
+    lineage stays flat (the classic iterative-Spark trap is plan
+    growth, not data).
+
+    ``max_iterations`` bounds ALTERNATION ROUNDS (one star operation
+    each); the default 20 covers ten full cycles — far beyond any
+    measured dup graph.
     """
     import warnings
 
-    # Materialize the DIRECTED edge list once, then derive everything
-    # (undirected view, nodes, initial labels) from the checkpointed
-    # blocks. Order matters: deriving nodes/labels from the
+    # Materialize the edge list once: deriving iteration state from the
     # pre-checkpoint plan captures the caller's — possibly expensive —
-    # pair-join lineage, and iteration 0 plus the first changed-count
-    # would re-evaluate it (measured 43s → 17s warm on pj1's PPJoin
-    # pairs at sf0.1 from this reorder alone).
-    directed = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
-    # the undirected view is a narrow union over the checkpointed blocks
-    # — a second checkpoint would just rewrite 2× the rows for nothing
-    both = directed.union(
-        directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # pair-join lineage, and round 0 plus the node-set derivation would
+    # re-evaluate it (measured 43s → 17s warm on pj1's PPJoin pairs at
+    # sf0.1 from checkpointing first).
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    nodes = both.select(F.col("u").alias("id")).distinct()
-    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(
-        eager=True
+    # the original node set: nodes can leave the ACTIVE edge set when
+    # their whole component contracts away (and self-loop-only inputs
+    # lose their edges to the filter above) — they are re-attached as
+    # their own component at the end
+    all_nodes = (
+        e0.select(F.col("u").alias("id"))
+        .union(edges.select(F.col(src).alias("id")))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
 
-    changed = 1
-    for _ in range(max_iterations):
-        neighbor_min = (
-            both.join(labels, both["v"] == labels["id"])
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+    e = e0
+    prev_sig: tuple | None = None
+    converged = False
+    it = 0
+    for it in range(max_iterations):
+        if it % 2 == 0:  # large-star
+            sym = e.union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-        )
-        # pointer jumping: also adopt the label OF my current label
-        # (component ids are node ids, so self-join labels on component →
-        # id). Halves the remaining chain length each round — convergence
-        # in O(log diameter) rounds instead of O(diameter), so a duplicate
-        # chain longer than max_iterations hops cannot silently split.
-        jump = updated.select(
-            F.col("id").alias("__jid"), F.col("component").alias("__jcomp")
-        )
-        updated = (
-            updated.join(jump, updated["component"] == jump["__jid"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("__jcomp"), F.col("component")),
-                ).alias("component"),
+            mins = sym.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
             )
+            out = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+        else:  # small-star + pointer-jump shortcut
+            hi_lo = e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            mins = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                hi_lo.join(mins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mins.select(F.col("u"), F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                # lazy inner checkpoint: both jump branches below share
+                # the ONE materialization (same RDD), so small-star work
+                # is not re-evaluated per branch
+                .localCheckpoint(eager=False)
+            )
+            # pointer jump: for each edge (u, v) with v itself a child
+            # (p = v's min root), ADD the shortcut (u, p). Connectivity
+            # is preserved (shortcuts only), the star fixpoint is
+            # untouched (roots have no parent row), and deep chains
+            # contract in ~2/3 the rounds (measured: a 200/1000/5000-hop
+            # path converges in 12/14/16 rounds vs 18/22/28 plain) at
+            # the cost of one min-agg + one join on the CONTRACTED set.
+            parent = small.groupBy("u").agg(F.min("v").alias("p"))
+            out = small.union(
+                small.join(
+                    parent.select(F.col("u").alias("v"), "p"), "v"
+                ).select(F.col("u"), F.col("p").alias("v"))
+            )
+        # lazy checkpoint: the signature aggregate right below is the
+        # materializer, so each round costs ONE job; lineage is cut
+        e = (
+            out.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        # lazy checkpoint: the changed-count action right below is the
-        # materializer, so each iteration costs ONE job instead of two
-        # (eager ckpt + count); lineage is still cut per round
-        updated = updated.localCheckpoint(eager=False)
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
-    if changed != 0:
+        # xxhash64 cast to decimal before the sum: summed raw BIGINTs
+        # overflow int64 on a few million edges, an error under the
+        # driver session's ANSI mode
+        sig_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        # fixpoint test only after a small-star round: the alternation
+        # is the unit, and the star edges are (child, root) there
+        if it % 2 == 1:
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+    if not converged and it >= max_iterations - 1:
         warnings.warn(
             f"connected_components did not reach a fixed point in "
-            f"{max_iterations} iterations — component labels may be split; "
+            f"{max_iterations} rounds — component labels may be split; "
             f"raise max_iterations",
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels
+    # star edges are (child, root); roots label themselves, and nodes
+    # whose component contracted out of the active set are singletons
+    # of their own minimum — exactly the (id, component) contract
+    star = e.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    ).union(
+        e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    ).groupBy("id").agg(F.min("component").alias("component"))
+    return all_nodes.join(star, "id", "left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
+    )
 
 
 def dedup_clusters(

@@ -365,3 +365,121 @@ def cochran_armitage(
         )
         .alias("z_q6"),
     )
+
+
+def jonckheere_terpstra(
+    hist: DataFrame,
+    group_col: str = "g",
+    value_col: str = "v",
+    count_col: str = "c",
+) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative test over a per-group
+    value HISTOGRAM (public: Jonckheere 1954, Terpstra 1952) — the
+    k-group trend companion to mwu1 (two groups) and ca1 (binary
+    outcome): does a NUMERIC response shift monotonically across
+    ordered groups, judged on all between-group pairs?
+
+        U = Σ_{i<j} [ #{x∈gᵢ, y∈gⱼ : x<y} + ½·#{x=y} ]
+
+    emitted doubled (u2 = 2U) so ties stay exact integers — mwu1's
+    doubled-rank device. Off the (g, v, c) histogram the pair counts
+    come from per-group cumulative counts on the DENSE value grid
+    (distinct values × groups, zero-filled): for each value v present
+    in group j, the pairs against group i < j are c_j(v)·(2·cum_i(v) +
+    c_i(v)) with cum_i(v) = #{x∈gᵢ : x<v}. The grid explode and the
+    cumulative window are (|V|·k)-sized — value-DOMAIN work, never
+    corpus work; the corpus contact is whatever one rollup built the
+    histogram upstream.
+
+    The normal approximation uses the UNTIED null moments (Lehmann
+    1975): with N = Σn_g,
+
+        μ  = (N² − Σn_g²)/4                (emitted ×4, exact)
+        σ² = (N²(2N+3) − Σn_g²(2n_g+3))/72
+        z  = (U − μ)/σ = (2·u2 − mu4) / (4·√σ²)
+
+    z_q6 is ONE double expression from exact decimal(38) integers,
+    pinned 0 for degenerate designs (σ² = 0, i.e. a single group; the
+    all-ties case zeroes the NUMERATOR exactly since then u2 = mu4/2).
+    Heavy ties make the untied σ² conservative — the
+    documented approximation, matching the classic tables. Returns one
+    row: (n, n_groups, u2, mu4, z_q6).
+    """
+    d38 = "decimal(38,0)"
+    from pyspark.sql import Window
+
+    h = hist.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.col(count_col).cast("long").alias("c"),
+    ).localCheckpoint(eager=False)
+    values = h.select("v").distinct()
+    groups = h.select("g").distinct()
+    # dense (group × value) grid so cum_i(v) exists for every value in
+    # the JOINT domain, zero-filled where group i never saw v
+    grid = (
+        groups.crossJoin(values)
+        .join(h, ["g", "v"], "left")
+        .select("g", "v", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum"),
+    )
+    lo = cum.select(
+        F.col("g").alias("gi"),
+        F.col("v"),
+        F.col("c").cast(d38).alias("ci"),
+        F.col("cum").cast(d38).alias("cumi"),
+    )
+    hi = h.select(
+        F.col("g").alias("gj"), F.col("v"), F.col("c").cast(d38).alias("cj")
+    )
+    pairs = lo.join(hi, "v").filter(F.col("gi") < F.col("gj"))
+    u2 = pairs.agg(
+        F.coalesce(
+            F.sum(F.col("cj") * (2 * F.col("cumi") + F.col("ci"))),
+            F.lit(0).cast(d38),
+        ).alias("u2")
+    )
+    sizes = h.groupBy("g").agg(F.sum("c").cast(d38).alias("ng"))
+    mom = sizes.agg(
+        F.coalesce(F.sum("ng"), F.lit(0).cast(d38)).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(F.sum(F.col("ng") * F.col("ng")), F.lit(0).cast(d38)).alias(
+            "sn2"
+        ),
+        F.coalesce(
+            F.sum(F.col("ng") * F.col("ng") * (2 * F.col("ng") + 3)),
+            F.lit(0).cast(d38),
+        ).alias("sn23"),
+    )
+    n = F.col("n")
+    mu4 = n * n - F.col("sn2")
+    var72 = n * n * (2 * n + 3) - F.col("sn23")
+    return mom.crossJoin(F.broadcast(u2)).select(
+        n.cast("long").alias("n"),
+        "n_groups",
+        F.col("u2").cast("long").alias("u2"),
+        mu4.cast("long").alias("mu4"),
+        F.when(var72 <= 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (2 * F.col("u2") - mu4).cast("double")
+                / (
+                    F.lit(4.0)
+                    * F.sqrt(var72.cast("double") / F.lit(72.0))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("z_q6"),
+    )

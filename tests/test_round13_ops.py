@@ -300,3 +300,307 @@ def test_pack_sequences_rejects_preexisting_pack_shard(spark):
     # explicit shard_col over the caller's column still works
     out = pack_sequences(df, "n_tok", budget=16, shard_col="pack_shard")
     assert out.count() == 2
+
+
+# ------------------------------------------------------------- mcn1
+def test_mcnemar_vs_direct(spark):
+    from etl_oms_spark.operators.classifier import mcnemar_test
+
+    # both=5, a_only=7, b_only=2, neither=6
+    rows = (
+        [(True, True)] * 5
+        + [(True, False)] * 7
+        + [(False, True)] * 2
+        + [(False, False)] * 6
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    got = mcnemar_test(df, "a", "b").collect()[0]
+    assert (got["both"], got["a_only"], got["b_only"], got["neither"]) == (
+        5, 7, 2, 6,
+    )
+    assert got["n"] == 20
+    # chi2 = (7-2)^2/9 = 25/9; cc = (|5|-1)^2/9 = 16/9 — exact floors
+    assert got["chi2_q6"] == 25 * 1_000_000 // 9
+    assert got["chi2_cc_q6"] == 16 * 1_000_000 // 9
+
+
+def test_mcnemar_no_discordant_pins_zero(spark):
+    from etl_oms_spark.operators.classifier import mcnemar_test
+
+    df = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    got = mcnemar_test(df, "a", "b").collect()[0]
+    assert got["chi2_q6"] == 0 and got["chi2_cc_q6"] == 0
+
+
+def test_mcnemar_cc_clamps_at_single_discordant(spark):
+    from etl_oms_spark.operators.classifier import mcnemar_test
+
+    df = spark.createDataFrame([(True, False)], "a boolean, b boolean")
+    got = mcnemar_test(df, "a", "b").collect()[0]
+    assert got["chi2_q6"] == 1_000_000  # 1/1
+    assert got["chi2_cc_q6"] == 0  # (|1|-1)^2 clamped
+
+
+# ------------------------------------------------------------- aov1
+def test_anova_f_vs_direct(spark):
+    from etl_oms_spark.operators.classifier import anova_f
+
+    groups = {"a": [10, 12, 14], "b": [20, 22, 24, 26], "c": [15, 15]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = anova_f(df, "g", "x").collect()[0]
+    allv = [v for vs in groups.values() for v in vs]
+    n, k = len(allv), len(groups)
+    gm = sum(allv) / n
+    ssb = sum(
+        len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values()
+    )
+    ssw = sum(
+        (v - sum(vs) / len(vs)) ** 2
+        for vs in groups.values()
+        for v in vs
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["n"] == n and got["k"] == k
+    assert abs(got["msb_q6"] / 1e6 - ssb / (k - 1)) < 2e-5
+    assert abs(got["msw_q6"] / 1e6 - ssw / (n - k)) < 2e-5
+    assert abs(got["f_q6"] / 1e6 - f) < 2e-5
+
+
+def test_anova_f_equal_means_pins_near_zero(spark):
+    from etl_oms_spark.operators.classifier import anova_f
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 5), ("b", 7)], "g string, x long"
+    )
+    got = anova_f(df, "g", "x").collect()[0]
+    assert got["msb_q6"] == 0  # floor artifacts clamped then truncated
+    assert got["f_q6"] == 0
+
+
+def test_anova_f_single_group_pins_zero(spark):
+    from etl_oms_spark.operators.classifier import anova_f
+
+    df = spark.createDataFrame([("a", 1), ("a", 9)], "g string, x long")
+    assert anova_f(df, "g", "x").collect()[0]["f_q6"] == 0
+
+
+# ------------------------------------------------------------- wt1
+def test_welch_t_vs_direct(spark):
+    import math
+
+    from etl_oms_spark.operators.classifier import welch_t
+
+    g1, g2 = [12, 15, 19, 24, 30], [8, 9, 11, 12]
+    rows = [(True, v) for v in g1] + [(False, v) for v in g2]
+    df = spark.createDataFrame(rows, "f boolean, x long")
+    got = welch_t(df, "f", "x").collect()[0]
+    n1, n2 = len(g1), len(g2)
+    m1, m2 = sum(g1) / n1, sum(g2) / n2
+    v1 = sum((v - m1) ** 2 for v in g1) / (n1 - 1)
+    v2 = sum((v - m2) ** 2 for v in g2) / (n2 - 1)
+    a1, a2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / math.sqrt(a1 + a2)
+    dfree = (a1 + a2) ** 2 / (a1**2 / (n1 - 1) + a2**2 / (n2 - 1))
+    assert (got["n_true"], got["n_false"]) == (n1, n2)
+    assert abs(got["t_q6"] / 1e6 - t) < 2e-6
+    assert abs(got["df_q3"] / 1e3 - dfree) < 2e-3
+
+
+def test_welch_t_zero_variance_pins_zero(spark):
+    from etl_oms_spark.operators.classifier import welch_t
+
+    df = spark.createDataFrame(
+        [(True, 5), (True, 5), (False, 9), (False, 9)], "f boolean, x long"
+    )
+    got = welch_t(df, "f", "x").collect()[0]
+    assert got["t_q6"] == 0 and got["df_q3"] == 0
+
+
+def test_welch_t_tiny_group_pins_zero(spark):
+    from etl_oms_spark.operators.classifier import welch_t
+
+    df = spark.createDataFrame(
+        [(True, 5), (False, 1), (False, 9)], "f boolean, x long"
+    )
+    got = welch_t(df, "f", "x").collect()[0]
+    assert got["t_q6"] == 0 and got["df_q3"] == 0
+
+
+# ------------------------------------------------------------- jt1
+def test_jonckheere_vs_brute(spark):
+    import math
+
+    from etl_oms_spark.operators.validate import jonckheere_terpstra
+
+    groups = {0: [1, 3, 3, 5], 1: [2, 4, 6, 6], 2: [5, 7, 8]}
+    rows = [
+        (g, v, sum(1 for x in vs if x == v))
+        for g, vs in groups.items()
+        for v in sorted(set(vs))
+    ]
+    hist = spark.createDataFrame(rows, "g long, v long, c long")
+    got = jonckheere_terpstra(hist).collect()[0]
+    u2 = 0
+    keys = sorted(groups)
+    for i_pos, gi in enumerate(keys):
+        for gj in keys[i_pos + 1 :]:
+            for x in groups[gi]:
+                for y in groups[gj]:
+                    u2 += 2 if x < y else (1 if x == y else 0)
+    ns = [len(groups[g]) for g in keys]
+    n = sum(ns)
+    mu4 = n * n - sum(m * m for m in ns)
+    var = (
+        n * n * (2 * n + 3) - sum(m * m * (2 * m + 3) for m in ns)
+    ) / 72.0
+    z = (2 * u2 - mu4) / (4.0 * math.sqrt(var))
+    assert got["n"] == n and got["n_groups"] == 3
+    assert got["u2"] == u2 and got["mu4"] == mu4
+    assert abs(got["z_q6"] / 1e6 - z) < 2e-6
+    # rising groups: strongly positive
+    assert got["z_q6"] > 1_000_000
+
+
+def test_jonckheere_single_group_pins_zero(spark):
+    from etl_oms_spark.operators.validate import jonckheere_terpstra
+
+    hist = spark.createDataFrame(
+        [(0, 1, 3), (0, 5, 2)], "g long, v long, c long"
+    )
+    got = jonckheere_terpstra(hist).collect()[0]
+    assert got["u2"] == 0 and got["z_q6"] == 0
+
+
+def test_jonckheere_all_ties_zero_numerator(spark):
+    """All mass on one value: u2 = mu4/2 exactly, so z = 0 through the
+    numerator (the untied variance is positive)."""
+    from etl_oms_spark.operators.validate import jonckheere_terpstra
+
+    hist = spark.createDataFrame(
+        [(0, 7, 4), (1, 7, 5), (2, 7, 2)], "g long, v long, c long"
+    )
+    got = jonckheere_terpstra(hist).collect()[0]
+    assert 2 * got["u2"] == got["mu4"]
+    assert got["z_q6"] == 0
+
+
+# ------------------------------------------------------------- dw1
+def test_durbin_watson_vs_direct(spark):
+    from etl_oms_spark.operators.temporal import durbin_watson
+
+    vals = [3, 7, 4, 9, 1, 6, 8, 2, 5, 10]
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t long, rev_k long"
+    )
+    got = durbin_watson(df).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    num = sum(
+        (vals[t] - vals[t - 1]) ** 2 for t in range(1, n)
+    )
+    den = sum((v - mean) ** 2 for v in vals)
+    assert got["n_days"] == n and got["diff2"] == num
+    assert abs(got["dw_q9"] / 1e9 - num / den) < 2e-9
+
+
+def test_durbin_watson_constant_series_pins_zero(spark):
+    from etl_oms_spark.operators.temporal import durbin_watson
+
+    df = spark.createDataFrame(
+        [(t, 4) for t in range(12)], "t long, rev_k long"
+    )
+    got = durbin_watson(df).collect()[0]
+    assert got["diff2"] == 0 and got["dw_q9"] == 0
+
+
+def test_durbin_watson_alternating_series_hits_four(spark):
+    """A perfectly alternating series is the DW = 4 extreme (strong
+    negative lag-1 correlation) up to the 1/n end effect."""
+    from etl_oms_spark.operators.temporal import durbin_watson
+
+    vals = [0, 10] * 10
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t long, rev_k long"
+    )
+    got = durbin_watson(df).collect()[0]
+    assert got["dw_q9"] > 3_500_000_000
+
+
+# ------------------------------------------------------------- rns1
+def test_runs_test_vs_direct(spark):
+    import math
+
+    from etl_oms_spark.operators.temporal import runs_test
+
+    vals = [3, 8, 9, 2, 7, 1, 1, 9, 4, 6, 2, 8]
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t long, rev_k long"
+    )
+    got = runs_test(df).collect()[0]
+    med = sorted(vals)[(len(vals) + 1) // 2 - 1]
+    signs = [1 if v > med else 0 for v in vals if v != med]
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    runs = 1 + sum(
+        1 for i in range(1, len(signs)) if signs[i] != signs[i - 1]
+    )
+    m = n1 + n2
+    mu = 2 * n1 * n2 / m + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - m) / (m * m * (m - 1))
+    z = (runs - mu) / math.sqrt(var)
+    assert got["n_days"] == len(vals)
+    assert (got["n_above"], got["n_below"], got["runs"]) == (n1, n2, runs)
+    assert abs(got["z_q6"] / 1e6 - z) < 2e-6
+
+
+def test_runs_test_one_sided_pins_zero(spark):
+    """Median excludes all equal days; with every survivor on one side
+    the variance is 0 and z pins 0."""
+    from etl_oms_spark.operators.temporal import runs_test
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 5), (3, 9)], "t long, rev_k long"
+    )
+    got = runs_test(df).collect()[0]
+    assert got["n_below"] == 0 and got["z_q6"] == 0
+
+
+def test_runs_test_alternating_maximal_runs(spark):
+    from etl_oms_spark.operators.temporal import runs_test
+
+    vals = [1, 9] * 8
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t long, rev_k long"
+    )
+    got = runs_test(df).collect()[0]
+    # median = 1 (lower nearest-rank), so the 1-days are excluded and
+    # only the 9-days survive: one side only -> pinned 0
+    assert got["n_below"] == 0 and got["z_q6"] == 0
+
+
+# -------------------------------------------------- fused monitors
+def test_fused_monitors_equal_standalone_queries(spark):
+    """The adopted shared-harness streaming path (streaming/monitors.
+    fused_value_histogram_monitors — ONE (day, value)-histogram stream
+    feeding both rollups) must return bit-identical results to the
+    UNCHANGED standalone sps1/scs1 contract queries."""
+    import __spark_entry__ as entry_mod
+    from etl_oms_spark.streaming.monitors import (
+        fused_value_histogram_monitors,
+    )
+    from pyspark.sql import functions as F
+
+    ev = entry_mod._events(spark, SF).select(
+        "ts", entry_mod._cents(F.col("value")).alias("cents")
+    )
+    psi, cusum = fused_value_histogram_monitors(spark, ev)
+    ref_psi = entry_mod.sps1_streaming_psi(spark, SF)
+    ref_cusum = entry_mod.scs1_streaming_cusum(spark, SF)
+    assert [r.asDict() for r in psi.collect()] == [
+        r.asDict() for r in ref_psi.collect()
+    ]
+    assert [r.asDict() for r in cusum.collect()] == [
+        r.asDict() for r in ref_cusum.collect()
+    ]

@@ -86,3 +86,71 @@ def test_d14_single_fingerprint_shuffle(spark):
     plan = _plan(entry_mod.d14_quality_canonical(spark, SF_DIR))
     assert plan.count("scan parquet") == 1
     assert "join" not in plan
+
+
+def test_mcn1_single_scan_no_join(spark):
+    """mcn1 is ONE conditional-aggregate pass to the paired 2x2
+    (mcc1's shape): no join, no window."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.mcn1_mcnemar_gates(spark, SF_DIR))
+    assert plan.count("scan parquet") == 1
+    assert "join" not in plan
+    assert "window" not in plan
+
+
+def test_aov1_single_scan_no_window(spark):
+    """aov1: one corpus rollup to the per-source moment triples; the
+    SSB/SSW algebra is a k-row second aggregate — no join, no window,
+    one scan."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.aov1_anova_f(spark, SF_DIR))
+    assert plan.count("scan parquet") == 1
+    assert "join" not in plan
+    assert "window" not in plan
+
+
+def test_wt1_single_scan_no_join(spark):
+    """wt1 is ONE conditional-aggregate pass to both groups' moment
+    triples: no join, no window."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.wt1_welch_t(spark, SF_DIR))
+    assert plan.count("scan parquet") == 1
+    assert "join" not in plan
+    assert "window" not in plan
+
+
+def test_jt1_domain_joins_only(spark):
+    """jt1: one corpus rollup to the (decile, token-count) histogram;
+    the dense grid, cumulative window and pair join all run on the
+    checkpointed domain frame — one scan, no SortMergeJoin."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.jt1_jonckheere(spark, SF_DIR))
+    assert plan.count("scan parquet") <= 1
+    assert "existingrdd" in plan or plan.count("scan parquet") == 1
+    assert "sortmergejoin" not in plan
+
+
+def test_dw1_lag_join_broadcast_on_day_domain(spark):
+    """dw1 shares lb1/acf1's shape: the lag-1 equi-join runs on the
+    bounded daily grid with the lagged side broadcast — never a corpus
+    join, no SortMergeJoin."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.dw1_durbin_watson(spark, SF_DIR))
+    assert "broadcast" in plan
+    assert "sortmergejoin" not in plan
+
+
+def test_rns1_day_domain_only(spark):
+    """rns1: median rank, sign sequence and the lag window run on the
+    checkpointed day grid; the single-partition windows are the
+    documented bounded day-domain exception — no SortMergeJoin."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.rns1_runs_test(spark, SF_DIR))
+    assert "sortmergejoin" not in plan
+    assert "broadcast" in plan

@@ -52,10 +52,12 @@ def build_edges(spark, sf_dir: str) -> DataFrame:
 
 
 def cc_current_instrumented(edges: DataFrame, max_iterations: int = 20):
-    """The graph.connected_components loop verbatim (pointer-jumping
-    min-label propagation), with per-round wall + shuffle capture. Kept
-    in lockstep with operators/graph.py:23 — any drift fails the label-
-    equality assertion in main()."""
+    """The PRE-round-13 connected_components loop (pointer-jumping
+    min-label propagation), with per-round wall + shuffle capture —
+    the comparison subject that motivated adopting large-star/
+    small-star in operators/graph.py; kept runnable so the adopt
+    decision stays re-measurable. Labels must still equal the
+    library's (both algorithms are exact) — asserted in main()."""
     directed = edges.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).localCheckpoint(eager=True)
@@ -168,7 +170,7 @@ def cc_star_instrumented(edges: DataFrame, max_rounds: int = 40):
         )
         sig_df = nxt.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         )
         sig = tuple(sig_df.collect()[0])
         b1, r1 = _plan_shuffle(nxt)
