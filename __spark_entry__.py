@@ -17354,6 +17354,223 @@ FROM tot CROSS JOIN rn
 """
 
 
+def lev1_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe spread-homogeneity test of the quality score
+    across sources (operators/classifier.brown_forsythe_from_hist;
+    Brown & Forsythe 1974) -- the variance check UNDER aov1's
+    mean-comparison on the SAME framing: do sources differ in quality
+    SPREAD, judged on deviations from each source's nearest-rank
+    median? One corpus rollup to the (source, sq) histogram; medians,
+    transformed moments and the staged-q9 F all run on the
+    group-by-value-domain frame. Null-text docs (sq < 0) excluded."""
+    from etl_oms_spark.operators.classifier import brown_forsythe_from_hist
+    from etl_oms_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    sq = F.coalesce(
+        F.floor(quality_score("text") * 1e6 + F.lit(0.5)).cast("long"),
+        F.lit(-1),
+    )
+    hist = (
+        d.select(F.col("source").alias("g"), sq.alias("v"))
+        .filter(F.col("v") >= 0)
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return brown_forsythe_from_hist(hist)
+
+
+LEV1_SQL = f"""
+WITH p AS (
+    SELECT source AS g,
+           COALESCE(CAST(floor(({_QUALITY_EXPR_SQL}) * 1000000 + 0.5)
+                    AS BIGINT), -1) AS v
+    FROM documents
+), h AS (
+    SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM p WHERE v >= 0 GROUP BY 1, 2
+), sizes AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM h GROUP BY g),
+wc AS (
+    SELECT h.g, h.v, h.c,
+           SUM(h.c) OVER (PARTITION BY h.g ORDER BY h.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           (sizes.ng + 1) // 2 AS target
+    FROM h JOIN sizes ON h.g = sizes.g
+), med AS (
+    SELECT g, MIN(v) AS med FROM wc WHERE cum >= target GROUP BY g
+), per AS (
+    SELECT h.g, CAST(SUM(h.c) AS HUGEINT) AS ng,
+           CAST(COALESCE(SUM(CAST(h.c AS HUGEINT)
+                * ABS(h.v - med.med)), 0) AS HUGEINT) AS sg,
+           CAST(COALESCE(SUM(CAST(h.c AS HUGEINT)
+                * ABS(h.v - med.med) * ABS(h.v - med.med)), 0)
+               AS HUGEINT) AS qg
+    FROM h JOIN med ON h.g = med.g GROUP BY h.g
+), terms AS (
+    SELECT ng, sg, qg,
+           ((sg * sg) // ng) * 1000000000
+           + (((sg * sg) % ng) * 1000000000) // ng AS sg2q9
+    FROM per
+), agg AS (
+    SELECT CAST(COALESCE(SUM(ng), 0) AS HUGEINT) AS n,
+           CAST(COUNT(*) AS HUGEINT) AS k,
+           CAST(COALESCE(SUM(sg), 0) AS HUGEINT) AS s,
+           CAST(COALESCE(SUM(qg), 0) AS HUGEINT) AS q,
+           CAST(COALESCE(SUM(sg2q9), 0) AS HUGEINT) AS ssum
+    FROM terms
+), ss AS (
+    SELECT n, k,
+           GREATEST(ssum - (((s * s) // n) * 1000000000
+                            + (((s * s) % n) * 1000000000) // n),
+                    CAST(0 AS HUGEINT)) AS ssb,
+           GREATEST(q * 1000000000 - ssum, CAST(0 AS HUGEINT)) AS ssw
+    FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CASE WHEN k < 2 THEN CAST(0 AS BIGINT)
+            ELSE CAST(ssb // ((k - 1) * 1000) AS BIGINT) END AS msb_q6,
+       CASE WHEN n <= k THEN CAST(0 AS BIGINT)
+            ELSE CAST(ssw // ((n - k) * 1000) AS BIGINT) END AS msw_q6,
+       CASE WHEN k < 2 OR n <= k OR ssw = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                CAST(ssb AS DOUBLE) * CAST(n - k AS DOUBLE)
+                / (CAST(ssw AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT)
+       END AS f_q6
+FROM ss
+"""
+
+
+def wsr1_weekly_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of the week-over-week daily revenue
+    shift (operators/temporal.wilcoxon_signed_rank, lag=7; Wilcoxon
+    1945) -- the PAIRED companion to mwu1: pairing each day with the
+    same weekday one week back cancels the weekly cycle an1 models,
+    so the test sees pure level drift. Doubled ranks off the |d|
+    histogram keep ties exact; the tie-corrected variance is an exact
+    integer; z is one double expression. Day-domain work throughout."""
+    from etl_oms_spark.operators.temporal import wilcoxon_signed_rank
+
+    return wilcoxon_signed_rank(
+        _daily_revk(spark, sf_dir).select("t", "rev_k"), lag=7
+    )
+
+
+WSR1_SQL = f"""
+WITH {_SERIES_SQL},
+d AS (
+    SELECT CAST(b.rev_k - a.rev_k AS BIGINT) AS d
+    FROM series a JOIN series b ON b.t = a.t + 7
+), nz AS (
+    SELECT CAST(COALESCE(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_zero
+    FROM d
+), h AS (
+    SELECT ABS(d) AS av, CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(COALESCE(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS cpos
+    FROM d WHERE d <> 0 GROUP BY 1
+), r AS (
+    SELECT av, c, cpos,
+           2 * COALESCE(SUM(c) OVER (ORDER BY av
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + c + 1 AS r2
+    FROM h
+), agg AS (
+    SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS m,
+           CAST(COALESCE(SUM(CAST(cpos AS HUGEINT) * r2), 0) AS HUGEINT)
+               AS w2p,
+           CAST(COALESCE(SUM(CAST(c AS HUGEINT) * c * c - c), 0)
+               AS HUGEINT) AS ties
+    FROM r
+)
+SELECT CAST(m AS BIGINT) AS n_pairs, n_zero,
+       CAST(w2p AS BIGINT) AS w2_plus,
+       CASE WHEN 2 * m * (m + 1) * (2 * m + 1) - ties <= 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(
+                CAST(w2p - m * (m + 1) / 2 AS DOUBLE)
+                / sqrt(CAST(2 * m * (m + 1) * (2 * m + 1) - ties
+                            AS DOUBLE) / 12.0)
+                * 1000000.0 + 0.5) AS BIGINT)
+       END AS z_q6
+FROM agg CROSS JOIN nz
+"""
+
+
+def fr1_friedman_daytype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of event-type volume across days (operators/
+    validate.friedman_from_cells; Friedman 1937, tie-corrected) -- do
+    the event TYPES rank consistently within each day? Blocks = days,
+    treatments = event types, response = the daily count of that type
+    on the ZERO-FILLED complete grid, so busy-day level shifts cancel
+    by construction (the within-block companion to kwh1). One corpus
+    rollup to the day-by-type counts; ranks, R_j sums and the staged
+    chi2 all run on the (days x types) domain frame."""
+    from etl_oms_spark.operators.validate import friedman_from_cells
+
+    ev = _events(spark, sf_dir).select(
+        F.to_date("ts").alias("b"), F.col("event_type").alias("g")
+    )
+    counts = (
+        ev.groupBy("b", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        # checkpoint barrier: days/types/grid all branch off this
+        # rollup — without it the corpus scan re-executes per branch
+        .localCheckpoint(eager=False)
+    )
+    days = counts.select("b").distinct()
+    types = counts.select("g").distinct()
+    grid = (
+        days.crossJoin(types)
+        .join(F.broadcast(counts), ["b", "g"], "left")
+        .select("b", "g", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    )
+    return friedman_from_cells(grid)
+
+
+FR1_SQL = """
+WITH raw AS (SELECT CAST(ts AS DATE) AS b, event_type AS g FROM events),
+cnt AS (
+    SELECT b, g, CAST(COUNT(*) AS BIGINT) AS x FROM raw GROUP BY 1, 2
+), days AS (SELECT DISTINCT b FROM cnt),
+types AS (SELECT DISTINCT g FROM cnt),
+grid AS (
+    SELECT days.b, types.g, COALESCE(cnt.x, 0) AS x
+    FROM days CROSS JOIN types
+    LEFT JOIN cnt ON cnt.b = days.b AND cnt.g = types.g
+), ranked AS (
+    SELECT a.b, a.g,
+           CAST(SUM(CASE WHEN o.x < a.x THEN 2 ELSE 0 END)
+                + SUM(CASE WHEN o.x = a.x AND o.g <> a.g THEN 1 ELSE 0 END)
+                + 2 AS BIGINT) AS r2
+    FROM grid a JOIN grid o ON a.b = o.b
+    GROUP BY a.b, a.g, a.x
+), dims AS (
+    SELECT CAST(COUNT(DISTINCT b) AS HUGEINT) AS nb,
+           CAST(COUNT(DISTINCT g) AS HUGEINT) AS k
+    FROM grid
+), sums AS (
+    SELECT g, CAST(SUM(r2) AS HUGEINT) AS rj FROM ranked GROUP BY g
+), a4 AS (
+    SELECT CAST(COALESCE(SUM(CAST(r2 AS HUGEINT) * r2), 0) AS HUGEINT)
+               AS a4
+    FROM ranked
+), num AS (
+    SELECT CAST(COALESCE(SUM((rj - nb * (k + 1)) * (rj - nb * (k + 1))),
+                         0) AS HUGEINT) AS ssdev
+    FROM sums CROSS JOIN dims
+)
+SELECT CAST(nb AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+       CASE WHEN a4 - nb * k * (k + 1) * (k + 1) <= 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(((k - 1) * ssdev * 1000000)
+                      // (a4 - nb * k * (k + 1) * (k + 1)) AS BIGINT)
+       END AS chi2_q6
+FROM dims CROSS JOIN a4 CROSS JOIN num
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -17365,7 +17582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIRST 50 entries. Round-13 rotation (VERDICT r12 item 1):
         # staleness control — round-13 additions first (first driver
         # check), then the two continuity anchors, then the 9 r05 rows
-        # displaced at the r12 close, then the 26 alphabetically-first
+        # displaced at the r12 close, then the 23 alphabetically-first
         # of the 48 r07-stale rows.
         # ---- round-13 additions, first driver check ----
         "x13_ngram_decontamination": x13_ngram_decontamination,
@@ -17381,12 +17598,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jt1_jonckheere": jt1_jonckheere,
         "dw1_durbin_watson": dw1_durbin_watson,
         "rns1_runs_test": rns1_runs_test,
+        "lev1_brown_forsythe": lev1_brown_forsythe,
+        "wsr1_weekly_shift": wsr1_weekly_shift,
+        "fr1_friedman_daytype": fr1_friedman_daytype,
         # ---- continuity anchors (green every round) ----
         "q1_pricing_summary": q1_pricing_summary,
         "star_fact_rollup": star_fact_rollup,
-        # ---- window fill, positions 16-50: the 35 rows = the 9 r05
+        # ---- window fill, positions 19-50: the 32 rows = the 9 r05
         #      rows displaced past the window by the round-12 additions
-        #      (they led the refill pool), then the 26 alphabetically-
+        #      (they led the refill pool), then the 23 alphabetically-
         #      first of the 48 exact-oracle rows last driver-checked in
         #      r07 (6 rounds stale; a17 leads) ----
         "tm2_temperature_apply": tm2_temperature_apply,
@@ -17421,9 +17641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kc1_kcore": kc1_kcore,
         "knn1_label_transfer": knn1_label_transfer,
         "lp1_label_propagation": lp1_label_propagation,
-        "lr1_revenue_trend": lr1_revenue_trend,
-        "lt1_conversion_latency": lt1_conversion_latency,
-        "mk1_event_transitions": mk1_event_transitions,
         # ---- positions 51-60: documented rows-only entries, pinned
         #      permanently BEHIND the window (a no_oracle row would
         #      waste a driver slot); each has an exact twin or
@@ -17438,8 +17655,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc1_pca_projection": pc1_pca_projection,
         "e9_pq_topk": e9_pq_topk,
         "dq2_profile_approx": dq2_profile_approx,
-        # ---- refill-pool head: the 22 r07 rows displaced past 50 by
+        # ---- refill-pool head: the 25 r07 rows displaced past 50 by
         #      the round-13 additions — they lead the r14 window fill ----
+        "lr1_revenue_trend": lr1_revenue_trend,
+        "lt1_conversion_latency": lt1_conversion_latency,
+        "mk1_event_transitions": mk1_event_transitions,
         "nv1_ngram_novelty": nv1_ngram_novelty,
         "o4_topk_with_ties": o4_topk_with_ties,
         "pa1_top_paths": pa1_top_paths,
@@ -17754,6 +17974,9 @@ def oracle_sql() -> dict[str, str]:
         "jt1_jonckheere": JT1_SQL,
         "dw1_durbin_watson": DW1_SQL,
         "rns1_runs_test": RNS1_SQL,
+        "lev1_brown_forsythe": LEV1_SQL,
+        "wsr1_weekly_shift": WSR1_SQL,
+        "fr1_friedman_daytype": FR1_SQL,
         "pj1c_prefix_jaccard_capped": PJ1C_SQL,
         "uni2_unigram_fertility": _uni2_sql(),
         "jl1_random_projection": _jl1_sql(),

@@ -211,6 +211,11 @@ HEADLINE = [
     "jt1_jonckheere",
     "dw1_durbin_watson",
     "rns1_runs_test",
+    # round-13 third batch: lev1 is histogram-domain work after one
+    # rollup; wsr1/fr1 are day-domain shapes off one rollup each
+    "lev1_brown_forsythe",
+    "wsr1_weekly_shift",
+    "fr1_friedman_daytype",
 ]
 
 

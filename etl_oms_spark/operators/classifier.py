@@ -1372,3 +1372,115 @@ def welch_t(
         .otherwise(F.floor(df_expr * F.lit(1e3) + F.lit(0.5)).cast("long"))
         .alias("df_q3"),
     )
+
+
+def brown_forsythe_from_hist(
+    hist: DataFrame,
+    group_col: str = "g",
+    value_col: str = "v",
+    count_col: str = "c",
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test over a per-group value
+    HISTOGRAM (public: Brown & Forsythe 1974; Levene 1960 with the
+    median center) — the missing check UNDER aov1: ANOVA's F compares
+    means assuming similar spreads; Brown–Forsythe asks whether the
+    spreads themselves differ, robustly (deviations from the group
+    MEDIAN, not the mean).
+
+    Off the (g, v, c) histogram everything is group-domain work:
+
+    1. per-group lower nearest-rank median (order statistic
+       ⌈n_g/2⌉ — ts2's device) from the cumulative histogram;
+    2. transformed moments n_g, S_g = Σc·|v−med_g|, Q_g = Σc·(v−med_g)²
+       — |v−med_g| is an exact BIGINT;
+    3. aov1's one-way F on the transformed response: staged-q9 SSB/SSW
+       (exact remainder-trick divisions), N-independent mean squares
+       msb_q6/msw_q6, F one double expression.
+
+    Degenerate designs (k < 2, N ≤ k, SSW = 0) pin the affected
+    outputs to 0. Returns one row: (n, k, msb_q6, msw_q6, f_q6).
+
+    Scale shape: the corpus contact is whatever one rollup built the
+    histogram; the cumulative-median window and both aggregates below
+    run on the (group × value-domain) frame.
+    """
+    d38 = "decimal(38,0)"
+    from pyspark.sql import Window
+
+    h = hist.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(count_col).cast("long").alias("c"),
+    ).localCheckpoint(eager=False)
+    w_cum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sizes = h.groupBy("g").agg(F.sum("c").cast("long").alias("ng"))
+    with_cum = h.join(F.broadcast(sizes), "g").select(
+        "g",
+        "v",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.expr("(ng + 1) div 2").alias("target"),
+    )
+    med = (
+        with_cum.filter(F.col("cum") >= F.col("target"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    a = F.abs(F.col("v") - F.col("med")).cast(d38)
+    c = F.col("c").cast(d38)
+    per = (
+        h.join(F.broadcast(med), "g")
+        .groupBy("g")
+        .agg(
+            F.sum(c).alias("ng"),
+            F.coalesce(F.sum(c * a), F.lit(0).cast(d38)).alias("sg"),
+            F.coalesce(F.sum(c * a * a), F.lit(0).cast(d38)).alias("qg"),
+        )
+    )
+    k9 = F.lit(1_000_000_000).cast(d38)
+
+    def staged_q9(num2: Column, den: Column) -> Column:
+        q = _floordiv_dec(num2, den)
+        return q * k9 + _floordiv_dec((num2 % den) * k9, den)
+
+    agg = per.agg(
+        F.coalesce(F.sum("ng"), F.lit(0).cast(d38)).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum("qg"), F.lit(0).cast(d38)).alias("q"),
+        F.coalesce(F.sum(staged_q9(F.col("sg") * F.col("sg"), F.col("ng"))),
+                   F.lit(0).cast(d38)).alias("sum_sg2_q9"),
+        F.coalesce(F.sum("sg"), F.lit(0).cast(d38)).alias("s"),
+    )
+    n, k = F.col("n"), F.col("k").cast(d38)
+    ssb = F.greatest(
+        F.col("sum_sg2_q9") - staged_q9(F.col("s") * F.col("s"), n),
+        F.lit(0).cast(d38),
+    )
+    ssw = F.greatest(
+        F.col("q") * k9 - F.col("sum_sg2_q9"), F.lit(0).cast(d38)
+    )
+    f_expr = (
+        ssb.cast("double")
+        * (n - k).cast("double")
+        / (ssw.cast("double") * (k - 1).cast("double"))
+    )
+    k3 = F.lit(1_000).cast(d38)
+    return agg.select(
+        n.cast("long").alias("n"),
+        "k",
+        F.when(F.col("k") < 2, F.lit(0).cast("long"))
+        .otherwise(_floordiv_dec(ssb, (k - 1) * k3).cast("long"))
+        .alias("msb_q6"),
+        F.when(n <= k, F.lit(0).cast("long"))
+        .otherwise(_floordiv_dec(ssw, (n - k) * k3).cast("long"))
+        .alias("msw_q6"),
+        F.when(
+            (F.col("k") < 2) | (n <= k) | (ssw == 0), F.lit(0).cast("long")
+        )
+        .otherwise(F.floor(f_expr * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        .alias("f_q6"),
+    )

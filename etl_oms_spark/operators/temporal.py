@@ -995,3 +995,103 @@ def runs_test(
         )
         .alias("z_q6"),
     )
+
+
+def wilcoxon_signed_rank(
+    series: DataFrame,
+    t_col: str = "t",
+    v_col: str = "rev_k",
+    lag: int = 7,
+) -> DataFrame:
+    """Wilcoxon signed-rank test of the lag-``lag`` paired differences
+    of a daily series (public: Wilcoxon 1945) — the paired companion
+    to mwu1's independent-samples test: is this week's level shifted
+    vs the same weekday last week, judged on signed ranks of
+    d_t = x_t − x_{t−lag}?
+
+    Zero differences are EXCLUDED (the standard convention). Over the
+    |d| histogram (day-domain-sized) the average ranks use mwu1's
+    DOUBLED-rank device so ties stay exact integers:
+    r2(v) = 2·cum(<v) + c(v) + 1, and
+
+        W2⁺   = Σ_{d>0} r2(|d|)                 (= 2·W⁺, exact)
+        E[W2⁺] = m(m+1)/2
+        12·Var(W2⁺) = 2m(m+1)(2m+1) − Σ(t³−t)   (tie-corrected, exact)
+
+    z_q6 is ONE double expression from exact decimal(38) integers,
+    pinned 0 when the variance is 0 (m = 0: every paired difference
+    was zero). Returns one row: (n_pairs, n_zero, w2_plus, z_q6).
+
+    Scale shape: the lag join and every rollup run on the bounded
+    daily grid; the corpus contact is the upstream daily rollup.
+    """
+    d38 = "decimal(38,0)"
+    from pyspark.sql import Window
+
+    s = series.select(
+        F.col(t_col).cast("long").alias("t"),
+        F.col(v_col).cast("long").alias("x"),
+    ).localCheckpoint(eager=False)
+    lagged = s.select(F.col("t").alias("t2"), F.col("x").alias("xp"))
+    diffs = s.join(
+        F.broadcast(lagged), s["t"] == F.col("t2") + lag
+    ).select((F.col("x") - F.col("xp")).alias("d"))
+    nz = diffs.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("d") == 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_zero")
+    )
+    hist = (
+        diffs.filter(F.col("d") != 0)
+        .select(
+            F.abs(F.col("d")).alias("av"),
+            (F.col("d") > 0).cast("int").alias("pos"),
+        )
+        .groupBy("av")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("cpos"),
+        )
+    )
+    w_cum = (
+        Window.orderBy("av").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.select(
+        "av",
+        "c",
+        "cpos",
+        (2 * F.coalesce(F.sum("c").over(w_cum), F.lit(0)) + F.col("c") + 1)
+        .alias("r2"),
+    )
+    agg = ranked.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast(d38).alias("m"),
+        F.coalesce(
+            F.sum(F.col("cpos").cast(d38) * F.col("r2").cast(d38)),
+            F.lit(0).cast(d38),
+        ).alias("w2p"),
+        F.coalesce(
+            F.sum(
+                F.col("c").cast(d38) * F.col("c").cast(d38)
+                * F.col("c").cast(d38)
+                - F.col("c").cast(d38)
+            ),
+            F.lit(0).cast(d38),
+        ).alias("ties"),
+    )
+    m = F.col("m")
+    var12 = 2 * m * (m + 1) * (2 * m + 1) - F.col("ties")
+    return agg.crossJoin(F.broadcast(nz)).select(
+        m.cast("long").alias("n_pairs"),
+        "n_zero",
+        F.col("w2p").cast("long").alias("w2_plus"),
+        F.when(var12 <= 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (F.col("w2p") - m * (m + 1) / 2).cast("double")
+                / F.sqrt(var12.cast("double") / F.lit(12.0))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("z_q6"),
+    )

@@ -483,3 +483,115 @@ def jonckheere_terpstra(
         )
         .alias("z_q6"),
     )
+
+
+def friedman_from_cells(
+    cells: DataFrame,
+    block_col: str = "b",
+    treat_col: str = "g",
+    value_col: str = "x",
+) -> DataFrame:
+    """Friedman rank test over a COMPLETE (block, treatment, value)
+    design (public: Friedman 1937; tie-corrected form as in Conover
+    1999) — the within-block companion to kwh1: kwh1 ranks one pooled
+    sample across k groups; Friedman ranks the k treatments WITHIN
+    each block, so block-level shifts (busy days, seasonal level)
+    cancel by construction.
+
+    Callers must pass a complete design (every treatment present in
+    every block — zero-fill counts upstream). Within each block the k
+    values get average ranks via mwu1's DOUBLED-rank device
+    (r2 = 2·(#smaller) + (#equal) + 1, an exact integer), then with
+    R2_j = Σ_blocks r2(b, j), A4 = Σ r2², C4 = b·k·(k+1)²:
+
+        χ²_F = (k−1) · Σ_j (R2_j − b(k+1))² / (A4 − C4)
+
+    — exact integers everywhere except the final staged division,
+    emitted as chi2_q6 by the remainder-trick (trunc) division.
+    A4 = C4 (every block fully tied) pins 0. Returns one row:
+    (n_blocks, k, chi2_q6).
+
+    Scale shape: ranks come from a k²-per-block self-join (window-free
+    conditional counts) on the (block × treatment) frame — the input
+    is DOMAIN-sized (blocks × treatments), so every step below the
+    caller's rollup is domain work.
+    """
+    d38 = "decimal(38,0)"
+    c = cells.select(
+        F.col(block_col).alias("b"),
+        F.col(treat_col).alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    ).localCheckpoint(eager=False)
+    other = c.select(
+        F.col("b"), F.col("g").alias("g2"), F.col("x").alias("x2")
+    )
+    # doubled average rank within block: r2 = 2·(#strictly smaller)
+    # + (#equal INCLUDING self) + 1; the join counts equals EXCLUDING
+    # self, so the constant is +2 (unique smallest: 0 + 0 + 2 = 2 =
+    # doubled rank 1)
+    ranked = (
+        # the rank self-join runs on the DOMAIN frame (blocks × k);
+        # broadcast the probe side — a checkpointed ExistingRDD has no
+        # stats, so Catalyst would otherwise pick a SortMergeJoin
+        c.join(F.broadcast(other), "b")
+        .groupBy("b", "g", "x")
+        .agg(
+            F.sum(F.when(F.col("x2") < F.col("x"), 2).otherwise(0)).alias(
+                "lt2"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("x2") == F.col("x")) & (F.col("g2") != F.col("g")),
+                    1,
+                ).otherwise(0)
+            ).alias("eq"),
+        )
+        .select(
+            "b",
+            "g",
+            (F.col("lt2") + F.col("eq") + 2).cast("long").alias("r2"),
+        )
+    )
+    dims = c.agg(
+        F.countDistinct("b").cast(d38).alias("nb"),
+        F.countDistinct("g").cast(d38).alias("k"),
+    )
+    sums = ranked.groupBy("g").agg(
+        F.sum(F.col("r2").cast(d38)).alias("rj")
+    )
+    a4 = ranked.agg(
+        F.coalesce(
+            F.sum(F.col("r2").cast(d38) * F.col("r2").cast(d38)),
+            F.lit(0).cast(d38),
+        ).alias("a4")
+    )
+    nb, k = F.col("nb"), F.col("k")
+    dev = F.col("rj") - nb * (k + 1)
+    num = sums.crossJoin(F.broadcast(dims)).agg(
+        F.coalesce(F.sum(dev * dev), F.lit(0).cast(d38)).alias("ssdev")
+    )
+    k6 = F.lit(1_000_000).cast(d38)
+    den = F.col("a4") - nb * k * (k + 1) * (k + 1)
+    chi_num = (k - 1) * F.col("ssdev")
+    return (
+        dims.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(a4))
+        .select(
+            nb.cast("long").alias("n_blocks"),
+            k.cast("long").alias("k"),
+            F.when(den <= 0, F.lit(0).cast("long"))
+            .otherwise(
+                (
+                    _fd(chi_num, den) * k6
+                    + _fd((chi_num % den) * k6, den)
+                ).cast("long")
+            )
+            .alias("chi2_q6"),
+        )
+    )
+
+
+def _fd(a, b):
+    """Exact trunc division via the remainder trick (classifier.
+    _floordiv_dec's device) — requires b > 0."""
+    return (a - a % b) / b

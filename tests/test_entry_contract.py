@@ -37,8 +37,8 @@ def test_driver_window_holds_round13_rotation():
     1): the window's job is staleness control — round-13 additions
     first (first driver check), then the two green anchors, then the 9
     r05 rows displaced at the r12 close (they led the refill pool),
-    then the 26 alphabetically-first of the 48 exact-oracle rows last
-    driver-checked in r07 (a17 leads; the 22 alphabetically-last r07
+    then the 23 alphabetically-first of the 48 exact-oracle rows last
+    driver-checked in r07 (a17 leads; the 25 alphabetically-last r07
     rows are displaced to the refill head and lead the r14 fill). NO
     rows-only entry may ever sit in the first 50 — a no_oracle row
     would waste a driver window slot."""
@@ -49,6 +49,8 @@ def test_driver_window_holds_round13_rotation():
         "ca1_cochran_armitage", "lb1_ljung_box", "ccc1_lins_concordance",
         "mcn1_mcnemar_gates", "aov1_anova_f", "wt1_welch_t",
         "jt1_jonckheere", "dw1_durbin_watson", "rns1_runs_test",
+        "lev1_brown_forsythe", "wsr1_weekly_shift",
+        "fr1_friedman_daytype",
     ]
     anchors = ["q1_pricing_summary", "star_fact_rollup"]
     displaced_r05 = [

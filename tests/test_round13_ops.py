@@ -604,3 +604,188 @@ def test_fused_monitors_equal_standalone_queries(spark):
     assert [r.asDict() for r in cusum.collect()] == [
         r.asDict() for r in ref_cusum.collect()
     ]
+
+
+# ------------------------------------------------------------- lev1
+def test_brown_forsythe_vs_direct(spark):
+    from etl_oms_spark.operators.classifier import brown_forsythe_from_hist
+
+    groups = {"a": [1, 2, 2, 9, 10, 11], "b": [5, 5, 6, 6], "c": [0, 4, 8, 20]}
+    rows = [
+        (g, v, sum(1 for x in vs if x == v))
+        for g, vs in groups.items()
+        for v in sorted(set(vs))
+    ]
+    hist = spark.createDataFrame(rows, "g string, v long, c long")
+    got = brown_forsythe_from_hist(hist).collect()[0]
+    # lower nearest-rank median per group, then plain ANOVA on |v-med|
+    trans = {}
+    for g, vs in groups.items():
+        med = sorted(vs)[(len(vs) + 1) // 2 - 1]
+        trans[g] = [abs(v - med) for v in vs]
+    allv = [v for vs in trans.values() for v in vs]
+    n, k = len(allv), len(trans)
+    gm = sum(allv) / n
+    ssb = sum(
+        len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in trans.values()
+    )
+    ssw = sum(
+        (v - sum(vs) / len(vs)) ** 2 for vs in trans.values() for v in vs
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["n"] == n and got["k"] == k
+    assert abs(got["msb_q6"] / 1e6 - ssb / (k - 1)) < 2e-5
+    assert abs(got["msw_q6"] / 1e6 - ssw / (n - k)) < 2e-5
+    assert abs(got["f_q6"] / 1e6 - f) < 2e-5
+
+
+def test_brown_forsythe_equal_spreads_small_f(spark):
+    """Identically-shaped groups at different LEVELS: deviations from
+    each group's median coincide, SSB = 0 exactly — the level shift
+    aov1 would flag is invisible to the spread test."""
+    from etl_oms_spark.operators.classifier import brown_forsythe_from_hist
+
+    rows = [
+        ("a", 10, 1), ("a", 12, 1), ("a", 14, 1),
+        ("b", 100, 1), ("b", 102, 1), ("b", 104, 1),
+    ]
+    hist = spark.createDataFrame(rows, "g string, v long, c long")
+    got = brown_forsythe_from_hist(hist).collect()[0]
+    assert got["msb_q6"] == 0 and got["f_q6"] == 0
+
+
+def test_brown_forsythe_single_group_pins_zero(spark):
+    from etl_oms_spark.operators.classifier import brown_forsythe_from_hist
+
+    hist = spark.createDataFrame(
+        [("a", 3, 2), ("a", 9, 1)], "g string, v long, c long"
+    )
+    got = brown_forsythe_from_hist(hist).collect()[0]
+    assert got["msb_q6"] == 0 and got["f_q6"] == 0
+
+
+# ------------------------------------------------------------- wsr1
+def test_wilcoxon_signed_rank_vs_direct(spark):
+    import math
+
+    from etl_oms_spark.operators.temporal import wilcoxon_signed_rank
+
+    vals = [10, 12, 9, 15, 11, 14, 13, 16, 10, 21, 9, 18, 13, 22]
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t long, rev_k long"
+    )
+    lag = 7
+    got = wilcoxon_signed_rank(df, lag=lag).collect()[0]
+    diffs = [vals[t] - vals[t - lag] for t in range(lag, len(vals))]
+    nonzero = [d for d in diffs if d != 0]
+    m = len(nonzero)
+    # average ranks of |d| with ties
+    byabs = sorted(nonzero, key=abs)
+    ranks = {}
+    i = 0
+    while i < m:
+        j = i
+        while j < m and abs(byabs[j]) == abs(byabs[i]):
+            j += 1
+        for t in range(i, j):
+            ranks.setdefault(abs(byabs[t]), (i + 1 + j) / 2)
+        i = j
+    wplus = sum(ranks[abs(d)] for d in nonzero if d > 0)
+    from collections import Counter
+
+    ties = sum(
+        c**3 - c for c in Counter(abs(d) for d in nonzero).values()
+    )
+    var = (m * (m + 1) * (2 * m + 1) / 24) - ties / 48
+    z = (wplus - m * (m + 1) / 4) / math.sqrt(var)
+    assert got["n_pairs"] == m
+    assert got["n_zero"] == len(diffs) - m
+    assert got["w2_plus"] == int(2 * wplus)
+    assert abs(got["z_q6"] / 1e6 - z) < 2e-6
+
+
+def test_wilcoxon_all_zero_diffs_pins_zero(spark):
+    from etl_oms_spark.operators.temporal import wilcoxon_signed_rank
+
+    vals = [5, 6, 7, 5, 6, 7]  # period-3 series, lag 3: all diffs 0
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t long, rev_k long"
+    )
+    got = wilcoxon_signed_rank(df, lag=3).collect()[0]
+    assert got["n_pairs"] == 0 and got["n_zero"] == 3
+    assert got["w2_plus"] == 0 and got["z_q6"] == 0
+
+
+def test_wilcoxon_all_positive_maximal_w(spark):
+    from etl_oms_spark.operators.temporal import wilcoxon_signed_rank
+
+    vals = [1, 2, 3, 11, 22, 33]  # lag 3: diffs 10, 20, 30 all positive
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t long, rev_k long"
+    )
+    got = wilcoxon_signed_rank(df, lag=3).collect()[0]
+    m = 3
+    assert got["w2_plus"] == m * (m + 1)  # 2 * m(m+1)/2 — every rank up
+    assert got["z_q6"] > 1_500_000
+
+
+# ------------------------------------------------------------- fr1
+def test_friedman_vs_direct(spark):
+    from etl_oms_spark.operators.validate import friedman_from_cells
+
+    # 4 blocks x 3 treatments with ties inside block 3
+    data = {
+        1: {"x": 10, "y": 20, "z": 30},
+        2: {"x": 12, "y": 25, "z": 27},
+        3: {"x": 5, "y": 5, "z": 9},
+        4: {"x": 8, "y": 14, "z": 11},
+    }
+    rows = [(b, g, v) for b, tv in data.items() for g, v in tv.items()]
+    cells = spark.createDataFrame(rows, "b long, g string, x long")
+    got = friedman_from_cells(cells).collect()[0]
+    # doubled average ranks within each block
+    import itertools
+
+    r2 = {}
+    for b, tv in data.items():
+        for g, v in tv.items():
+            lt = sum(1 for o in tv.values() if o < v)
+            eq = sum(1 for o in tv.values() if o == v)  # includes self
+            r2[(b, g)] = 2 * lt + eq + 1
+    k = 3
+    nb = 4
+    rj = {
+        g: sum(r2[(b, g)] for b in data)
+        for g in ("x", "y", "z")
+    }
+    a4 = sum(v * v for v in r2.values())
+    c4 = nb * k * (k + 1) ** 2
+    ssdev = sum((v - nb * (k + 1)) ** 2 for v in rj.values())
+    chi2 = (k - 1) * ssdev / (a4 - c4)
+    assert got["n_blocks"] == nb and got["k"] == k
+    assert got["chi2_q6"] == int((k - 1) * ssdev * 1_000_000 // (a4 - c4))
+    assert abs(got["chi2_q6"] / 1e6 - chi2) < 2e-6
+
+
+def test_friedman_fully_tied_blocks_pin_zero(spark):
+    from etl_oms_spark.operators.validate import friedman_from_cells
+
+    rows = [
+        (b, g, 7) for b in (1, 2, 3) for g in ("x", "y")
+    ]
+    cells = spark.createDataFrame(rows, "b long, g string, x long")
+    got = friedman_from_cells(cells).collect()[0]
+    assert got["chi2_q6"] == 0  # A4 = C4: no rank variation anywhere
+
+
+def test_friedman_perfect_ordering_hits_max(spark):
+    """With z > y > x in every block and no ties, chi2 = b(k-1) — the
+    maximum for a complete design."""
+    from etl_oms_spark.operators.validate import friedman_from_cells
+
+    rows = []
+    for b in range(1, 6):
+        rows += [(b, "x", b), (b, "y", b + 10), (b, "z", b + 20)]
+    cells = spark.createDataFrame(rows, "b long, g string, x long")
+    got = friedman_from_cells(cells).collect()[0]
+    assert got["chi2_q6"] == 5 * 2 * 1_000_000

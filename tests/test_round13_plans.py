@@ -154,3 +154,39 @@ def test_rns1_day_domain_only(spark):
     plan = _plan(entry_mod.rns1_runs_test(spark, SF_DIR))
     assert "sortmergejoin" not in plan
     assert "broadcast" in plan
+
+
+def test_lev1_domain_work_after_one_scan(spark):
+    """lev1: one corpus rollup to the (source, sq) histogram; medians,
+    transformed moments and the F algebra run on the checkpointed
+    domain frame — one scan, no SortMergeJoin."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.lev1_brown_forsythe(spark, SF_DIR))
+    assert plan.count("scan parquet") <= 1
+    assert "existingrdd" in plan or plan.count("scan parquet") == 1
+    assert "sortmergejoin" not in plan
+
+
+def test_wsr1_day_domain_broadcast(spark):
+    """wsr1 shares dw1/lb1's shape: the lag-7 join and the |d|
+    histogram run on the bounded daily grid with broadcast joins — no
+    SortMergeJoin."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.wsr1_weekly_shift(spark, SF_DIR))
+    assert "broadcast" in plan
+    assert "sortmergejoin" not in plan
+
+
+def test_fr1_domain_rank_join(spark):
+    """fr1: one corpus rollup to the day-by-type counts; the zero-fill
+    grid, the k-per-block rank self-join and every aggregate below run
+    on the checkpointed (days x types) domain frame — one scan, no
+    SortMergeJoin."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.fr1_friedman_daytype(spark, SF_DIR))
+    assert plan.count("scan parquet") <= 1
+    assert "existingrdd" in plan or plan.count("scan parquet") == 1
+    assert "sortmergejoin" not in plan
