@@ -16995,7 +16995,7 @@ WITH p AS (
 ), c AS (
     SELECT
       CAST(COALESCE(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END), 0)
-           AS HUGEINT) AS both,
+           AS HUGEINT) AS "both",
       CAST(COALESCE(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END), 0)
            AS HUGEINT) AS a_only,
       CAST(COALESCE(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END), 0)
@@ -17004,8 +17004,8 @@ WITH p AS (
            AS HUGEINT) AS neither
     FROM p
 )
-SELECT CAST(both + a_only + b_only + neither AS BIGINT) AS n,
-       CAST(both AS BIGINT) AS both, CAST(a_only AS BIGINT) AS a_only,
+SELECT CAST("both" + a_only + b_only + neither AS BIGINT) AS n,
+       CAST("both" AS BIGINT) AS "both", CAST(a_only AS BIGINT) AS a_only,
        CAST(b_only AS BIGINT) AS b_only,
        CAST(neither AS BIGINT) AS neither,
        CASE WHEN a_only + b_only = 0 THEN CAST(0 AS BIGINT)
@@ -17096,7 +17096,7 @@ FROM ss
 """
 
 
-def wt1_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+def wel1_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t between en and non-en token counts
     (operators/classifier.welch_t; Welch 1947) -- the parametric
     companion to mwu1's rank test and cld1's ordinal effect size on
@@ -17117,7 +17117,7 @@ def wt1_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WT1_SQL = f"""
+WEL1_SQL = f"""
 WITH p AS (
     SELECT COALESCE(lang = 'en', FALSE) AS f,
            CAST({_WS} AS HUGEINT) AS x
@@ -17594,7 +17594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccc1_lins_concordance": ccc1_lins_concordance,
         "mcn1_mcnemar_gates": mcn1_mcnemar_gates,
         "aov1_anova_f": aov1_anova_f,
-        "wt1_welch_t": wt1_welch_t,
+        "wel1_welch_t": wel1_welch_t,
         "jt1_jonckheere": jt1_jonckheere,
         "dw1_durbin_watson": dw1_durbin_watson,
         "rns1_runs_test": rns1_runs_test,
@@ -17970,7 +17970,7 @@ def oracle_sql() -> dict[str, str]:
         "ccc1_lins_concordance": CCC1_SQL,
         "mcn1_mcnemar_gates": MCN1_SQL,
         "aov1_anova_f": AOV1_SQL,
-        "wt1_welch_t": WT1_SQL,
+        "wel1_welch_t": WEL1_SQL,
         "jt1_jonckheere": JT1_SQL,
         "dw1_durbin_watson": DW1_SQL,
         "rns1_runs_test": RNS1_SQL,

@@ -207,7 +207,7 @@ HEADLINE = [
     # domain shapes off the shared daily rollup
     "mcn1_mcnemar_gates",
     "aov1_anova_f",
-    "wt1_welch_t",
+    "wel1_welch_t",
     "jt1_jonckheere",
     "dw1_durbin_watson",
     "rns1_runs_test",

@@ -47,7 +47,7 @@ def test_driver_window_holds_round13_rotation():
         "x13_ngram_decontamination", "d14_quality_canonical",
         "kwh1_kruskal_wallis", "mcc1_matthews_corr",
         "ca1_cochran_armitage", "lb1_ljung_box", "ccc1_lins_concordance",
-        "mcn1_mcnemar_gates", "aov1_anova_f", "wt1_welch_t",
+        "mcn1_mcnemar_gates", "aov1_anova_f", "wel1_welch_t",
         "jt1_jonckheere", "dw1_durbin_watson", "rns1_runs_test",
         "lev1_brown_forsythe", "wsr1_weekly_shift",
         "fr1_friedman_daytype",

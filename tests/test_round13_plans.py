@@ -116,7 +116,7 @@ def test_wt1_single_scan_no_join(spark):
     triples: no join, no window."""
     import __spark_entry__ as entry_mod
 
-    plan = _plan(entry_mod.wt1_welch_t(spark, SF_DIR))
+    plan = _plan(entry_mod.wel1_welch_t(spark, SF_DIR))
     assert plan.count("scan parquet") == 1
     assert "join" not in plan
     assert "window" not in plan
