@@ -84,22 +84,30 @@ def connected_components(
     # pair-join lineage, and round 0 plus the node-set derivation would
     # re-evaluate it (measured 43s → 17s warm on pj1's PPJoin pairs at
     # sf0.1 from checkpointing first).
+    # ONE materialization of the caller's plan; everything else (the
+    # deduped active edge set AND the node set) derives from this
+    # checkpointed block — deriving either from the pre-checkpoint
+    # `edges` would re-run the caller's pair join per branch (the exact
+    # trap the docstring's 43s→17s measurement is about; re-learned in
+    # r13 when an `edges`-derived node set OOM'd pj1's sf0.1 sweep by
+    # re-executing the PPJoin twice more)
+    raw = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     e0 = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col(src) != F.col(dst))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # the original node set: nodes can leave the ACTIVE edge set when
     # their whole component contracts away (and self-loop-only inputs
     # lose their edges to the filter above) — they are re-attached as
     # their own component at the end
     all_nodes = (
-        e0.select(F.col("u").alias("id"))
-        .union(edges.select(F.col(src).alias("id")))
-        .union(edges.select(F.col(dst).alias("id")))
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     e = e0
