@@ -14278,15 +14278,15 @@ def ssw1_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window`` merge state per user, then a session-length
     histogram rollup. Exactness argument (the sdd1 pattern, inverted:
     append-mode windows must FINALIZE to emit, so the watermark must
-    PASS them): phase 1 streams the real events under a watermark delay
-    longer than the dataset's span, so no row is late and no session
-    closes mid-run regardless of how availableNow batches the files;
-    phases 2-3 append two far-future sentinel rows (user_id = -1) and
-    restart on the same checkpoint — the first advances the watermark
-    past every real session end, the second supplies the follow-up
-    micro-batch append mode needs to flush finalized state, so every
-    real session is emitted exactly once whichever batch it lands in
-    (the sentinels' own session stays open and is filtered). Batch twin:
+    PASS them; collapsed to ONE availableNow run in round 13 —
+    streaming/events.single_run_sentinel_flush): all files — the real
+    events plus one far-future sentinel row (user_id = -1) — form one
+    micro-batch under watermark 0, so no row is late and no session
+    closes mid-batch; after it the watermark advances past every real
+    session end (sentinel_ts - delay > max real session end) and the
+    trailing no-data micro-batch flushes the finalized state — so every
+    real session is emitted exactly once
+    (the sentinel's own session stays open and is filtered). Batch twin:
     the classic islands SQL — new session when the per-user event-time
     gap is STRICTLY over 6 h in exact microseconds (exactly 6 h still
     merges — Spark's session ranges are end-inclusive when merging), the
@@ -14299,7 +14299,10 @@ def ssw1_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from etl_oms_spark.streaming.events import session_window_agg
+    from etl_oms_spark.streaming.events import (
+        session_window_agg,
+        single_run_sentinel_flush,
+    )
 
     ev = _events(spark, sf_dir).select("user_id", "ts")
     tmp = tempfile.mkdtemp(prefix="ssw1_")
@@ -14308,6 +14311,7 @@ def ssw1_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = os.path.join(tmp, "sessions")
         ckpt = os.path.join(tmp, "ckpt")
         ev.write.mode("overwrite").parquet(src)
+        src_schema = spark.read.parquet(src).schema
         bounds = spark.read.parquet(src).agg(
             F.min("ts").alias("mn"), F.max("ts").alias("mx")
         ).collect()[0]
@@ -14316,39 +14320,33 @@ def ssw1_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         delay_sec = span_sec + 3600
 
-        def run_phase() -> None:
-            stream = spark.readStream.schema(
-                spark.read.parquet(src).schema
-            ).parquet(src)
-            q = (
-                session_window_agg(
-                    stream,
-                    gap=f"{_SSW1_GAP_SEC} seconds",
-                    watermark=f"{delay_sec} seconds",
+        # watermark after the data batch = sentinel_ts - delay
+        # = mx + GAP + 3600: strictly past every real session end
+        # (last event <= mx, so session end <= mx + GAP)
+        sentinel = spark.createDataFrame([(-1,)], "user_id long").select(
+            F.col("user_id").cast(src_schema["user_id"].dataType),
+            (
+                F.lit(bounds["mx"])
+                + F.make_interval(
+                    secs=F.lit(delay_sec + _SSW1_GAP_SEC + 3600)
                 )
-                .writeStream.format("parquet")
-                .outputMode("append")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
             )
-            q.awaitTermination()
-
-        run_phase()
-        for i, extra in enumerate(
-            [delay_sec + _SSW1_GAP_SEC + 3600, delay_sec + _SSW1_GAP_SEC + 7200]
-        ):
-            spark.createDataFrame(
-                [(-1,)], "user_id long"
-            ).select(
-                "user_id",
-                (
-                    F.lit(bounds["mx"])
-                    + F.make_interval(secs=F.lit(extra))
-                ).alias("ts"),
-            ).write.mode("append").parquet(src)
-            run_phase()
+            .cast(src_schema["ts"].dataType)
+            .alias("ts"),
+        )
+        single_run_sentinel_flush(
+            spark,
+            src,
+            sentinel,
+            lambda stream: session_window_agg(
+                stream,
+                gap=f"{_SSW1_GAP_SEC} seconds",
+                watermark=f"{delay_sec} seconds",
+            ),
+            out,
+            ckpt,
+            schema=src_schema,
+        )
         sess = spark.read.parquet(out).filter(F.col("user_id") >= 0)
         result = (
             sess.groupBy(F.col("n_events").alias("session_events"))
@@ -15751,22 +15749,28 @@ def scs1_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/temporal.cusum_from_daily) — exactly how a production
     monitor works: the STREAM maintains the bounded histogram, the
     monitor recomputes the O(n_days) windows per trigger. Exactness
-    argument (ssw1's sentinel dance, same phases): phase 1 streams the
-    real events under a watermark delay longer than the span (nothing
-    is late, nothing drops); two far-future sentinel appends + restarts
-    on the same checkpoint advance the watermark past the last real
-    day's window END (delay + 86400 s margin) and supply the follow-up
-    micro-batch append mode needs to flush, so every real day's count
-    is emitted exactly once; sentinel windows (start > real max ts) are
-    filtered. The emitted counts then EQUAL the batch day rollup, so
-    cusum1's oracle is this query's oracle too (the sdd1 twin pattern).
-    Day-domain result materialized eagerly; temp dirs removed."""
+    argument (ssw1's sentinel dance, collapsed to ONE availableNow run
+    in round 13 — streaming/events.single_run_sentinel_flush): the
+    real events plus one far-future sentinel file form one micro-batch
+    under watermark 0 (nothing is late, nothing drops); after it the
+    watermark advances past the last real day's window END
+    (delay + 86400 s margin) and the trailing no-data micro-batch
+    flushes the finalized state — so every real day's count is emitted
+    exactly once, with the query-start/state-store machinery paid once
+    instead of three times (SCALING.md round-13 optimization table);
+    sentinel windows (start > real max ts) are filtered. The emitted counts then EQUAL
+    the batch day rollup, so cusum1's oracle is this query's oracle
+    too (the sdd1 twin pattern). Day-domain result materialized
+    eagerly; temp dirs removed."""
     import os
     import shutil
     import tempfile
 
     from etl_oms_spark.operators.temporal import cusum_from_daily
-    from etl_oms_spark.streaming.events import windowed_total_counts
+    from etl_oms_spark.streaming.events import (
+        single_run_sentinel_flush,
+        windowed_total_counts,
+    )
 
     ev = _events(spark, sf_dir).select("event_id", "ts")
     tmp = tempfile.mkdtemp(prefix="scs1_")
@@ -15782,41 +15786,34 @@ def scs1_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_sec = int((bounds["mx"] - bounds["mn"]).total_seconds())
         delay_sec = span_sec + 3600
 
-        def run_phase() -> None:
-            stream = spark.readStream.schema(src_schema).parquet(src)
-            q = (
-                windowed_total_counts(
-                    stream, window="1 day",
-                    watermark=f"{delay_sec} seconds",
-                )
-                .writeStream.format("parquet")
-                .outputMode("append")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
+        # sentinel: watermark = sentinel_ts - delay must pass the END
+        # of the last real day window (up to 86400 s after mx); columns
+        # CAST to the CAPTURED source schema (not a literal DDL): a
+        # differently-typed events table (int32 event_id, say) must not
+        # yield mixed-schema parquet files under the fixed-schema
+        # streaming read
+        sentinel = spark.range(1).select(
+            F.lit(-1)
+            .cast(src_schema["event_id"].dataType)
+            .alias("event_id"),
+            (
+                F.lit(bounds["mx"])
+                + F.make_interval(secs=F.lit(delay_sec + 86400 + 3600))
             )
-            q.awaitTermination()
-
-        run_phase()
-        # sentinels: watermark = sentinel_ts - delay must pass the END
-        # of the last real day window (up to 86400 s after mx)
-        for extra in (delay_sec + 86400 + 3600, delay_sec + 86400 + 7200):
-            # sentinel columns CAST to the CAPTURED source schema (not a
-            # literal DDL): a differently-typed events table (int32
-            # event_id, say) must not yield mixed-schema parquet files
-            # under the fixed-schema streaming read
-            spark.range(1).select(
-                F.lit(-1)
-                .cast(src_schema["event_id"].dataType)
-                .alias("event_id"),
-                (
-                    F.lit(bounds["mx"]) + F.make_interval(secs=F.lit(extra))
-                )
-                .cast(src_schema["ts"].dataType)
-                .alias("ts"),
-            ).write.mode("append").parquet(src)
-            run_phase()
+            .cast(src_schema["ts"].dataType)
+            .alias("ts"),
+        )
+        single_run_sentinel_flush(
+            spark,
+            src,
+            sentinel,
+            lambda stream: windowed_total_counts(
+                stream, window="1 day", watermark=f"{delay_sec} seconds"
+            ),
+            out,
+            ckpt,
+            schema=src_schema,
+        )
         daily = (
             spark.read.parquet(out)
             .filter(F.col("window_start") <= F.lit(bounds["mx"]))
@@ -15840,10 +15837,13 @@ def sps1_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Population Stability Index runs over the emitted day×value frame
     with dr1's exact algebra (operators/validate.psi_from_value_counts:
     same bucket edges, Laplace smoothing, 1e-9-quantized contributions).
-    Exactness (ssw1/scs1's sentinel dance): watermark delay > span means
-    nothing is late; two far-future sentinel appends + restarts on the
-    same checkpoint flush every real day's histogram exactly once;
-    sentinel windows (start > real max ts) are filtered. Summed per
+    Exactness (ssw1/scs1's sentinel dance, collapsed to ONE availableNow
+    run in round 13 — streaming/events.single_run_sentinel_flush):
+    the real events plus one far-future sentinel file form one
+    micro-batch under watermark 0 (nothing is late); the watermark then
+    advances past the last real day's window end and the trailing
+    no-data micro-batch flushes every real day's histogram exactly
+    once; sentinel windows (start > real max ts) are filtered. Summed per
     (value, side-of-cut), the streamed daily histograms EQUAL dr1's
     batch value rollup — day windows are midnight-aligned and the cut is
     a day boundary — so DR1_SQL is this query's oracle too (the
@@ -15854,7 +15854,10 @@ def sps1_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from etl_oms_spark.operators.validate import psi_from_value_counts
-    from etl_oms_spark.streaming.events import windowed_value_counts
+    from etl_oms_spark.streaming.events import (
+        single_run_sentinel_flush,
+        windowed_value_counts,
+    )
 
     ev = _events(spark, sf_dir).select(
         "ts", _cents(F.col("value")).alias("cents")
@@ -15872,36 +15875,30 @@ def sps1_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_sec = int((bounds["mx"] - bounds["mn"]).total_seconds())
         delay_sec = span_sec + 3600
 
-        def run_phase() -> None:
-            stream = spark.readStream.schema(src_schema).parquet(src)
-            q = (
-                windowed_value_counts(
-                    stream, "cents", window="1 day",
-                    watermark=f"{delay_sec} seconds",
-                )
-                .writeStream.format("parquet")
-                .outputMode("append")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-
-        run_phase()
-        # sentinels built from the CAPTURED source schema (scs1's ADVICE
+        # sentinel built from the CAPTURED source schema (scs1's ADVICE
         # lesson); watermark = sentinel_ts - delay must pass the END of
         # the last real day window
-        for extra in (delay_sec + 86400 + 3600, delay_sec + 86400 + 7200):
-            spark.range(1).select(
-                (
-                    F.lit(bounds["mx"]) + F.make_interval(secs=F.lit(extra))
-                )
-                .cast(src_schema["ts"].dataType)
-                .alias("ts"),
-                F.lit(0).cast(src_schema["cents"].dataType).alias("cents"),
-            ).write.mode("append").parquet(src)
-            run_phase()
+        sentinel = spark.range(1).select(
+            (
+                F.lit(bounds["mx"])
+                + F.make_interval(secs=F.lit(delay_sec + 86400 + 3600))
+            )
+            .cast(src_schema["ts"].dataType)
+            .alias("ts"),
+            F.lit(0).cast(src_schema["cents"].dataType).alias("cents"),
+        )
+        single_run_sentinel_flush(
+            spark,
+            src,
+            sentinel,
+            lambda stream: windowed_value_counts(
+                stream, "cents", window="1 day",
+                watermark=f"{delay_sec} seconds",
+            ),
+            out,
+            ckpt,
+            schema=src_schema,
+        )
         cut = F.lit("2024-01-08").cast("timestamp")
         vcounts = (
             spark.read.parquet(out)

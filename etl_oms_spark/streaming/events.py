@@ -435,3 +435,62 @@ def windowed_value_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "v", "n")
     )
+
+
+def single_run_sentinel_flush(
+    spark: SparkSession,
+    src: str,
+    sentinel: DataFrame,
+    build: Callable[[DataFrame], DataFrame],
+    out: str,
+    ckpt: str,
+    schema: T.StructType | None = None,
+) -> None:
+    """Run an append-mode availableNow stream over ``src`` that FLUSHES
+    every finalized window in ONE query run with TWO micro-batches,
+    instead of the historical three sentinel-restart phases (SCALING.md
+    round-13 decomposition: ~80% of a class-A monitor's wall was the
+    per-phase state-store/checkpoint/query-start machinery, paid three
+    times).
+
+    Mechanics: the caller writes the real corpus to ``src`` and passes
+    ONE far-future sentinel row as a small DataFrame. The helper appends
+    the sentinel and starts ONE availableNow query over everything.
+    Micro-batch 0 processes all files under watermark 0 (the watermark
+    the engine applies in batch N is computed from batches < N), so no
+    row is late and nothing drops; after the batch the watermark
+    advances to sentinel_ts - delay, which the caller arranges to lie
+    past every real window's end. Because the watermark moved while
+    stateful windows await finalization, the engine runs one trailing
+    NO-DATA micro-batch (``spark.sql.streaming.noDataMicroBatches``,
+    default on — pinned here) that evicts and emits every finalized real
+    window — the SAME watermark/append semantics as the restart dance
+    (each restart's first batch played exactly this role), with the
+    query-start and state-store machinery paid once instead of three
+    times, and no dependency on file ordering or per-file triggers. The
+    sentinel's own window stays past the watermark, is never emitted,
+    and is filtered by the caller exactly as before.
+
+    At real scale the sentinel dance does not exist at all: a monitor
+    is an always-on stream whose watermark advances from ongoing
+    traffic; the finite-corpus flush here is the harness shape, not a
+    production prescription.
+    """
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    if schema is None:
+        schema = spark.read.parquet(src).schema
+    # the flush rides on the trailing no-data batch; that batch only
+    # exists while this (default-on) knob is on, so pin it rather than
+    # inherit whatever the session was configured with
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        build(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
