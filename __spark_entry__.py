@@ -8525,12 +8525,13 @@ def ck1_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long") % F.lit(
         1_048_576
     )
-    return spark.createDataFrame([("orders",)], ["table_name"]).crossJoin(
-        o.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(h).alias("checksum"),
-        )
-    )
+    # constant label as a JVM literal select, not a 1-row
+    # createDataFrame+crossJoin: the list path parallelizes into
+    # defaultParallelism pickled slices (32 Python-worker round trips)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h).alias("checksum"),
+    ).select(F.lit("orders").alias("table_name"), "n_rows", "checksum")
 
 
 CK1_SQL = """
@@ -13752,14 +13753,17 @@ def mrr1_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly ahead of it — two bounded aggregates per query. Queries with
     no relevant document report rank NULL / rr 0."""
     from etl_oms_spark.operators.search import bm25_term_scores
+    from etl_oms_spark.util import local_rows
 
     all_terms = sorted({t for _, ts in _MRR_QUERIES for t in ts})
     per_term = bm25_term_scores(_t(spark, sf_dir, "documents"), all_terms)
-    qt = spark.createDataFrame(
-        [(q, t) for q, ts in _MRR_QUERIES for t in ts], "qid string, term string"
+    qt = local_rows(
+        spark,
+        [(q, t) for q, ts in _MRR_QUERIES for t in ts],
+        "qid string, term string",
     )
-    qmeta = spark.createDataFrame(
-        [(q, len(ts)) for q, ts in _MRR_QUERIES], "qid string, n_terms long"
+    qmeta = local_rows(
+        spark, [(q, len(ts)) for q, ts in _MRR_QUERIES], "qid string, n_terms long"
     )
     scored = (
         per_term.join(F.broadcast(qt), "term")
@@ -13918,7 +13922,10 @@ def bpe1_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train_exact(
         _t(spark, sf_dir, "documents"), n_merges=8, sample_words=256
     )
-    return spark.createDataFrame(
+    from etl_oms_spark.util import local_rows
+
+    return local_rows(
+        spark,
         [
             (m["rank"], m["lhs"], m["rhs"], m["merged"], m["weight"])
             for m in merges
@@ -14159,7 +14166,10 @@ def wp1_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = wordpiece_train_exact(
         _t(spark, sf_dir, "documents"), n_merges=8, sample_words=256
     )
-    return spark.createDataFrame(
+    from etl_oms_spark.util import local_rows
+
+    return local_rows(
+        spark,
         [
             (
                 m["rank"],
@@ -14478,14 +14488,17 @@ def rag1_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_oms_spark.operators.search import bm25_term_scores, corpus_stats
 
     docs = _t(spark, sf_dir, "documents")
+    from etl_oms_spark.util import local_rows
+
     all_terms = sorted({t for _, ts in _MRR_QUERIES for t in ts})
     per_term = bm25_term_scores(docs, all_terms)
-    qt = spark.createDataFrame(
+    qt = local_rows(
+        spark,
         [(q, t) for q, ts in _MRR_QUERIES for t in ts],
         "qid string, term string",
     )
-    qmeta = spark.createDataFrame(
-        [(q,) for q, _ in _MRR_QUERIES], "qid string"
+    qmeta = local_rows(
+        spark, [(q,) for q, _ in _MRR_QUERIES], "qid string"
     )
     scored = (
         per_term.join(F.broadcast(qt), "term")
@@ -14725,7 +14738,10 @@ def uni1_unigram_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_oms_spark.operators.tokenize import unigram_segment_exact
 
     segs = unigram_segment_exact(_t(spark, sf_dir, "documents"))
-    return spark.createDataFrame(
+    from etl_oms_spark.util import local_rows
+
+    return local_rows(
+        spark,
         [
             (d["piece"], d["vocab_weight"], d["score_q"], d["usage"])
             for d in segs
@@ -14898,7 +14914,10 @@ def uniT_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_oms_spark.operators.tokenize import unigram_em_train
 
     rows = unigram_em_train(_t(spark, sf_dir, "documents"))
-    return spark.createDataFrame(
+    from etl_oms_spark.util import local_rows
+
+    return local_rows(
+        spark,
         [
             (
                 d["piece"],
@@ -14986,7 +15005,10 @@ def uniT2_unigram_em_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rounds=2,
         prune_schedule=[48, 32],
     )
-    return spark.createDataFrame(
+    from etl_oms_spark.util import local_rows
+
+    return local_rows(
+        spark,
         [
             (
                 d["piece"],

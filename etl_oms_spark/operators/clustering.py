@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import ensure_parallelism
+from ..util import ensure_parallelism, local_rows
 from .similarity import QUANT
 
 #: shift added to quantized components so centroid-update division stays in
@@ -79,7 +79,8 @@ INLINE_MAX_K = 64
 
 def _centroids_df(spark, centroids: list[list[int]]) -> DataFrame:
     """(cluster, __qc) frame from driver-held quantized centroids."""
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(i, [int(v) for v in c]) for i, c in enumerate(centroids)],
         "cluster INT, __qc ARRAY<BIGINT>",
     )
@@ -691,7 +692,7 @@ def davies_bouldin(
             pairs.append(
                 (i, j, int(math.floor(math.sqrt(d2) * 1e6 + 0.5)))
             )
-    cd = spark.createDataFrame(pairs, "ci int, cj int, d_q6 long")
+    cd = local_rows(spark, pairs, "ci int, cj int, d_q6 long")
     si = s.select(
         F.col("cluster").alias("ci"), F.col("s_q6").alias("si_q6")
     )

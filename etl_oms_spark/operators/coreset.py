@@ -44,15 +44,18 @@ def _quant_shift(vec: Column) -> Column:
     )
 
 
-def _dist2_to_literal(qv: Column, center: list[int]) -> Column:
-    """Exact BIGINT squared-L2 between a quantized vector column and one
-    driver-held center (shipped as an array literal — k·d longs total
-    across all rounds, broadcast-free)."""
-    lit = F.array(*[F.lit(int(c)) for c in center])
-    return F.aggregate(
-        F.zip_with(qv, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _dist2_sql(qv_name: str, center: list[int]) -> str:
+    """Exact BIGINT squared-L2 between the quantized vector column named
+    ``qv_name`` and one driver-held center, as ONE SQL string (the
+    `_argmin_struct` pattern: the Column-API form paid d F.lit() py4j
+    round-trips per center — ~0.45 s/round of pure driver latency by
+    round 8 at d=64; parsing a 1 KB SQL string JVM-side is
+    milliseconds). Centers ship as array literals — k·d longs total
+    across all rounds, broadcast-free."""
+    arr = ",".join(f"{int(c)}L" for c in center)
+    return (
+        f"aggregate(zip_with({qv_name}, array({arr}), "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
     )
 
 
@@ -87,12 +90,19 @@ def kcenter_greedy(
         F.col(id_col).cast("long").alias("vid"),
         _quant_shift(F.col(vec_col)).alias("qv"),
     )
+    # every round re-scans the corpus: persist the quantized frame once
+    # so k-center pays one parquet scan + quantize, not k of them
+    # (kmeans_fit's pattern; MEMORY_AND_DISK spill-safe default, freed
+    # before returning)
+    q = q.persist()
     first = q.orderBy("vid").limit(1).collect()[0]
     chosen: list[tuple[int, int, int]] = [(1, int(first["vid"]), 0)]
     centers: list[list[int]] = [list(first["qv"])]
     for rnd in range(2, k + 1):
-        dists = [_dist2_to_literal(F.col("qv"), c) for c in centers]
-        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        dists = [_dist2_sql("qv", c) for c in centers]
+        mind = F.expr(
+            dists[0] if len(dists) == 1 else f"least({','.join(dists)})"
+        )
         far = (
             q.select("vid", "qv", mind.alias("d"))
             .orderBy(F.desc("d"), "vid")
@@ -104,6 +114,9 @@ def kcenter_greedy(
         row = far[0]
         chosen.append((rnd, int(row["vid"]), int(row["d"])))
         centers.append(list(row["qv"]))
-    return spark.createDataFrame(
-        chosen, "round long, vec_id long, radius_d2 long"
+    q.unpersist()
+    from etl_oms_spark.util import local_rows
+
+    return local_rows(
+        spark, chosen, "round long, vec_id long, radius_d2 long"
     ).orderBy("round")

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_oms_spark.operators.text import tokens
-from etl_oms_spark.util import ensure_parallelism
+from etl_oms_spark.util import ensure_parallelism, local_rows
 
 SCORE_SCALE = 1_000_000
 
@@ -286,8 +286,8 @@ def prf_expansion(
     spark = df.sparkSession
     all_terms = sorted({t for _, ts in queries for t in ts})
     per_term = bm25_term_scores(df, all_terms, text_col, id_col)
-    qt = spark.createDataFrame(
-        [(q, t) for q, ts in queries for t in ts], "qid string, term string"
+    qt = local_rows(
+        spark, [(q, t) for q, ts in queries for t in ts], "qid string, term string"
     )
     scored = (
         per_term.join(F.broadcast(qt), "term")
@@ -380,7 +380,8 @@ def rbo_from_ranks(
             "__id",
         )
     )
-    depths = spark.createDataFrame(
+    depths = local_rows(
+        spark,
         [(d, 9 ** (d - 1), 10 ** (12 - d)) for d in range(1, k + 1)],
         "d long, p9 long, p10 long",
     )

@@ -193,20 +193,32 @@ def lsh_bucket_portable(vec: Column, dim: int, num_planes: int = 8) -> Column:
     reproducible in any engine (`hyperplane_components`). The plane
     constants are inlined as array literals — zero per-row hashing, one
     fold per plane."""
-    bucket = F.lit(0).cast("long")
-    for p, comps in enumerate(hyperplane_components(num_planes, dim)):
+    from ..util import let_
+
+    arrs = [
         # one parsed literal array per plane, not dim F.lit().cast() py4j
         # round-trips (dim=64 × 8 planes ≈ 1k calls ≈ 1s of driver latency)
-        arr = F.expr("array(" + ",".join(f"{c}L" for c in comps) + ")")
-        proj = F.aggregate(
-            F.zip_with(vec, arr, lambda x, h: _quant(x) * h),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(
-            proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
-        ).otherwise(0)
-    return bucket
+        F.expr("array(" + ",".join(f"{c}L" for c in comps) + ")")
+        for comps in hyperplane_components(num_planes, dim)
+    ]
+
+    # let_-bind the QUANTIZED vector once per row: quantizing inside each
+    # plane's fold re-runs round+cast dim×planes times per row (8× the
+    # needed work at planes=8) — same exact longs, one quantize pass
+    def body(qv: Column) -> Column:
+        bucket = F.lit(0).cast("long")
+        for p, arr in enumerate(arrs):
+            proj = F.aggregate(
+                F.zip_with(qv, arr, lambda x, h: x * h),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(
+                proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
+            ).otherwise(0)
+        return bucket
+
+    return let_(F.transform(vec, _quant), body)
 
 
 def ann_lsh_topk(
@@ -1152,22 +1164,37 @@ def jl_project(vec: Column, dim: int, m: int = 16) -> Column:
     ``array<long>``: y_k = Σ_i round(x_i·1e3)·c(k,i). One inlined
     literal array per axis (the `lsh_bucket_portable` pattern — zero
     per-row hashing), all folds JVM-side; reproducible on any engine."""
-    cols = []
-    for row in jl_components(m, dim):
-        arr = F.expr("array(" + ",".join(f"{c}L" for c in row) + ")")
-        y = F.aggregate(
-            F.zip_with(
-                vec,
-                arr,
-                lambda x, h: F.round(x.cast("double") * F.lit(float(JL_QUANT)))
-                .cast("long")
-                * h,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    from ..util import let_
+
+    arrs = [
+        F.expr("array(" + ",".join(f"{c}L" for c in row) + ")")
+        for row in jl_components(m, dim)
+    ]
+
+    # let_-bind the quantized vector once: quantizing inside each axis
+    # fold re-runs round+cast dim×m times per row (16× the needed work
+    # at m=16) — same exact longs, one quantize pass
+    def body(qv: Column) -> Column:
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(qv, arr, lambda x, h: x * h),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for arr in arrs
+            ]
         )
-        cols.append(y)
-    return F.array(*cols)
+
+    return let_(
+        F.transform(
+            vec,
+            lambda x: F.round(
+                x.cast("double") * F.lit(float(JL_QUANT))
+            ).cast("long"),
+        ),
+        body,
+    )
 
 
 def jl_recall_report(

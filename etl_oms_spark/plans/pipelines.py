@@ -29,6 +29,7 @@ from ..star import (
     rollup_statistique,
 )
 from ..schema import STANDARD_COLUMNS
+from ..util import local_rows
 from ..transform import (
     derive_daily_columns,
     drop_null_dates,
@@ -215,7 +216,7 @@ def warehouse_directory_to_parquet(
     ).localCheckpoint(eager=True)
     maladie = grow_dimension(
         maladie,
-        spark.createDataFrame([(d,) for d in diseases], "nom_maladie STRING"),
+        local_rows(spark, [(d,) for d in diseases], "nom_maladie STRING"),
         "nom_maladie",
         "id_maladie",
     ).localCheckpoint(eager=True)

@@ -65,8 +65,10 @@ def build_region(pays: DataFrame) -> DataFrame:
 
 def build_maladie(spark, diseases: list[str]) -> DataFrame:
     """``Maladie(id_maladie, nom_maladie)`` — ETL_OMS_FINAL.py:83-86."""
+    from etl_oms_spark.util import local_rows
+
     rows = [(i + 1, d) for i, d in enumerate(sorted(diseases))]
-    return spark.createDataFrame(rows, "id_maladie INT, nom_maladie STRING")
+    return local_rows(spark, rows, "id_maladie INT, nom_maladie STRING")
 
 
 def build_fact(

@@ -210,3 +210,104 @@ def let_(value: Column, body) -> Column:
     the bound Column and returns the result expression.
     """
     return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _sql_literal(v) -> str:
+    """Render one Python value as a Spark SQL literal (the
+    `_argmin_struct` one-parsed-string pattern). Fractional values go
+    through CAST('repr' AS DOUBLE) because Spark parses bare decimal
+    literals as DECIMAL, and repr round-trips IEEE doubles exactly.
+    Strings use the default C-style escaping (escapedStringLiterals
+    off). Raises TypeError for unsupported types — the caller falls
+    back to createDataFrame."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        if not (-(2**63) <= v < 2**63):
+            raise TypeError("int out of BIGINT range")
+        return f"{v}L"
+    if isinstance(v, float):
+        import math
+
+        if not math.isfinite(v):
+            raise TypeError("non-finite float")
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        out = []
+        for ch in v:
+            if ch == "\\":
+                out.append("\\\\")
+            elif ch == "'":
+                out.append("\\'")
+            elif ch == "\n":
+                out.append("\\n")
+            elif ch == "\r":
+                out.append("\\r")
+            elif ch == "\t":
+                out.append("\\t")
+            elif ord(ch) < 0x20:
+                raise TypeError("unsupported control char in string")
+            else:
+                out.append(ch)
+        return "'" + "".join(out) + "'"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ",".join(_sql_literal(x) for x in v) + ")"
+    raise TypeError(f"unsupported literal type {type(v)!r}")
+
+
+def local_rows(spark, rows, schema) -> DataFrame:
+    """Tiny driver-held row list -> DataFrame WITHOUT the Python-worker
+    boundary.
+
+    ``spark.createDataFrame(list, ...)`` parallelizes the list into
+    ``defaultParallelism`` pickled slices — on local[32] that is 32
+    Python-worker round trips (~0.15-0.8 s measured) to materialize a
+    handful of rows, per call. This builds the same rows as ONE parsed
+    JVM literal expression instead: ``inline(array(named_struct(...)))``
+    rendered as a single SQL string (per-cell F.lit() Column chains cost
+    ~0.5 s of py4j round-trips at a hundred cells — the `_argmin_struct`
+    lesson) — a single-partition, JVM-only plan with zero Python
+    workers, byte-identical values (every cell is CAST to the declared
+    field type, exactly like createDataFrame's coercion).
+
+    For tiny frames only (dims, query literals, driver-computed results
+    of bounded training loops): the rows become expression-tree literals,
+    so past a cell budget (scalar cells, array elements counted — plans
+    in the hundreds of KB break the k=1000 kmeans_assign plan-size pin
+    and slow analysis), or on a value type the SQL renderer does not
+    cover (datetime, bytes, Decimal, NaN...), the call falls back to
+    createDataFrame unchanged.
+    """
+    from pyspark.sql import types as T
+
+    if not isinstance(schema, T.StructType):
+        schema = T.StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    cells = 0
+    for row in rows:
+        for v in row:
+            cells += len(v) if isinstance(v, (list, tuple)) else 1
+    if cells > 4096:
+        return spark.createDataFrame(rows, schema)
+    try:
+        field_sql = [
+            (f.name.replace("'", "''"), f.dataType.simpleString())
+            for f in schema.fields
+        ]
+        structs = [
+            "named_struct("
+            + ",".join(
+                f"'{name}',CAST({_sql_literal(v)} AS {dt})"
+                for v, (name, dt) in zip(row, field_sql)
+            )
+            + ")"
+            for row in rows
+        ]
+    except TypeError:
+        return spark.createDataFrame(rows, schema)
+    return spark.range(1).select(
+        F.inline(F.expr("array(" + ",".join(structs) + ")"))
+    )

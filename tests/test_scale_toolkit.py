@@ -118,3 +118,41 @@ def test_with_global_index_contiguous_and_deterministic(spark):
     # no single-partition exchange of the data in the plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_local_rows_matches_createdataframe(spark):
+    """local_rows is a drop-in for tiny createDataFrame lists: same rows,
+    same dtypes, but a pure-JVM literal plan — no Python-worker
+    parallelize (the 32-pickled-slices boundary tax on local[32])."""
+    from etl_oms_spark.util import local_rows
+
+    rows = [
+        ("a", 1, [1, 2], None),
+        ("b", None, None, 2.5),
+        # SQL-literal escaping hazards: quotes, backslashes, newline/tab,
+        # unicode — corpus-derived tokens can contain any of these
+        ("it's a \\ 'quoted'\nline\twith émojis ☃", 7, [0], 0.1),
+    ]
+    ddl = "k string, v long, arr array<bigint>, x double"
+    ref = spark.createDataFrame(rows, ddl)
+    got = local_rows(spark, rows, ddl)
+    assert got.dtypes == ref.dtypes
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # the literal path must not appear as a parallelized RDD scan
+    from etl_oms_spark.util import physical_plan
+
+    assert "Scan ExistingRDD" not in physical_plan(got)
+    # empty input stays a valid empty frame
+    assert local_rows(spark, [], ddl).count() == 0
+
+
+def test_local_rows_large_input_falls_back(spark):
+    """Past the literal cell budget local_rows must fall back to
+    createDataFrame — k=1000 x dim=64 centroid frames as inline literals
+    produce multi-hundred-KB plans (the kmeans_assign plan-size pin)."""
+    from etl_oms_spark.util import local_rows, physical_plan
+
+    rows = [(i, list(range(64))) for i in range(200)]
+    df = local_rows(spark, rows, "cluster int, qc array<bigint>")
+    assert "Scan ExistingRDD" in physical_plan(df)
+    assert df.count() == 200
