@@ -39,6 +39,33 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     assert not any(issubclass(w.category, RuntimeWarning) for w in caught)
 
 
+def test_connected_components_star_early_exit_labels(spark):
+    # the structural early exit (disjoint-star detection after a
+    # small-star round, gated on a stable edge count) must leave labels
+    # identical to plain fixpoint iteration: mix near-cliques (the dup
+    # graph shape that triggers it) with a chain and verify both the
+    # min-labels and that convergence is reached without the warning
+    import warnings
+
+    edges = spark.createDataFrame(
+        # clique 1-2-3-4, clique 10-11-12, chain 20-21-22-23, pair 30-31
+        [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+        + [(10, 11), (11, 12), (10, 12)]
+        + [(20, 21), (21, 22), (22, 23), (30, 31)],
+        "id_a long, id_b long",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = {
+            r["id"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    expect.update({20: 20, 21: 20, 22: 20, 23: 20, 30: 30, 31: 30})
+    assert out == expect
+    assert not any(issubclass(w.category, RuntimeWarning) for w in caught)
+
+
 def test_connected_components_warns_on_non_convergence(spark):
     import warnings
 
