@@ -69,6 +69,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # noqa: BLE001 - conf not recognized on some versions
         pass
     df = _t(spark, sf_dir, "events")
+    return _rebuild_ts(df)
+
+
+def _rebuild_ts(df: DataFrame) -> DataFrame:
+    """The ts-normalization half of `_events`, shared with the streaming
+    twins (`_events_stream`): nanos-long → TimestampType via integer DIV,
+    TIMESTAMP_NTZ → TimestampType cast (session tz is UTC)."""
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     if isinstance(df.schema["ts"].dataType, LongType):
@@ -10763,7 +10770,12 @@ def sj1_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter on event_type), so drop the other 60% of events BEFORE the
     # stream source is written — the production monitor would subscribe
     # to those two topics, not the whole firehose; emitted pairs are
-    # unchanged (the stream's own filters did exactly this)
+    # unchanged (the stream's own filters did exactly this).
+    # (A round-13 direct-source variant — streaming the ORIGINAL events
+    # parquet with the filter/projection on the stream — was measured
+    # and REJECTED: single-file source + on-stream transform ran the
+    # 2-branch micro-batch 2-5x slower than the 32-file pre-projected
+    # copy in the clean A/B window; see OPTIMIZATION_r13.md.)
     ev = _events(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "ts", "value"
     ).filter(F.col("event_type").isin("click", "purchase"))
@@ -12624,7 +12636,7 @@ def js1_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # everything downstream is (sources × tokens)-sized
     full = toks.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     vocab = (
         full.groupBy("tok")
         .agg(F.sum("c").cast("long").alias("gc"))
@@ -12632,7 +12644,11 @@ def js1_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1000)
         .select("tok")
     )
-    cnts = full.join(F.broadcast(vocab), "tok")
+    # lazy barriers: full feeds vocab + the restricted counts (each
+    # re-ran the corpus explode without it — 9 scans in the round-13
+    # executed-plan audit), and cnts feeds the totals plus both pair-side
+    # broadcasts; both frames are (source × vocab)-bounded
+    cnts = full.join(F.broadcast(vocab), "tok").localCheckpoint(eager=False)
     tots = cnts.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
     a = tots.select(F.col("source").alias("source_a"), F.col("t").alias("t1"))
     b = tots.select(F.col("source").alias("source_b"), F.col("t").alias("t2"))
@@ -13108,12 +13124,19 @@ def _daily_revk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``t``. The grid explode is bounded by the date RANGE (~thousands of
     rows at any corpus size), never by row count."""
     o = _t(spark, sf_dir, "orders")
+    # lazy barriers (round-13): daily feeds both the bounds aggregate and
+    # the grid join — each re-scanned orders without it — and the zero-
+    # filled series itself is consumed 2-6× by every day-domain statistic
+    # built on it (acf1 alone folded it 12 scans deep in the executed-
+    # plan audit). Both frames are day-domain-sized (~thousands of rows
+    # at any corpus scale), so the barrier is ~free and every consumer
+    # pays ONE orders scan.
     daily = o.groupBy("o_orderdate").agg(
         F.expr(
             "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 100000"
             " AS BIGINT)"
         ).alias("rev_k")
-    )
+    ).localCheckpoint(eager=False)
     bounds = daily.agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
     grid = bounds.select(
         "mn",
@@ -13126,6 +13149,7 @@ def _daily_revk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("d"), F.col("mn")).cast("long").alias("t"),
             F.coalesce(F.col("rev_k"), F.lit(0)).cast("long").alias("rev_k"),
         )
+        .localCheckpoint(eager=False)
     )
 
 
@@ -13161,11 +13185,13 @@ def acf1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ser.agg(
         F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev_k").alias("s")
     )
+    # lazy barrier: y feeds den, the lag cross-join AND the lagged side —
+    # day-domain-sized, three folds shared
     y = ser.crossJoin(F.broadcast(tot)).select(
         "t",
         "n",
         (F.col("n") * F.col("rev_k") - F.col("s")).cast("decimal(20,0)").alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     den = y.agg(F.sum(F.col("y") * F.col("y")).alias("den"))
     lags = spark.range(1, 11).select(F.col("id").cast("long").alias("lag"))
     lagged = y.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
@@ -13441,12 +13467,17 @@ def hp1_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_oms_spark.util import with_global_index
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # lazy barriers: pos feeds both the length table and the token
+    # explode (each re-ran the scan + global index without it — 10 scans
+    # in the round-13 executed-plan audit), and docs feeds both the
+    # total count and the decile token sums (each re-ran the whitespace
+    # tokenize). Both frames are narrow (pos+text / pos+dl).
     pos = with_global_index(d, ["doc_id"], index_col="__i").select(
         (F.col("__i") + 1).cast("long").alias("pos"), "text"
-    )
+    ).localCheckpoint(eager=False)
     docs = pos.select(
         "pos", whitespace_token_count("text").cast("long").alias("dl")
-    )
+    ).localCheckpoint(eager=False)
     toks = (
         pos.select("pos", F.explode(tokens("text")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -13629,7 +13660,12 @@ def ndcg1_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 20 rows."""
     from etl_oms_spark.operators.search import bm25_scores
 
-    sc = bm25_scores(_t(spark, sf_dir, "documents"), _NDCG_TERMS)
+    # lazy barrier: sc feeds both the BM25 top-20 and the ideal top-20 —
+    # each re-ran the per-doc score aggregation without it; matched-doc-
+    # sized
+    sc = bm25_scores(
+        _t(spark, sf_dir, "documents"), _NDCG_TERMS
+    ).localCheckpoint(eager=False)
     top = sc.orderBy(F.col("score_q").desc(), "doc_id").limit(20)
     w_rank = Window.orderBy(F.col("score_q").desc(), "doc_id")
     ranked = top.select(
@@ -13765,6 +13801,10 @@ def mrr1_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qmeta = local_rows(
         spark, [(q, len(ts)) for q, ts in _MRR_QUERIES], "qid string, n_terms long"
     )
+    # lazy barrier: scored feeds THREE consumers (cand, best, ahead) —
+    # without it each re-ran the whole postings build (16 scans in the
+    # executed plan, round-13 plan audit); it is (query, matched-doc)-
+    # sized, so the materialization is bounded by the candidate set
     scored = (
         per_term.join(F.broadcast(qt), "term")
         .groupBy("qid", "doc_id")
@@ -13772,6 +13812,7 @@ def mrr1_reciprocal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_hit"),
             F.sum("term_q").alias("score_q"),
         )
+        .localCheckpoint(eager=False)
     )
     cand = scored.groupBy("qid").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates")
@@ -14491,7 +14532,10 @@ def rag1_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_oms_spark.util import local_rows
 
     all_terms = sorted({t for _, ts in _MRR_QUERIES for t in ts})
-    per_term = bm25_term_scores(docs, all_terms)
+    # ONE shared doc-length frame for the BM25 build and the budget
+    # packing join below (was two independent corpus tokenize passes)
+    dl = corpus_stats(docs).localCheckpoint(eager=False)
+    per_term = bm25_term_scores(docs, all_terms, doc_lengths=dl)
     qt = local_rows(
         spark,
         [(q, t) for q, ts in _MRR_QUERIES for t in ts],
@@ -14500,16 +14544,18 @@ def rag1_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     qmeta = local_rows(
         spark, [(q,) for q, _ in _MRR_QUERIES], "qid string"
     )
+    # lazy barrier: scored feeds both cand and ranked (mrr1's lesson)
     scored = (
         per_term.join(F.broadcast(qt), "term")
         .groupBy("qid", "doc_id")
         .agg(F.sum("term_q").alias("score_q"))
+        .localCheckpoint(eager=False)
     )
     cand = scored.groupBy("qid").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates")
     )
     ranked = (
-        scored.join(corpus_stats(docs), "doc_id")
+        scored.join(dl, "doc_id")
         .withColumn(
             "rnk",
             F.row_number().over(

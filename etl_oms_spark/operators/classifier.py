@@ -152,16 +152,19 @@ def select_top_fraction(
     scored = linear_scores(
         df, weights, n_buckets, text_col=text_col, id_col=id_col
     ).select(id_col, "margin_q")
-    keyed = df.select(id_col, group_col).join(scored, id_col)
+    # lazy barrier: keyed is folded THREE times (hist, tot, final
+    # filter) and each fold re-ran the whole classifier scoring pass
+    # (corpus tokenize + feature hash + margin) without it — 8 scans in
+    # qsel1's round-13 executed-plan audit. Three narrow columns, so the
+    # materialization is the cheap side of the trade at any scale.
+    keyed = df.select(id_col, group_col).join(scored, id_col).localCheckpoint(
+        eager=False
+    )
     hist = keyed.groupBy(group_col, "margin_q").agg(
         F.count(F.lit(1)).alias("__n")
     )
     w = Window.partitionBy(group_col).orderBy(F.col("margin_q").desc())
     cum = hist.withColumn("__cnt_ge", F.sum("__n").over(w))
-    # NOTE (100 TB): `keyed` is folded three times (hist, tot, final
-    # filter) — every fold is scan → broadcast-join → map-side-reduced
-    # agg with no corpus shuffle, but at scale persist `keyed` (three
-    # narrow columns) so the folds share one materialization.
     tot = keyed.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_docs"))
     k = F.ceil(F.lit(float(frac)) * F.col("__n_docs")).cast("long")
     thr = (

@@ -607,7 +607,12 @@ def bloom_decontamination(
     bitmap = [0] * (num_bits // 64)
     for r in words:
         bitmap[int(r["word"])] = int(r["bits"])
-    bloom = F.array(*[F.lit(w) for w in bitmap])
+    # ONE parsed SQL literal, not num_bits/64 (= 2048 at the default)
+    # F.lit() py4j round trips per call (round-13; the util.local_rows
+    # lesson applied to the bitmap literal)
+    bloom = F.expr(
+        "array(" + ",".join(f"{w}L" for w in bitmap) + ")"
+    )
 
     doc_sh = (
         ensure_parallelism(df, id_col)
@@ -948,6 +953,11 @@ def repeated_substring_spans(
                 F.concat_ws(" ", F.slice("__toks", F.col("pos"), min_len_tokens))
             ).alias("wkey"),
         )
+        # lazy barrier: base feeds both the qualifying-key count and the
+        # hit semi-join — each re-ran the per-position window md5 (the
+        # operator's dominant CPU) without it; rows are (id, pos, 32-char
+        # key) — narrow relative to re-hashing every window
+        .localCheckpoint(eager=False)
     )
     qualifying = (
         base.groupBy("wkey")
@@ -1252,14 +1262,19 @@ def winnow_match_pairs(
     cap). The join is posting-list-bounded: Σ df² over surviving
     hashes, each df ≤ max_df.
     """
-    sets = fps.select(id_col, "h").distinct()
+    # lazy barriers: sets feeds both the df count and the semi filter
+    # (each re-ran the upstream winnowing windows without it — 4 scans
+    # in wf1's round-13 executed-plan audit), and pruned feeds both
+    # sides of the pair self-join whose diverging projections defeat
+    # exchange reuse. Both are fingerprint-sized (≈ 2/(w+1) of kgrams).
+    sets = fps.select(id_col, "h").distinct().localCheckpoint(eager=False)
     small = (
         sets.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select("h")
     )
-    pruned = sets.join(small, "h", "left_semi")
+    pruned = sets.join(small, "h", "left_semi").localCheckpoint(eager=False)
     a = pruned.select(F.col("h"), F.col(id_col).alias("id_a"))
     b = pruned.select(F.col("h"), F.col(id_col).alias("id_b"))
     return (

@@ -517,9 +517,15 @@ def k_core(
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("deg"))
         ).localCheckpoint(eager=False)
-        n_nodes = deg.count()
+        # ONE aggregate job per round decides the fixpoint (was two:
+        # deg.count() + keep.count() — round-13 job-count trim); the agg
+        # also materializes deg's lazy checkpoint for the reuse below
+        counts = deg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("deg") >= k).alias("nk"),
+        ).collect()[0]
+        n_nodes, n_keep = counts["n"], counts["nk"]
         keep = deg.filter(F.col("deg") >= k).select("id")
-        n_keep = keep.count()
         if n_keep == n_nodes:  # fixpoint (also terminates on empty graph)
             return deg.filter(F.col("deg") >= k).select(
                 "id", F.col("deg").cast("long").alias("core_degree")

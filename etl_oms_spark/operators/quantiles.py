@@ -158,9 +158,16 @@ def _grouped_rank(
     ``__pid``. Callers consume and drop the bookkeeping columns.
     """
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # lazy barrier: ranged feeds both the per-(partition, group) counts
+    # and the final rank join. Without it each branch re-ran the whole
+    # upstream (chained ntile passes compounded to 8 scans in rfm1's
+    # round-13 executed-plan audit), and — worse — repartitionByRange
+    # draws range bounds from a SAMPLE, so the two branches relied on
+    # exchange reuse for consistent __pid assignment; one materialization
+    # makes the partitioning shared by construction.
     ranged = df.repartitionByRange(
         *[F.col(g) for g in group_cols], *order_exprs
-    ).withColumn("__pid", F.spark_partition_id())
+    ).withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=False)
     counts = ranged.groupBy("__pid", *group_cols).agg(
         F.count(F.lit(1)).alias("__c")
     )

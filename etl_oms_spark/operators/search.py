@@ -64,6 +64,7 @@ def bm25_term_scores(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    doc_lengths: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(document, term) BM25 contributions: (id, term, tf, term_q)
     where ``term_q`` is the exact 1e-6-quantized integer contribution of
@@ -76,12 +77,32 @@ def bm25_term_scores(
     idf is the Robertson form ln(1 + (N - df + 0.5)/(df + 0.5)); the tf
     saturation term is computed as an exact rational before one final
     double multiply + half-up rounding per (doc, term).
+
+    ``doc_lengths`` lets a caller that ALSO needs the per-doc length
+    table (rag1's budget packing, prf1's ML term probabilities) pass one
+    shared — ideally localCheckpoint-ed — ``corpus_stats`` frame so the
+    corpus is tokenized once for it, not once per consumer.
+
+    The two internal dual-use frames are lazily localCheckpoint-ed:
+    ``dl`` feeds both the (N, total_len) global aggregate and the
+    per-doc join, and the postings ``tf`` feeds both the df count and
+    the scored join — without the barrier each pair re-ran its corpus
+    scan + tokenize (the round-13 plan audit measured 16 scans in mrr1's
+    executed plan for what is logically 2 passes). The checkpointed
+    frames are narrow ((id, dl) and matched postings), so the trade is a
+    doc-count-sized materialization against a full corpus re-tokenize —
+    the right side of the trade at any scale.
     """
-    dl = corpus_stats(ensure_parallelism(df, id_col), text_col, id_col)
+    if doc_lengths is None:
+        dl = corpus_stats(
+            ensure_parallelism(df, id_col), text_col, id_col
+        ).localCheckpoint(eager=False)
+    else:
+        dl = doc_lengths
     glob = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
-    tf = _postings(df, terms, text_col, id_col)
+    tf = _postings(df, terms, text_col, id_col).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
@@ -175,7 +196,11 @@ def tfidf_vectors(
     term-keyed self-join, cf. dedup.ngram_jaccard_pairs)."""
     base = ensure_parallelism(df, id_col)
     tok = base.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # lazy barrier: tf feeds both the df count and the final join — one
+    # corpus tokenize instead of two (same trade as bm25_term_scores)
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
@@ -285,7 +310,14 @@ def prf_expansion(
     """
     spark = df.sparkSession
     all_terms = sorted({t for _, ts in queries for t in ts})
-    per_term = bm25_term_scores(df, all_terms, text_col, id_col)
+    # ONE shared doc-length frame for the BM25 build and the ML term
+    # probabilities below (was two independent corpus tokenize passes)
+    dl = corpus_stats(
+        ensure_parallelism(df, id_col), text_col, id_col
+    ).localCheckpoint(eager=False)
+    per_term = bm25_term_scores(
+        df, all_terms, text_col, id_col, doc_lengths=dl
+    )
     qt = local_rows(
         spark, [(q, t) for q, ts in queries for t in ts], "qid string, term string"
     )
@@ -294,13 +326,14 @@ def prf_expansion(
         .groupBy("qid", id_col)
         .agg(F.sum("term_q").alias("score_q"))
     )
+    # fb feeds both the feedback-doc semi filter and the contrib join;
+    # it is (queries × k_docs)-sized, so the lazy barrier is ~free
     fb = scored.withColumn(
         "rnk",
         F.row_number().over(
             Window.partitionBy("qid").orderBy(F.desc("score_q"), id_col)
         ),
-    ).filter(F.col("rnk") <= k_docs)
-    dl = corpus_stats(ensure_parallelism(df, id_col), text_col, id_col)
+    ).filter(F.col("rnk") <= k_docs).localCheckpoint(eager=False)
     fb_docs = fb.select(id_col).distinct()
     ftf = (
         df.join(F.broadcast(fb_docs), id_col, "left_semi")

@@ -525,11 +525,16 @@ def rank_langid_confusion(
             F.substring(normalize_text(text_col), 1, int(prefix_chars))
         )
     )
+    # lazy barrier: base feeds FOUR consumers (the two trigram groupBys,
+    # the docs-with-profile sentinel filter, and the truth join) — each
+    # re-ran the scan + the normalization regex without it (5 scans in
+    # the round-13 executed-plan audit). (doc, lang, canonical-text)-
+    # sized: one narrow materialization against three re-normalizations.
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("true_lang"),
         nt.alias("__nt"),
-    )
+    ).localCheckpoint(eager=False)
     tri_col = F.when(
         F.coalesce(F.length("__nt"), F.lit(0)) >= 3,
         F.transform(
@@ -616,9 +621,9 @@ def rank_langid_confusion(
         )
         .select("doc_id", F.col("b.l").alias("pred_lang"))
     )
-    truth = df.select(
-        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("true_lang")
-    )
+    # truth off the checkpointed base (a pure projection of df — same
+    # rows, same values), not a fourth scan of the source
+    truth = base.select("doc_id", "true_lang")
     return (
         pred.join(truth, "doc_id")
         .groupBy("true_lang", "pred_lang")

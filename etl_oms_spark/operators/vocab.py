@@ -202,7 +202,11 @@ def chi2_keywords(
         F.col(group_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("term"),
     )
-    a = pres.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("df_in"))
+    # lazy barrier: a feeds both the term totals and the chi² join —
+    # each re-ran the corpus explode without it. (group, term)-sized.
+    a = pres.groupBy(group_col, "term").agg(
+        F.count(F.lit(1)).alias("df_in")
+    ).localCheckpoint(eager=False)
     sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_g"))
     totals = df.agg(F.count(F.lit(1)).alias("__n"))
     tot = a.groupBy("term").agg(F.sum("df_in").alias("__t_tot"))

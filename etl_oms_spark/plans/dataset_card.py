@@ -34,7 +34,9 @@ def dataset_card(
         base_aggs.append(
             F.countDistinct("lang").cast("double").alias("distinct_langs")
         )
-    base = df.groupBy(group_col).agg(*base_aggs)
+    # lazy barrier: base feeds one projection per metric plus avg — each
+    # re-ran the corpus token-count aggregate without it. Group-sized.
+    base = df.groupBy(group_col).agg(*base_aggs).localCheckpoint(eager=False)
     melted = None
     metrics = ["docs", "tokens"] + (
         ["distinct_langs"] if "lang" in df.columns else []

@@ -181,6 +181,9 @@ def eval_safe_release(
     )
     if not dedup:
         return final
-    keyed = final.withColumn("fp", F.md5("fin"))
+    # lazy barrier: keyed feeds both the winner groupBy and the final
+    # join — each re-ran the repair join + release normalization
+    # without it (round-13)
+    keyed = final.withColumn("fp", F.md5("fin")).localCheckpoint(eager=False)
     winners = keyed.groupBy("fp").agg(F.min(id_col).alias(id_col))
     return keyed.join(winners, ["fp", id_col]).drop("fp")

@@ -88,3 +88,23 @@ def test_tfidf_values(spark):
     r = v[(3, "melon")]
     assert r.tf == 4 and r.df == 1
     assert r.tfidf_q == math.floor(4 * math.log(5.0) * SCORE_SCALE + 0.5)
+
+
+def test_bm25_term_scores_shared_doc_lengths_equivalent(spark):
+    """Round-13 optimization seam: passing a caller-shared (possibly
+    checkpointed) corpus_stats frame must not change a single score."""
+    from etl_oms_spark.operators.search import bm25_term_scores, corpus_stats
+
+    df = _df(spark)
+    base = {
+        (r.doc_id, r.term): (r.tf, r.term_q)
+        for r in bm25_term_scores(df, ["apple", "banana"]).collect()
+    }
+    dl = corpus_stats(df).localCheckpoint(eager=False)
+    shared = {
+        (r.doc_id, r.term): (r.tf, r.term_q)
+        for r in bm25_term_scores(
+            df, ["apple", "banana"], doc_lengths=dl
+        ).collect()
+    }
+    assert shared == base and len(base) > 0
