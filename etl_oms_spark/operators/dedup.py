@@ -471,9 +471,14 @@ def block_dedup(
     base = ensure_parallelism(df, id_col).select(
         F.col(id_col), n_blocks.alias("n_blocks"), block_arr.alias("__blocks")
     )
+    # lazy barrier: exploded feeds both the winner groupBy and the kept
+    # join — each re-ran the tokenize + block build without it (3 full
+    # block passes for the operator; 2 after). Rows carry each block
+    # once, so the materialization is ~corpus-text-sized — the same
+    # trade as repeated_substring_spans' window-md5 barrier.
     exploded = base.select(
         F.col(id_col), F.posexplode(F.col("__blocks")).alias("pos", "block")
-    )
+    ).localCheckpoint(eager=False)
     winners = exploded.groupBy("block").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("__w")
     )

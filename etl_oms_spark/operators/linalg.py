@@ -171,9 +171,13 @@ def project_onto(
     per component over a zip of the vector with a broadcast array literal
     — pure column algebra, no shuffle, no UDF; the projection streams
     through the scan. Adds ``{prefix}1..{prefix}k`` double columns."""
+    from ..util import _sql_literal
+
     out = df
     for ci, comp in enumerate(components, start=1):
-        lit_arr = F.array(*[F.lit(float(x)) for x in comp])
+        # ONE parsed SQL array literal per component, not dim F.lit py4j
+        # round trips (round-13; the util.local_rows lesson)
+        lit_arr = F.expr(_sql_literal([float(x) for x in comp]))
         dot = F.aggregate(
             F.zip_with(
                 F.col(vec_col), lit_arr, lambda a, b: a.cast("double") * b
@@ -299,9 +303,12 @@ def project_integer(
     one ``aggregate`` fold of ``q_i·v_i`` (q = round(x·scale) BIGINT) —
     products ≤ ~1e9 per term at the default scales, far inside long
     range; no shuffle, no UDF. Adds ``{prefix}1..{prefix}k`` BIGINTs."""
+    from ..util import _sql_literal
+
     out = df
     for ci, comp in enumerate(components, start=1):
-        lit_arr = F.array(*[F.lit(int(x)).cast("long") for x in comp])
+        # ONE parsed SQL array literal per component (round-13)
+        lit_arr = F.expr(_sql_literal([int(x) for x in comp]))
         q = F.transform(
             F.col(vec_col),
             lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long"),

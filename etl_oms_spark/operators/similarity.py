@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..util import ensure_parallelism
+from ..util import _sql_literal, ensure_parallelism
 
 #: quantization scale: float32 embeddings in [-1, 1] keep ~6 significant
 #: digits; products stay far inside long range (64 dims × (2e6)² ≈ 2.6e14).
@@ -446,7 +446,10 @@ def sq_encode(vec: Column, scales: list[float]) -> Column:
     """Symmetric int8 encode: ``q_i = round(x_i / s_i * 127)`` (0 where the
     dimension is constant-zero). 4× smaller than float32 — the memory-
     bound corpus representation; pure array math in one pass."""
-    s = F.array(*[F.lit(float(v)) for v in scales])
+    # ONE parsed SQL array literal, not dim F.lit py4j round trips per
+    # call (round-13; the util.local_rows lesson — CAST('repr' AS DOUBLE)
+    # round-trips IEEE doubles exactly)
+    s = F.expr(_sql_literal([float(v) for v in scales]))
     return F.zip_with(
         vec,
         s,
@@ -585,6 +588,9 @@ def pq_encode(vec: Column, codebooks: "list") -> Column:
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
     codes = []
+    # codebook rows as ONE parsed SQL array literal each, not m·k·sub
+    # F.lit py4j round trips per encode build (round-13; ~2048 calls at
+    # the default 8×16×16 — the util.local_rows lesson)
     for s in range(m):
         subv = F.slice(vec, s * sub + 1, sub)
         dists = F.array(
@@ -592,7 +598,7 @@ def pq_encode(vec: Column, codebooks: "list") -> Column:
                 F.aggregate(
                     F.zip_with(
                         subv,
-                        F.array(*[F.lit(float(v)) for v in codebooks[s][c]]),
+                        F.expr(_sql_literal([float(v) for v in codebooks[s][c]])),
                         lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
                     ),
                     F.lit(0.0),
@@ -639,9 +645,9 @@ def pq_topk(
                                     s * len(codebooks[0][0]) + 1,
                                     len(codebooks[0][0]),
                                 ),
-                                F.array(
-                                    *[F.lit(float(v)) for v in codebooks[s][c]]
-                                ),
+                                F.expr(_sql_literal(
+                                    [float(v) for v in codebooks[s][c]]
+                                )),
                                 lambda a, b: (a.cast("double") - b)
                                 * (a.cast("double") - b),
                             ),
@@ -883,9 +889,9 @@ def ivfpq_topk(
                         F.aggregate(
                             F.zip_with(
                                 F.slice(F.col("__qvec"), s * sub + 1, sub),
-                                F.array(
-                                    *[F.lit(float(v)) for v in codebooks[s][cc]]
-                                ),
+                                F.expr(_sql_literal(
+                                    [float(v) for v in codebooks[s][cc]]
+                                )),
                                 lambda a, b: (a.cast("double") - b)
                                 * (a.cast("double") - b),
                             ),

@@ -536,10 +536,17 @@ def unigram_fertility(
 
     sample = _uni_word_sample(df, sample_words, text_col)
     _, score = _uni_vocab_scores(sample)
-    flat: list[Column] = []
-    for p in sorted(score):
-        flat += [F.lit(p), F.lit(int(score[p]))]
-    smap = F.create_map(*flat)
+    # ONE parsed SQL map literal, not ~2·|vocab| F.lit py4j round trips
+    # (round-13; the util.local_rows lesson)
+    from etl_oms_spark.util import _sql_literal
+
+    smap = F.expr(
+        "map("
+        + ",".join(
+            f"{_sql_literal(p)},{int(score[p])}L" for p in sorted(score)
+        )
+        + ")"
+    )
 
     tokw = (
         df.select(
