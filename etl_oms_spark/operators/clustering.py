@@ -242,12 +242,16 @@ def semantic_dedup_pairs(
 
     cents = kmeans_fit(df, k, n_iter, id_col, vec_col)
     assigned = kmeans_assign(df, cents, id_col, vec_col)
+    # lazy barrier: quantized feeds BOTH sides of the within-cluster pair
+    # join — each side re-ran the scan + k-way argmin + quantize/norm
+    # folds without it (round-13); at scale persisting the assignment is
+    # the documented posture (kmeans_assign docstring)
     quantized = assigned.select(
         F.col("cluster"),
         F.col(id_col),
         F.transform(F.col(vec_col), _quant).alias("__qv"),
         norm2_quantized(F.col(vec_col)).alias("__n2"),
-    )
+    ).localCheckpoint(eager=False)
     a = quantized.select(
         F.col("cluster"), F.col(id_col).alias("id_a"),
         F.col("__qv").alias("__qa"), F.col("__n2").alias("__na"),
@@ -315,6 +319,9 @@ def cluster_stats(
     members at worst-case spread (far larger for realistic dist2 ≈ 1e12).
     Past that, recast the two products to DECIMAL(38,0) — still exact.
     """
+    # lazy barrier: assigned feeds both the per-cluster rollup and the
+    # outlier re-scan (round-13; 2 scan+argmin passes -> 1)
+    assigned = assigned.localCheckpoint(eager=False)
     per = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dist2").alias("sum_dist2"),
@@ -666,6 +673,8 @@ def davies_bouldin(
     mq6 = F.floor(
         F.sqrt(F.col("dist2").cast("double")) * F.lit(1e6) + F.lit(0.5)
     ).cast("decimal(38,0)")
+    # lazy barrier: s (k rows) feeds the si/sj pair sides and the DB
+    # rollup — each re-ran the whole assignment scan without it (round-13)
     s = (
         assigned.groupBy("cluster")
         .agg(
@@ -679,6 +688,7 @@ def davies_bouldin(
             .cast("long")
             .alias("s_q6"),
         )
+        .localCheckpoint(eager=False)
     )
     pairs = []
     for i in range(k):
