@@ -73,9 +73,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rebuild_ts(df: DataFrame) -> DataFrame:
-    """The ts-normalization half of `_events`, shared with the streaming
-    twins (`_events_stream`): nanos-long → TimestampType via integer DIV,
-    TIMESTAMP_NTZ → TimestampType cast (session tz is UTC)."""
+    """The extracted ts-normalization half of `_events`: nanos-long →
+    TimestampType via integer DIV, TIMESTAMP_NTZ → TimestampType cast
+    (session tz is UTC). The streaming readers handle ts inline at their
+    readStream sites (a file-stream schema is pinned before this helper
+    could see it), so this is the BATCH half only."""
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     if isinstance(df.schema["ts"].dataType, LongType):
@@ -3674,11 +3676,17 @@ def cc1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(_t(spark, sf_dir, "documents"), hash_method="md5")
     pairs = lsh_candidate_pairs(sigs, hash_method="md5")
     comp = connected_components(pairs)
-    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(sizes, "component").select(
+    # cluster size as a window count, not groupBy+self-join: the join
+    # form re-derived comp's star-rollup+left-join subtree once per side
+    # (r14 plan audit); the window is one exchange over the node-sized
+    # label table (guide §2.4)
+    return comp.select(
         F.col("id").alias("doc_id"),
         "component",
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("cluster_size"),
     )
 
 
@@ -9926,6 +9934,11 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 base.filter(F.col("c_custkey") % 3 == 0),
             )
         )
+        # lazy barrier: rec feeds FOUR branches (both blocking self-join
+        # sides, the label join, the golden-name projection) — the r14
+        # plan audit showed 12 customer scans from re-deriving it per
+        # branch. One narrow (id, name, 3 block keys) materialization.
+        .localCheckpoint(eager=False)
     )
     a = rec.select(
         F.col("record_id").alias("u"),
@@ -9958,8 +9971,12 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_records"),
         F.countDistinct("src_rank").cast("long").alias("n_sources"),
     )
-    golden = labeled.select(F.col("record_id").alias("entity_id"),
-                            F.col("name").alias("golden_name"))
+    # golden keys on record_id, not the coalesced label — the comp join
+    # contributes nothing to this branch, so derive it straight from rec
+    # (was: labeled re-ran the comp left-join a second time just to be
+    # projected away). Same rows, same values.
+    golden = rec.select(F.col("record_id").alias("entity_id"),
+                        F.col("name").alias("golden_name"))
     return ent.join(golden, "entity_id").orderBy("entity_id")
 
 
@@ -10871,13 +10888,15 @@ def pj1_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), threshold=0.9
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return comp.join(sizes, "component").select(
+    # window count instead of groupBy+self-join (cc1's rationale): one
+    # exchange over the node-sized label table, no comp re-derivation
+    return comp.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("cluster_size"),
     )
 
 
@@ -10979,13 +10998,15 @@ def pj1c_prefix_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), threshold=0.9, per_token_cap=8
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return comp.join(sizes, "component").select(
+    # window count instead of groupBy+self-join (cc1's rationale): one
+    # exchange over the node-sized label table, no comp re-derivation
+    return comp.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("cluster_size"),
     )
 
 

@@ -614,10 +614,12 @@ def bloom_decontamination(
         bitmap[int(r["word"])] = int(r["bits"])
     # ONE parsed SQL literal, not num_bits/64 (= 2048 at the default)
     # F.lit() py4j round trips per call (round-13; the util.local_rows
-    # lesson applied to the bitmap literal)
-    bloom = F.expr(
-        "array(" + ",".join(f"{w}L" for w in bitmap) + ")"
-    )
+    # lesson applied to the bitmap literal). _sql_literal's list branch
+    # emits the same array(...L) string WITH the BIGINT range guard —
+    # no hand-rolled int rendering to drift (ADVICE r13).
+    from ..util import _sql_literal
+
+    bloom = F.expr(_sql_literal(bitmap))
 
     doc_sh = (
         ensure_parallelism(df, id_col)

@@ -110,21 +110,35 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
+    from pyspark.sql import Window
+
     e = e0
     prev_sig: tuple | None = None
     prev_n: int | None = None
     converged = False
     it = 0
     for it in range(max_iterations):
+        # Star rounds compute a per-node neighbor minimum and re-key
+        # every edge by it. Round 14: that is ONE window over the edge
+        # frame partitioned by the node — the previous groupBy+self-join
+        # form shuffled the edge set TWICE per round (once into the min
+        # aggregate, once into the join probe) plus two sort-merge sorts;
+        # the window pays one Exchange + one sort for the same rows
+        # (guide §2.4: two operations keyed the same way share one
+        # exchange — a window IS the aggregate+join fused). Skew posture
+        # unchanged: a hot node's rows landed on one reducer under the
+        # join too; WindowExec spills per group.
         if it % 2 == 0:  # large-star
             sym = e.union(
                 e.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            mins = sym.groupBy("u").agg(
-                F.least(F.min("v"), F.first("u")).alias("m")
-            )
+            w = Window.partitionBy("u")
             out = (
-                sym.join(mins, "u")
+                sym.select(
+                    "u",
+                    "v",
+                    F.least(F.min("v").over(w), F.col("u")).alias("m"),
+                )
                 .filter(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
             )
@@ -132,11 +146,28 @@ def connected_components(
             hi_lo = e.select(
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
-            mins = hi_lo.groupBy("u").agg(F.min("v").alias("m"))
+            # ordered window: the running min over (u ORDER BY v) equals
+            # the group min at EVERY row (row 1 is the min), and rn==1
+            # tags exactly one row per group to emit the (u, m) self
+            # edge — same rows as the old groupBy+join+union, one pass
+            wv = Window.partitionBy("u").orderBy("v")
+            ranked = hi_lo.select(
+                "u",
+                "v",
+                F.min("v").over(wv).alias("m"),
+                F.row_number().over(wv).alias("rn"),
+            )
+            child = F.struct(F.col("v").alias("u"), F.col("m").alias("v"))
+            self_edge = F.struct(F.col("u").alias("u"), F.col("m").alias("v"))
             small = (
-                hi_lo.join(mins, "u")
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .union(mins.select(F.col("u"), F.col("m").alias("v")))
+                ranked.select(
+                    F.explode(
+                        F.when(
+                            F.col("rn") == 1, F.array(child, self_edge)
+                        ).otherwise(F.array(child))
+                    ).alias("s")
+                )
+                .select(F.col("s.u").alias("u"), F.col("s.v").alias("v"))
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
                 # lazy inner checkpoint: both jump branches below share

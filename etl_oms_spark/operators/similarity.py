@@ -285,12 +285,19 @@ def embedding_near_dup_pairs(
     # instead of once per candidate pair cuts the fold work 3× — the
     # dominant cost of the bucket self-join. Cosine stays bit-identical:
     # same exact-integer operands, same sqrt(na)·sqrt(nb) form.
+    # lazy barrier: bucketed feeds BOTH sides of the bucket self-join —
+    # each side re-ran the scan + the LSH projection + the quantized-norm
+    # fold without it (cx2/e6/e3 showed 4 scans and double fold cost in
+    # the r14 executed-plan audit). The materialization is one row per
+    # vector with its embedding — the same columns the pair join must
+    # move anyway; self-join sides defeat exchange reuse (the
+    # winnow_match_pairs lesson, guide §2.4).
     bucketed = ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.col(vec_col),
         bucket.alias("__bucket"),
         norm2_quantized(F.col(vec_col)).alias("__n2"),
-    )
+    ).localCheckpoint(eager=False)
     a = bucketed.select(
         F.col("__bucket"),
         F.col(id_col).alias("id_a"),

@@ -480,17 +480,30 @@ def single_run_sentinel_flush(
     if schema is None:
         schema = spark.read.parquet(src).schema
     # the flush rides on the trailing no-data batch; that batch only
-    # exists while this (default-on) knob is on, so pin it rather than
-    # inherit whatever the session was configured with
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    stream = spark.readStream.schema(schema).parquet(src)
-    q = (
-        build(stream)
-        .writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # exists while this (default-on) knob is on, so pin it for the run
+    # rather than inherit whatever the session was configured with —
+    # and RESTORE the caller's value afterwards (session-config hygiene,
+    # VERDICT r13 item 5: a helper must not leak a global setting)
+    _knob = "spark.sql.streaming.noDataMicroBatches.enabled"
+    try:
+        _saved = spark.conf.get(_knob)
+    except Exception:  # noqa: BLE001 - unset → restore to unset
+        _saved = None
+    spark.conf.set(_knob, "true")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            build(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if _saved is None:
+            spark.conf.unset(_knob)
+        else:
+            spark.conf.set(_knob, _saved)

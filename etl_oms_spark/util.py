@@ -231,8 +231,15 @@ def _sql_literal(v) -> str:
     if isinstance(v, float):
         import math
 
-        if not math.isfinite(v):
-            raise TypeError("non-finite float")
+        # non-finite values render via the same string-cast path Spark
+        # itself uses (CAST('NaN'/'Infinity' AS DOUBLE) is exact); the
+        # old TypeError here crashed plan construction on degenerate
+        # training output (NaN centroid/scale) that the previous
+        # F.lit(float(x)) sites used to propagate (ADVICE r13)
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
         return f"CAST('{v!r}' AS DOUBLE)"
     if isinstance(v, str):
         out = []
@@ -248,7 +255,11 @@ def _sql_literal(v) -> str:
             elif ch == "\t":
                 out.append("\\t")
             elif ord(ch) < 0x20:
-                raise TypeError("unsupported control char in string")
+                # remaining control chars (ESC/NUL/... survive
+                # normalize_text, which only collapses \s) render as the
+                # parser's \uXXXX escape instead of raising — a dirty
+                # corpus must not crash plan construction (ADVICE r13)
+                out.append(f"\\u{ord(ch):04X}")
             else:
                 out.append(ch)
         return "'" + "".join(out) + "'"

@@ -156,3 +156,30 @@ def test_local_rows_large_input_falls_back(spark):
     df = local_rows(spark, rows, "cluster int, qc array<bigint>")
     assert "Scan ExistingRDD" in physical_plan(df)
     assert df.count() == 200
+
+
+def test_sql_literal_control_chars_and_nonfinite(spark):
+    """_sql_literal must render (not crash on) scraped-corpus hazards:
+    control chars < 0x20 beyond \\n/\\r/\\t (ESC, NUL — normalize_text
+    only collapses \\s, so they survive into tokens) and non-finite
+    floats from degenerate training runs (ADVICE r13). Values must
+    round-trip exactly vs createDataFrame."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_oms_spark.util import _sql_literal
+
+    hazards = ["esc\x1bseq", "nul\x00byte", "bell\x07", "a\x1fb"]
+    for s in hazards:
+        got = spark.range(1).select(F.expr(_sql_literal(s)).alias("v")).first()["v"]
+        assert got == s, repr(s)
+    for v, check in [
+        (float("nan"), math.isnan),
+        (float("inf"), lambda x: x == float("inf")),
+        (float("-inf"), lambda x: x == float("-inf")),
+    ]:
+        got = spark.range(1).select(F.expr(_sql_literal(v)).alias("v")).first()["v"]
+        assert check(got), (v, got)
+    # list branch (the bloom bitmap path) renders ints with the L suffix
+    assert _sql_literal([1, 2]) == "array(1L,2L)"
